@@ -1,0 +1,150 @@
+"""Deterministic synthetic tables (seeded; no external data).
+
+Generates the BASELINE.json input-hint image table
+(image_id, bytes, w, h, fmt, caption, phash) plus geo metadata columns
+(gt: array<double>[6], crs, no_val, bands), and the AOI-polygon and
+points tables used by the spatial joins (FIXTURES.md sections 1, 3, 4).
+
+All generators are pure functions of (seed, n) so tests, the driver
+contract, and the benchmark see identical data at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions import codecs
+
+_WORDS = (
+    "aerial drone ortho survey field crop ridge valley river delta canal "
+    "road bridge rooftop solar panel quarry forest shore dune glacier "
+    "terrace vineyard orchard paddock runway harbor reef mesa butte plain"
+).split()
+
+DEFAULT_EXTENT = (-2000.0, -2000.0, 2000.0, 2000.0)  # world coords (EPSG:3857-like)
+
+
+def make_caption(rng: np.random.Generator) -> str:
+    k = int(rng.integers(3, 9))
+    return " ".join(rng.choice(_WORDS, size=k))
+
+
+def phash64(block: np.ndarray) -> int:
+    """Deterministic 64-bit perceptual hash: 8x8 block-mean > global mean.
+
+    Stands in for the input_hint ``phash`` column; stable across codecs
+    for blocks that survive q16 quantization (PSNR>=40dB)."""
+    h, w = block.shape
+    data = np.nan_to_num(block, nan=0.0)
+    # average-pool to 8x8 (pad to a multiple of 8 first)
+    ph = (8 - h % 8) % 8
+    pw = (8 - w % 8) % 8
+    if ph or pw:
+        data = np.pad(data, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = data.shape
+    pooled = data.reshape(8, hh // 8, 8, ww // 8).mean(axis=(1, 3))
+    bits = (pooled > pooled.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def make_image_block(seed: int, idx: int, h: int, w: int) -> np.ndarray:
+    rng = np.random.default_rng(seed * 1_000_003 + idx)
+    return rng.normal(size=(h, w))
+
+
+def image_table(n: int, seed: int = 42, h: int = 64, w: int = 64,
+                fmt_cycle=("raw", "q16"), extent=DEFAULT_EXTENT,
+                pixel_size: float = 1.0, crs: str = "EPSG:3857",
+                nan_frac: float = 0.0) -> pd.DataFrame:
+    """Image+caption table; images are placed on a deterministic grid of
+    top-left corners inside ``extent`` so centroids spread across cells."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    ncols = max(int(np.ceil(np.sqrt(n))), 1)
+    span_x = extent[2] - extent[0] - w * pixel_size
+    span_y = extent[3] - extent[1] - h * pixel_size
+    for i in range(n):
+        block = make_image_block(seed, i, h, w)
+        if nan_frac > 0.0:
+            hole = np.random.default_rng(seed * 7 + i).random(block.shape) < nan_frac
+            block[hole] = np.nan
+        fmt = fmt_cycle[i % len(fmt_cycle)]
+        gx = extent[0] + (i % ncols) / max(ncols - 1, 1) * max(span_x, 0.0)
+        gy = extent[3] - (i // ncols) / max(ncols, 1) * max(span_y, 0.0)
+        gt = [gx, pixel_size, 0.0, gy, 0.0, -pixel_size]
+        rows.append(
+            {
+                "image_id": f"img_{i:08d}",
+                "bytes": codecs.encode_block(block, fmt),
+                "w": np.int32(w),
+                "h": np.int32(h),
+                "fmt": fmt,
+                "caption": make_caption(rng),
+                "phash": np.int64(phash64(block)),
+                "gt": [float(v) for v in gt],
+                "crs": crs,
+                "no_val": float("nan"),
+                "bands": np.int32(1),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def aoi_table(n: int, seed: int = 43, extent=DEFAULT_EXTENT) -> pd.DataFrame:
+    """AOI polygons as packed coordinate buffers (FIXTURES.md section 3).
+
+    Star-convex polygons; includes one polygon with a hole (index 0 when
+    n >= 1) and one fully outside the extent (index 1 when n >= 2)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    ex_w = extent[2] - extent[0]
+    ex_h = extent[3] - extent[1]
+    for i in range(n):
+        if i == 1:
+            # disjoint polygon, far outside the extent
+            cx, cy, r = extent[2] + 10 * ex_w, extent[3] + 10 * ex_h, ex_w * 0.05
+        else:
+            cx = extent[0] + rng.random() * ex_w
+            cy = extent[1] + rng.random() * ex_h
+            r = (0.05 + rng.random() * 0.2) * min(ex_w, ex_h)
+        k = int(rng.integers(5, 12))
+        ang = np.sort(rng.random(k)) * 2 * np.pi
+        rad = r * (0.5 + rng.random(k) * 0.5)
+        xs = (cx + rad * np.cos(ang)).tolist()
+        ys = (cy + rad * np.sin(ang)).tolist()
+        ring_offsets = [0]
+        if i == 0 and n >= 1:
+            # punch a small square hole at the centroid
+            hr = r * 0.15
+            ring_offsets.append(len(xs))
+            xs += [cx - hr, cx + hr, cx + hr, cx - hr]
+            ys += [cy - hr, cy - hr, cy + hr, cy + hr]
+        rows.append(
+            {
+                "aoi_id": f"aoi_{i:05d}",
+                "ring_offsets": ring_offsets,
+                "xs": xs,
+                "ys": ys,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def points_table(n: int, seed: int = 44, extent=DEFAULT_EXTENT) -> pd.DataFrame:
+    """Scattered (x, y, z) points for kNN / fill (FIXTURES.md section 4)."""
+    rng = np.random.default_rng(seed)
+    xs = extent[0] + rng.random(n) * (extent[2] - extent[0])
+    ys = extent[1] + rng.random(n) * (extent[3] - extent[1])
+    zs = rng.normal(size=n) * 10.0 + 100.0
+    return pd.DataFrame(
+        {
+            "pt_id": [f"pt_{i:07d}" for i in range(n)],
+            "x": xs,
+            "y": ys,
+            "z": zs,
+        }
+    )

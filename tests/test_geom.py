@@ -1,0 +1,109 @@
+"""Geometry kernel unit tests (half-open bounds, affine, PIP)."""
+
+import numpy as np
+
+from rasters_rs_spark.functions import geom
+
+
+def test_transform_from_gdal():
+    t = geom.transform_from_gdal([-64.0, 1.0, 0.0, -32.0, 0.0, 1.0])
+    x, y = geom.transform_points(t, [0.0], [0.0])
+    assert (x[0], y[0]) == (-64.0, -32.0)
+    x, y = geom.transform_points(t, [10.0], [5.0])
+    assert (x[0], y[0]) == (-54.0, -27.0)
+
+
+def test_transform_between_diff_fixture():
+    # diff oracle rasters: A 1m px at (-64,-32); B 4m px at (-128,-64)
+    t = geom.transform_between([-64.0, 1.0, 0.0, -32.0, 0.0, 1.0],
+                               [-128.0, 4.0, 0.0, -64.0, 0.0, 4.0])
+    # A pixel (0,0) -> world (-64,-32) -> B pixel (16, 8)
+    x, y = geom.transform_points(t, [0.0], [0.0])
+    assert np.allclose([x[0], y[0]], [16.0, 8.0])
+
+
+def test_bounds_intersect_and_empty():
+    assert geom.bounds_intersect((0, 0, 2, 2), (1, 1, 3, 3)) == (1, 1, 2, 2)
+    assert geom.bounds_intersect((0, 0, 1, 1), (1, 0, 2, 1)) is None  # touching is empty
+    assert geom.bounds_intersect((0, 0, 1, 1), (5, 5, 6, 6)) is None
+
+
+def test_window_from_bounds_partial_pixels():
+    # floor mins / ceil maxes, clipped to raster
+    win = geom.window_from_bounds((0.2, 0.7, 3.1, 2.0), (10, 10))
+    assert win == ((0, 0), (4, 2))
+    # disjoint -> zero window
+    assert geom.window_from_bounds((-5, -5, -1, -1), (10, 10)) == ((0, 0), (0, 0))
+    # clip to raster dims
+    assert geom.window_from_bounds((8.5, 8.5, 20, 20), (10, 10)) == ((8, 8), (2, 2))
+
+
+def test_transform_window_identity():
+    t = np.eye(3)
+    assert geom.transform_window(((2, 3), (4, 5)), t, (100, 100)) == ((2, 3), (4, 5))
+
+
+def test_chunk_transform_residue_is_linear_only():
+    # residue applies only the linear part to off_1 (homogeneous z=0)
+    t = geom.transform_from_gdal([100.0, 2.0, 0.0, 200.0, 0.0, 2.0])
+    ct = geom.chunk_transform(t, (0.5, 10.5), (3.0, 7.0))
+    # expected: translation += linear(t) @ off1 - off2
+    assert ct[0, 2] == 100.0 + 2.0 * 0.5 - 3.0
+    assert ct[1, 2] == 200.0 + 2.0 * 10.5 - 7.0
+
+
+def test_index_transform_grid_matches_scalar_reference():
+    """Cross-check the vectorized grid against a literal scalar port of
+    index_transformer (src/align.rs:122-144)."""
+    rng = np.random.default_rng(7)
+    t = np.eye(3)
+    t[0, 0], t[1, 1] = 0.25, 0.25
+    t[0, 2], t[1, 2] = -1.3, 2.7
+    rows, cols, dims = 9, 13, (5, 6)
+    valid, i2, j2 = geom.index_transform_grid(t, rows, cols, dims)
+    for i in range(rows):
+        for j in range(cols):
+            x = t[0, 0] * j + t[0, 1] * i + t[0, 2]
+            y = t[1, 0] * j + t[1, 1] * i + t[1, 2]
+            if x < 0 or y < 0:
+                expect = None
+            else:
+                jj, ii = int(np.floor(x)), int(np.floor(y))
+                expect = None if (jj >= dims[0] or ii >= dims[1]) else (ii, jj)
+            if expect is None:
+                assert not valid[i, j]
+            else:
+                assert valid[i, j]
+                assert (i2[i, j], j2[i, j]) == expect
+
+
+def test_points_in_rings_square():
+    xs = [0.0, 4.0, 4.0, 0.0]
+    ys = [0.0, 0.0, 4.0, 4.0]
+    inside = geom.points_in_rings([2.0, 5.0, -1.0], [2.0, 2.0, 2.0], [0], xs, ys)
+    assert inside.tolist() == [True, False, False]
+
+
+def test_points_in_rings_with_hole():
+    # outer square 0..10, hole 4..6
+    xs = [0.0, 10.0, 10.0, 0.0, 4.0, 6.0, 6.0, 4.0]
+    ys = [0.0, 0.0, 10.0, 10.0, 4.0, 4.0, 6.0, 6.0]
+    offs = [0, 4]
+    inside = geom.points_in_rings([5.0, 2.0, 11.0], [5.0, 2.0, 5.0], offs, xs, ys)
+    assert inside.tolist() == [False, True, False]
+
+
+def test_points_in_rings_concave():
+    # L-shape
+    xs = [0.0, 4.0, 4.0, 2.0, 2.0, 0.0]
+    ys = [0.0, 0.0, 2.0, 2.0, 4.0, 4.0]
+    inside = geom.points_in_rings([3.0, 3.0, 1.0], [1.0, 3.0, 3.0], [0], xs, ys)
+    assert inside.tolist() == [True, False, True]
+
+
+def test_bilinear_weights_sum_to_one():
+    t = np.eye(3)
+    t[0, 2], t[1, 2] = 0.3, 0.9
+    valid, i0, j0, wx, wy = geom.bilinear_weights_grid(t, 6, 6, (6, 6))
+    w = (1 - wx) * (1 - wy) + wx * (1 - wy) + (1 - wx) * wy + wx * wy
+    assert np.allclose(w[valid], 1.0)
