@@ -1,0 +1,129 @@
+"""Cell-keyed spatial joins: the engine's H3/S2-style index layer.
+
+The cell index is the web-mercator quadkey (z, x, y) from
+functions/mercator.py (reference web_mercator.rs:43-102); a k-ring is
+the (x +/- k, y +/- k) window at fixed z. This file implements the
+filter-refine spatial join that replaces the reference's O(pixels x
+polygons) nested-loop PIP (raster-stats/main.rs:72-82):
+
+  points  -> cell key (one expression, JVM-side)
+  AOIs    -> covering cell set (bbox tile range, exploded)
+  equi-join on cell (broadcast when the AOI side is small, shuffle-hash
+  otherwise, optional salting for hot cells)
+  exact winding-number refine in an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import geom
+from ..functions.mercator import MAX_COORD
+
+AOI_SCHEMA = (
+    "aoi_id string, ring_offsets array<int>, xs array<double>, ys array<double>"
+)
+
+
+def cell_expr(x_col: str, y_col: str, zoom: int):
+    """Tile/cell index of a WM point as a single long: (x << 32) | y.
+
+    Pure Catalyst expression (floor + shift), no UDF.
+    """
+    ts = 2.0 * MAX_COORD / float(1 << zoom)
+    cx = F.floor((F.col(x_col) + F.lit(MAX_COORD)) / F.lit(ts)).cast("long")
+    cy = F.floor((F.col(y_col) + F.lit(MAX_COORD)) / F.lit(ts)).cast("long")
+    return F.shiftleft(cx, 32) + cy
+
+
+def aoi_cells_df(spark: SparkSession, aois: pd.DataFrame, zoom: int) -> DataFrame:
+    """Explode each AOI into its covering cells at ``zoom`` (bbox cover;
+    the exact test happens after the join). Computed driver-side: the
+    AOI table is the small dimension side."""
+    ts = 2.0 * MAX_COORD / float(1 << zoom)
+    rows = []
+    for r in aois.itertuples(index=False):
+        minx, miny, maxx, maxy = geom.polygon_bbox(r.ring_offsets, r.xs, r.ys)
+        x0 = int(np.floor((minx + MAX_COORD) / ts))
+        x1 = int(np.floor((maxx + MAX_COORD) / ts))
+        y0 = int(np.floor((miny + MAX_COORD) / ts))
+        y1 = int(np.floor((maxy + MAX_COORD) / ts))
+        for cx in range(x0, x1 + 1):
+            for cy in range(y0, y1 + 1):
+                rows.append(
+                    (r.aoi_id, (cx << 32) + cy, list(r.ring_offsets),
+                     [float(v) for v in r.xs], [float(v) for v in r.ys])
+                )
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["aoi_id", "cell", "ring_offsets", "xs", "ys"]),
+        schema=f"aoi_id string, cell long, ring_offsets array<int>, "
+               f"xs array<double>, ys array<double>",
+    )
+
+
+def _refine(df: DataFrame, keep_cols: list[str]) -> DataFrame:
+    """Exact winding-number refine over candidate (point, aoi) rows."""
+    out_schema = ", ".join(keep_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[[c.split(" ")[0] for c in keep_cols]][0:0]
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            # group candidates by aoi so each polygon tests all its
+            # points in one vectorized call
+            for _, sub in pdf.groupby("aoi_id", sort=False):
+                first = sub.iloc[0]
+                inside = geom.points_in_rings(
+                    sub["px"].to_numpy(), sub["py"].to_numpy(),
+                    list(first["ring_offsets"]),
+                    np.asarray(first["xs"], dtype=np.float64),
+                    np.asarray(first["ys"], dtype=np.float64),
+                )
+                keep[sub.index.to_numpy()] = inside
+            res = pdf.loc[keep, [c.split(" ")[0] for c in keep_cols]]
+            yield res
+
+    # stable integer index required for the boolean scatter above
+    return df.mapInPandas(
+        lambda it: gen(_reindexed(it)), schema=out_schema
+    )
+
+
+def _reindexed(batches):
+    for pdf in batches:
+        yield pdf.reset_index(drop=True)
+
+
+def cell_pip_join(points: DataFrame, aois: pd.DataFrame, zoom: int = 12,
+                  x_col: str = "x", y_col: str = "y",
+                  broadcast_aois: bool = True, salt: int = 1) -> DataFrame:
+    """Join points to every AOI that exactly contains them.
+
+    ``points`` needs (id..., x_col, y_col) in WM/world coords. Returns the
+    point columns + ``aoi_id``. One equi-join (broadcast by default; set
+    ``salt`` > 1 to spread a hot cell across ``salt`` shuffle keys when
+    the AOI side is too big to broadcast and a cell is skewed).
+    """
+    spark = points.sparkSession
+    cells = aoi_cells_df(spark, aois, zoom)
+    pts = points.withColumn("cell", cell_expr(x_col, y_col, zoom))
+    pts = pts.withColumn("px", F.col(x_col)).withColumn("py", F.col(y_col))
+
+    if salt > 1:
+        pts = pts.withColumn("_salt", F.pmod(F.xxhash64(*points.columns), F.lit(salt)))
+        cells = cells.withColumn("_salt", F.explode(F.lit(list(range(salt)))))
+        join_keys = ["cell", "_salt"]
+    else:
+        join_keys = ["cell"]
+
+    right = F.broadcast(cells) if broadcast_aois else cells
+    cand = pts.join(right, on=join_keys, how="inner")
+
+    keep = [f"{c} {t}" for c, t in points.dtypes] + ["aoi_id string"]
+    return _refine(cand, keep)

@@ -1,0 +1,201 @@
+"""Statistics aggregations: PixelStats monoid, histogram, zonal stats.
+
+Reference semantics:
+- PixelStats {max, min, sum, sum_2, count}; variance = sum_2/count
+  (NON-central, as in src/stats.rs:91-93) -- one groupBy pass, Catalyst
+  partial+final hash aggregate replaces the reference's rayon
+  try_fold/try_reduce (raster-stats/main.rs:62-93).
+- Histogram with under/overflow counters (src/histogram.rs:58-72,107-137).
+- Zonal stats: every pixel contributes to EVERY containing polygon
+  (many-to-many, raster-stats/main.rs:72-82); we replace the O(pixels x
+  polygons) nested loop with broadcast AOI buffers + vectorized
+  winding-number refine inside an Arrow-batched pandas UDF, emitting
+  per-(image, aoi) partial stats that a single groupBy merges.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import codecs, geom
+
+PIXEL_STATS_SCHEMA = (
+    "count double, min double, max double, sum double, sum_2 double"
+)
+
+
+def pixel_stats_exprs(col: str):
+    """The five PixelStats aggregate expressions plus derived columns."""
+    c = F.col(col)
+    return [
+        F.count(c).cast("double").alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.sum(c * c).alias("sum_2"),
+    ]
+
+
+def with_derived_stats(df: DataFrame) -> DataFrame:
+    """mean / variance / std from the monoid fields (non-central variance,
+    matching src/stats.rs:86-98)."""
+    return (
+        df.withColumn("mean", F.col("sum") / F.col("count"))
+        .withColumn("variance", F.col("sum_2") / F.col("count"))
+        .withColumn("std", F.sqrt(F.col("sum_2") / F.col("count")))
+    )
+
+
+def column_stats(df: DataFrame, value_col: str, group_cols=None) -> DataFrame:
+    """PixelStats over any numeric column (optionally grouped)."""
+    aggs = pixel_stats_exprs(value_col)
+    out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+    return with_derived_stats(out)
+
+
+def merge_partials_exprs():
+    """Merge expressions for PixelStats partial rows (the monoid's +=,
+    src/stats.rs:49-57)."""
+    return [
+        F.sum("count").alias("count"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.sum("sum").alias("sum"),
+        F.sum("sum_2").alias("sum_2"),
+    ]
+
+
+def _block_partial(block: np.ndarray, no_val: float):
+    """Per-block PixelStats partial over valid pixels (F1 filter:
+    skip val == no_val or NaN, raster-diff/diff.rs:96-98)."""
+    valid = ~np.isnan(block)
+    if not np.isnan(no_val):
+        valid &= block != no_val
+    vals = block[valid]
+    if vals.size == 0:
+        return (0.0, np.inf, -np.inf, 0.0, 0.0)
+    return (
+        float(vals.size),
+        float(vals.min()),
+        float(vals.max()),
+        float(vals.sum()),
+        float((vals * vals).sum()),
+    )
+
+
+def image_pixel_stats(images: DataFrame, per_image: bool = False) -> DataFrame:
+    """PixelStats over decoded image blocks.
+
+    Narrow stage: each task decodes its blocks with numpy and emits one
+    partial row per image; one tiny shuffle merges partials. Scales
+    linearly in image count; no pixel-level rows ever hit the shuffle.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+                c, mn, mx, s, s2 = _block_partial(block, row.no_val)
+                out.append((row.image_id, c, mn, mx, s, s2))
+            yield pd.DataFrame(
+                out, columns=["image_id", "count", "min", "max", "sum", "sum_2"]
+            )
+
+    partials = images.mapInPandas(gen, schema=f"image_id string, {PIXEL_STATS_SCHEMA}")
+    if per_image:
+        return with_derived_stats(partials)
+    return with_derived_stats(partials.agg(*merge_partials_exprs()))
+
+
+def histogram_exprs(value_col: str, hmin: float, hmax: float, step: float, length: int):
+    """Bin expression matching src/histogram.rs:58-72: values >= max (or
+    bin >= len) land in the overflow bin (len), values < min in -1."""
+    v = F.col(value_col)
+    bin_expr = F.floor((v - F.lit(hmin)) / F.lit(step)).cast("long")
+    return (
+        F.when(v >= F.lit(hmax), F.lit(length))
+        .when(v < F.lit(hmin), F.lit(-1))
+        .when(bin_expr >= F.lit(length), F.lit(length))
+        .otherwise(bin_expr)
+    )
+
+
+def histogram(df: DataFrame, value_col: str, hmin: float, hmax: float,
+              bins: int | None = None, step: float | None = None) -> DataFrame:
+    """Histogram as a (bin, n) DataFrame; bin -1 = underflow, bin len =
+    overflow. Merge across partitions is the shuffle agg itself."""
+    assert hmin <= hmax, "min must be smaller than max"
+    if step is None:
+        step = (hmax - hmin) / bins
+        length = bins
+    else:
+        length = int(np.ceil((hmax - hmin) / step))
+    expr = histogram_exprs(value_col, hmin, hmax, step, length)
+    return df.groupBy(expr.alias("bin")).agg(F.count("*").alias("n")).orderBy("bin")
+
+
+ZONAL_PARTIAL_SCHEMA = f"image_id string, aoi_id string, {PIXEL_STATS_SCHEMA}"
+
+
+def zonal_stats(images: DataFrame, aois: pd.DataFrame,
+                include_whole: bool = False) -> DataFrame:
+    """Zonal statistics with reference raster-stats semantics.
+
+    ``aois`` is a (small) pandas AOI table with packed coordinate buffers
+    in *world* coordinates; it is broadcast to every task (J6). Pixel
+    centers (+0.5 +0.5, main.rs:74) are mapped to world coords through
+    each image's geo-transform; containment uses the vectorized
+    winding-number test, restricted by a bbox prefilter so only
+    plausibly overlapping polygons pay the exact test.
+
+    A pixel contributes to every containing polygon (A4). When
+    ``include_whole`` is set an ``__all__`` zone receives every valid
+    pixel (the reference's `None` polygon, raster-stats/main.rs:50).
+    """
+    aoi_rows = [
+        (r.aoi_id, np.asarray(r.ring_offsets), np.asarray(r.xs, dtype=np.float64),
+         np.asarray(r.ys, dtype=np.float64))
+        for r in aois.itertuples(index=False)
+    ]
+    aoi_boxes = [geom.polygon_bbox(ro, xs, ys) for (_, ro, xs, ys) in aoi_rows]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+                t = geom.transform_from_gdal(row.gt)
+                valid = ~np.isnan(block)
+                if not np.isnan(row.no_val):
+                    valid &= block != row.no_val
+                if not valid.any():
+                    continue
+                ii, jj = np.nonzero(valid)
+                vals = block[ii, jj]
+                # pixel centers in world coords
+                wx, wy = geom.transform_points(t, jj + 0.5, ii + 0.5)
+                img_box = (wx.min(), wy.min(), wx.max(), wy.max())
+                if include_whole:
+                    out.append((row.image_id, "__all__", float(vals.size),
+                                float(vals.min()), float(vals.max()),
+                                float(vals.sum()), float((vals * vals).sum())))
+                for (aoi_id, ro, xs, ys), box in zip(aoi_rows, aoi_boxes):
+                    if geom.bounds_intersect(img_box, box) is None:
+                        continue
+                    inside = geom.points_in_rings(wx, wy, ro, xs, ys)
+                    if not inside.any():
+                        continue
+                    v = vals[inside]
+                    out.append((row.image_id, aoi_id, float(v.size),
+                                float(v.min()), float(v.max()),
+                                float(v.sum()), float((v * v).sum())))
+            cols = ["image_id", "aoi_id", "count", "min", "max", "sum", "sum_2"]
+            yield pd.DataFrame(out, columns=cols)
+
+    partials = images.mapInPandas(gen, schema=ZONAL_PARTIAL_SCHEMA)
+    return with_derived_stats(partials.groupBy("aoi_id").agg(*merge_partials_exprs()))

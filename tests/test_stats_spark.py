@@ -1,0 +1,130 @@
+"""End-to-end stats oracle (reference tests/test_stats.py:8-23 analogue)
+plus zonal stats and the cell-keyed PIP join vs brute-force numpy."""
+
+from math import isclose, sqrt
+
+import numpy as np
+import pandas as pd
+
+from rasters_rs_spark.functions import codecs, geom
+from rasters_rs_spark.operators import stats as S
+from rasters_rs_spark.operators.celljoin import cell_pip_join
+from rasters_rs_spark.sources import synth
+
+
+def _images_df(spark, pdf):
+    return spark.createDataFrame(pdf)
+
+
+def test_image_pixel_stats_matches_numpy(spark):
+    # 64x64 N(0,1), rel_tol 1e-2 like harness.py:59-60 (we use much tighter)
+    rng = np.random.default_rng(0xBEEF)
+    data = rng.normal(size=(64, 64))
+    pdf = pd.DataFrame(
+        [{
+            "image_id": "t0", "bytes": codecs.encode_raw(data),
+            "w": 64, "h": 64, "fmt": "raw",
+            "gt": [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+            "crs": "EPSG:3857", "no_val": float("nan"),
+        }]
+    )
+    row = S.image_pixel_stats(_images_df(spark, pdf)).collect()[0]
+    assert isclose(row["max"], data.max(), rel_tol=1e-9)
+    assert isclose(row["min"], data.min(), rel_tol=1e-9)
+    assert isclose(row["sum"], data.sum(), rel_tol=1e-9)
+    # reference derives std as sqrt(sum_2/count) == N.std for zero-mean-ish
+    assert isclose(sqrt(row["sum_2"] / row["count"]), data.std(), rel_tol=1e-2)
+
+
+def test_column_stats_and_histogram(spark):
+    pdf = pd.DataFrame({"v": [0.0, 0.5, 1.5, 2.5, 10.0, -3.0]})
+    df = spark.createDataFrame(pdf)
+    row = S.column_stats(df, "v").collect()[0]
+    assert row["count"] == 6.0
+    assert row["min"] == -3.0 and row["max"] == 10.0
+    # histogram min=0 max=3 step=1 -> bins 0,1,2; -3 underflow; 10 overflow
+    hist = {r["bin"]: r["n"] for r in S.histogram(df, "v", 0.0, 3.0, step=1.0).collect()}
+    assert hist == {-1: 1, 0: 2, 1: 1, 2: 1, 3: 1}
+
+
+def test_histogram_val_eq_max_overflows(spark):
+    # src/histogram.rs:60: val >= max -> overflow even if a bin exists
+    df = spark.createDataFrame(pd.DataFrame({"v": [3.0]}))
+    hist = {r["bin"]: r["n"] for r in S.histogram(df, "v", 0.0, 3.0, step=1.0).collect()}
+    assert hist == {3: 1}
+
+
+def _zonal_oracle(blocks, gts, aois):
+    """Brute-force numpy zonal stats (the reference's nested loop)."""
+    out = {}
+    for (block, gt) in zip(blocks, gts):
+        t = geom.transform_from_gdal(gt)
+        h, w = block.shape
+        jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+        wx, wy = geom.transform_points(t, jj.ravel() + 0.5, ii.ravel() + 0.5)
+        vals = block.ravel()
+        valid = ~np.isnan(vals)
+        for r in aois.itertuples(index=False):
+            inside = geom.points_in_rings(
+                wx, wy, list(r.ring_offsets),
+                np.asarray(r.xs), np.asarray(r.ys)) & valid
+            if inside.any():
+                v = vals[inside]
+                cur = out.setdefault(r.aoi_id, [0.0, np.inf, -np.inf, 0.0, 0.0])
+                cur[0] += v.size
+                cur[1] = min(cur[1], v.min())
+                cur[2] = max(cur[2], v.max())
+                cur[3] += v.sum()
+                cur[4] += (v * v).sum()
+    return out
+
+
+def test_zonal_stats_matches_bruteforce(spark):
+    images = synth.image_table(6, seed=5, h=32, w=32, fmt_cycle=("raw",),
+                               extent=(-100, -100, 100, 100), pixel_size=2.0)
+    aois = synth.aoi_table(5, seed=6, extent=(-100, -100, 100, 100))
+    blocks = [codecs.decode_raw(b, 32, 32) for b in images["bytes"]]
+    oracle = _zonal_oracle(blocks, list(images["gt"]), aois)
+
+    df = S.zonal_stats(_images_df(spark, images), aois)
+    got = {r["aoi_id"]: r for r in df.collect()}
+    assert set(got) == set(oracle)
+    for aoi_id, (c, mn, mx, sm, s2) in oracle.items():
+        r = got[aoi_id]
+        assert r["count"] == c
+        assert isclose(r["min"], mn, rel_tol=1e-12)
+        assert isclose(r["max"], mx, rel_tol=1e-12)
+        assert isclose(r["sum"], sm, rel_tol=1e-9)
+        assert isclose(r["sum_2"], s2, rel_tol=1e-9)
+
+
+def test_cell_pip_join_matches_bruteforce(spark):
+    pts = synth.points_table(400, seed=9)
+    aois = synth.aoi_table(8, seed=10)
+    pts_df = spark.createDataFrame(pts)
+
+    got = {
+        (r["pt_id"], r["aoi_id"])
+        for r in cell_pip_join(pts_df, aois, zoom=12).collect()
+    }
+    expect = set()
+    for r in aois.itertuples(index=False):
+        inside = geom.points_in_rings(
+            pts["x"].to_numpy(), pts["y"].to_numpy(),
+            list(r.ring_offsets), np.asarray(r.xs), np.asarray(r.ys))
+        for pid in pts["pt_id"].to_numpy()[inside]:
+            expect.add((pid, r.aoi_id))
+    assert got == expect
+    assert len(expect) > 0  # non-degenerate
+
+
+def test_cell_pip_join_salted_same_result(spark):
+    pts = synth.points_table(200, seed=11)
+    aois = synth.aoi_table(4, seed=12)
+    pts_df = spark.createDataFrame(pts)
+    plain = {(r["pt_id"], r["aoi_id"]) for r in cell_pip_join(pts_df, aois, zoom=10).collect()}
+    salted = {
+        (r["pt_id"], r["aoi_id"])
+        for r in cell_pip_join(pts_df, aois, zoom=10, broadcast_aois=False, salt=4).collect()
+    }
+    assert plain == salted
