@@ -1,0 +1,336 @@
+"""Web-mercator tile pyramid (reference raster-tile).
+
+Pipeline semantics, re-expressed for Spark:
+
+- base level (J4/A5/A6): per tile row at max zoom, every source pixel's
+  footprint in tile-pixel coords contributes fractional-area weights mu
+  (0 < mu <= 1) to each overlapped tile pixel (tiling/base.rs:62-123);
+  weighted aggregation value = sum(mu*val)/sum(mu) over valid pixels
+  (raster-tile/main.rs:94-105, dem.rs:150-170);
+- pyramid (A7): parent pixel = NaN-aware mean of the child 2x2 block,
+  children placed by corner: x even -> left half, y odd -> TOP half
+  (tile y grows northward; dem.rs:176-251). The reference's streaming
+  stack (dem.rs:35-104) is a memory optimization with identical
+  semantics; here each level is either computed in-task per image
+  ("local" mode: zero shuffle, right for billions of small images) or
+  via a per-level groupBy shuffle ("distributed" mode, right for huge
+  single rasters);
+- encode (S9/M5): 16-bit quantization, 0 = NaN, per-tile max
+  reconstruction error (dem.rs:253-298);
+- index (S11): nested {zoom: {y: {"y": y, "index": {x: stats}}}} JSON
+  (dem.rs:303-367); non-finite min/max serialize as null like serde_json.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import codecs, geom
+from ..plans.tileplan import TileConfig
+
+TILE_SCHEMA = (
+    "image_id string, z int, x long, y long, data binary, "
+    "vmin double, vmax double, min_zoom int"
+)
+
+ENCODED_SCHEMA = (
+    "image_id string, z int, x long, y long, bytes binary, "
+    "min double, max double, bins int, err double"
+)
+
+
+# ---------------------------------------------------------------------------
+# base level
+# ---------------------------------------------------------------------------
+
+
+def row_base_tiles(block: np.ndarray, cfg: TileConfig, zoom: int,
+                   tile_y: int, no_val: float):
+    """All base tiles of one tile row: list of (x, tile_array, vmin, vmax).
+
+    Vectorized replication of ChunkConfig::process (base.rs:62-123) +
+    the weighted accumulate (main.rs:94-105) + Tile::from_aggregate
+    (dem.rs:150-170).
+    """
+    ts = cfg.tile_size
+    h, w = block.shape
+    left_t, _, right_t, _ = cfg.tile_index_bounds(zoom)
+    ntiles = right_t - left_t
+
+    pb = cfg.row_pix_bounds(zoom, tile_y)
+    (ox, oy), (sw, sh) = geom.window_from_bounds(pb, (w, h))
+
+    wsum = np.zeros((ntiles * ts * ts,), dtype=np.float64)
+    wgt = np.zeros((ntiles * ts * ts,), dtype=np.float64)
+
+    if sw > 0 and sh > 0:
+        data = block[oy:oy + sh, ox:ox + sw]
+        l_edge, t_edge, r_edge, b_edge = pb
+        tpw = (r_edge - l_edge) / ntiles / ts
+        tph = (b_edge - t_edge) / ts
+        tpx_w, tpx_h = ntiles * ts, ts
+
+        cc, rr = np.meshgrid(np.arange(sw, dtype=np.float64),
+                             np.arange(sh, dtype=np.float64))
+        fl = (cc + ox - l_edge) / tpw          # footprint left
+        ft = (rr + oy - t_edge) / tph          # footprint top
+        fr = (cc + 1.0 + ox - l_edge) / tpw
+        fb = (rr + 1.0 + oy - t_edge) / tph
+
+        # per-pixel candidate tile-pixel window (window_from_bounds)
+        ix0 = np.maximum(fl, 0.0)
+        iy0 = np.maximum(ft, 0.0)
+        ix1 = np.minimum(fr, float(tpx_w))
+        iy1 = np.minimum(fb, float(tpx_h))
+        has_win = (ix0 < ix1) & (iy0 < iy1)
+        x0 = np.floor(ix0).astype(np.int64)
+        y0 = np.floor(iy0).astype(np.int64)
+        x1 = np.ceil(ix1).astype(np.int64)
+        y1 = np.ceil(iy1).astype(np.int64)
+
+        vals = data
+        vmask = ~np.isnan(vals)
+        if not np.isnan(no_val):
+            vmask &= vals != no_val
+
+        span_x = int((x1 - x0)[has_win].max()) if has_win.any() else 0
+        span_y = int((y1 - y0)[has_win].max()) if has_win.any() else 0
+        for dy in range(span_y):
+            for dx in range(span_x):
+                tc = x0 + dx
+                tr = y0 + dy
+                use = has_win & (tc < x1) & (tr < y1) & vmask
+                if not use.any():
+                    continue
+                ovx = np.minimum(tc + 1.0, fr) - np.maximum(tc.astype(np.float64), fl)
+                ovy = np.minimum(tr + 1.0, fb) - np.maximum(tr.astype(np.float64), ft)
+                mu = ovx * ovy
+                use &= (ovx > 0.0) & (ovy > 0.0)
+                if not use.any():
+                    continue
+                # linear index: tile slot = tc // ts, within-tile col tc % ts
+                lin = (tc[use] // ts) * ts * ts + tr[use] * ts + (tc[use] % ts)
+                np.add.at(wsum, lin, mu[use] * vals[use])
+                np.add.at(wgt, lin, mu[use])
+
+    wsum = wsum.reshape(ntiles, ts, ts)
+    wgt = wgt.reshape(ntiles, ts, ts)
+    out = []
+    for slot in range(ntiles):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tile = np.where(wgt[slot] > 0.0, wsum[slot] / wgt[slot], np.nan)
+        valid = wgt[slot] > 0.0
+        vmin = float(tile[valid].min()) if valid.any() else np.inf
+        vmax = float(tile[valid].max()) if valid.any() else -np.inf
+        out.append((left_t + slot, tile, vmin, vmax))
+    return out
+
+
+def base_tiles_for_image(block: np.ndarray, gt, crs: str, no_val: float,
+                         tile_size: int = 256, min_zoom: int | None = None,
+                         max_zoom: int | None = None):
+    """Base-level tiles for one image: (cfg, zoom, min_zoom, rows) where
+    rows is a list of (x, y, tile_array, vmin, vmax)."""
+    h, w = block.shape
+    cfg = TileConfig.for_raster(w, h, gt, crs, tile_size)
+    zoom = max_zoom if max_zoom is not None else cfg.max_zoom()
+    mz = min_zoom if min_zoom is not None else cfg.min_zoom()
+    _, top, _, bot = cfg.tile_index_bounds(zoom)
+    rows = []
+    for ty in range(top, bot):
+        for (tx, tile, vmin, vmax) in row_base_tiles(block, cfg, zoom, ty, no_val):
+            rows.append((tx, ty, tile, vmin, vmax))
+    return cfg, zoom, mz, rows
+
+
+# ---------------------------------------------------------------------------
+# pyramid 4 -> 1
+# ---------------------------------------------------------------------------
+
+
+def scale_children(children: list[tuple[int, int, np.ndarray]], ts: int):
+    """One parent tile from up to 4 children [(x, y, arr)], reference
+    corner layout (dem.rs:176-251): x even -> left, y odd -> top.
+    Returns (parent_array, vmin, vmax)."""
+    canvas = np.full((2 * ts, 2 * ts), np.nan)
+    for (x, y, arr) in children:
+        r0 = 0 if y % 2 == 1 else ts
+        c0 = 0 if x % 2 == 0 else ts
+        canvas[r0:r0 + ts, c0:c0 + ts] = arr
+    blocks = canvas.reshape(ts, 2, ts, 2).transpose(0, 2, 1, 3).reshape(ts, ts, 4)
+    cnt = (~np.isnan(blocks)).sum(axis=2)
+    with np.errstate(invalid="ignore"):
+        s = np.nansum(blocks, axis=2)
+        parent = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+    valid = cnt > 0
+    vmin = float(parent[valid].min()) if valid.any() else np.inf
+    vmax = float(parent[valid].max()) if valid.any() else -np.inf
+    return parent, vmin, vmax
+
+
+def pyramid_local(base_rows, zoom: int, min_zoom: int, ts: int):
+    """Full pyramid in memory for one image (zero-shuffle path).
+    ``base_rows``: [(x, y, arr, vmin, vmax)] at ``zoom``. Yields
+    (z, x, y, arr, vmin, vmax) for every level zoom..min_zoom."""
+    level = {(x, y): arr for (x, y, arr, _, _) in base_rows}
+    for (x, y, arr, vmin, vmax) in base_rows:
+        yield (zoom, x, y, arr, vmin, vmax)
+    z = zoom
+    while z > min_zoom:
+        parents: dict[tuple[int, int], list] = {}
+        for (x, y), arr in level.items():
+            parents.setdefault((x // 2, y // 2), []).append((x, y, arr))
+        nxt = {}
+        for (px, py), kids in parents.items():
+            parr, vmin, vmax = scale_children(kids, ts)
+            nxt[(px, py)] = parr
+            yield (z - 1, px, py, parr, vmin, vmax)
+        level = nxt
+        z -= 1
+
+
+# ---------------------------------------------------------------------------
+# Spark pipeline
+# ---------------------------------------------------------------------------
+
+
+def tile_pyramid(images: DataFrame, tile_size: int = 256,
+                 min_zoom: int | None = None, max_zoom: int | None = None,
+                 mode: str = "local") -> DataFrame:
+    """Tile pyramid rows for every image: TILE_SCHEMA DataFrame.
+
+    mode="local": base + pyramid inside one mapInPandas pass per image
+    (no shuffle; the scale path for corpora of bounded-size images).
+    mode="distributed": base via mapInPandas, then one groupBy per level
+    (the scale path for a single huge raster; bit-identical results).
+    """
+    ts = tile_size
+
+    def base_gen(emit_pyramid: bool):
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+                    cfg, zoom, mz, rows = base_tiles_for_image(
+                        block, row.gt, row.crs, row.no_val, ts,
+                        min_zoom, max_zoom)
+                    if emit_pyramid:
+                        it = pyramid_local(rows, zoom, mz, ts)
+                    else:
+                        it = ((zoom, x, y, a, mn, mx) for (x, y, a, mn, mx) in rows)
+                    for (z, x, y, arr, vmin, vmax) in it:
+                        out.append((row.image_id, z, x, y,
+                                    codecs.encode_raw(arr), vmin, vmax, mz))
+                cols = ["image_id", "z", "x", "y", "data", "vmin", "vmax", "min_zoom"]
+                yield pd.DataFrame(out, columns=cols)
+        return gen
+
+    if mode == "local":
+        return images.mapInPandas(base_gen(True), schema=TILE_SCHEMA)
+
+    base = images.mapInPandas(base_gen(False), schema=TILE_SCHEMA)
+    base = base.persist()
+    levels = [base]
+    cur = base
+    # driver loop over zoom levels; each step is one shuffle (A7)
+    while True:
+        children = cur.where(F.col("z") > F.col("min_zoom"))
+        if children.isEmpty():
+            break
+
+        def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            kids = [
+                (int(r.x), int(r.y),
+                 codecs.decode_raw(r.data, ts, ts))
+                for r in pdf.itertuples(index=False)
+            ]
+            parr, vmin, vmax = scale_children(kids, ts)
+            first = pdf.iloc[0]
+            return pd.DataFrame([{
+                "image_id": first["image_id"], "z": int(first["z"]) - 1,
+                "x": int(first["x"]) // 2, "y": int(first["y"]) // 2,
+                "data": codecs.encode_raw(parr), "vmin": vmin, "vmax": vmax,
+                "min_zoom": int(first["min_zoom"]),
+            }])
+
+        parents = (
+            children.groupBy("image_id", F.expr("x div 2").alias("px"),
+                             F.expr("y div 2").alias("py"), "z")
+            .applyInPandas(lambda key, pdf: reduce_group(pdf), schema=TILE_SCHEMA)
+            .persist()
+        )
+        levels.append(parents)
+        cur = parents
+
+    out = levels[0]
+    for extra in levels[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def encode_tiles(tiles: DataFrame, tile_size: int = 256) -> DataFrame:
+    """q16-encode tile pixel arrays (S9/M5); emits per-tile stats
+    (min, max, bins, err) used by the index."""
+    ts = tile_size
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = codecs.decode_raw(row.data, ts, ts)
+                vmin, vmax = row.vmin, row.vmax
+                if np.isfinite(vmin) and np.isfinite(vmax) and vmax > vmin:
+                    stored, err = codecs.q16_quantize(arr, vmin, vmax)
+                elif np.isfinite(vmin) and vmin == vmax:
+                    # constant tile: reference coeff = inf, NaN disc -> 0,
+                    # stored 1, rec == min, err 0
+                    stored = np.where(np.isnan(arr), 0, 1).astype(np.uint16)
+                    err = 0.0
+                else:
+                    stored = np.zeros(arr.shape, dtype=np.uint16)
+                    err = 0.0
+                out.append((row.image_id, row.z, row.x, row.y,
+                            stored.astype(">u2").tobytes(),
+                            float(vmin), float(vmax), codecs.Q16_BINS, err))
+            cols = ["image_id", "z", "x", "y", "bytes", "min", "max", "bins", "err"]
+            yield pd.DataFrame(out, columns=cols)
+
+    return tiles.mapInPandas(gen, schema=ENCODED_SCHEMA)
+
+
+def index_json(encoded: DataFrame, image_id: str | None = None) -> dict:
+    """Nested tile-index manifest, fixture-compatible (dem.rs:303-367):
+    {"<z>": {"<y>": {"y": y, "index": {"<x>": {min,max,bins,err}}}}}."""
+    df = encoded
+    if image_id is not None:
+        df = df.where(F.col("image_id") == image_id)
+    rows = df.select("z", "y", "x", "min", "max", "bins", "err").collect()
+    idx: dict = {}
+    for r in rows:
+        zd = idx.setdefault(str(r["z"]), {})
+        yd = zd.setdefault(str(r["y"]), {"y": r["y"], "index": {}})
+        yd["index"][str(r["x"])] = {
+            "min": r["min"] if np.isfinite(r["min"]) else None,
+            "max": r["max"] if np.isfinite(r["max"]) else None,
+            "bins": r["bins"],
+            "err": r["err"],
+        }
+    return idx
+
+
+def tile_index_manifest(images: DataFrame, tile_size: int = 256,
+                        mode: str = "local") -> DataFrame:
+    """End-to-end: images -> pyramid -> encoded tiles DataFrame (the
+    manifest is the DataFrame; index_json() renders the nested JSON)."""
+    return encode_tiles(tile_pyramid(images, tile_size, mode=mode), tile_size)
+
+
+def dump_index_json(encoded: DataFrame, path: str, image_id: str | None = None):
+    with open(path, "w") as f:
+        json.dump(index_json(encoded, image_id), f)

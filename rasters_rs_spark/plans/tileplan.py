@@ -48,14 +48,16 @@ class TileConfig:
         (rt_x,), (rt_y,) = pix_to_wm([float(w)], [0.0])
         (lb_x,), (lb_y,) = pix_to_wm([0.0], [float(h)])
 
-        # corner-consistency gate (tiling/mod.rs:30-35)
-        if (
-            abs(rt_x - right) / right > 1e-5
-            or abs(rt_y - top) / top > 1e-5
-            or abs(lb_x - left) / left > 1e-5
-            or abs(lb_y - bot) / bot > 1e-5
-        ):
-            raise TilePlanError("transform is not north aligned")
+        # corner-consistency gate (tiling/mod.rs:30-35); NaN from a 0/0
+        # compares false, matching Rust float semantics
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if (
+                abs(rt_x - right) / right > 1e-5
+                or abs(rt_y - top) / top > 1e-5
+                or abs(lb_x - left) / left > 1e-5
+                or abs(lb_y - bot) / bot > 1e-5
+            ):
+                raise TilePlanError("transform is not north aligned")
 
         x_res = (right - left) / float(w)
         y_res = (bot - top) / float(h)

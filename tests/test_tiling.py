@@ -1,0 +1,128 @@
+"""Tiling pipeline tests, including the reference golden fixture
+(tests/test_tile.py:33-53, seed 0xfab1, UTM 43N -> web mercator)."""
+
+import json
+from math import isclose
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rasters_rs_spark.functions import codecs
+from rasters_rs_spark.operators import tiling as T
+from rasters_rs_spark.plans.tileplan import TileConfig
+
+FIXTURE = Path("/root/reference/raster-tools/tests/fixtures/tile-test-fab1-index.json")
+
+FAB1_GT = (363737.54688808107, 0.08917409880025007, 0.0,
+           2059515.3774022115, 0.0, -0.08917409880023142)
+
+
+def _fab1_block():
+    np.random.seed(0xFAB1)  # legacy RandomState, as the reference test uses
+    return np.random.normal(size=(64, 64, 1))[:, :, 0]
+
+
+def _fab1_images(spark):
+    block = _fab1_block()
+    pdf = pd.DataFrame([{
+        "image_id": "fab1", "bytes": codecs.encode_raw(block),
+        "w": 64, "h": 64, "fmt": "raw", "gt": list(FAB1_GT),
+        "crs": "EPSG:32643", "no_val": float("nan"),
+    }])
+    return spark.createDataFrame(pdf)
+
+
+def compare_index(idx1, idx2, desc="root"):
+    """Port of the reference's recursive comparator (test_tile.py:12-29):
+    identical key sets, exact ints, rel_tol 1e-2 floats."""
+    assert type(idx1) == type(idx2), f"type mismatch @ {desc}"
+    if not isinstance(idx1, dict):
+        if isinstance(idx1, int):
+            assert idx1 == idx2, f"{desc}: {idx1} == {idx2}"
+        else:
+            assert isclose(idx1, idx2, rel_tol=1e-2), f"{desc}: {idx1} ~= {idx2}"
+        return
+    k1, k2 = sorted(idx1), sorted(idx2)
+    assert k1 == k2, f"keys @ {desc}: {k1} != {k2}"
+    for k in k1:
+        compare_index(idx1[k], idx2[k], desc=f"{desc}/{k}")
+
+
+def test_tile_config_fab1_zoom_range():
+    cfg = TileConfig.for_raster(64, 64, FAB1_GT, "EPSG:32643")
+    assert cfg.max_zoom() == 21
+    assert cfg.min_zoom() == 18
+
+
+def test_golden_fixture_local(spark):
+    encoded = T.tile_index_manifest(_fab1_images(spark), mode="local")
+    got = T.index_json(encoded, "fab1")
+    ref = json.load(open(FIXTURE))
+    compare_index(got, ref)
+
+
+def test_distributed_equals_local(spark):
+    imgs = _fab1_images(spark)
+    loc = T.tile_pyramid(imgs, mode="local")
+    dist = T.tile_pyramid(imgs, mode="distributed")
+
+    def key_rows(df):
+        return {
+            (r["z"], r["x"], r["y"]):
+                codecs.decode_raw(r["data"], 256, 256)
+            for r in df.collect()
+        }
+
+    a, b = key_rows(loc), key_rows(dist)
+    assert set(a) == set(b)
+    for k in a:
+        ax, bx = a[k], b[k]
+        assert np.array_equal(np.isnan(ax), np.isnan(bx))
+        assert np.allclose(np.nan_to_num(ax), np.nan_to_num(bx), atol=0, rtol=0)
+
+
+def test_weights_partition_pixel_area():
+    """Every source pixel's total emitted weight equals its footprint
+    area in tile pixels (mu partitions the footprint; base.rs asserts
+    0 < mu <= 1 per overlap)."""
+    block = np.ones((8, 8))
+    gt = [0.0, 100000.0, 0.0, 800000.0, 0.0, -100000.0]  # WM-native, huge px
+    cfg = TileConfig.for_raster(8, 8, gt, "EPSG:3857", 256)
+    zoom = cfg.max_zoom()
+    _, top, _, bot = cfg.tile_index_bounds(zoom)
+    total_w = 0.0
+    for ty in range(top, bot):
+        for (_, tile, vmin, vmax) in T.row_base_tiles(block, cfg, zoom, ty, float("nan")):
+            valid = ~np.isnan(tile)
+            if valid.any():
+                # constant input -> every covered tile pixel equals 1.0
+                assert np.allclose(tile[valid], 1.0)
+                total_w += valid.sum()
+    assert total_w > 0
+
+
+def test_scale_children_corner_layout():
+    ts = 4
+    mk = lambda v: np.full((ts, ts), float(v))
+    # children at (2,5),(3,5),(2,4),(3,4): x even->left, y odd(5)->top
+    parent, vmin, vmax = T.scale_children(
+        [(2, 5, mk(1)), (3, 5, mk(2)), (2, 4, mk(3)), (3, 4, mk(4))], ts)
+    assert np.allclose(parent[:2, :2], 1.0)   # top-left from (2,5)
+    assert np.allclose(parent[:2, 2:], 2.0)   # top-right from (3,5)
+    assert np.allclose(parent[2:, :2], 3.0)   # bottom-left from (2,4)
+    assert np.allclose(parent[2:, 2:], 4.0)   # bottom-right from (3,4)
+    assert (vmin, vmax) == (1.0, 4.0)
+    # missing corners stay NaN
+    parent, vmin, vmax = T.scale_children([(2, 5, mk(7))], ts)
+    assert np.allclose(parent[:2, :2], 7.0)
+    assert np.isnan(parent[2:, 2:]).all()
+
+
+def test_nan_aware_2x2_average():
+    ts = 2
+    child = np.array([[1.0, np.nan], [3.0, 5.0]])
+    parent, vmin, vmax = T.scale_children([(0, 1, child)], ts)
+    assert isclose(parent[0, 0], (1.0 + 3.0 + 5.0) / 3.0)
+    assert vmin == vmax == parent[0, 0]
