@@ -1,0 +1,193 @@
+"""kNN join + no-data interpolation fill (reference raster-fill-nn).
+
+The reference interpolates no-data pixels by Sibson C1 natural-neighbor
+over a Delaunay triangulation built once and shared read-only across
+threads (raster-fill-nn/main.rs:20,58; triangulation.rs:29-59). A
+triangulation stack isn't reproducible here (and the reference itself
+documents barycentric interpolation as a fast alternative,
+interpolation.rs:36-39); the engine's equivalents are:
+
+- ``knn_join``: cell-bucketed k-ring-expansion kNN — points bucketed by
+  grid cell, queries probe an expanding Chebyshev ring until the kth
+  neighbor is provably inside the ring, then row_number() <= k.
+  Distributed: the candidate step is an equi-join on cell keys.
+- ``knn_join_broadcast``: brute-force vectorized variant for small
+  point sets (the reference's broadcast triangulation analogue, J6).
+- ``fill_idw``: fills holes with inverse-distance weighting of the k
+  nearest points. The reference's hole predicate has a quirk
+  (`val == f64::NAN` is always false, interpolation.rs:19), so by
+  default only `val == no_val` marks holes; pass ``fill_nan=True`` for
+  the intended behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import codecs, geom
+
+
+def _with_cell(df: DataFrame, x_col: str, y_col: str, cs: float, prefix: str):
+    return df.withColumn(f"{prefix}cx", F.floor(F.col(x_col) / F.lit(cs)).cast("long")) \
+             .withColumn(f"{prefix}cy", F.floor(F.col(y_col) / F.lit(cs)).cast("long"))
+
+
+def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
+             query_id: str = "qid", max_rounds: int = 8) -> DataFrame:
+    """Exact kNN join: for each query row, the k nearest points.
+
+    Ring-expansion: round i joins unsatisfied queries against all cells
+    within Chebyshev radius r_i (doubling each round). A query is
+    *satisfied* once it has >= k candidates whose kth distance is at most
+    (r_i - 1) * cell_size -- any point outside the probed window is at
+    least that far away, so the top-k is provably exact.
+
+    Returns query columns + (pt_id, x, y, z) of neighbors + dist + rank.
+    """
+    q = _with_cell(queries, "x", "y", cell_size, "q").withColumnRenamed("x", "qx") \
+        .withColumnRenamed("y", "qy")
+    p = _with_cell(points, "x", "y", cell_size, "p")
+
+    remaining = q
+    out = None
+    radius = 1
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        offs = [(dx, dy) for dx in range(-radius, radius + 1)
+                for dy in range(-radius, radius + 1)]
+        offs_df = remaining.sparkSession.createDataFrame(offs, "dx int, dy int")
+        probes = remaining.crossJoin(F.broadcast(offs_df)).select(
+            "*",
+            (F.col("qcx") + F.col("dx")).alias("pcx"),
+            (F.col("qcy") + F.col("dy")).alias("pcy"),
+        ).drop("dx", "dy")
+        cand = probes.join(p, on=["pcx", "pcy"], how="inner")
+        cand = cand.withColumn(
+            "dist",
+            F.sqrt((F.col("qx") - F.col("x")) ** 2 + (F.col("qy") - F.col("y")) ** 2),
+        )
+        w = Window.partitionBy(query_id).orderBy("dist", "pt_id")
+        ranked = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        guarantee = float((radius - 1) * cell_size) if radius > 1 else 0.0
+        kth = ranked.groupBy(query_id).agg(
+            F.count("*").alias("_n"), F.max("dist").alias("_kth"))
+        # satisfied: k candidates and kth provably inside the probed window
+        done_ids = kth.where((F.col("_n") >= k) & (F.col("_kth") <= F.lit(guarantee))) \
+                      .select(query_id)
+        solved = ranked.join(done_ids, on=query_id, how="leftsemi")
+        out = solved if out is None else out.unionByName(solved)
+        remaining = remaining.join(done_ids, on=query_id, how="left_anti")
+        radius *= 2
+    if out is None:
+        out = _brute_force_rank(remaining, p, k, query_id)
+    elif not remaining.isEmpty():
+        out = out.unionByName(_brute_force_rank(remaining, p, k, query_id))
+    return out.drop("qcx", "qcy", "pcx", "pcy", "_n", "_kth")
+
+
+def _brute_force_rank(remaining: DataFrame, p: DataFrame, k: int, query_id: str):
+    """Fallback for queries the bounded ring expansion never satisfied
+    (sparse far-away points): a full cross join, still exact."""
+    cand = remaining.crossJoin(p.drop("pcx", "pcy"))
+    cand = cand.withColumn(
+        "dist",
+        F.sqrt((F.col("qx") - F.col("x")) ** 2 + (F.col("qy") - F.col("y")) ** 2),
+    )
+    w = Window.partitionBy(query_id).orderBy("dist", "pt_id")
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def knn_join_broadcast(queries: DataFrame, points: pd.DataFrame, k: int,
+                       query_id: str = "qid") -> DataFrame:
+    """Brute-force kNN against a broadcast pandas point table (exact;
+    for point sets that fit in task memory, like the reference's shared
+    triangulation)."""
+    px = points["x"].to_numpy()
+    py = points["y"].to_numpy()
+    pid = points["pt_id"].to_numpy()
+    pz = points["z"].to_numpy()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qx = pdf["x"].to_numpy()
+            qy = pdf["y"].to_numpy()
+            d = np.sqrt((qx[:, None] - px[None, :]) ** 2 +
+                        (qy[:, None] - py[None, :]) ** 2)
+            kk = min(k, d.shape[1])
+            idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(len(pdf)):
+                order = idx[qi][np.argsort(d[qi, idx[qi]], kind="stable")]
+                for rank, pj in enumerate(order, start=1):
+                    rows.append((pdf[query_id].iloc[qi], str(pid[pj]),
+                                 float(d[qi, pj]), float(pz[pj]), rank))
+            yield pd.DataFrame(rows, columns=[query_id, "pt_id", "dist", "z", "rank"])
+
+    return queries.mapInPandas(
+        gen, schema=f"{query_id} string, pt_id string, dist double, z double, rank int")
+
+
+def idw(values: np.ndarray, dists: np.ndarray, power: float = 2.0) -> np.ndarray:
+    """Inverse-distance weighting along the last axis; an exact hit
+    (dist == 0) returns that value."""
+    with np.errstate(divide="ignore"):
+        w = 1.0 / np.power(dists, power)
+    exact = dists == 0.0
+    has_exact = exact.any(axis=-1)
+    w = np.where(np.isinf(w), 0.0, w)
+    est = (w * values).sum(axis=-1) / w.sum(axis=-1)
+    if has_exact.any():
+        first_exact = np.argmax(exact, axis=-1)
+        est = np.where(has_exact, np.take_along_axis(
+            values, first_exact[..., None], axis=-1)[..., 0], est)
+    return est
+
+
+def fill_idw(images: DataFrame, points: pd.DataFrame, k: int = 8,
+             power: float = 2.0, fill_nan: bool = False) -> DataFrame:
+    """Fill hole pixels by IDW over the k nearest broadcast points.
+
+    Hole predicate defaults to the reference's literal behavior
+    (val == no_val only; interpolation.rs:19's NaN test never fires).
+    Emits filled image rows plus a ``filled`` count column (A11)."""
+    px = points["x"].to_numpy()
+    py = points["y"].to_numpy()
+    pz = points["z"].to_numpy()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+                holes = block == row.no_val
+                if fill_nan:
+                    holes |= np.isnan(block)
+                n = int(holes.sum())
+                if n:
+                    ii, jj = np.nonzero(holes)
+                    t = geom.transform_from_gdal(row.gt)
+                    wx, wy = geom.transform_points(t, jj + 0.5, ii + 0.5)
+                    d = np.sqrt((wx[:, None] - px[None, :]) ** 2 +
+                                (wy[:, None] - py[None, :]) ** 2)
+                    kk = min(k, d.shape[1])
+                    idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                    dk = np.take_along_axis(d, idx, axis=1)
+                    vk = pz[idx]
+                    block[ii, jj] = idw(vk, dk, power)
+                out.append((row.image_id, codecs.encode_block(block, row.fmt),
+                            row.w, row.h, row.fmt, list(row.gt), row.crs,
+                            row.no_val, n))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "gt", "crs",
+                "no_val", "filled"])
+
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "gt array<double>, crs string, no_val double, filled long")
+    return images.mapInPandas(gen, schema=schema)

@@ -1,0 +1,100 @@
+"""kNN join (ring expansion vs brute force) and IDW fill tests."""
+
+import numpy as np
+import pandas as pd
+
+from rasters_rs_spark.functions import codecs
+from rasters_rs_spark.operators import knn as K
+from rasters_rs_spark.sources import synth
+
+
+def _bruteforce_knn(qs, ps, k):
+    out = {}
+    for q in qs.itertuples(index=False):
+        d = np.sqrt((ps["x"].to_numpy() - q.x) ** 2 + (ps["y"].to_numpy() - q.y) ** 2)
+        order = np.lexsort((ps["pt_id"].to_numpy(), d))[:k]
+        out[q.qid] = [(ps["pt_id"].iloc[i], d[i]) for i in order]
+    return out
+
+
+def test_knn_join_exact_vs_bruteforce(spark):
+    ps = synth.points_table(300, seed=20)
+    qs = synth.points_table(40, seed=21).rename(columns={"pt_id": "qid"}) \
+                                        .drop(columns=["z"])
+    expect = _bruteforce_knn(qs, ps, 5)
+
+    got = {}
+    res = K.knn_join(spark.createDataFrame(qs), spark.createDataFrame(ps),
+                     k=5, cell_size=300.0, query_id="qid").collect()
+    for r in sorted(res, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append((r["pt_id"], r["dist"]))
+
+    assert set(got) == set(expect)
+    for qid in expect:
+        assert [p for p, _ in got[qid]] == [p for p, _ in expect[qid]], qid
+        assert np.allclose([d for _, d in got[qid]], [d for _, d in expect[qid]])
+
+
+def test_knn_broadcast_matches(spark):
+    ps = synth.points_table(200, seed=22)
+    qs = synth.points_table(25, seed=23).rename(columns={"pt_id": "qid"}).drop(columns=["z"])
+    expect = _bruteforce_knn(qs, ps, 3)
+    res = K.knn_join_broadcast(spark.createDataFrame(qs), ps, k=3).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(r["pt_id"])
+    assert {q: [p for p, _ in v] for q, v in expect.items()} == got
+
+
+def test_idw_exact_hit_and_weighting():
+    vals = np.array([[10.0, 20.0]])
+    # exact hit returns the point value
+    assert K.idw(vals, np.array([[0.0, 5.0]]))[0] == 10.0
+    # symmetric distances average
+    assert K.idw(vals, np.array([[2.0, 2.0]]))[0] == 15.0
+    # closer point dominates
+    est = K.idw(vals, np.array([[1.0, 3.0]]))[0]
+    assert 10.0 < est < 15.0
+
+
+def test_fill_idw(spark):
+    rng = np.random.default_rng(30)
+    block = rng.normal(size=(16, 16))
+    block[4:6, 4:8] = -999.0  # holes marked with no_val
+    pdf = pd.DataFrame([{
+        "image_id": "f0", "bytes": codecs.encode_raw(block),
+        "w": 16, "h": 16, "fmt": "raw",
+        "gt": [0.0, 1.0, 0.0, 16.0, 0.0, -1.0],
+        "crs": "IDENTITY", "no_val": -999.0,
+    }])
+    pts = synth.points_table(50, seed=31, extent=(0.0, 0.0, 16.0, 16.0))
+    out = K.fill_idw(spark.createDataFrame(pdf), pts, k=4).collect()[0]
+    assert out["filled"] == 8
+    got = codecs.decode_raw(out["bytes"], 16, 16)
+    assert not (got == -999.0).any()
+    # untouched pixels unchanged
+    keep = block != -999.0
+    assert np.array_equal(got[keep], block[keep])
+    # filled values within the range of point z values
+    zmin, zmax = pts["z"].min(), pts["z"].max()
+    assert got[4:6, 4:8].min() >= zmin and got[4:6, 4:8].max() <= zmax
+
+
+def test_fill_nan_quirk_default_off(spark):
+    """interpolation.rs:19: `val == f64::NAN` is always false -> NaN holes
+    are NOT filled unless fill_nan=True (replicate behavior, not intent)."""
+    block = np.ones((4, 4))
+    block[0, 0] = np.nan
+    pdf = pd.DataFrame([{
+        "image_id": "f1", "bytes": codecs.encode_raw(block),
+        "w": 4, "h": 4, "fmt": "raw",
+        "gt": [0.0, 1.0, 0.0, 4.0, 0.0, -1.0],
+        "crs": "IDENTITY", "no_val": -999.0,
+    }])
+    pts = synth.points_table(10, seed=32, extent=(0.0, 0.0, 4.0, 4.0))
+    imgs = spark.createDataFrame(pdf)
+    out = K.fill_idw(imgs, pts, k=2).collect()[0]
+    assert out["filled"] == 0
+    assert np.isnan(codecs.decode_raw(out["bytes"], 4, 4)[0, 0])
+    out2 = K.fill_idw(imgs, pts, k=2, fill_nan=True).collect()[0]
+    assert out2["filled"] == 1
