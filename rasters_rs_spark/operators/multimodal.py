@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with (w, h, fmt, ...)
+metadata; every transformation is an Arrow-batched mapInPandas over
+decoded numpy blocks. Real media codecs (JPEG/PNG/opus/h264) are NOT in
+this container, so their decode paths are stubbed behind
+NotImplementedError with a deterministic fake for pipeline testing; the
+Spark-side plumbing (schemas, batching, partitioning, UDF signatures)
+is real and tested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions import codecs
+
+_REAL_FORMATS = ("raw", "q16")
+_STUB_FORMATS = ("jpeg", "png", "webp")
+
+
+def decode_any(data: bytes, h: int, w: int, fmt: str,
+               allow_fake: bool = False) -> np.ndarray:
+    """Decode a binary payload to a float64 block.
+
+    raw/q16 decode for real; media formats raise NotImplementedError
+    (codec libraries unavailable here) unless ``allow_fake``, which
+    substitutes a deterministic pseudo-image derived from the payload
+    bytes so downstream plumbing can be exercised end-to-end."""
+    if fmt in _REAL_FORMATS:
+        return codecs.decode_block(data, h, w, fmt)
+    if fmt in _STUB_FORMATS:
+        if not allow_fake:
+            raise NotImplementedError(
+                f"{fmt} decode requires an image codec library not present "
+                "in this environment; pass allow_fake=True for the "
+                "deterministic test double")
+        seed = np.frombuffer(data[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+        rng = np.random.default_rng(int(seed))
+        return rng.random((h, w))
+    raise ValueError(f"unknown format: {fmt}")
+
+
+def resize_block(block: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-mean resize (real numpy): exact block-mean when dimensions
+    divide; otherwise nearest-index gather then 1x pooling."""
+    h, w = block.shape
+    if h % out_h == 0 and w % out_w == 0:
+        return block.reshape(out_h, h // out_h, out_w, w // out_w).mean(axis=(1, 3))
+    yi = np.clip((np.arange(out_h) + 0.5) * h / out_h, 0, h - 1).astype(np.int64)
+    xi = np.clip((np.arange(out_w) + 0.5) * w / out_w, 0, w - 1).astype(np.int64)
+    return block[yi][:, xi]
+
+
+def resize_images(images: DataFrame, out_h: int, out_w: int,
+                  allow_fake: bool = False) -> DataFrame:
+    """Batch resize: decode -> area resize -> re-encode raw."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                block = decode_any(row.bytes, row.h, row.w, row.fmt, allow_fake)
+                small = resize_block(block, out_h, out_w)
+                out.append((row.image_id, codecs.encode_raw(small),
+                            out_w, out_h, "raw"))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return images.mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string")
+
+
+def image_features(images: DataFrame, allow_fake: bool = False) -> DataFrame:
+    """Cheap feature extraction per image: mean/std/valid-fraction plus
+    an 8x8 intensity thumbnail (the embedding-ish vector)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                block = decode_any(row.bytes, row.h, row.w, row.fmt, allow_fake)
+                valid = ~np.isnan(block)
+                v = block[valid]
+                thumb = resize_block(np.nan_to_num(block), 8, 8).ravel()
+                out.append((row.image_id,
+                            float(v.mean()) if v.size else None,
+                            float(v.std()) if v.size else None,
+                            float(valid.mean()),
+                            [float(x) for x in thumb]))
+            yield pd.DataFrame(out, columns=["image_id", "px_mean", "px_std",
+                                             "valid_frac", "thumb"])
+
+    return images.mapInPandas(
+        gen, schema=("image_id string, px_mean double, px_std double, "
+                     "valid_frac double, thumb array<double>"))
+
+
+def sample_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling STUB: the container has no video codec.
+    The signature and output schema are the real contract."""
+    raise NotImplementedError(
+        "video decode unavailable in this environment; contract: "
+        "(video_id string, frame_idx long, bytes binary, w int, h int)")

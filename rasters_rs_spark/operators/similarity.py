@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+- ``cosine_topk``: exact brute-force top-k. The dot product stays
+  JVM-side (F.zip_with + F.aggregate inside whole-stage codegen); the
+  query side is broadcast, so the scan parallelizes over the corpus and
+  the only shuffle is the per-query top-k window.
+- ``lsh_topk``: random-hyperplane LSH buckets as the scale path: probe
+  the query's bucket (plus optional multi-probe flips), rerank with the
+  exact cosine; recall measured against brute force in the tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _norm_expr(col: str):
+    sq = F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    return F.sqrt(sq)
+
+
+def cosine_expr(a: str, b: str):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    return dot / (_norm_expr(a) * _norm_expr(b))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                q_id: str = "q_id", c_id: str = "vec_id",
+                q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine: returns (q_id, vec_id, cosine, rank).
+    Ties broken by corpus id for determinism."""
+    cand = corpus.crossJoin(F.broadcast(queries))
+    scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id, c_id, "cosine", "rank"))
+
+
+def _bucket_udf(vec_col: str, dim: int, n_planes: int, seed: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rng = np.random.default_rng(seed)
+        planes = rng.normal(size=(dim, n_planes))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (mat @ planes) > 0
+            key = np.zeros(len(pdf), dtype=np.int64)
+            for b in range(n_planes):
+                key = key * 2 + signs[:, b].astype(np.int64)
+            res = pdf.copy()
+            res["bucket"] = key
+            yield res
+    return gen
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
+             n_planes: int = 12, probes: int = 3, seed: int = 7,
+             q_id: str = "q_id", c_id: str = "vec_id",
+             q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane signs,
+    multi-probe by flipping ``probes`` single bits, equi-join on bucket,
+    exact cosine rerank. Same output schema as cosine_topk."""
+    c_schema = ", ".join(f"{n} {t}" for n, t in corpus.dtypes) + ", bucket long"
+    q_schema = ", ".join(f"{n} {t}" for n, t in queries.dtypes) + ", bucket long"
+    ck = corpus.mapInPandas(_bucket_udf(c_vec, dim, n_planes, seed), schema=c_schema)
+    qk = queries.mapInPandas(_bucket_udf(q_vec, dim, n_planes, seed), schema=q_schema)
+
+    # multi-probe: original bucket plus single-bit flips
+    flips = [0] + [1 << b for b in range(min(probes, n_planes))]
+    probe_df = qk.sparkSession.createDataFrame([(f,) for f in flips], "flip long")
+    qprobe = qk.crossJoin(F.broadcast(probe_df)).withColumn(
+        "bucket", F.col("bucket").bitwiseXOR(F.col("flip"))).drop("flip")
+
+    cand = ck.join(F.broadcast(qprobe), on="bucket").dropDuplicates([q_id, c_id])
+    scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id, c_id, "cosine", "rank"))

@@ -1,0 +1,122 @@
+"""Text analysis over the documents table: token counting, quality
+scoring, language ID, document fingerprinting.
+
+Everything except the fingerprint stays in plain Spark SQL expressions
+(whole-stage codegen; oracle-checkable in DuckDB with the identical
+ANSI-ish SQL). The fingerprint is a rolling-hash min-sketch in a pandas
+UDF (numpy over character codes, no per-char Python).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+# tiny deterministic marker lists; on real corpora these would be
+# frequency-derived stopword profiles per language
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def _in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def token_count_expr(text_col: str = "text"):
+    return F.size(F.split(F.col(text_col), " "))
+
+
+def with_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("n_tokens", token_count_expr(text_col))
+
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features: token count, char count, mean token length,
+    stopword ratio, punctuation ratio, uppercase ratio — all codegen'd
+    column expressions (no UDF)."""
+    t = F.col(text_col)
+    n_tokens = F.size(F.split(t, " "))
+    n_chars = F.length(t)
+    n_nospace = F.length(F.regexp_replace(t, " ", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(t, "[.,;:!?]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))
+    stop_sql = (f"size(filter(split({text_col}, ' '), "
+                f"w -> w in ({_in_list(STOPWORDS)})))")
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars_q", n_chars)
+        .withColumn("mean_token_len", n_nospace / n_tokens)
+        .withColumn("punct_ratio", n_punct / n_chars)
+        .withColumn("upper_ratio", n_upper / n_chars)
+        .withColumn("stopword_ratio", F.expr(stop_sql) / n_tokens)
+    )
+
+
+def lang_marker_counts(text_col: str = "text"):
+    """One count column per language: tokens in that language's marker
+    list (pure SQL lambda, DuckDB-expressible verbatim)."""
+    return {
+        lang: F.expr(
+            f"size(filter(split({text_col}, ' '), w -> w in ({_in_list(words)})))"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-token counts, 'und' when
+    every count is zero; deterministic tie-break by language name."""
+    counts = lang_marker_counts(text_col)
+    df = docs
+    for lang, expr in counts.items():
+        df = df.withColumn(f"_c_{lang}", expr)
+    langs = sorted(counts)  # deterministic tie-break order
+    best = F.greatest(*[F.col(f"_c_{l}") for l in langs])
+    pick = F.lit("und")
+    for l in reversed(langs):  # earlier names win ties
+        pick = F.when(F.col(f"_c_{l}") == best, F.lit(l)).otherwise(pick)
+    df = df.withColumn("lang_id", F.when(best > 0, pick).otherwise(F.lit("und")))
+    return df.drop(*[f"_c_{l}" for l in langs])
+
+
+def fingerprint_minhash(text: str, k: int = 8) -> int:
+    """Document fingerprint: min rolling hash over character k-grams
+    (winnowing-style min-sketch reduced to one value). Vectorized:
+    numpy cumulative polynomial hash over the byte array."""
+    data = np.frombuffer(text.encode(), dtype=np.uint8)
+    if data.size < k:
+        data = np.pad(data, (0, k - data.size), constant_values=0)
+    base = np.uint64(1000003)
+    mod = np.uint64((1 << 61) - 1)
+    n = data.size - k + 1
+    with np.errstate(over="ignore"):
+        # hash of each k-gram via sliding windows: h = sum b^i * c_i mod p
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = 1
+        for i in range(1, k):
+            powers[i] = (powers[i - 1] * base) % mod
+        windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        acc = np.zeros(n, dtype=np.uint64)
+        for i in range(k):
+            acc = (acc + windows[:, i] * powers[k - 1 - i]) % mod
+    return int(acc.min())
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = pdf.copy()
+            res["fingerprint"] = [fingerprint_minhash(t or "", k) for t in pdf[text_col]]
+            yield res
+
+    schema = ", ".join(f"{n} {t}" for n, t in docs.dtypes) + ", fingerprint long"
+    return docs.mapInPandas(gen, schema=schema)

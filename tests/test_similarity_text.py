@@ -1,0 +1,130 @@
+"""Similarity search + text analysis tests (vs numpy/python oracles)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rasters_rs_spark.operators import similarity as SIM
+from rasters_rs_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return df, df.limit(500).toPandas()
+
+
+def test_cosine_topk_exact(spark, emb):
+    df, pdf = emb
+    qs = pdf.head(5)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": qs["vec_id"].astype(str),
+        "q_vec": [list(map(float, v)) for v in qs["embedding"]],
+    }))
+    corpus = df.selectExpr("cast(vec_id as string) vec_id",
+                           "transform(embedding, x -> cast(x as double)) embedding")
+    got = SIM.cosine_topk(queries, corpus, k=5).collect()
+
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    ids = pdf["vec_id"].astype(str).to_numpy()
+    for _, q in qs.iterrows():
+        qv = np.asarray(q["embedding"], dtype=np.float64)
+        cos = mat @ qv / (norms * np.linalg.norm(qv))
+        order = np.lexsort((ids, -cos))[:5]
+        expect = [ids[i] for i in order]
+        rows = sorted([r for r in got if r["q_id"] == str(q["vec_id"])],
+                      key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == expect
+        assert np.allclose([r["cosine"] for r in rows], cos[order])
+
+
+def test_lsh_topk_recall(spark, emb):
+    df, pdf = emb
+    qs = pdf.head(10)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": qs["vec_id"].astype(str),
+        "q_vec": [list(map(float, v)) for v in qs["embedding"]],
+    }))
+    corpus = df.selectExpr("cast(vec_id as string) vec_id",
+                           "transform(embedding, x -> cast(x as double)) embedding")
+    exact = SIM.cosine_topk(queries, corpus, k=10).collect()
+    approx = SIM.lsh_topk(queries, corpus, k=10, dim=64,
+                          n_planes=6, probes=6).collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r["q_id"], set()).add(r["vec_id"])
+    a = {}
+    for r in approx:
+        a.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    # every query's own vector must be found (it shares the exact bucket)
+    for q in e:
+        assert q in a and q in a[q]
+    assert np.mean(recalls) >= 0.3  # approximate, but far above chance (~2%)
+
+
+def test_quality_and_token_count(spark):
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b"],
+        "text": ["the quick Fox, and the dog!", "single"],
+    })
+    out = {r["doc_id"]: r for r in TX.with_quality(
+        TX.with_lang_id(spark.createDataFrame(pdf))).collect()}
+    a = out["a"]
+    assert a["n_tokens"] == 6
+    assert a["n_chars_q"] == 27
+    # punctuation: ',' and '!' -> 2/27
+    assert abs(a["punct_ratio"] - 2 / 27) < 1e-12
+    # uppercase: 'F' -> 1/27
+    assert abs(a["upper_ratio"] - 1 / 27) < 1e-12
+    # stopwords among STOPWORDS: the, and, the -> 3/6
+    assert abs(a["stopword_ratio"] - 0.5) < 1e-12
+    assert a["lang_id"] == "en"
+    assert out["b"]["lang_id"] == "und"
+
+
+def test_lang_id_tiebreak_deterministic(spark):
+    pdf = pd.DataFrame({"doc_id": ["t"], "text": ["de la"]})
+    # 'de' is in both es and fr lists; 'la' in both too -> tie; alphabetical
+    # earlier language (es) wins deterministically
+    out = TX.with_lang_id(spark.createDataFrame(pdf)).collect()[0]
+    assert out["lang_id"] == "es"
+
+
+def test_fingerprint_deterministic_and_robust(spark):
+    t1 = "the quick brown fox jumps over the lazy dog"
+    f1 = TX.fingerprint_minhash(t1)
+    assert f1 == TX.fingerprint_minhash(t1)
+    assert f1 != TX.fingerprint_minhash("completely different words here")
+    pdf = pd.DataFrame({"doc_id": ["x"], "text": [t1]})
+    row = TX.with_fingerprint(spark.createDataFrame(pdf)).collect()[0]
+    assert row["fingerprint"] == f1
+
+
+def test_multimodal_plumbing(spark):
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.operators import multimodal as MM
+    rng = np.random.default_rng(8)
+    block = rng.normal(size=(32, 32))
+    pdf = pd.DataFrame([
+        {"image_id": "i0", "bytes": codecs.encode_raw(block), "w": 32, "h": 32,
+         "fmt": "raw"},
+        {"image_id": "i1", "bytes": b"\x01\x02\x03\x04\x05\x06\x07\x08stub",
+         "w": 16, "h": 16, "fmt": "jpeg"},
+    ])
+    df = spark.createDataFrame(pdf)
+    # real decode path: resize 32->8 is exact block-mean
+    out = {r["image_id"]: r for r in MM.resize_images(df, 8, 8, allow_fake=True).collect()}
+    got = codecs.decode_raw(out["i0"]["bytes"], 8, 8)
+    expect = block.reshape(8, 4, 8, 4).mean(axis=(1, 3))
+    assert np.allclose(got, expect)
+    # stub path: deterministic fake
+    out2 = {r["image_id"]: r for r in MM.resize_images(df, 8, 8, allow_fake=True).collect()}
+    assert out["i1"]["bytes"] == out2["i1"]["bytes"]
+    # without allow_fake the stub raises
+    with pytest.raises(Exception):
+        MM.resize_images(df, 8, 8, allow_fake=False).collect()
+    feats = {r["image_id"]: r for r in MM.image_features(df, allow_fake=True).collect()}
+    assert abs(feats["i0"]["px_mean"] - block.mean()) < 1e-12
+    assert len(feats["i0"]["thumb"]) == 64
