@@ -110,7 +110,7 @@ def minhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_band, out_key = [], [], []
-            for rid, text in zip(pdf[id_col], pdf[text_col]):
+            for rid, text in zip(pdf[id_col].astype(str), pdf[text_col]):
                 sig = minhash_signature(_token_shingles(text or "", shingle_k), a, b)
                 banded = sig.reshape(bands, rows_per_band)
                 key = np.full(bands, 1469598103934665603, dtype=np.uint64)
@@ -146,7 +146,8 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     n-gram Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
     band_rows = minhash_bands(docs, text_col, id_col, num_hashes, bands, shingle_k)
     cand = lsh_candidate_pairs(band_rows)
-    texts = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    texts = docs.select(F.col(id_col).cast("string").alias("id"),
+                        F.col(text_col).alias("_t"))
     pairs = (
         cand.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("_t", "_ta"), "id_a")
             .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("_t", "_tb"), "id_b")
@@ -199,7 +200,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
-                "id": pdf[id_col],
+                "id": pdf[id_col].astype(str),
                 "simhash": [_simhash64(t or "") for t in pdf[text_col]],
             })
 
