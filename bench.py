@@ -1,0 +1,108 @@
+"""Benchmark harness: headline cell-join + tile-assignment pipeline plus
+representative operator queries.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "images_per_sec": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BENCH_IMAGES         image count for the headline pipeline (default
+                       scales with sf: 256 per 0.1 sf unit, min 128)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from rasters_rs_spark.operators import celljoin, stats, tiling  # noqa: E402
+from rasters_rs_spark.session import get_spark  # noqa: E402
+from rasters_rs_spark.sources import synth  # noqa: E402
+
+
+def headline_pipeline(spark, n_images: int, img_px: int = 128):
+    """The BASELINE.json metric: images/sec through the cell-index join
+    + tile-assignment pipeline. Returns (seconds, images_processed)."""
+    cpus = max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 8)
+    aois = synth.aoi_table(32, seed=43)
+    images = synth.image_table_distributed(
+        spark, n_images, seed=42, h=img_px, w=img_px,
+        fmt_cycle=("raw", "q16"), pixel_size=2.0,
+        partitions=cpus * 4).persist()
+    images.count()  # materialize input outside the timed section
+
+    t0 = time.time()
+    # stage 1: image centroids -> cell index -> exact PIP join with AOIs
+    cents = images.select(
+        "image_id",
+        (F.col("gt")[0] + F.col("gt")[1] * F.col("w") / 2).alias("x"),
+        (F.col("gt")[3] + F.col("gt")[5] * F.col("h") / 2).alias("y"),
+    )
+    joined = celljoin.cell_pip_join(cents, aois, zoom=12)
+    n_joined = joined.count()
+    # stage 2: tile assignment + pyramid + quantized encode
+    enc = tiling.tile_index_manifest(images, mode="local")
+    n_tiles = enc.count()
+    dt = time.time() - t0
+    images.unpersist()
+    return dt, n_images, n_joined, n_tiles
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+    n_images = int(os.environ.get("BENCH_IMAGES", max(int(20480 * sf), 256)))
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM + python workers outside all timers (tiny run of
+    # the same pipeline so Arrow workers exist before the clock starts)
+    spark.range(1000).agg(F.sum("id")).collect()
+    headline_pipeline(spark, 8, img_px=32)
+
+    head_s, n_img, n_joined, n_tiles = headline_pipeline(spark, n_images)
+
+    queries = entrymod.queries()
+    bench_queries = [
+        "pixel_stats", "histogram_quantity", "diff_stats_parts",
+        "zonal_rect_events", "knn_topk_embeddings", "cell_index_events",
+        "q1_pricing", "events_topk", "nation_revenue", "text_quality",
+        "minhash_pairs_docs", "simhash_docs", "ann_lsh_embeddings",
+        "tile_pyramid_synth", "zonal_stats_synth", "knn_ring_synth",
+    ]
+    timings = {}
+    for name in bench_queries:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": ("images/sec through cell-index join + tile-assignment "
+                   "pipeline (headline), plus per-query seconds"),
+        "value": round(head_s, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "images": n_img,
+        "images_per_sec": round(n_img / head_s, 2),
+        "join_rows": n_joined,
+        "tiles": n_tiles,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

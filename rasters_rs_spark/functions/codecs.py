@@ -40,16 +40,17 @@ def q16_quantize(block: np.ndarray, vmin: float, vmax: float):
     """
     bins = Q16_BINS
     coeff = bins / (vmax - vmin)
-    nan_mask = np.isnan(block)
-    clamped = np.clip(block, vmin, vmax)
-    disc = np.floor((clamped - vmin) * coeff)
-    rec = vmin + (vmax - vmin) * disc / bins
+    # d = (clamped - vmin) * coeff; clip propagates NaN
+    d = (np.clip(block, vmin, vmax) - vmin) * coeff
+    disc = np.floor(d)
+    # err == max |clamped - rec| == max frac(d) * (vmax-vmin)/bins
+    # (same quantity as dem.rs:276-280, fewer array passes)
     with np.errstate(invalid="ignore"):
-        errs = np.abs(clamped - rec)
-    err = float(np.nanmax(errs)) if (~nan_mask).any() else 0.0
-    disc = np.nan_to_num(disc, nan=0.0).astype(np.int64)
-    stored = np.where(disc < bins, disc + 1, disc).astype(np.uint16)
-    stored[nan_mask] = 0
+        frac = d - disc
+        m = np.nan_to_num(frac, nan=-1.0).max() if frac.size else -1.0
+    err = 0.0 if m < 0.0 else float(m) * (vmax - vmin) / bins
+    with np.errstate(invalid="ignore"):
+        stored = np.where(np.isnan(d), 0.0, disc + (disc < bins)).astype(np.uint16)
     return stored, err
 
 

@@ -157,17 +157,26 @@ def scale_children(children: list[tuple[int, int, np.ndarray]], ts: int):
     """One parent tile from up to 4 children [(x, y, arr)], reference
     corner layout (dem.rs:176-251): x even -> left, y odd -> top.
     Returns (parent_array, vmin, vmax)."""
-    canvas = np.full((2 * ts, 2 * ts), np.nan)
+    parent = np.full((ts, ts), np.nan)
+    half = ts // 2
     for (x, y, arr) in children:
-        r0 = 0 if y % 2 == 1 else ts
-        c0 = 0 if x % 2 == 0 else ts
-        canvas[r0:r0 + ts, c0:c0 + ts] = arr
-    blocks = canvas.reshape(ts, 2, ts, 2).transpose(0, 2, 1, 3).reshape(ts, ts, 4)
-    cnt = (~np.isnan(blocks)).sum(axis=2)
-    with np.errstate(invalid="ignore"):
-        s = np.nansum(blocks, axis=2)
-        parent = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
-    valid = cnt > 0
+        # each child fills exactly one parent quadrant (quadrants are
+        # disjoint), so the 2x2 NaN-aware mean reduces per child
+        pr = 0 if y % 2 == 1 else half
+        pc = 0 if x % 2 == 0 else half
+        quads = (arr[0::2, 0::2], arr[0::2, 1::2],
+                 arr[1::2, 0::2], arr[1::2, 1::2])
+        masks = [~np.isnan(v) for v in quads]
+        cnt = masks[0].astype(np.int64)
+        for m in masks[1:]:
+            cnt += m
+        s = np.zeros((half, half), dtype=np.float64)
+        for v, m in zip(quads, masks):
+            s += np.where(m, v, 0.0)
+        with np.errstate(invalid="ignore"):
+            parent[pr:pr + half, pc:pc + half] = np.where(
+                cnt > 0, s / np.maximum(cnt, 1), np.nan)
+    valid = ~np.isnan(parent)
     vmin = float(parent[valid].min()) if valid.any() else np.inf
     vmax = float(parent[valid].max()) if valid.any() else -np.inf
     return parent, vmin, vmax
@@ -274,6 +283,21 @@ def tile_pyramid(images: DataFrame, tile_size: int = 256,
     return out
 
 
+def encode_tile_array(arr: np.ndarray, vmin: float, vmax: float):
+    """q16 encode one tile (S9/M5): returns (bytes, err). Handles the
+    constant-tile edge the way the reference does (coeff = inf, NaN
+    disc casts to 0, stored 1, rec == min, err 0)."""
+    if np.isfinite(vmin) and np.isfinite(vmax) and vmax > vmin:
+        stored, err = codecs.q16_quantize(arr, vmin, vmax)
+    elif np.isfinite(vmin) and vmin == vmax:
+        stored = np.where(np.isnan(arr), 0, 1).astype(np.uint16)
+        err = 0.0
+    else:
+        stored = np.zeros(arr.shape, dtype=np.uint16)
+        err = 0.0
+    return stored.astype(">u2").tobytes(), err
+
+
 def encode_tiles(tiles: DataFrame, tile_size: int = 256) -> DataFrame:
     """q16-encode tile pixel arrays (S9/M5); emits per-tile stats
     (min, max, bins, err) used by the index."""
@@ -284,20 +308,10 @@ def encode_tiles(tiles: DataFrame, tile_size: int = 256) -> DataFrame:
             out = []
             for row in pdf.itertuples(index=False):
                 arr = codecs.decode_raw(row.data, ts, ts)
-                vmin, vmax = row.vmin, row.vmax
-                if np.isfinite(vmin) and np.isfinite(vmax) and vmax > vmin:
-                    stored, err = codecs.q16_quantize(arr, vmin, vmax)
-                elif np.isfinite(vmin) and vmin == vmax:
-                    # constant tile: reference coeff = inf, NaN disc -> 0,
-                    # stored 1, rec == min, err 0
-                    stored = np.where(np.isnan(arr), 0, 1).astype(np.uint16)
-                    err = 0.0
-                else:
-                    stored = np.zeros(arr.shape, dtype=np.uint16)
-                    err = 0.0
-                out.append((row.image_id, row.z, row.x, row.y,
-                            stored.astype(">u2").tobytes(),
-                            float(vmin), float(vmax), codecs.Q16_BINS, err))
+                data, err = encode_tile_array(arr, row.vmin, row.vmax)
+                out.append((row.image_id, row.z, row.x, row.y, data,
+                            float(row.vmin), float(row.vmax),
+                            codecs.Q16_BINS, err))
             cols = ["image_id", "z", "x", "y", "bytes", "min", "max", "bins", "err"]
             yield pd.DataFrame(out, columns=cols)
 
@@ -325,10 +339,38 @@ def index_json(encoded: DataFrame, image_id: str | None = None) -> dict:
 
 
 def tile_index_manifest(images: DataFrame, tile_size: int = 256,
-                        mode: str = "local") -> DataFrame:
+                        mode: str = "local",
+                        min_zoom: int | None = None,
+                        max_zoom: int | None = None) -> DataFrame:
     """End-to-end: images -> pyramid -> encoded tiles DataFrame (the
-    manifest is the DataFrame; index_json() renders the nested JSON)."""
-    return encode_tiles(tile_pyramid(images, tile_size, mode=mode), tile_size)
+    manifest is the DataFrame; index_json() renders the nested JSON).
+
+    In local mode base+pyramid+encode are FUSED inside one mapInPandas
+    generator, so raw float64 tile arrays never cross an Arrow stage
+    boundary — only the 2-byte quantized payloads leave Python. The
+    distributed mode keeps the per-level shuffle and encodes after."""
+    if mode != "local":
+        return encode_tiles(
+            tile_pyramid(images, tile_size, min_zoom, max_zoom, mode=mode),
+            tile_size)
+
+    ts = tile_size
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+                cfg, zoom, mz, rows = base_tiles_for_image(
+                    block, row.gt, row.crs, row.no_val, ts, min_zoom, max_zoom)
+                for (z, x, y, arr, vmin, vmax) in pyramid_local(rows, zoom, mz, ts):
+                    data, err = encode_tile_array(arr, vmin, vmax)
+                    out.append((row.image_id, z, x, y, data,
+                                float(vmin), float(vmax), codecs.Q16_BINS, err))
+            cols = ["image_id", "z", "x", "y", "bytes", "min", "max", "bins", "err"]
+            yield pd.DataFrame(out, columns=cols)
+
+    return images.mapInPandas(gen, schema=ENCODED_SCHEMA)
 
 
 def dump_index_json(encoded: DataFrame, path: str, image_id: str | None = None):

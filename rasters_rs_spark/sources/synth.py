@@ -94,6 +94,49 @@ def image_table(n: int, seed: int = 42, h: int = 64, w: int = 64,
     return pd.DataFrame(rows)
 
 
+IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, gt array<double>, crs string, "
+    "no_val double, bands int"
+)
+
+
+def image_table_distributed(spark, n: int, seed: int = 42, h: int = 64,
+                            w: int = 64, fmt_cycle=("raw", "q16"),
+                            extent=DEFAULT_EXTENT, pixel_size: float = 1.0,
+                            crs: str = "EPSG:3857", partitions: int = 32):
+    """Executor-side deterministic image synthesis: spark.range(n) ->
+    mapInPandas building each row from its index. Identical rows to
+    ``image_table`` for the same parameters (both derive every field
+    from (seed, i)); this variant never materializes pixels on the
+    driver, so it scales to arbitrary n."""
+    ncols = max(int(np.ceil(np.sqrt(n))), 1)
+    span_x = extent[2] - extent[0] - w * pixel_size
+    span_y = extent[3] - extent[1] - h * pixel_size
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                block = make_image_block(seed, i, h, w)
+                fmt = fmt_cycle[i % len(fmt_cycle)]
+                gx = extent[0] + (i % ncols) / max(ncols - 1, 1) * max(span_x, 0.0)
+                gy = extent[3] - (i // ncols) / max(ncols, 1) * max(span_y, 0.0)
+                rng = np.random.default_rng(seed * 31 + i)
+                rows.append((f"img_{i:08d}", codecs.encode_block(block, fmt),
+                             w, h, fmt, make_caption(rng),
+                             np.int64(phash64(block)),
+                             [gx, pixel_size, 0.0, gy, 0.0, -pixel_size],
+                             crs, float("nan"), 1))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                "gt", "crs", "no_val", "bands"])
+
+    return spark.range(n).repartition(partitions).mapInPandas(
+        gen, schema=IMAGE_SCHEMA)
+
+
 def aoi_table(n: int, seed: int = 43, extent=DEFAULT_EXTENT) -> pd.DataFrame:
     """AOI polygons as packed coordinate buffers (FIXTURES.md section 3).
 
