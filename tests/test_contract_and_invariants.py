@@ -1,0 +1,108 @@
+"""Driver-contract smoke + the input-hint per-row invariants:
+decoded-pixel allclose (raw) / PSNR>=40dB (q16 lossy) + caption
+equality, and IO round trips."""
+
+import numpy as np
+import pytest
+
+import __spark_entry__ as entrymod
+from rasters_rs_spark.functions import codecs
+from rasters_rs_spark.sources import synth
+from rasters_rs_spark.sources.io import read_table, write_images, write_tiles
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert "aoi_id" in df.columns and "count" in df.columns
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle without a query"
+    assert len(qs) >= 20
+    assert len(oracles) >= 10
+
+
+@pytest.mark.parametrize("name", ["pixel_stats", "histogram_quantity",
+                                  "zonal_rect_events", "lang_id_markers"])
+def test_query_matches_duckdb(spark, name, sf_dir):
+    import duckdb
+    con = duckdb.connect()
+    for t in ["lineitem", "events", "documents", "embeddings", "part"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    sdf = entrymod.queries()[name](spark, sf_dir)
+    srows = sorted(tuple(r) for r in sdf.select(*sorted(sdf.columns)).collect())
+    res = con.sql(entrymod.oracle_sql()[name])
+    cols = list(res.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    orows = sorted(tuple(r[i] for i in order) for r in res.fetchall())
+    assert len(srows) == len(orows)
+    for a, b in zip(srows, orows):
+        for x, y in zip(a, b):
+            if isinstance(x, float):
+                assert x == pytest.approx(y, rel=1e-12, abs=1e-12)
+            else:
+                assert x == y
+
+
+def test_per_row_invariants_raw_and_q16(spark):
+    """input_hint invariant: decoded pixels allclose (raw) / PSNR>=40dB
+    (q16), caption equality, phash stability through the codec."""
+    pdf = synth.image_table(8, seed=99, h=64, w=64, fmt_cycle=("raw", "q16"))
+    df = spark.createDataFrame(pdf)
+    back = {r["image_id"]: r for r in df.collect()}
+    for row in pdf.itertuples(index=False):
+        got = back[row.image_id]
+        original = synth.make_image_block(99, int(row.image_id.split("_")[1]), 64, 64)
+        decoded = codecs.decode_block(got["bytes"], 64, 64, got["fmt"])
+        if row.fmt == "raw":
+            assert np.allclose(decoded, original)
+        else:
+            assert codecs.psnr(original, decoded) >= 40.0
+        assert got["caption"] == row.caption          # caption equality
+        assert got["phash"] == synth.phash64(original)
+
+
+def test_distributed_synth_equals_local(spark):
+    loc = synth.image_table(12, seed=42, h=32, w=32, pixel_size=2.0)
+    dist = synth.image_table_distributed(spark, 12, seed=42, h=32, w=32,
+                                         pixel_size=2.0, partitions=4).collect()
+    dd = {r["image_id"]: r for r in dist}
+    assert set(dd) == set(loc["image_id"])
+    for row in loc.itertuples(index=False):
+        got = dd[row.image_id]
+        assert bytes(got["bytes"]) == bytes(row.bytes)
+        assert got["caption"] == row.caption
+        assert got["phash"] == row.phash
+        assert list(got["gt"]) == pytest.approx(list(row.gt))
+
+
+def test_io_roundtrip(spark, tmp_path):
+    images = spark.createDataFrame(synth.image_table(6, seed=3))
+    path = str(tmp_path / "imgs")
+    write_images(images, path, partition_buckets=2)
+    back = read_table(spark, path)
+    assert back.count() == 6
+    assert set(back.columns) == set(images.columns)
+
+    from rasters_rs_spark.operators.tiling import tile_index_manifest
+    tiles = tile_index_manifest(images, mode="local")
+    tpath = str(tmp_path / "tiles")
+    write_tiles(tiles, tpath)
+    tback = read_table(spark, tpath)
+    assert tback.count() == tiles.count()
+    # zoom partition pruning works: the z filter reads one directory
+    zmax = tback.agg({"z": "max"}).collect()[0][0]
+    assert tback.where(f"z = {zmax}").count() > 0
+
+
+def test_iceberg_probe_degrades_gracefully(spark):
+    from rasters_rs_spark.sources.io import iceberg_available
+    ok = iceberg_available(spark)
+    assert ok in (True, False)
+    if not ok:
+        with pytest.raises(RuntimeError):
+            read_table(spark, "iceberg:db.images")
