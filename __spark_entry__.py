@@ -312,9 +312,47 @@ def _q_image_features(spark, sf_dir):
                 F.round("px_std", 9).alias("px_std"), "valid_frac")
 
 
+# deterministic WM-native raster for the tile-assignment oracle
+_TA_W, _TA_H, _TA_PX = 320, 240, 3.7
+_TA_GT = (1000.25, _TA_PX, 0.0, 2000.75, 0.0, -_TA_PX)
+
+
+def _ta_config():
+    from rasters_rs_spark.plans.tileplan import TileConfig
+    cfg = TileConfig.for_raster(_TA_W, _TA_H, _TA_GT, "EPSG:3857", 256)
+    return cfg, cfg.max_zoom()
+
+
+def _q_tile_assignment(spark, sf_dir):
+    """The raw fractional-area tile-assignment relation (J4): exact
+    match surface required by BASELINE.json. Pure geometry (value
+    independent); verified row-for-row against closed-form SQL."""
+    from rasters_rs_spark.operators.tiling import assignment_triples
+    cfg, zoom = _ta_config()
+    _, top, _, bot = cfg.tile_index_bounds(zoom)
+
+    def gen(batches):
+        for pdf in batches:
+            frames = []
+            for ty in pdf["id"]:
+                tx, tpx, tpy, px, py, mu = assignment_triples(
+                    cfg, zoom, int(ty), (_TA_W, _TA_H))
+                frames.append(pd.DataFrame({
+                    "tile_x": tx, "tile_y": int(ty), "tpx": tpx, "tpy": tpy,
+                    "px": px, "py": py, "mu": mu}))
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["tile_x", "tile_y", "tpx", "tpy", "px", "py", "mu"])
+
+    rows = spark.range(top, bot).repartition(max(bot - top, 1))
+    return rows.mapInPandas(gen, schema=(
+        "tile_x long, tile_y long, tpx long, tpy long, px long, py long, "
+        "mu double"))
+
+
 def _q_chunk_plan(spark, sf_dir):
     from rasters_rs_spark.plans.chunking import chunk_plan_rows
-    pt = _tbl(spark, sf_dir, "part").select("p_partkey").limit(500)
+    pt = _tbl(spark, sf_dir, "part").select("p_partkey") \
+        .where(F.col("p_partkey") < 500)
 
     def gen(batches):
         for pdf in batches:
@@ -364,7 +402,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": _q_ann_lsh,
         "image_features_synth": _q_image_features,
         "chunk_plan_parts": _q_chunk_plan,
+        "tile_assignment_synth": _q_tile_assignment,
     }
+
+
+def _tile_assignment_sql() -> str:
+    """Closed-form SQL mirror of the fractional-area assignment: the
+    per-tile-row window constants are plan-time literals (as in the
+    reference driver), the per-pixel arithmetic is re-derived in SQL."""
+    from rasters_rs_spark.functions import geom
+    cfg, zoom = _ta_config()
+    left_t, top, right_t, bot = cfg.tile_index_bounds(zoom)
+    ntiles = right_t - left_t
+    ts = cfg.tile_size
+
+    def dbl(v) -> str:
+        # DuckDB parses bare float literals as DECIMAL, and its
+        # DECIMAL->DOUBLE cast is not correctly rounded (int128/10^14).
+        # Exponent notation parses directly as DOUBLE with a correctly
+        # rounded strtod, matching Python/numpy bit-for-bit.
+        return f"{float(v):.17e}"
+
+    vals = []
+    for ty in range(top, bot):
+        pb = cfg.row_pix_bounds(zoom, ty)
+        (ox, oy), (sw, sh) = geom.window_from_bounds(pb, (_TA_W, _TA_H))
+        tpw = (pb[2] - pb[0]) / ntiles / ts
+        tph = (pb[3] - pb[1]) / ts
+        vals.append(f"({ty}, {dbl(pb[0])}, {dbl(pb[1])}, {ox}, {oy}, {sw}, {sh}, "
+                    f"{dbl(tpw)}, {dbl(tph)})")
+    values = ", ".join(vals)
+    return f"""
+        WITH rw(ty, l_edge, t_edge, ox, oy, sw, sh, tpw, tph) AS (VALUES {values}),
+        px AS (
+          SELECT ty, l_edge, t_edge, ox, oy, tpw, tph,
+                 k % sw AS c, k // sw AS r
+          FROM (SELECT rw.*, unnest(generate_series(0, sw*sh - 1)) AS k FROM rw)
+        ),
+        foot AS (
+          SELECT ty, c, r,
+                 (c + ox - l_edge) / tpw AS fl,
+                 (r + oy - t_edge) / tph AS ft,
+                 (c + 1.0 + ox - l_edge) / tpw AS fr,
+                 (r + 1.0 + oy - t_edge) / tph AS fb
+          FROM px
+        ),
+        win AS (
+          SELECT *, greatest(fl, 0.0) AS ix0, greatest(ft, 0.0) AS iy0,
+                 least(fr, {dbl(ntiles * ts)}) AS ix1,
+                 least(fb, {dbl(ts)}) AS iy1
+          FROM foot
+        ),
+        cand AS (
+          SELECT w.*, CAST(floor(ix0) AS BIGINT) + d.dx AS tc,
+                 CAST(floor(iy0) AS BIGINT) + d.dy AS tr
+          FROM win w
+          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS dx) d1,
+               LATERAL (SELECT d1.dx AS dx, unnest(generate_series(0, 3)) AS dy) d
+          WHERE ix0 < ix1 AND iy0 < iy1
+            AND CAST(floor(ix0) AS BIGINT) + d.dx < CAST(ceil(ix1) AS BIGINT)
+            AND CAST(floor(iy0) AS BIGINT) + d.dy < CAST(ceil(iy1) AS BIGINT)
+        )
+        SELECT {left_t} + tc // {ts} AS tile_x,
+               ty AS tile_y,
+               tc % {ts} AS tpx,
+               tr AS tpy,
+               CAST(c AS BIGINT) AS px, CAST(r AS BIGINT) AS py,
+               (least(CAST(tc AS DOUBLE) + 1.0, fr) - greatest(CAST(tc AS DOUBLE), fl))
+               * (least(CAST(tr AS DOUBLE) + 1.0, fb) - greatest(CAST(tr AS DOUBLE), ft)) AS mu
+        FROM cand
+        WHERE (least(CAST(tc AS DOUBLE) + 1.0, fr) - greatest(CAST(tc AS DOUBLE), fl)) > 0.0
+          AND (least(CAST(tr AS DOUBLE) + 1.0, fb) - greatest(CAST(tr AS DOUBLE), ft)) > 0.0
+    """
+
+
+def _chunk_plan_sql() -> str:
+    """Closed-form mirror of the ChunkPlan arithmetic (src/chunking):
+    mod_ceil(n,m) == n + (m - n%m)%m; block 4, padding 2, min data size
+    0x4000; start==padding, end==height (so the truncation branch at
+    iters.rs:49-52 is unreachable and omitted)."""
+    return """
+        WITH dims AS (
+          SELECT CAST(p_partkey AS BIGINT) AS pk,
+                 100 + p_partkey % 500 AS w,
+                 100 + (p_partkey * 7) % 900 AS h
+          FROM part WHERE p_partkey < 500
+        ),
+        cfg0 AS (
+          SELECT pk, w, h, GREATEST((16384 + w - 1) // w, 1) AS mdh FROM dims
+        ),
+        cfg AS (
+          SELECT pk, w, h, mdh + (4 - mdh % 4) % 4 AS dh FROM cfg0
+        ),
+        init0 AS (
+          SELECT pk, w, h, dh, LEAST(2 + dh, h) AS ide_raw FROM cfg
+        ),
+        init1 AS (
+          SELECT *, LEAST(ide_raw + 2 + (4 - (ide_raw + 2) % 4) % 4, h) AS ile
+          FROM init0
+        ),
+        init AS (
+          SELECT pk, w, h, dh, ile, GREATEST(ile - 2, 2) AS ide FROM init1
+        ),
+        counts AS (
+          SELECT *,
+                 LEAST((h - ide + (dh - (h - ide) % dh) % dh) // dh,
+                       (h - ile + (dh - (h - ile) % dh) % dh) // dh) + 1 AS cnt
+          FROM init
+        ),
+        rows_ AS (
+          SELECT *, unnest(generate_series(0, cnt - 1)) AS i FROM counts
+        ),
+        calc AS (
+          SELECT pk, i, cnt, dh, h, ide, ile,
+                 CASE WHEN i = 0 THEN 2 ELSE ide + (i - 1) * dh END AS ds
+          FROM rows_
+        ),
+        calc2 AS (
+          SELECT *,
+                 CASE WHEN i = 0 THEN ile
+                      WHEN i < cnt - 1 THEN ds + dh + 2
+                      ELSE LEAST(LEAST(ds + dh, h) + 2, h) END AS le
+          FROM calc
+        )
+        SELECT CAST(pk AS VARCHAR) AS image_id,
+               i AS chunk_idx,
+               ds AS data_start,
+               CASE WHEN i = 0 THEN ide
+                    WHEN i < cnt - 1 THEN ds + dh
+                    ELSE le - 2 END AS data_end,
+               ds - 2 AS load_start,
+               le AS load_end
+        FROM calc2
+    """
 
 
 _STOP_IN = ", ".join(f"'{w}'" for w in text.STOPWORDS)
@@ -527,4 +697,6 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 9) >= 0.4
         """,
+        "chunk_plan_parts": _chunk_plan_sql(),
+        "tile_assignment_synth": _tile_assignment_sql(),
     }

@@ -148,6 +148,69 @@ def base_tiles_for_image(block: np.ndarray, gt, crs: str, no_val: float,
     return cfg, zoom, mz, rows
 
 
+def assignment_triples(cfg: TileConfig, zoom: int, tile_y: int, dims):
+    """The raw tile-assignment relation for one tile row: arrays
+    (tile_x, tpx, tpy, px, py, mu) where (px, py) index the read window
+    and mu is the fractional overlap area (0 < mu <= 1).
+
+    Value-independent (pure geometry) — this is the exact-match surface
+    BASELINE.json requires; `row_base_tiles` is its aggregated form
+    (cross-checked in tests). Mirrors base.rs:62-123 triple-for-triple.
+    """
+    ts = cfg.tile_size
+    w, h = dims
+    left_t, _, right_t, _ = cfg.tile_index_bounds(zoom)
+    ntiles = right_t - left_t
+    pb = cfg.row_pix_bounds(zoom, tile_y)
+    (ox, oy), (sw, sh) = geom.window_from_bounds(pb, (w, h))
+    empty = tuple(np.empty(0, dtype=t) for t in
+                  (np.int64, np.int64, np.int64, np.int64, np.int64, np.float64))
+    if sw == 0 or sh == 0:
+        return empty
+    l_edge, t_edge, r_edge, b_edge = pb
+    tpw = (r_edge - l_edge) / ntiles / ts
+    tph = (b_edge - t_edge) / ts
+    tpx_w, tpx_h = ntiles * ts, ts
+
+    cc, rr = np.meshgrid(np.arange(sw, dtype=np.float64),
+                         np.arange(sh, dtype=np.float64))
+    fl = (cc + ox - l_edge) / tpw
+    ft = (rr + oy - t_edge) / tph
+    fr = (cc + 1.0 + ox - l_edge) / tpw
+    fb = (rr + 1.0 + oy - t_edge) / tph
+    ix0 = np.maximum(fl, 0.0)
+    iy0 = np.maximum(ft, 0.0)
+    ix1 = np.minimum(fr, float(tpx_w))
+    iy1 = np.minimum(fb, float(tpx_h))
+    has_win = (ix0 < ix1) & (iy0 < iy1)
+    x0 = np.floor(ix0).astype(np.int64)
+    y0 = np.floor(iy0).astype(np.int64)
+    x1 = np.ceil(ix1).astype(np.int64)
+    y1 = np.ceil(iy1).astype(np.int64)
+    if not has_win.any():
+        return empty
+
+    outs = []
+    span_x = int((x1 - x0)[has_win].max())
+    span_y = int((y1 - y0)[has_win].max())
+    for dy in range(span_y):
+        for dx in range(span_x):
+            tc = x0 + dx
+            tr = y0 + dy
+            ovx = np.minimum(tc + 1.0, fr) - np.maximum(tc.astype(np.float64), fl)
+            ovy = np.minimum(tr + 1.0, fb) - np.maximum(tr.astype(np.float64), ft)
+            use = has_win & (tc < x1) & (tr < y1) & (ovx > 0.0) & (ovy > 0.0)
+            if not use.any():
+                continue
+            mu = (ovx * ovy)[use]
+            outs.append((
+                left_t + tc[use] // ts, tc[use] % ts, tr[use],
+                cc[use].astype(np.int64), rr[use].astype(np.int64), mu))
+    if not outs:
+        return empty
+    return tuple(np.concatenate([o[i] for o in outs]) for i in range(6))
+
+
 # ---------------------------------------------------------------------------
 # pyramid 4 -> 1
 # ---------------------------------------------------------------------------
