@@ -1,0 +1,190 @@
+"""Chunked-image representation: the reference's padded-strip chunk
+model (src/chunking.rs) as a DataFrame.
+
+For rasters too large to hold one-per-row, images explode into
+full-width padded strips keyed by (image_id, chunk_idx). This is the
+distributed form of the reference's physical plan: each chunk row is a
+Spark partition-level work unit (P1/P2), and the alignment diff (J1)
+becomes a chunk-granular equi-join — each A-chunk row joins the B rows
+whose windows it needs, computed from the plan at plan time (the manual
+dynamic-partition-pruning analogue described in SURVEY.md section 4).
+
+Memory note: chunk rows duplicate the padding region only (rows
+load_start..data_start and data_end..load_end), so the blow-up over the
+source bytes is (2*padding / data_height), typically a few percent.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import codecs, geom
+from ..plans.chunking import ChunkPlan
+from .stats import merge_partials_exprs, with_derived_stats
+
+CHUNK_SCHEMA = (
+    "image_id string, chunk_idx int, data_start long, data_end long, "
+    "load_start long, load_end long, bytes binary, w int, h int, "
+    "fmt string, gt array<double>, crs string, no_val double"
+)
+
+
+def chunk_images(images: DataFrame, min_data_size: int = 0x10000,
+                 padding: int = 0, block_size: int = 1) -> DataFrame:
+    """Explode an image table into padded chunk-strip rows. The strip
+    bytes are re-encoded with the image's own codec; `h` stays the FULL
+    image height (strip row range is load_start..load_end)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+                plan = (ChunkPlan(row.w, row.h)
+                        .add_block_size(block_size)
+                        .with_min_data_size(min_data_size)
+                        .with_padding(padding))
+                for (i, ds, de, ls, le) in plan.chunks():
+                    out.append((row.image_id, i, ds, de, ls, le,
+                                codecs.encode_block(block[ls:le], row.fmt),
+                                row.w, row.h, row.fmt, list(row.gt),
+                                row.crs, row.no_val))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "chunk_idx", "data_start", "data_end",
+                "load_start", "load_end", "bytes", "w", "h", "fmt",
+                "gt", "crs", "no_val"])
+
+    return images.mapInPandas(gen, schema=CHUNK_SCHEMA)
+
+
+def assemble_images(chunks: DataFrame) -> DataFrame:
+    """Inverse of chunk_images: groupBy image, stitch data ranges back
+    into one block (padding rows are redundant and dropped)."""
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_idx")
+        first = pdf.iloc[0]
+        h, w = int(first["h"]), int(first["w"])
+        block = np.full((h, w), np.nan)
+        for row in pdf.itertuples(index=False):
+            strip = codecs.decode_block(row.bytes, row.load_end - row.load_start,
+                                        w, row.fmt)
+            ds, de = int(row.data_start), int(row.data_end)
+            block[ds:de] = strip[ds - row.load_start: de - row.load_start]
+        return pd.DataFrame([{
+            "image_id": first["image_id"],
+            "bytes": codecs.encode_block(block, first["fmt"]),
+            "w": w, "h": h, "fmt": first["fmt"], "gt": list(first["gt"]),
+            "crs": first["crs"], "no_val": float(first["no_val"]),
+        }])
+
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "gt array<double>, crs string, no_val double")
+    return chunks.groupBy("image_id").applyInPandas(
+        lambda key, pdf: assemble(pdf), schema=schema)
+
+
+def diff_stats_chunked(a_chunks: DataFrame, b: DataFrame,
+                       pair_col: str = "image_id") -> DataFrame:
+    """Chunk-granular alignment diff (J1, distributed form): every
+    A-chunk row processes independently against its pair's B image; the
+    partial-stat rows merge in one aggregation. With A chunked, the
+    parallelism unit is the chunk, not the image — the path for rasters
+    whose full block exceeds task memory.
+
+    (B rows here ride whole; for huge B too, the same plan-time window
+    computation keys B chunks — future work, the join shape is already
+    per-chunk.)"""
+    bb = b.select(
+        F.col(pair_col).alias("pair_id"),
+        *[F.col(c).alias(f"b_{c}") for c in b.columns if c != pair_col],
+    )
+    aa = a_chunks.withColumnRenamed(pair_col, "pair_id")
+    pairs = aa.join(bb, on="pair_id", how="inner")
+
+    from .diff import DIFF_PARTIAL_SCHEMA, _acc, _empty_partial
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                strip = codecs.decode_block(
+                    row.bytes, row.load_end - row.load_start, row.w, row.fmt)
+                block_b = codecs.decode_block(row.b_bytes, row.b_h, row.b_w, row.b_fmt)
+                t = geom.transform_between(row.gt, row.b_gt)
+                h_b, w_b = block_b.shape
+                ls = int(row.load_start)
+                rows_n = strip.shape[0]
+                win_b = geom.transform_window(((0, ls), (row.w, rows_n)),
+                                              t, (w_b, h_b))
+                (bx, by), (bw, bh) = win_b
+                sub_b = block_b[by:by + bh, bx:bx + bw]
+                vals = _empty_partial()
+                if strip.size and sub_b.size:
+                    ct = geom.chunk_transform(t, (0.5, ls + 0.5),
+                                              (float(bx), float(by)))
+                    valid, i2, j2 = geom.index_transform_grid(
+                        ct, rows_n, row.w, (bw, bh))
+                    mask = valid & ~np.isnan(strip)
+                    if not np.isnan(row.no_val):
+                        mask &= strip != row.no_val
+                    if mask.any():
+                        ii, jj = np.nonzero(mask)
+                        vb = sub_b[i2[ii, jj], j2[ii, jj]]
+                        ok = ~np.isnan(vb)
+                        if not np.isnan(row.b_no_val):
+                            ok &= vb != row.b_no_val
+                        va = strip[ii[ok], jj[ok]]
+                        vb = vb[ok]
+                        d = vb - va
+                        vals["count"] = float(va.size)
+                        _acc(vals, "first", va)
+                        _acc(vals, "second", vb)
+                        _acc(vals, "diff", d)
+                        _acc(vals, "abs_diff", np.abs(d))
+                out.append({"pair_id": row.pair_id, **vals})
+            cols = [c.split(" ")[0] for c in DIFF_PARTIAL_SCHEMA.split(", ")]
+            yield pd.DataFrame(out, columns=cols)
+
+    partials = pairs.mapInPandas(gen, schema=DIFF_PARTIAL_SCHEMA)
+    merged = [F.sum("count").alias("count")]
+    for k in ("first", "second", "diff", "abs_diff"):
+        merged += [
+            F.min(f"{k}_min").alias(f"{k}_min"),
+            F.max(f"{k}_max").alias(f"{k}_max"),
+            F.sum(f"{k}_sum").alias(f"{k}_sum"),
+            F.sum(f"{k}_sum_2").alias(f"{k}_sum_2"),
+        ]
+    return partials.agg(*merged) \
+        .withColumn("diff_mean", F.col("diff_sum") / F.col("count")) \
+        .withColumn("diff_std", F.sqrt(F.col("diff_sum_2") / F.col("count")))
+
+
+def chunked_pixel_stats(chunks: DataFrame) -> DataFrame:
+    """PixelStats over the chunked representation: each strip
+    contributes only its DATA rows (padding excluded), so totals equal
+    the whole-image statistics exactly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .stats import _block_partial
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                strip = codecs.decode_block(
+                    row.bytes, row.load_end - row.load_start, row.w, row.fmt)
+                ds = int(row.data_start) - int(row.load_start)
+                de = int(row.data_end) - int(row.load_start)
+                c, mn, mx, s, s2 = _block_partial(strip[ds:de], row.no_val)
+                out.append((row.image_id, c, mn, mx, s, s2))
+            yield pd.DataFrame(out, columns=["image_id", "count", "min",
+                                             "max", "sum", "sum_2"])
+
+    partials = chunks.mapInPandas(
+        gen, schema="image_id string, count double, min double, max double, "
+                    "sum double, sum_2 double")
+    return with_derived_stats(
+        partials.groupBy("image_id").agg(*merge_partials_exprs()))

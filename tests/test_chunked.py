@@ -1,0 +1,82 @@
+"""Chunked-image representation: round trip, chunked stats == whole
+stats, chunked diff == whole diff (the reference's -c 1 stress in
+distributed form)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rasters_rs_spark.functions import codecs
+from rasters_rs_spark.operators import chunked as C
+from rasters_rs_spark.operators import diff as D
+from rasters_rs_spark.operators import stats as S
+from rasters_rs_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return spark.createDataFrame(
+        synth.image_table(6, seed=13, h=64, w=48, fmt_cycle=("raw",))).persist()
+
+
+def test_chunk_roundtrip(spark, images):
+    # padding=0: data ranges tile the full height -> exact round trip
+    chunks = C.chunk_images(images, min_data_size=48 * 8)
+    back = {r["image_id"]: r for r in C.assemble_images(chunks).collect()}
+    for r in images.collect():
+        orig = codecs.decode_raw(bytes(r["bytes"]), 64, 48)
+        got = codecs.decode_raw(bytes(back[r["image_id"]]["bytes"]), 64, 48)
+        assert np.array_equal(got, orig)
+
+
+def test_chunk_roundtrip_padding_skips_borders(spark, images):
+    # reference semantics: start is clamped to padding (builder.rs:104-108)
+    # and the last data_end is load-clamped, so the first and last
+    # `padding` rows are context-only and never produced as data
+    chunks = C.chunk_images(images, min_data_size=48 * 8, padding=3)
+    back = {r["image_id"]: r for r in C.assemble_images(chunks).collect()}
+    for r in images.collect():
+        orig = codecs.decode_raw(bytes(r["bytes"]), 64, 48)
+        got = codecs.decode_raw(bytes(back[r["image_id"]]["bytes"]), 64, 48)
+        assert np.array_equal(got[3:-3], orig[3:-3])
+        assert np.isnan(got[:3]).all() and np.isnan(got[-3:]).all()
+
+
+def test_chunked_stats_equal_whole(spark, images):
+    whole = {r["image_id"]: r for r in
+             S.image_pixel_stats(images, per_image=True).collect()}
+    chunks = C.chunk_images(images, min_data_size=48 * 4)
+    part = {r["image_id"]: r for r in C.chunked_pixel_stats(chunks).collect()}
+    assert set(whole) == set(part)
+    for k in whole:
+        assert whole[k]["count"] == part[k]["count"]
+        assert whole[k]["min"] == part[k]["min"]
+        assert whole[k]["max"] == part[k]["max"]
+        assert whole[k]["sum"] == pytest.approx(part[k]["sum"], rel=1e-12)
+
+
+def test_chunked_diff_equals_whole(spark):
+    rng = np.random.default_rng(0xD1FF)
+    data1 = rng.normal(size=(64, 128))
+    data2 = rng.normal(size=(32, 64))
+    a = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "p0", "bytes": codecs.encode_raw(data1),
+        "w": 128, "h": 64, "fmt": "raw",
+        "gt": [-64.0, 1.0, 0.0, -32.0, 0.0, 1.0],
+        "crs": "IDENTITY", "no_val": float("nan")}]))
+    b = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "p0", "bytes": codecs.encode_raw(data2),
+        "w": 64, "h": 32, "fmt": "raw",
+        "gt": [-128.0, 4.0, 0.0, -64.0, 0.0, 4.0],
+        "crs": "IDENTITY", "no_val": float("nan")}]))
+
+    whole = D.diff_stats(a, b).collect()[0]
+    # chunk A into 8-row strips: the distributed work unit
+    a_chunks = C.chunk_images(a, min_data_size=128 * 8)
+    assert a_chunks.count() == 8
+    chunked = C.diff_stats_chunked(a_chunks, b).collect()[0]
+    assert chunked["count"] == whole["count"]
+    assert chunked["diff_min"] == whole["diff_min"]
+    assert chunked["diff_max"] == whole["diff_max"]
+    assert chunked["diff_sum"] == pytest.approx(whole["diff_sum"], rel=1e-12)
+    assert chunked["abs_diff_sum"] == pytest.approx(whole["abs_diff_sum"], rel=1e-12)

@@ -103,6 +103,39 @@ def test_weights_partition_pixel_area():
     assert total_w > 0
 
 
+def test_assignment_triples_aggregate_to_row_tiles():
+    """The raw triple relation and the fused accumulator must agree:
+    aggregating mu/mu*val per tile pixel reproduces row_base_tiles."""
+    np.random.seed(7)
+    block = np.random.normal(size=(48, 80))
+    gt = [1000.25, 3.7, 0.0, 2000.75, 0.0, -3.7]
+    cfg = TileConfig.for_raster(80, 48, gt, "EPSG:3857", 256)
+    zoom = cfg.max_zoom()
+    from rasters_rs_spark.functions import geom as G
+    _, top, _, bot = cfg.tile_index_bounds(zoom)
+    left_t, _, right_t, _ = cfg.tile_index_bounds(zoom)
+    for ty in range(top, bot):
+        tiles = {x: (arr, mn, mx)
+                 for (x, arr, mn, mx) in T.row_base_tiles(block, cfg, zoom, ty, float("nan"))}
+        tx, tpx, tpy, px, py, mu = T.assignment_triples(cfg, zoom, ty, (80, 48))
+        pb = cfg.row_pix_bounds(zoom, ty)
+        (ox, oy), _ = G.window_from_bounds(pb, (80, 48))
+        agg = {x: (np.zeros((256, 256)), np.zeros((256, 256))) for x in tiles}
+        for i in range(len(tx)):
+            v = block[py[i] + oy, px[i] + ox]
+            if np.isnan(v):
+                continue
+            ws, wg = agg[int(tx[i])]
+            ws[tpy[i], tpx[i]] += mu[i] * v
+            wg[tpy[i], tpx[i]] += mu[i]
+        for x, (ws, wg) in agg.items():
+            arr, _, _ = tiles[x]
+            got = np.where(wg > 0, ws / np.where(wg > 0, wg, 1.0), np.nan)
+            assert np.array_equal(np.isnan(got), np.isnan(arr))
+            m = ~np.isnan(arr)
+            assert np.allclose(got[m], arr[m], rtol=0, atol=0)
+
+
 def test_scale_children_corner_layout():
     ts = 4
     mk = lambda v: np.full((ts, ts), float(v))
