@@ -312,6 +312,18 @@ def _q_image_features(spark, sf_dir):
                 F.round("px_std", 9).alias("px_std"), "valid_frac")
 
 
+def _q_events_tumbling(spark, sf_dir):
+    from rasters_rs_spark.streaming.windows import tumbling_agg
+    return tumbling_agg(_tbl(spark, sf_dir, "events"))
+
+
+def _q_events_sessions(spark, sf_dir):
+    from rasters_rs_spark.streaming.windows import sessionize
+    out = sessionize(_tbl(spark, sf_dir, "events"), gap_seconds=900)
+    return out.select(F.col("user_id").cast("bigint").alias("user_id"),
+                      "session_idx", "n_events", "t_start", "t_end")
+
+
 # deterministic WM-native raster for the tile-assignment oracle
 _TA_W, _TA_H, _TA_PX = 320, 240, 3.7
 _TA_GT = (1000.25, _TA_PX, 0.0, 2000.75, 0.0, -_TA_PX)
@@ -403,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_synth": _q_image_features,
         "chunk_plan_parts": _q_chunk_plan,
         "tile_assignment_synth": _q_tile_assignment,
+        "events_tumbling": _q_events_tumbling,
+        "events_sessions": _q_events_sessions,
     }
 
 
@@ -699,4 +713,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_plan_parts": _chunk_plan_sql(),
         "tile_assignment_synth": _tile_assignment_sql(),
+        "events_tumbling": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) > 900
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS session_idx
+              FROM marked
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id, session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end
+            FROM sess GROUP BY 1, 2
+        """,
     }

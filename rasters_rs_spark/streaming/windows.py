@@ -1,0 +1,73 @@
+"""Event-time windowed aggregation: batch and Structured Streaming.
+
+The reference has no streaming dataflow (its "streaming" is a progress
+thread, cli/progress.rs); the engine still ships the standard
+event-table operators a large pipeline needs:
+
+- ``tumbling_agg``: fixed windows over event time; identical semantics
+  in batch (groupBy window()) and streaming (readStream + watermark) —
+  the streaming variant is tested to converge to the batch answer.
+- ``sessionize``: gap-based session windows via lag/cumsum window
+  functions (batch, SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def tumbling_agg(events: DataFrame, window: str = "1 hour",
+                 ts_col: str = "ts", key_col: str = "event_type") -> DataFrame:
+    """Per-(window, key) count and exact decimal sum of ``value``."""
+    return (
+        events.groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+                key_col, "n", "sum_value")
+    )
+
+
+def stream_tumbling_agg(spark: SparkSession, source_dir: str, schema: str,
+                        window: str = "1 hour", watermark: str = "2 hours",
+                        ts_col: str = "ts", key_col: str = "event_type"):
+    """Structured Streaming variant: parquet file source -> watermark ->
+    windowed aggregate. Returns the streaming DataFrame; callers attach
+    a sink (tests use a memory sink with trigger availableNow)."""
+    stream = (spark.readStream.schema(schema).parquet(source_dir)
+              # watermarks need TIMESTAMP (not NTZ); session TZ is UTC so
+              # the cast is value-identical
+              .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+              .withWatermark(ts_col, watermark))
+    return (
+        stream.groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+                key_col, "n", "sum_value")
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800,
+               ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    user's previous event exceeds ``gap_seconds``. Emits one row per
+    session with bounds and event count."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # fractional epoch seconds (matches DuckDB's epoch()) so sub-second
+    # gaps split identically everywhere
+    ts_s = F.col(ts_col).cast("timestamp").cast("double")
+    prev = F.lag(ts_s).over(w)
+    marked = events.withColumn(
+        "_new", F.when(prev.isNull() | ((ts_s - prev) > gap_seconds), 1)
+                 .otherwise(0))
+    sid = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = marked.withColumn("session_idx", sid.cast("bigint"))
+    return (
+        sessions.groupBy(user_col, "session_idx")
+        .agg(F.count("*").cast("bigint").alias("n_events"),
+             F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("t_start"),
+             F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("t_end"))
+    )

@@ -1,0 +1,71 @@
+"""Streaming layer: batch tumbling agg vs DuckDB; Structured Streaming
+converges to the batch answer; sessionization vs a python oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from rasters_rs_spark.streaming.windows import (sessionize, stream_tumbling_agg,
+                                                tumbling_agg)
+
+
+def test_tumbling_matches_duckdb(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {(r["wstart"], r["event_type"]): (r["n"], r["sum_value"])
+           for r in tumbling_agg(ev).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    rows = con.sql("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """).fetchall()
+    expect = {(r[0], r[1]): (r[2], r[3]) for r in rows}
+    assert got == expect
+
+
+def test_stream_converges_to_batch(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("event_id")
+    # feed the stream in two file batches
+    src = str(tmp_path / "stream_src")
+    ev.where("event_id % 2 = 0").write.mode("overwrite").parquet(src)
+    schema = ", ".join(f"{n} {t}" for n, t in ev.dtypes)
+
+    batch_expect = {(r["wstart"], r["event_type"]): (r["n"], r["sum_value"])
+                    for r in tumbling_agg(ev).collect()}
+
+    ev.where("event_id % 2 = 1").write.mode("append").parquet(src)
+    q = (stream_tumbling_agg(spark, src, schema)
+         .writeStream.format("memory").queryName("tumbling_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["wstart"], r["event_type"]): (r["n"], r["sum_value"])
+           for r in spark.sql("select * from tumbling_test").collect()}
+    assert got == batch_expect
+
+
+def test_sessionize_matches_python_oracle(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    gap = 900
+    got = {(r["user_id"], r["session_idx"]): r["n_events"]
+           for r in sessionize(ev, gap_seconds=gap).collect()}
+
+    pdf = ev.select("user_id", "ts").toPandas().sort_values(["user_id", "ts"])
+    expect = {}
+    for uid, sub in pdf.groupby("user_id"):
+        ts = sub["ts"].astype("int64").to_numpy() / 1e9
+        sid = 0
+        prev = None
+        for t in ts:
+            if prev is None or (t - prev) > gap:
+                sid += 1
+            expect[(uid, sid)] = expect.get((uid, sid), 0) + 1
+            prev = t
+    assert got == expect
+    # invariant: per-user session indexes are 1..k dense
+    import collections
+    per_user = collections.Counter(u for (u, _) in got)
+    for (u, s) in got:
+        assert 1 <= s <= per_user[u]
