@@ -50,9 +50,10 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
     """
     q = _with_cell(queries, "x", "y", cell_size, "q").withColumnRenamed("x", "qx") \
         .withColumnRenamed("y", "qy")
-    p = _with_cell(points, "x", "y", cell_size, "p")
+    p = _with_cell(points, "x", "y", cell_size, "p").persist()
 
-    remaining = q
+    remaining = q.persist()
+    to_unpersist = [p, remaining]
     out = None
     radius = 1
     for _ in range(max_rounds):
@@ -72,22 +73,30 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
             F.sqrt((F.col("qx") - F.col("x")) ** 2 + (F.col("qy") - F.col("y")) ** 2),
         )
         w = Window.partitionBy(query_id).orderBy("dist", "pt_id")
-        ranked = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        ranked = cand.withColumn("rank", F.row_number().over(w)) \
+                     .where(F.col("rank") <= k).persist()
+        to_unpersist.append(ranked)
         guarantee = float((radius - 1) * cell_size) if radius > 1 else 0.0
         kth = ranked.groupBy(query_id).agg(
             F.count("*").alias("_n"), F.max("dist").alias("_kth"))
         # satisfied: k candidates and kth provably inside the probed window
         done_ids = kth.where((F.col("_n") >= k) & (F.col("_kth") <= F.lit(guarantee))) \
-                      .select(query_id)
+                      .select(query_id).persist()
+        to_unpersist.append(done_ids)
         solved = ranked.join(done_ids, on=query_id, how="leftsemi")
         out = solved if out is None else out.unionByName(solved)
-        remaining = remaining.join(done_ids, on=query_id, how="left_anti")
+        remaining = remaining.join(done_ids, on=query_id, how="left_anti").persist()
+        to_unpersist.append(remaining)
         radius *= 2
     if out is None:
         out = _brute_force_rank(remaining, p, k, query_id)
     elif not remaining.isEmpty():
         out = out.unionByName(_brute_force_rank(remaining, p, k, query_id))
-    return out.drop("qcx", "qcy", "pcx", "pcy", "_n", "_kth")
+    out = out.drop("qcx", "qcy", "pcx", "pcy", "_n", "_kth").persist()
+    out.count()  # materialize before releasing the round intermediates
+    for df in to_unpersist:
+        df.unpersist()
+    return out
 
 
 def _brute_force_rank(remaining: DataFrame, p: DataFrame, k: int, query_id: str):
