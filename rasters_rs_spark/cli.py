@@ -1,0 +1,188 @@
+"""CLI parity with the reference's binaries, over image tables.
+
+Reference commands -> subcommands here (same outputs, table-valued
+inputs instead of single GDAL files):
+
+  raster-stats R [--polygons]   -> stats    (JSON PixelStats per zone)
+  raster-diff A B [--hist]      -> diff     (JSON RasterDiffStats / histogram)
+  raster-mask R OUT             -> mask     (mask table parquet)
+  raster-tile R OUT             -> tile     (tile table parquet + index.json)
+  raster-fill-nn R PTS OUT      -> fill     (filled table parquet + count)
+
+plus engine-native: resample, chunk. Run via
+``spark-submit --py-files dist/rasters_rs_spark.zip -m`` or
+``python -m rasters_rs_spark.cli <cmd> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _spark(args):
+    from .session import get_spark
+    return get_spark("rasters-cli", cores=args.cores)
+
+
+def _images(spark, path: str):
+    from .sources.io import read_table
+    return read_table(spark, path)
+
+
+def cmd_stats(args):
+    import pandas as pd
+    from .operators.stats import image_pixel_stats, zonal_stats
+    spark = _spark(args)
+    images = _images(spark, args.input)
+    if args.polygons:
+        aois = pd.read_parquet(args.polygons)
+        out = zonal_stats(images, aois, include_whole=args.include_whole)
+        rows = [r.asDict() for r in out.orderBy("aoi_id").collect()]
+    else:
+        rows = [r.asDict() for r in image_pixel_stats(images).collect()]
+    print(json.dumps(rows, default=float))
+
+
+def cmd_diff(args):
+    from .operators.diff import diff_histogram, diff_raster, diff_stats
+    spark = _spark(args)
+    a = _images(spark, args.input_a)
+    b = _images(spark, args.input_b)
+    if args.hist:
+        hmin, hmax, bins = args.hist
+        out = diff_histogram(a, b, float(hmin), float(hmax), int(bins),
+                             adjust=args.adjust, negate=args.negate)
+        print(json.dumps({str(r["bin"]): r["n"] for r in out.collect()}))
+        return
+    if args.output:
+        disc = tuple(args.discretize) if args.discretize else None
+        diff_raster(a, b, adjust=args.adjust, negate=args.negate,
+                    discretize=disc).write.mode("overwrite").parquet(args.output)
+    row = diff_stats(a, b, adjust=args.adjust, negate=args.negate).collect()[0]
+    print(json.dumps(row.asDict(), default=float))
+
+
+def cmd_mask(args):
+    from .operators.mask import mask
+    spark = _spark(args)
+    mask(_images(spark, args.input)).write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"written": args.output}))
+
+
+def cmd_tile(args):
+    from .operators.tiling import dump_index_json, tile_index_manifest
+    from .sources.io import write_tiles
+    spark = _spark(args)
+    enc = tile_index_manifest(_images(spark, args.input),
+                              tile_size=args.tile_size,
+                              min_zoom=args.min_zoom, max_zoom=args.max_zoom,
+                              mode=args.mode)
+    enc = enc.persist()
+    write_tiles(enc.drop("bins"), f"{args.output}/tiles")
+    dump_index_json(enc, f"{args.output}/index.json", image_id=args.image_id)
+    print(json.dumps({"tiles": enc.count(), "output": args.output}))
+
+
+def cmd_fill(args):
+    import pandas as pd
+    from .operators.knn import fill_idw
+    spark = _spark(args)
+    pts = pd.read_parquet(args.points)
+    out = fill_idw(_images(spark, args.input), pts, k=args.k,
+                   fill_nan=args.fill_nan).persist()
+    out.write.mode("overwrite").parquet(args.output)
+    filled = out.agg({"filled": "sum"}).collect()[0][0]
+    print(json.dumps({"filled": int(filled), "output": args.output}))
+
+
+def cmd_resample(args):
+    from .operators.resample import resample
+    spark = _spark(args)
+    gt = [float(v) for v in args.gt]
+    resample(_images(spark, args.input), gt, args.width, args.height,
+             method=args.method).write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"written": args.output}))
+
+
+def cmd_chunk(args):
+    from .operators.chunked import chunk_images
+    spark = _spark(args)
+    out = chunk_images(_images(spark, args.input),
+                       min_data_size=args.chunk_size, padding=args.padding)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"written": args.output}))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="rasters-rs-spark")
+    p.add_argument("--cores", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("stats")
+    s.add_argument("input")
+    s.add_argument("--polygons")
+    s.add_argument("--include-whole", action="store_true")
+    s.set_defaults(fn=cmd_stats)
+
+    d = sub.add_parser("diff")
+    d.add_argument("input_a")
+    d.add_argument("input_b")
+    d.add_argument("--adjust", type=float, default=0.0)
+    d.add_argument("--negate", action="store_true")
+    d.add_argument("--hist", nargs=3, metavar=("MIN", "MAX", "BINS"))
+    d.add_argument("--output")
+    d.add_argument("--discretize", nargs=3, type=float)
+    d.set_defaults(fn=cmd_diff)
+
+    m = sub.add_parser("mask")
+    m.add_argument("input")
+    m.add_argument("output")
+    m.set_defaults(fn=cmd_mask)
+
+    t = sub.add_parser("tile")
+    t.add_argument("input")
+    t.add_argument("output")
+    t.add_argument("--tile-size", type=int, default=256)
+    t.add_argument("--min-zoom", type=int)
+    t.add_argument("--max-zoom", type=int)
+    t.add_argument("--mode", default="local", choices=["local", "distributed"])
+    t.add_argument("--image-id")
+    t.set_defaults(fn=cmd_tile)
+
+    f = sub.add_parser("fill")
+    f.add_argument("input")
+    f.add_argument("points")
+    f.add_argument("output")
+    f.add_argument("-k", type=int, default=8)
+    f.add_argument("--fill-nan", action="store_true")
+    f.set_defaults(fn=cmd_fill)
+
+    r = sub.add_parser("resample")
+    r.add_argument("input")
+    r.add_argument("output")
+    r.add_argument("--gt", nargs=6, required=True)
+    r.add_argument("--width", type=int, required=True)
+    r.add_argument("--height", type=int, required=True)
+    r.add_argument("--method", default="nearest", choices=["nearest", "bilinear"])
+    r.set_defaults(fn=cmd_resample)
+
+    c = sub.add_parser("chunk")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("-c", "--chunk-size", type=int, default=0x10000)
+    c.add_argument("--padding", type=int, default=0)
+    c.set_defaults(fn=cmd_chunk)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

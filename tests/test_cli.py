@@ -1,0 +1,64 @@
+"""CLI smoke tests (subprocess-free: call main() in-process against the
+session fixture's JVM via a fresh getOrCreate)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rasters_rs_spark import cli
+from rasters_rs_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def img_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli") / "imgs")
+    spark.createDataFrame(synth.image_table(4, seed=77, h=32, w=32,
+                                            fmt_cycle=("raw",))) \
+         .write.mode("overwrite").parquet(p)
+    return p
+
+
+def _run(capsys, argv):
+    cli.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_stats(capsys, img_path):
+    rows = _run(capsys, ["--cores", "4", "stats", img_path])
+    assert rows[0]["count"] == 4 * 32 * 32
+
+
+def test_cli_tile_and_mask(capsys, img_path, tmp_path):
+    out = _run(capsys, ["--cores", "4", "tile", img_path, str(tmp_path / "t"),
+                        "--min-zoom", "15"])
+    assert out["tiles"] > 0
+    assert os.path.exists(str(tmp_path / "t" / "index.json"))
+    out = _run(capsys, ["--cores", "4", "mask", img_path, str(tmp_path / "m")])
+    assert "written" in out
+
+
+def test_cli_diff_and_resample(capsys, img_path, tmp_path):
+    row = _run(capsys, ["--cores", "4", "diff", img_path, img_path])
+    assert row["count"] == 4 * 32 * 32  # self-diff pairs every pixel
+    assert abs(row["diff_sum"]) < 1e-9
+    out = _run(capsys, ["--cores", "4", "resample", img_path,
+                        str(tmp_path / "r"), "--gt"] +
+               "0 2 0 64 0 -2".split() +
+               ["--width", "16", "--height", "16", "--method", "bilinear"])
+    assert "written" in out
+
+
+def test_cli_fill_and_chunk(capsys, img_path, tmp_path, spark):
+    pts = synth.points_table(30, seed=5, extent=(-2000, -2000, 2000, 2000))
+    ppath = str(tmp_path / "pts.parquet")
+    pts.to_parquet(ppath)
+    out = _run(capsys, ["--cores", "4", "fill", img_path, ppath,
+                        str(tmp_path / "f"), "--fill-nan"])
+    assert out["filled"] >= 0
+    out = _run(capsys, ["--cores", "4", "chunk", img_path, str(tmp_path / "c"),
+                        "-c", "256"])
+    assert "written" in out
