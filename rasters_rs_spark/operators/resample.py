@@ -87,3 +87,47 @@ def resample(images: DataFrame, dst_gt, dst_w: int, dst_h: int,
     schema = ("image_id string, bytes binary, w int, h int, fmt string, "
               "gt array<double>, crs string, no_val double")
     return images.mapInPandas(gen, schema=schema)
+
+
+def mosaic(images: DataFrame, dst_gt, dst_w: int, dst_h: int,
+           method: str = "nearest") -> DataFrame:
+    """Composite many images onto one target grid: resample each, then a
+    NaN-aware per-pixel mean across overlapping images.
+
+    Shape: one narrow resample stage emitting per-image partial
+    (sum, count) planes, then a single groupBy merge — overlap blending
+    is associative, so partial aggregation applies and no image pair
+    ever meets in one task."""
+    res = resample(images, dst_gt, dst_w, dst_h, method)
+
+    def to_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                block = codecs.decode_raw(row.bytes, dst_h, dst_w)
+                m = ~np.isnan(block)
+                out.append((0, codecs.encode_raw(np.where(m, block, 0.0)),
+                            m.astype("<f8").tobytes()))
+            yield pd.DataFrame(out, columns=["mkey", "vsum", "wsum"])
+
+    partials = res.mapInPandas(
+        to_partials, schema="mkey int, vsum binary, wsum binary")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        vs = np.zeros((dst_h, dst_w))
+        ws = np.zeros((dst_h, dst_w))
+        for row in pdf.itertuples(index=False):
+            vs += codecs.decode_raw(row.vsum, dst_h, dst_w)
+            ws += codecs.decode_raw(row.wsum, dst_h, dst_w)
+        with np.errstate(invalid="ignore"):
+            out = np.where(ws > 0, vs / np.maximum(ws, 1.0), np.nan)
+        return pd.DataFrame([{
+            "image_id": "mosaic", "bytes": codecs.encode_raw(out),
+            "w": dst_w, "h": dst_h, "fmt": "raw",
+            "gt": [float(v) for v in dst_gt], "crs": "EPSG:3857",
+            "no_val": float("nan")}])
+
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "gt array<double>, crs string, no_val double")
+    return partials.groupBy("mkey").applyInPandas(
+        lambda key, pdf: merge(pdf), schema=schema)

@@ -70,8 +70,15 @@ class CheckpointRunner:
         df = df_fn()
         if repartition:
             df = df.repartition(repartition)
+        # A10 analogue: in-flight row metric via observe() so the count
+        # costs nothing extra (no second scan)
+        from pyspark.sql import functions as F
+        from pyspark.sql import Observation
+        obs = Observation(f"{stage}_metrics")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         df.write.mode("overwrite").parquet(data)
         wall = time.time() - t0
+        observed_rows = int(obs.get.get("rows", -1))
 
         files = []
         total_bytes = 0
@@ -81,7 +88,7 @@ class CheckpointRunner:
                 files.append({"file": fn, "bytes": sz})
                 total_bytes += sz
         out = self.spark.read.parquet(data)
-        rows = out.count()
+        rows = observed_rows if observed_rows >= 0 else out.count()
 
         manifest = {
             "stage": stage,

@@ -64,6 +64,27 @@ def test_bilinear_nan_aware_renormalizes():
     assert np.allclose(out[valid], 1.0)  # constant field survives the hole
 
 
+def test_mosaic_overlap_mean(spark):
+    from rasters_rs_spark.operators.resample import mosaic
+    # two 4x4 rasters at 1m; second shifted 2m right; overlap averages
+    a = np.full((4, 4), 2.0)
+    b = np.full((4, 4), 6.0)
+    rows = [
+        {"image_id": "a", "bytes": codecs.encode_raw(a), "w": 4, "h": 4,
+         "fmt": "raw", "gt": [0.0, 1.0, 0.0, 4.0, 0.0, -1.0],
+         "crs": "IDENTITY", "no_val": float("nan")},
+        {"image_id": "b", "bytes": codecs.encode_raw(b), "w": 4, "h": 4,
+         "fmt": "raw", "gt": [2.0, 1.0, 0.0, 4.0, 0.0, -1.0],
+         "crs": "IDENTITY", "no_val": float("nan")},
+    ]
+    dst_gt = [0.0, 1.0, 0.0, 4.0, 0.0, -1.0]
+    out = mosaic(spark.createDataFrame(pd.DataFrame(rows)), dst_gt, 6, 4).collect()[0]
+    got = codecs.decode_raw(out["bytes"], 4, 6)
+    assert np.allclose(got[:, :2], 2.0)        # a only
+    assert np.allclose(got[:, 2:4], 4.0)       # overlap mean
+    assert np.allclose(got[:, 4:6], 6.0)       # b only
+
+
 def test_resample_dataframe(spark):
     rng = np.random.default_rng(3)
     src = rng.normal(size=(8, 16))

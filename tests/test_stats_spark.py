@@ -118,6 +118,43 @@ def test_cell_pip_join_matches_bruteforce(spark):
     assert len(expect) > 0  # non-degenerate
 
 
+def test_zonal_broadcast_equals_celljoin_path(spark):
+    """Two independent join strategies must agree: the broadcast-AOI
+    pandas path (zonal_stats) and the cell-keyed equi-join over exploded
+    pixel centers (cell_pip_join + groupBy)."""
+    from pyspark.sql import functions as F
+    images = synth.image_table(4, seed=15, h=16, w=16, fmt_cycle=("raw",),
+                               extent=(-100, -100, 100, 100), pixel_size=4.0)
+    aois = synth.aoi_table(5, seed=16, extent=(-100, -100, 100, 100))
+
+    a = S.zonal_stats(_images_df(spark, images), aois)
+    got_a = {r["aoi_id"]: r for r in a.collect()}
+
+    # pixel-center point table (exploded)
+    rows = []
+    for row in images.itertuples(index=False):
+        block = codecs.decode_raw(row.bytes, 16, 16)
+        t = geom.transform_from_gdal(row.gt)
+        jj, ii = np.meshgrid(np.arange(16), np.arange(16))
+        wx, wy = geom.transform_points(t, jj.ravel() + 0.5, ii.ravel() + 0.5)
+        for x, y, v in zip(wx, wy, block.ravel()):
+            if not np.isnan(v):
+                rows.append((f"{row.image_id}:{x}:{y}", float(x), float(y), float(v)))
+    pts = spark.createDataFrame(pd.DataFrame(rows, columns=["pid", "x", "y", "v"]))
+    joined = cell_pip_join(pts, aois, zoom=14)
+    b = joined.groupBy("aoi_id").agg(
+        F.count("*").alias("count"), F.min("v").alias("min"),
+        F.max("v").alias("max"), F.sum("v").alias("sum"))
+    got_b = {r["aoi_id"]: r for r in b.collect()}
+
+    assert set(got_a) == set(got_b)
+    for k in got_a:
+        assert got_a[k]["count"] == got_b[k]["count"]
+        assert got_a[k]["min"] == got_b[k]["min"]
+        assert got_a[k]["max"] == got_b[k]["max"]
+        assert abs(got_a[k]["sum"] - got_b[k]["sum"]) < 1e-9
+
+
 def test_cell_pip_join_salted_same_result(spark):
     pts = synth.points_table(200, seed=11)
     aois = synth.aoi_table(4, seed=12)
