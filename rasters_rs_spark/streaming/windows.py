@@ -56,9 +56,12 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
     user's previous event exceeds ``gap_seconds``. Emits one row per
     session with bounds and event count."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    # fractional epoch seconds (matches DuckDB's epoch()) so sub-second
-    # gaps split identically everywhere
-    ts_s = F.col(ts_col).cast("timestamp").cast("double")
+    # fractional epoch seconds via calendar arithmetic: TZ-independent
+    # for TIMESTAMP_NTZ inputs (a session-TZ cast would shift across
+    # DST boundaries) and matches DuckDB's epoch() exactly
+    ts_s = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"cast({ts_col} as timestamp_ntz)) / 1e6")
     prev = F.lag(ts_s).over(w)
     marked = events.withColumn(
         "_new", F.when(prev.isNull() | ((ts_s - prev) > gap_seconds), 1)
