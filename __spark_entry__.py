@@ -312,6 +312,29 @@ def _q_image_features(spark, sf_dir):
                 F.round("px_std", 9).alias("px_std"), "valid_frac")
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return text.ngram_jaccard_pairs(docs, k=3).select(
+        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _q_token_count_bpe(spark, sf_dir):
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        text.token_count_bpe_expr().cast("bigint").alias("n_bpe_tokens"))
+
+
+def _q_props_json(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"))
+
+
 def _q_events_tumbling(spark, sf_dir):
     from rasters_rs_spark.streaming.windows import tumbling_agg
     return tumbling_agg(_tbl(spark, sf_dir, "events"))
@@ -417,6 +440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment_synth": _q_tile_assignment,
         "events_tumbling": _q_events_tumbling,
         "events_sessions": _q_events_sessions,
+        "ngram_jaccard_docs": _q_ngram_jaccard,
+        "token_count_bpe": _q_token_count_bpe,
+        "props_json_agg": _q_props_json,
     }
 
 
@@ -741,5 +767,32 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
                    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end
             FROM sess GROUP BY 1, 2
+        """,
+        "ngram_jaccard_docs": """
+            WITH sh AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                       i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS s
+              FROM documents WHERE doc_id < 60)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 9) AS jaccard
+            FROM sh a JOIN sh b ON a.id < b.id
+        """,
+        "token_count_bpe": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "props_json_agg": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
         """,
     }

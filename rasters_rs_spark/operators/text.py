@@ -88,6 +88,44 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return df.drop(*[f"_c_{l}" for l in langs])
 
 
+def shingle_expr(text_col: str, k: int):
+    """Distinct word k-shingles as an array<string> — pure Catalyst:
+    split -> sequence over start positions -> slice+join -> dedupe."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.array_distinct(sh)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.0) -> DataFrame:
+    """Exact pairwise n-gram Jaccard similarity, fully JVM-side:
+    shingle arrays + array_intersect/array_union inside codegen. For
+    all-pairs use restrict the input (or use minhash_dedup for the
+    LSH-pruned scale path). Returns (id_a, id_b, jaccard)."""
+    sh = docs.select(F.col(id_col).cast("string").alias("id"),
+                     shingle_expr(text_col, k).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = pairs.select("id_a", "id_b", (inter / union).alias("jaccard"))
+    return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_bpe_expr(text_col: str = "text"):
+    """BPE-ish token count: alpha runs, digit runs, and single
+    punctuation marks each count as one token (regexp, JVM-side)."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0))
+
+
 def fingerprint_minhash(text: str, k: int = 8) -> int:
     """Document fingerprint: min rolling hash over character k-grams
     (winnowing-style min-sketch reduced to one value). Vectorized:
