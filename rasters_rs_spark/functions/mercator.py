@@ -184,9 +184,11 @@ def largest_zoom_containing(bounds) -> int:
     Reference web_mercator.rs:84-93 (starts probing at zoom 1).
     """
     zoom = 1
-    while True:
+    while zoom <= 31:  # beyond z31 tile indexes exceed practical range;
+        # degenerate (point) bounds would otherwise loop forever
         lx, ty = tile_index(zoom, bounds[0], bounds[1])
         rx, by = tile_index(zoom, bounds[2], bounds[3])
         if int(lx) != int(rx) or int(ty) != int(by):
             return zoom - 1
         zoom += 1
+    return 31

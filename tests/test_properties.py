@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) — beyond the reference's own test
+strategy: invariants that must hold for ALL configurations, not just
+the golden vectors."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from rasters_rs_spark.functions import codecs, geom
+from rasters_rs_spark.functions import mercator as M
+from rasters_rs_spark.plans.chunking import ChunkPlan, mod_ceil
+
+
+@given(w=st.integers(1, 500), h=st.integers(1, 2000),
+       bs=st.integers(1, 32), dh=st.integers(1, 300),
+       pad=st.integers(0, 20),
+       start=st.integers(0, 2100), end=st.integers(0, 2100))
+@settings(max_examples=300, deadline=None)
+def test_chunk_plan_invariants(w, h, bs, dh, pad, start, end):
+    plan = (ChunkPlan(w, h).add_block_size(bs).with_min_data_height(dh)
+            .with_padding(pad).with_start(start).with_end(end))
+    rows = list(plan.chunks())
+    assert len(rows) == len(plan)
+    eff_start = max(start, pad)
+    eff_end = min(end, h)
+    if eff_start >= eff_end:
+        assert rows == []
+        return
+    # data ranges tile [eff_start, last_data_end) contiguously
+    assert rows[0][1] == eff_start
+    for a, b in zip(rows, rows[1:]):
+        assert a[2] == b[1], "contiguous data ranges"
+    for i, (idx, ds, de, ls, le) in enumerate(rows):
+        assert idx == i
+        assert ls == ds - pad
+        assert 0 <= ls <= le <= h, "load window inside raster"
+        assert de - ds >= 0
+        if 0 < i < len(rows) - 1:
+            assert de - ds == plan.data_height, "interior chunks full height"
+    # interior load ends on block boundaries (block-aligned I/O)
+    for (_, _, _, _, le) in rows[:-1]:
+        if len(rows) > 1:
+            assert le % plan.block_size == 0
+    # every data row in [eff_start, eff_end) is covered at most once and
+    # the coverage reaches at least eff_end - pad (border rows may be
+    # load-clamped away, mirroring the reference)
+    covered = sum(de - ds for (_, ds, de, _, _) in rows)
+    assert rows[-1][2] <= eff_end
+    assert covered == rows[-1][2] - eff_start
+
+
+@given(nums=st.integers(0, 10**9), m=st.integers(1, 10**6))
+def test_mod_ceil_properties(nums, m):
+    r = mod_ceil(nums, m)
+    assert r % m == 0 and r >= nums and r - nums < m
+
+
+@given(minx=st.floats(-1e6, 1e6), miny=st.floats(-1e6, 1e6),
+       dx=st.floats(0.001, 1e5), dy=st.floats(0.001, 1e5),
+       w=st.integers(1, 10000), h=st.integers(1, 10000))
+@settings(max_examples=200, deadline=None)
+def test_window_from_bounds_invariants(minx, miny, dx, dy, w, h):
+    win = geom.window_from_bounds((minx, miny, minx + dx, miny + dy), (w, h))
+    (ox, oy), (sw, sh) = win
+    assert 0 <= ox <= w and 0 <= oy <= h
+    assert ox + sw <= w and oy + sh <= h
+    if sw and sh:
+        # the window covers the clipped bounds (partial pixels included)
+        assert ox <= max(minx, 0) + 1e-9
+        assert ox + sw >= min(minx + dx, w) - 1e-9
+
+
+@given(lat=st.floats(-80, 84), lon_off=st.floats(-6, 6))
+@settings(max_examples=200, deadline=None)
+def test_tm_roundtrip_property(lat, lon_off):
+    lon0 = 75.0
+    e, n = M.tm_forward(lat, lon0 + lon_off, lon0_deg=lon0)
+    lat2, lon2 = M.tm_inverse(e, n, lon0_deg=lon0)
+    assert abs(float(lat2) - lat) < 1e-9
+    assert abs(float(lon2) - (lon0 + lon_off)) < 1e-9
+
+
+@given(lon=st.floats(-179.9, 179.9), lat=st.floats(-85, 85))
+def test_wm_roundtrip_property(lon, lat):
+    lon2, lat2 = M.wm_to_lonlat(*M.lonlat_to_wm(lon, lat))
+    assert abs(float(lon2) - lon) < 1e-9
+    assert abs(float(lat2) - lat) < 1e-9
+
+
+@given(st.data())
+@settings(max_examples=100, deadline=None)
+def test_q16_roundtrip_error_bound(data):
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    shape = (data.draw(st.integers(1, 20)), data.draw(st.integers(1, 20)))
+    scale = data.draw(st.floats(1e-6, 1e6))
+    block = rng.normal(size=shape) * scale
+    enc = codecs.encode_q16(block)
+    dec = codecs.decode_q16(enc, *shape)
+    vrange = block.max() - block.min()
+    if vrange > 0:
+        # reconstruction error bounded by 2 quantization steps
+        assert np.nanmax(np.abs(dec - block)) <= 2.01 * vrange / codecs.Q16_BINS
+
+
+@given(zoom=st.integers(0, 22),
+       x=st.floats(-20037507.0, 20037507.0),
+       y=st.floats(-20037507.0, 20037507.0))
+def test_tile_index_in_range(zoom, x, y):
+    tx, ty = M.tile_index(zoom, x, y)
+    assert 0 <= int(tx) < (1 << zoom) or zoom == 0
+    assert 0 <= int(ty) < (1 << zoom) or zoom == 0
+
+
+@given(px=st.lists(st.floats(-100, 100), min_size=1, max_size=50),
+       py=st.lists(st.floats(-100, 100), min_size=1, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_pip_agrees_with_matplotlib_free_oracle(px, py):
+    """Containment in a convex polygon == all cross products same sign
+    (independent oracle for convex cases)."""
+    n = min(len(px), len(py))
+    pts_x = np.array(px[:n])
+    pts_y = np.array(py[:n])
+    # fixed convex polygon (square rotated 45 deg)
+    xs = [0.0, 50.0, 0.0, -50.0]
+    ys = [-50.0, 0.0, 50.0, 0.0]
+    got = geom.points_in_rings(pts_x, pts_y, [0], xs, ys)
+    expect = (np.abs(pts_x) + np.abs(pts_y)) < 50.0
+    boundary = np.isclose(np.abs(pts_x) + np.abs(pts_y), 50.0)
+    assert np.array_equal(got[~boundary], expect[~boundary])
