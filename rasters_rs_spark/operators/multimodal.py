@@ -105,3 +105,52 @@ def sample_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
     raise NotImplementedError(
         "video decode unavailable in this environment; contract: "
         "(video_id string, frame_idx long, bytes binary, w int, h int)")
+
+
+_AUDIO_REAL = ("pcm_f64",)
+_AUDIO_STUB = ("opus", "mp3", "flac")
+
+
+def decode_audio(data: bytes, n_samples: int, fmt: str,
+                 allow_fake: bool = False) -> np.ndarray:
+    """Waveform decode: raw float64 PCM for real; compressed codecs are
+    stubbed behind NotImplementedError with a deterministic fake."""
+    if fmt in _AUDIO_REAL:
+        return np.frombuffer(data, dtype="<f8", count=n_samples).copy()
+    if fmt in _AUDIO_STUB:
+        if not allow_fake:
+            raise NotImplementedError(
+                f"{fmt} decode requires an audio codec library not present "
+                "in this environment; pass allow_fake=True for the test double")
+        seed = np.frombuffer(data[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+        return np.random.default_rng(int(seed)).standard_normal(n_samples)
+    raise ValueError(f"unknown audio format: {fmt}")
+
+
+def audio_features(audio: DataFrame, frame: int = 1024,
+                   allow_fake: bool = False) -> DataFrame:
+    """Framewise audio features over decoded waveforms: RMS energy,
+    zero-crossing rate, and peak per clip (numpy, Arrow-batched).
+    Input schema: (clip_id string, bytes binary, n_samples int,
+    sample_rate int, fmt string)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                wav = decode_audio(row.bytes, row.n_samples, row.fmt, allow_fake)
+                n = (len(wav) // frame) * frame
+                if n == 0:
+                    out.append((row.clip_id, None, None, None, 0))
+                    continue
+                frames = wav[:n].reshape(-1, frame)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                zc = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+                out.append((row.clip_id, float(rms.mean()), float(zc.mean()),
+                            float(np.abs(wav).max()), frames.shape[0]))
+            yield pd.DataFrame(out, columns=["clip_id", "rms", "zcr",
+                                             "peak", "n_frames"])
+
+    return audio.mapInPandas(
+        gen, schema="clip_id string, rms double, zcr double, peak double, "
+                    "n_frames int")

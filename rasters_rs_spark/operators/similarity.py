@@ -60,6 +60,66 @@ def _bucket_udf(vec_col: str, dim: int, n_planes: int, seed: int):
     return gen
 
 
+def train_ivf_centroids(sample: np.ndarray, n_lists: int, iters: int = 10,
+                        seed: int = 11) -> np.ndarray:
+    """Driver-side k-means (Lloyd, numpy) over a corpus sample — the IVF
+    coarse quantizer. At 10^12 scale the sample is a cheap limit() pull;
+    centroids broadcast to every task."""
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+    return cents
+
+
+def _ivf_assign_udf(vec_col: str, cents: np.ndarray, nprobe: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1)[:, :nprobe]
+            res = pdf.copy()
+            res["lists"] = [row.tolist() for row in order]
+            yield res
+    return gen
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
+             n_lists: int = 16, nprobe: int = 4, train_sample: int = 2048,
+             q_id: str = "q_id", c_id: str = "vec_id",
+             q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, corpus rows
+    assigned to their nearest list, queries probe their ``nprobe``
+    nearest lists, exact cosine rerank inside the probed lists.
+    Same output schema as cosine_topk."""
+    sample = np.stack([
+        np.asarray(r[c_vec], dtype=np.float64)
+        for r in corpus.limit(train_sample).collect()
+    ])
+    cents = train_ivf_centroids(sample, n_lists)
+
+    c_schema = ", ".join(f"{n} {t}" for n, t in corpus.dtypes) + ", lists array<int>"
+    q_schema = ", ".join(f"{n} {t}" for n, t in queries.dtypes) + ", lists array<int>"
+    ck = corpus.mapInPandas(_ivf_assign_udf(c_vec, cents, 1), schema=c_schema) \
+               .withColumn("list_id", F.col("lists")[0]).drop("lists")
+    qk = queries.mapInPandas(_ivf_assign_udf(q_vec, cents, nprobe), schema=q_schema) \
+                .withColumn("list_id", F.explode("lists")).drop("lists")
+
+    cand = ck.join(F.broadcast(qk), on="list_id").dropDuplicates([q_id, c_id])
+    scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id, c_id, "cosine", "rank"))
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
              n_planes: int = 12, probes: int = 3, seed: int = 7,
              q_id: str = "q_id", c_id: str = "vec_id",
