@@ -306,6 +306,17 @@ def _q_ann_lsh(spark, sf_dir):
         .select("q_id", "vec_id", F.round("cosine", 9).alias("cosine"), "rank")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings") \
+        .selectExpr("cast(vec_id as bigint) vec_id",
+                    "transform(embedding, v -> cast(v as double)) embedding")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return similarity.ivf_topk(queries, emb, k=5, dim=64,
+                               n_lists=16, nprobe=4) \
+        .select("q_id", "vec_id", F.round("cosine", 9).alias("cosine"), "rank")
+
+
 def _q_image_features(spark, sf_dir):
     return multimodal.image_features(_synth_images(spark, 16)) \
         .select("image_id", F.round("px_mean", 9).alias("px_mean"),
@@ -435,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash,
         "fingerprint_docs": _q_fingerprint,
         "ann_lsh_embeddings": _q_ann_lsh,
+        "ann_ivf_embeddings": _q_ann_ivf,
         "image_features_synth": _q_image_features,
         "chunk_plan_parts": _q_chunk_plan,
         "tile_assignment_synth": _q_tile_assignment,

@@ -35,6 +35,29 @@ def test_stage_runs_and_resumes(spark, tmp_path):
     assert r2.summary()[0]["skipped"] is True
 
 
+def test_headline_pipeline_resumes(spark, tmp_path):
+    import shutil
+    from rasters_rs_spark.streaming.pipeline import run_headline
+    root = str(tmp_path / "pipe")
+    r1 = run_headline(spark, root, n_images=8, aoi_count=4, img_px=32)
+    assert all(not s["skipped"] for s in r1["stages"])
+    assert r1["images"] == 8 and r1["tiles"] > 0
+
+    # full re-run: every stage skipped, same outputs
+    r2 = run_headline(spark, root, n_images=8, aoi_count=4, img_px=32)
+    assert all(s["skipped"] for s in r2["stages"])
+    assert (r2["join_rows"], r2["zones"], r2["tiles"]) == \
+           (r1["join_rows"], r1["zones"], r1["tiles"])
+
+    # kill ONE stage: only it recomputes; outputs unchanged
+    shutil.rmtree(os.path.join(root, "tiles"))
+    r3 = run_headline(spark, root, n_images=8, aoi_count=4, img_px=32)
+    flags = {s["stage"]: s["skipped"] for s in r3["stages"]}
+    assert flags == {"images": True, "cell_join": True,
+                     "zonal_stats": True, "tiles": False}
+    assert r3["tiles"] == r1["tiles"]
+
+
 def test_incomplete_stage_reruns(spark, tmp_path):
     root = str(tmp_path / "ckpt2")
     calls = {"n": 0}
