@@ -306,6 +306,11 @@ def _q_ann_lsh(spark, sf_dir):
         .select("q_id", "vec_id", F.round("cosine", 9).alias("cosine"), "rank")
 
 
+def _q_phash_neardup(spark, sf_dir):
+    images = _synth_images(spark, 48)
+    return dedup.phash_neardup(images, max_hamming=12)
+
+
 def _q_ann_ivf(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings") \
         .selectExpr("cast(vec_id as bigint) vec_id",
@@ -447,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _q_fingerprint,
         "ann_lsh_embeddings": _q_ann_lsh,
         "ann_ivf_embeddings": _q_ann_ivf,
+        "phash_neardup_synth": _q_phash_neardup,
         "image_features_synth": _q_image_features,
         "chunk_plan_parts": _q_chunk_plan,
         "tile_assignment_synth": _q_tile_assignment,

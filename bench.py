@@ -49,8 +49,10 @@ def headline_pipeline(spark, n_images: int, img_px: int = 128):
     )
     joined = celljoin.cell_pip_join(cents, aois, zoom=12)
     n_joined = joined.count()
-    # stage 2: tile assignment + pyramid + quantized encode
-    enc = tiling.tile_index_manifest(images, mode="local")
+    # stage 2: tile assignment + pyramid + quantized encode (payloads
+    # deflate-compressed in the parallel stage: bus traffic is the
+    # scarce resource, task CPU is not)
+    enc = tiling.tile_index_manifest(images, mode="local", compress=True)
     n_tiles = enc.count()
     dt = time.time() - t0
     images.unpersist()

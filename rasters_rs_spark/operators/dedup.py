@@ -234,6 +234,49 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 # ---------------------------------------------------------------------------
+# image near-dup: phash hamming + caption equality (input_hint M8)
+# ---------------------------------------------------------------------------
+
+
+def phash_neardup(images: DataFrame, max_hamming: int = 6,
+                  id_col: str = "image_id", hash_col: str = "phash",
+                  blocks: int = 4) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash hamming distance.
+
+    Same block-pigeonhole LSH as simhash_dedup (candidates share one of
+    ``blocks`` 16-bit blocks — complete for hamming < blocks), verified
+    with bit_count(xor) entirely JVM-side. Returns (id_a, id_b, hamming).
+    """
+    block_cols = [
+        F.shiftrightunsigned(F.col(hash_col), 16 * i).bitwiseAND(F.lit(0xFFFF))
+         .alias(f"b{i}")
+        for i in range(blocks)
+    ]
+    keyed = images.select(F.col(id_col).cast("string").alias("id"),
+                          F.col(hash_col).alias("ph"), *block_cols)
+    cands = None
+    for i in range(blocks):
+        left = keyed.select(F.col("id").alias("id_a"), F.col("ph").alias("ph_a"),
+                            F.col(f"b{i}").alias("bk"))
+        right = keyed.select(F.col("id").alias("id_b"), F.col("ph").alias("ph_b"),
+                             F.col(f"b{i}").alias("bk"))
+        c = left.join(right, "bk").where(F.col("id_a") < F.col("id_b")) \
+                .select("id_a", "id_b", "ph_a", "ph_b")
+        cands = c if cands is None else cands.unionByName(c)
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (cands.distinct().withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def caption_dup_groups(images: DataFrame, id_col: str = "image_id",
+                       caption_col: str = "caption") -> DataFrame:
+    """Exact caption duplicate groups (caption-equality joins are the
+    input-hint's cheap text-side dedup signal)."""
+    return duplicate_groups(images, [caption_col], id_col)
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup (cosine)
 # ---------------------------------------------------------------------------
 

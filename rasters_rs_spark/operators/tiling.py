@@ -349,16 +349,32 @@ def tile_pyramid(images: DataFrame, tile_size: int = 256,
 def encode_tile_array(arr: np.ndarray, vmin: float, vmax: float):
     """q16 encode one tile (S9/M5): returns (bytes, err). Handles the
     constant-tile edge the way the reference does (coeff = inf, NaN
-    disc casts to 0, stored 1, rec == min, err 0)."""
-    if np.isfinite(vmin) and np.isfinite(vmax) and vmax > vmin:
-        stored, err = codecs.q16_quantize(arr, vmin, vmax)
-    elif np.isfinite(vmin) and vmin == vmax:
-        stored = np.where(np.isnan(arr), 0, 1).astype(np.uint16)
+    disc casts to 0, stored 1, rec == min, err 0).
+
+    Deep pyramid tiles are mostly NaN (one child quadrant of data), so
+    the quantization passes run only over the valid bounding box — the
+    rest of the output is memset zeros. Bit-identical result, a
+    fraction of the memory traffic."""
+    if not np.isfinite(vmin) or not np.isfinite(vmax):
+        return np.zeros(arr.shape, dtype=">u2").tobytes(), 0.0
+
+    valid = ~np.isnan(arr)
+    rows = valid.any(axis=1)
+    if not rows.any():
+        return np.zeros(arr.shape, dtype=">u2").tobytes(), 0.0
+    cols = valid.any(axis=0)
+    r0, r1 = np.argmax(rows), len(rows) - np.argmax(rows[::-1])
+    c0, c1 = np.argmax(cols), len(cols) - np.argmax(cols[::-1])
+    sub = arr[r0:r1, c0:c1]
+
+    if vmax > vmin:
+        sub_stored, err = codecs.q16_quantize(sub, vmin, vmax)
+    else:  # constant tile
+        sub_stored = np.where(np.isnan(sub), 0, 1).astype(np.uint16)
         err = 0.0
-    else:
-        stored = np.zeros(arr.shape, dtype=np.uint16)
-        err = 0.0
-    return stored.astype(">u2").tobytes(), err
+    stored = np.zeros(arr.shape, dtype=">u2")
+    stored[r0:r1, c0:c1] = sub_stored  # byteswap happens on assignment
+    return stored.tobytes(), err
 
 
 def encode_tiles(tiles: DataFrame, tile_size: int = 256) -> DataFrame:
@@ -401,16 +417,31 @@ def index_json(encoded: DataFrame, image_id: str | None = None) -> dict:
     return idx
 
 
+def decode_tile_bytes(data: bytes, tile_size: int, vmin: float, vmax: float,
+                      compressed: bool = False) -> np.ndarray:
+    """Decode a tile payload (optionally deflate-compressed q16) back to
+    float64 pixels."""
+    import zlib
+    raw = zlib.decompress(data) if compressed else data
+    stored = np.frombuffer(raw, dtype=">u2").reshape(tile_size, tile_size)
+    return codecs.q16_dequantize(stored.astype(np.uint16), vmin, vmax)
+
+
 def tile_index_manifest(images: DataFrame, tile_size: int = 256,
                         mode: str = "local",
                         min_zoom: int | None = None,
-                        max_zoom: int | None = None) -> DataFrame:
+                        max_zoom: int | None = None,
+                        compress: bool = False) -> DataFrame:
     """End-to-end: images -> pyramid -> encoded tiles DataFrame (the
     manifest is the DataFrame; index_json() renders the nested JSON).
 
     In local mode base+pyramid+encode are FUSED inside one mapInPandas
     generator, so raw float64 tile arrays never cross an Arrow stage
-    boundary — only the 2-byte quantized payloads leave Python. The
+    boundary — only the 2-byte quantized payloads leave Python. With
+    ``compress=True`` payloads are additionally deflate-compressed in
+    the (parallel) Python stage — mostly-NaN deep-pyramid tiles shrink
+    to ~7%, trading cheap task CPU for scarce bus/JVM-heap traffic
+    (decode with ``decode_tile_bytes(compressed=True)``). The
     distributed mode keeps the per-level shuffle and encodes after."""
     if mode != "local":
         return encode_tiles(
@@ -418,6 +449,7 @@ def tile_index_manifest(images: DataFrame, tile_size: int = 256,
             tile_size)
 
     ts = tile_size
+    import zlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -428,6 +460,8 @@ def tile_index_manifest(images: DataFrame, tile_size: int = 256,
                     block, row.gt, row.crs, row.no_val, ts, min_zoom, max_zoom)
                 for (z, x, y, arr, vmin, vmax) in pyramid_local(rows, zoom, mz, ts):
                     data, err = encode_tile_array(arr, vmin, vmax)
+                    if compress:
+                        data = zlib.compress(data, 1)
                     out.append((row.image_id, z, x, y, data,
                                 float(vmin), float(vmax), codecs.Q16_BINS, err))
             cols = ["image_id", "z", "x", "y", "bytes", "min", "max", "bins", "err"]

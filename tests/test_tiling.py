@@ -83,6 +83,23 @@ def test_distributed_equals_local(spark):
         assert np.allclose(np.nan_to_num(ax), np.nan_to_num(bx), atol=0, rtol=0)
 
 
+def test_compressed_tiles_roundtrip(spark):
+    imgs = _fab1_images(spark)
+    plain = {(r["z"], r["x"], r["y"]): (bytes(r["bytes"]), r["min"], r["max"])
+             for r in T.tile_index_manifest(imgs).collect()}
+    comp = {(r["z"], r["x"], r["y"]): (bytes(r["bytes"]), r["min"], r["max"])
+            for r in T.tile_index_manifest(imgs, compress=True).collect()}
+    assert set(plain) == set(comp)
+    for k in plain:
+        praw, vmin, vmax = plain[k]
+        craw, _, _ = comp[k]
+        a = T.decode_tile_bytes(praw, 256, vmin, vmax)
+        b = T.decode_tile_bytes(craw, 256, vmin, vmax, compressed=True)
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        assert np.array_equal(np.nan_to_num(a), np.nan_to_num(b))
+        assert len(craw) < len(praw)
+
+
 def test_weights_partition_pixel_area():
     """Every source pixel's total emitted weight equals its footprint
     area in tile pixels (mu partitions the footprint; base.rs asserts
