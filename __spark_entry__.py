@@ -15,7 +15,13 @@ as rows-only entries here and carry exact numpy oracles in tests/.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make the import robust to
+# whatever CWD/sys.path the harness uses
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import pandas as pd
