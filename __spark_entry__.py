@@ -357,6 +357,154 @@ def _q_props_json(spark, sf_dir):
         F.max(k).cast("bigint").alias("max_k"))
 
 
+# --- LCG-pixel raster queries: the REAL raster operators (decode ->
+# numpy kernels -> aggregate) verified against closed-form SQL. Pixel
+# values live on a 2^-20 dyadic grid so sums and sums of squares are
+# exactly representable -> order-independent, bit-comparable floats.
+
+_LCG_RECTS = [
+    ("z0", -950.3, 700.7, -500.1, 980.9),
+    ("z1", -700.55, 590.2, -150.45, 915.35),
+    ("z2", -1050.9, 550.1, -890.15, 1050.65),
+]
+
+
+def _lcg_rect_aois() -> pd.DataFrame:
+    return pd.DataFrame([
+        {"aoi_id": a, "ring_offsets": [0], "xs": [x0, x1, x1, x0],
+         "ys": [y0, y0, y1, y1]}
+        for (a, x0, y0, x1, y1) in _LCG_RECTS
+    ])
+
+
+def _q_lcg_image_stats(spark, sf_dir):
+    images = spark.createDataFrame(synth.lcg_image_table(32))
+    return stats.image_pixel_stats(images, per_image=True)
+
+
+def _q_lcg_zonal_rects(spark, sf_dir):
+    images = spark.createDataFrame(synth.lcg_image_table(32))
+    return stats.zonal_stats(images, _lcg_rect_aois())
+
+
+def _q_lcg_diff_stats(spark, sf_dir):
+    a = spark.createDataFrame(synth.lcg_image_table(32, 32, 32, 2.0))
+    b = spark.createDataFrame(
+        synth.lcg_image_table(32, 16, 16, 4.0, k_offset=10_000_000))
+    return diff.diff_stats(a, b, per_pair=True)
+
+
+def _q_lcg_mask_counts(spark, sf_dir):
+    images = spark.createDataFrame(
+        synth.lcg_image_table(16, 16, 16, 2.0, bands=3, coarse=4))
+    images = images.withColumn("no_val", F.lit(0.0))
+    masked = mask.mask(images)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                m = np.frombuffer(row.bytes, dtype=np.uint8)
+                out.append((row.image_id, int((m == 255).sum())))
+            yield pd.DataFrame(out, columns=["image_id", "n_data"])
+
+    return masked.mapInPandas(gen, schema="image_id string, n_data long")
+
+
+_LCG_SQL = synth.lcg_sql_expr  # (k_expr) -> DOUBLE in [0,1)
+
+
+def _lcg_stats_sql() -> str:
+    v = _LCG_SQL("m*1024 + idx")
+    return f"""
+        WITH px AS (
+          SELECT m.m, {v} AS v
+          FROM (SELECT unnest(generate_series(0, 31)) AS m) m,
+               (SELECT unnest(generate_series(0, 1023)) AS idx) i)
+        SELECT printf('img_%08d', m) AS image_id,
+               CAST(count(*) AS DOUBLE) AS count,
+               min(v) AS min, max(v) AS max,
+               sum(v) AS sum, sum(v*v) AS sum_2,
+               sum(v)/count(*) AS mean,
+               sum(v*v)/count(*) AS variance,
+               sqrt(sum(v*v)/count(*)) AS std
+        FROM px GROUP BY m
+    """
+
+
+def _lcg_zonal_sql() -> str:
+    v = _LCG_SQL("m*1024 + i*32 + j")
+    rects = ", ".join(f"('{a}', {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+                      for (a, x0, y0, x1, y1) in _LCG_RECTS)
+    return f"""
+        WITH px AS (
+          SELECT m.m, ij.idx // 32 AS i, ij.idx % 32 AS j
+          FROM (SELECT unnest(generate_series(0, 31)) AS m) m,
+               (SELECT unnest(generate_series(0, 1023)) AS idx) ij),
+        pts AS (
+          SELECT m, i, j, {v} AS v,
+                 (-1000.0 + (m % 8) * 120.0) + (j + 0.5) * 2.0 AS wx,
+                 (1000.0 - (m // 8) * 120.0) - (i + 0.5) * 2.0 AS wy
+          FROM px),
+        aoi(aoi_id, x0, y0, x1, y1) AS (VALUES {rects})
+        SELECT aoi_id,
+               CAST(count(*) AS DOUBLE) AS count,
+               min(v) AS min, max(v) AS max,
+               sum(v) AS sum, sum(v*v) AS sum_2,
+               sum(v)/count(*) AS mean,
+               sum(v*v)/count(*) AS variance,
+               sqrt(sum(v*v)/count(*)) AS std
+        FROM pts JOIN aoi
+          ON wx > x0 AND wx < x1 AND wy > y0 AND wy < y1
+        GROUP BY aoi_id
+    """
+
+
+def _lcg_diff_sql() -> str:
+    va = _LCG_SQL("m*1024 + i*32 + j")
+    vb = _LCG_SQL("10000000 + m*256 + (i//2)*16 + (j//2)")
+    return f"""
+        WITH px AS (
+          SELECT m.m, ij.idx // 32 AS i, ij.idx % 32 AS j
+          FROM (SELECT unnest(generate_series(0, 31)) AS m) m,
+               (SELECT unnest(generate_series(0, 1023)) AS idx) ij),
+        pairs AS (
+          SELECT m, {va} AS va, {vb} AS vb FROM px)
+        SELECT printf('img_%08d', m) AS pair_id,
+               CAST(count(*) AS DOUBLE) AS count,
+               min(va) AS first_min, max(va) AS first_max,
+               sum(va) AS first_sum, sum(va*va) AS first_sum_2,
+               min(vb) AS second_min, max(vb) AS second_max,
+               sum(vb) AS second_sum, sum(vb*vb) AS second_sum_2,
+               min(vb-va) AS diff_min, max(vb-va) AS diff_max,
+               sum(vb-va) AS diff_sum, sum((vb-va)*(vb-va)) AS diff_sum_2,
+               min(abs(vb-va)) AS abs_diff_min, max(abs(vb-va)) AS abs_diff_max,
+               sum(abs(vb-va)) AS abs_diff_sum,
+               sum(abs(vb-va)*abs(vb-va)) AS abs_diff_sum_2,
+               sum(vb-va)/count(*) AS diff_mean,
+               sqrt(sum((vb-va)*(vb-va))/count(*)) AS diff_std
+        FROM pairs GROUP BY m
+    """
+
+
+def _lcg_mask_sql() -> str:
+    def band(b):
+        k = f"m*768 + {b}*256 + idx"
+        return (f"(((1103515245 * ({k}) + 12345) % 2147483648) "
+                f"% 1048576) // 262144")
+    return f"""
+        WITH px AS (
+          SELECT m.m, i.idx,
+                 {band(0)} AS b0, {band(1)} AS b1, {band(2)} AS b2
+          FROM (SELECT unnest(generate_series(0, 15)) AS m) m,
+               (SELECT unnest(generate_series(0, 255)) AS idx) i)
+        SELECT printf('img_%08d', m) AS image_id,
+               CAST(count(*) FILTER (WHERE NOT (b0 = 0 AND b1 = 0 AND b2 = 0))
+                    AS BIGINT) AS n_data
+        FROM px GROUP BY m
+    """
+
+
 def _q_events_tumbling(spark, sf_dir):
     from rasters_rs_spark.streaming.windows import tumbling_agg
     return tumbling_agg(_tbl(spark, sf_dir, "events"))
@@ -459,6 +607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": _q_ann_lsh,
         "ann_ivf_embeddings": _q_ann_ivf,
         "phash_neardup_synth": _q_phash_neardup,
+        "lcg_image_stats": _q_lcg_image_stats,
+        "lcg_zonal_rects": _q_lcg_zonal_rects,
+        "lcg_diff_stats": _q_lcg_diff_stats,
+        "lcg_mask_counts": _q_lcg_mask_counts,
         "image_features_synth": _q_image_features,
         "chunk_plan_parts": _q_chunk_plan,
         "tile_assignment_synth": _q_tile_assignment,
@@ -763,6 +915,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_plan_parts": _chunk_plan_sql(),
         "tile_assignment_synth": _tile_assignment_sql(),
+        "lcg_image_stats": _lcg_stats_sql(),
+        "lcg_zonal_rects": _lcg_zonal_sql(),
+        "lcg_diff_stats": _lcg_diff_sql(),
+        "lcg_mask_counts": _lcg_mask_sql(),
         "events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
                    event_type,

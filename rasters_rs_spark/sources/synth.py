@@ -138,6 +138,58 @@ def image_table_distributed(spark, n: int, seed: int = 42, h: int = 64,
         gen, schema=IMAGE_SCHEMA)
 
 
+LCG_A, LCG_C, LCG_M = 1103515245, 12345, 1 << 31
+LCG_Q = 1 << 20  # value grid 2^-20: sums of squares stay exact in f64
+
+
+def lcg_values(k: np.ndarray) -> np.ndarray:
+    """Deterministic pixel values from integer indices, reproducible in
+    ANSI SQL: ((A*k + C) mod 2^31) mod 2^20 / 2^20. The dyadic value
+    grid makes sums AND sums of squares exactly representable, so float
+    aggregates are order-independent and bit-comparable across engines."""
+    raw = (LCG_A * k.astype(np.int64) + LCG_C) % LCG_M
+    return (raw % LCG_Q).astype(np.float64) / float(LCG_Q)
+
+
+def lcg_sql_expr(k_expr: str) -> str:
+    """The DuckDB-side mirror of lcg_values for a BIGINT expression."""
+    return (f"CAST(((1103515245 * ({k_expr}) + 12345) % 2147483648) "
+            f"% 1048576 AS DOUBLE) / 1048576.0")
+
+
+def lcg_image_table(n: int, w: int = 32, h: int = 32, pixel_size: float = 2.0,
+                    k_offset: int = 0, bands: int = 1,
+                    grid_cols: int = 8, spacing: float = 120.0,
+                    coarse: int = 0) -> pd.DataFrame:
+    """Image table whose pixels come from the SQL-expressible LCG:
+    pixel (i, j) of image m has k = k_offset + m*bands*h*w + b*h*w + i*w + j.
+    Images sit on a deterministic grid of origins. ``coarse`` > 0
+    quantizes values onto {0, 1/coarse, ...} (e.g. coarse=4 makes 0.0 a
+    25%-likely value, useful as a no-data sentinel)."""
+    rows = []
+    for m in range(n):
+        k0 = k_offset + m * bands * h * w
+        k = k0 + np.arange(bands * h * w, dtype=np.int64)
+        if coarse > 0:
+            raw = (LCG_A * k + LCG_C) % LCG_M
+            block = ((raw % LCG_Q) // (LCG_Q // coarse)).astype(np.float64) / coarse
+            block = block.reshape(bands * h, w)
+        else:
+            block = lcg_values(k).reshape(bands * h, w)
+        gx = -1000.0 + (m % grid_cols) * spacing
+        gy = 1000.0 - (m // grid_cols) * spacing
+        rows.append({
+            "image_id": f"img_{m:08d}",
+            "bytes": codecs.encode_raw(block),
+            "w": np.int32(w), "h": np.int32(h), "fmt": "raw",
+            "caption": f"lcg {m}", "phash": np.int64(0),
+            "gt": [gx, pixel_size, 0.0, gy, 0.0, -pixel_size],
+            "crs": "EPSG:3857", "no_val": float("nan"),
+            "bands": np.int32(bands),
+        })
+    return pd.DataFrame(rows)
+
+
 def aoi_table(n: int, seed: int = 43, extent=DEFAULT_EXTENT) -> pd.DataFrame:
     """AOI polygons as packed coordinate buffers (FIXTURES.md section 3).
 
