@@ -505,6 +505,18 @@ def _lcg_mask_sql() -> str:
     """
 
 
+def _q_asof_join(spark, sf_dir):
+    from rasters_rs_spark.operators.asof import asof_join
+    ev = _tbl(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "error") \
+             .select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "purchase") \
+              .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
+    out = asof_join(left, right, key="user_id", ts="ts")
+    return out.select(F.col("event_id").cast("bigint").alias("event_id"),
+                      "last_purchase_value")
+
+
 def _q_events_tumbling(spark, sf_dir):
     from rasters_rs_spark.streaming.windows import tumbling_agg
     return tumbling_agg(_tbl(spark, sf_dir, "events"))
@@ -611,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcg_zonal_rects": _q_lcg_zonal_rects,
         "lcg_diff_stats": _q_lcg_diff_stats,
         "lcg_mask_counts": _q_lcg_mask_counts,
+        "asof_purchase_before_error": _q_asof_join,
         "image_features_synth": _q_image_features,
         "chunk_plan_parts": _q_chunk_plan,
         "tile_assignment_synth": _q_tile_assignment,
@@ -919,6 +932,16 @@ def oracle_sql() -> dict[str, str]:
         "lcg_zonal_rects": _lcg_zonal_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),
         "lcg_mask_counts": _lcg_mask_sql(),
+        "asof_purchase_before_error": """
+            WITH l AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'error'),
+                 r AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase')
+            SELECT CAST(l.event_id AS BIGINT) AS event_id,
+                   r.value AS last_purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
         "events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
                    event_type,

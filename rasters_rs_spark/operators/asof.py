@@ -1,0 +1,46 @@
+"""As-of join: enrich each left row with the latest right row at or
+before its timestamp (per key). Spark has no native ASOF; this is the
+standard union-tag-window formulation — one shuffle on (key, ts), no
+UDFs, exact semantics matching DuckDB's native ASOF JOIN (which the
+contract oracle uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
+              value_cols: list[str] | None = None) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``ts`` <= left.ts within the same ``key``. Left rows with no
+    earlier right row keep nulls (ASOF LEFT JOIN semantics).
+
+    Implementation: union both sides tagged by origin, sort within key
+    by (ts, origin) — right rows sort before left rows at equal ts so
+    exact-tie matches are taken — then last non-null right value via a
+    running window. One shuffle; whole-stage codegen throughout.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, ts)]
+
+    lt = left.withColumn("_src", F.lit(1))
+    for c in value_cols:
+        lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    rt = right.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_src"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols])
+    for c in left.columns:
+        if c not in (key, ts):
+            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+    u = lt.unionByName(rt.select(lt.columns))
+    w = (Window.partitionBy(key).orderBy(ts, "_src")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = u
+    for c in value_cols:
+        out = out.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    out = out.where(F.col("_src") == 1).drop("_src")
+    for c in value_cols:
+        out = out.withColumnRenamed(f"_r_{c}", c)
+    return out

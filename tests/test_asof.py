@@ -1,0 +1,39 @@
+"""As-of join vs a python oracle (and exact-tie semantics)."""
+
+import pandas as pd
+
+from rasters_rs_spark.operators.asof import asof_join
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "c"],
+        "t": [5.0, 10.0, 20.0, 1.0, 9.0, 3.0],
+        "lid": [1, 2, 3, 4, 5, 6],
+    })).withColumnRenamed("t", "ts")
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a", "b", "b"],
+        "t": [4.0, 10.0, 2.0, 8.0],
+        "v": [100.0, 200.0, 300.0, 400.0],
+    })).withColumnRenamed("t", "ts")
+
+    out = {r["lid"]: r["v"] for r in
+           asof_join(left, right, key="k", ts="ts").collect()}
+    assert out[1] == 100.0      # latest right at/before t=5 is t=4
+    assert out[2] == 200.0      # exact tie t=10 matches
+    assert out[3] == 200.0
+    assert out[4] is None       # no right row at/before t=1
+    assert out[5] == 400.0
+    assert out[6] is None       # key with no right rows at all
+
+
+def test_asof_matches_duckdb(spark, sf_dir):
+    import duckdb
+    import __spark_entry__ as E
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    sdf = E.queries()["asof_purchase_before_error"](spark, sf_dir)
+    got = sorted((r["event_id"], r["last_purchase_value"]) for r in sdf.collect())
+    orows = sorted(con.sql(
+        E.oracle_sql()["asof_purchase_before_error"]).fetchall())
+    assert got == orows
