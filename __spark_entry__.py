@@ -505,6 +505,18 @@ def _lcg_mask_sql() -> str:
     """
 
 
+def _q_supplier_region(spark, sf_dir):
+    su = _tbl(spark, sf_dir, "supplier")
+    na = _tbl(spark, sf_dir, "nation")
+    re = _tbl(spark, sf_dir, "region")
+    j = su.join(na, su.s_nationkey == na.n_nationkey) \
+          .join(re, na.n_regionkey == re.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum(_dec("s_acctbal")).cast("double").alias("total_acctbal"),
+        F.min("s_name").alias("first_supplier"))
+
+
 def _q_asof_join(spark, sf_dir):
     from rasters_rs_spark.operators.asof import asof_join
     ev = _tbl(spark, sf_dir, "events")
@@ -624,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcg_diff_stats": _q_lcg_diff_stats,
         "lcg_mask_counts": _q_lcg_mask_counts,
         "asof_purchase_before_error": _q_asof_join,
+        "supplier_region_agg": _q_supplier_region,
         "image_features_synth": _q_image_features,
         "chunk_plan_parts": _q_chunk_plan,
         "tile_assignment_synth": _q_tile_assignment,
@@ -941,6 +954,17 @@ def oracle_sql() -> dict[str, str]:
                    r.value AS last_purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "supplier_region_agg": """
+            SELECT r_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_acctbal,
+                   min(s_name) AS first_supplier
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,

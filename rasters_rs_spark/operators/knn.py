@@ -55,7 +55,15 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
     remaining = q.persist()
     to_unpersist = [p, remaining]
     out = None
+    # start the expansion where the expected candidate count already
+    # covers k: mean density * (2r+1)^2 >= 4k  ->  saves whole rounds
+    # (each round is several Spark jobs) when points are sparse
+    stats_row = p.groupBy("pcx", "pcy").count().agg(
+        F.avg("count").alias("avg")).collect()[0]
+    density = float(stats_row["avg"] or 1.0)
     radius = 1
+    while density * (2 * radius + 1) ** 2 < 4 * k and radius < 64:
+        radius *= 2
     for _ in range(max_rounds):
         if remaining.isEmpty():
             break

@@ -99,6 +99,29 @@ def test_io_roundtrip(spark, tmp_path):
     assert tback.where(f"z = {zmax}").count() > 0
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    from rasters_rs_spark.sources.io import write_images_bucketed
+    imgs = spark.createDataFrame(synth.image_table(8, seed=4, h=16, w=16))
+    write_images_bucketed(imgs, "imgs_bucket_a", buckets=4)
+    write_images_bucketed(imgs, "imgs_bucket_b", buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path so bucketing (not broadcast) does the work
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("imgs_bucket_a")
+        b = spark.table("imgs_bucket_b").select(
+            "image_id", spark.table("imgs_bucket_b")["phash"].alias("phash_b"))
+        joined = a.join(b, "image_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan, plan  # no shuffle exchange
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 8
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS imgs_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS imgs_bucket_b")
+
+
 def test_iceberg_probe_degrades_gracefully(spark):
     from rasters_rs_spark.sources.io import iceberg_available
     ok = iceberg_available(spark)
