@@ -153,6 +153,34 @@ def test_assignment_triples_aggregate_to_row_tiles():
             assert np.allclose(got[m], arr[m], rtol=0, atol=0)
 
 
+def test_nan_holes_propagate_through_pipeline():
+    """No-data pixels contribute no weight: tile pixels covered only by
+    NaN source pixels stay NaN at base level and through the pyramid
+    (main.rs:97 validity gate + dem.rs NaN-aware averaging)."""
+    np.random.seed(11)
+    block = np.random.normal(size=(32, 32))
+    block[8:16, 8:16] = np.nan  # a hole
+    gt = [0.0, 100000.0, 0.0, 1600000.0, 0.0, -100000.0]
+    cfg = TileConfig.for_raster(32, 32, gt, "EPSG:3857", 256)
+    zoom = cfg.max_zoom()
+    _, top, _, bot = cfg.tile_index_bounds(zoom)
+    total_valid = 0
+    for ty in range(top, bot):
+        for (x, tile, vmin, vmax) in T.row_base_tiles(block, cfg, zoom, ty, float("nan")):
+            valid = ~np.isnan(tile)
+            total_valid += int(valid.sum())
+            if valid.any():
+                assert np.isfinite(vmin) and np.isfinite(vmax)
+    assert total_valid > 0
+    # with no no-data, strictly more tile pixels are touched
+    full = np.random.normal(size=(32, 32))
+    total_full = 0
+    for ty in range(top, bot):
+        for (x, tile, _, _) in T.row_base_tiles(full, cfg, zoom, ty, float("nan")):
+            total_full += int((~np.isnan(tile)).sum())
+    assert total_full > total_valid
+
+
 def test_scale_children_corner_layout():
     ts = 4
     mk = lambda v: np.full((ts, ts), float(v))
