@@ -18,18 +18,25 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
 
     Implementation: union both sides tagged by origin, sort within key
     by (ts, origin) — right rows sort before left rows at equal ts so
-    exact-tie matches are taken — then last non-null right value via a
-    running window. One shuffle; whole-stage codegen throughout.
+    exact-tie matches are taken — then the last RIGHT ROW (a single
+    struct of all its value columns) via a running window, unpacked
+    after the fact. Carrying one struct keeps the match atomic: the
+    selected row's own NULL values are preserved, and no two value
+    columns can come from different right rows (DuckDB ASOF attaches
+    exactly one matched row). One shuffle; codegen throughout.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, ts)]
 
-    lt = left.withColumn("_src", F.lit(1))
-    for c in value_cols:
-        lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    right_types = dict(right.dtypes)
+    row_struct_type = ("struct<" + ", ".join(
+        f"`{c}`:{right_types[c]}" for c in value_cols) + ">")
+
+    lt = left.withColumn("_src", F.lit(1)) \
+             .withColumn("_row", F.lit(None).cast(row_struct_type))
     rt = right.select(
         F.col(key), F.col(ts), F.lit(0).alias("_src"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols])
+        F.struct(*[F.col(c) for c in value_cols]).alias("_row"))
     for c in left.columns:
         if c not in (key, ts):
             rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
@@ -37,10 +44,8 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     u = lt.unionByName(rt.select(lt.columns))
     w = (Window.partitionBy(key).orderBy(ts, "_src")
          .rowsBetween(Window.unboundedPreceding, 0))
-    out = u
+    out = u.withColumn("_row", F.last("_row", ignorenulls=True).over(w)) \
+           .where(F.col("_src") == 1).drop("_src")
     for c in value_cols:
-        out = out.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
-    out = out.where(F.col("_src") == 1).drop("_src")
-    for c in value_cols:
-        out = out.withColumnRenamed(f"_r_{c}", c)
-    return out
+        out = out.withColumn(c, F.col("_row")[c])
+    return out.drop("_row")

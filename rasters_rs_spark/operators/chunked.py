@@ -114,31 +114,36 @@ def diff_stats_chunked(a_chunks: DataFrame, b: DataFrame,
             for row in pdf.itertuples(index=False):
                 strip = codecs.decode_block(
                     row.bytes, row.load_end - row.load_start, row.w, row.fmt)
+                # aggregate over DATA rows only: padding rows are loaded
+                # context shared with adjacent chunks and must not be
+                # double-counted (mirrors chunked_pixel_stats)
+                ds = int(row.data_start)
+                data = strip[ds - int(row.load_start):
+                             int(row.data_end) - int(row.load_start)]
                 block_b = codecs.decode_block(row.b_bytes, row.b_h, row.b_w, row.b_fmt)
                 t = geom.transform_between(row.gt, row.b_gt)
                 h_b, w_b = block_b.shape
-                ls = int(row.load_start)
-                rows_n = strip.shape[0]
-                win_b = geom.transform_window(((0, ls), (row.w, rows_n)),
+                rows_n = data.shape[0]
+                win_b = geom.transform_window(((0, ds), (row.w, rows_n)),
                                               t, (w_b, h_b))
                 (bx, by), (bw, bh) = win_b
                 sub_b = block_b[by:by + bh, bx:bx + bw]
                 vals = _empty_partial()
-                if strip.size and sub_b.size:
-                    ct = geom.chunk_transform(t, (0.5, ls + 0.5),
+                if data.size and sub_b.size:
+                    ct = geom.chunk_transform(t, (0.5, ds + 0.5),
                                               (float(bx), float(by)))
                     valid, i2, j2 = geom.index_transform_grid(
                         ct, rows_n, row.w, (bw, bh))
-                    mask = valid & ~np.isnan(strip)
+                    mask = valid & ~np.isnan(data)
                     if not np.isnan(row.no_val):
-                        mask &= strip != row.no_val
+                        mask &= data != row.no_val
                     if mask.any():
                         ii, jj = np.nonzero(mask)
                         vb = sub_b[i2[ii, jj], j2[ii, jj]]
                         ok = ~np.isnan(vb)
                         if not np.isnan(row.b_no_val):
                             ok &= vb != row.b_no_val
-                        va = strip[ii[ok], jj[ok]]
+                        va = data[ii[ok], jj[ok]]
                         vb = vb[ok]
                         d = vb - va
                         vals["count"] = float(va.size)

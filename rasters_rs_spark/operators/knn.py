@@ -91,7 +91,10 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
         done_ids = kth.where((F.col("_n") >= k) & (F.col("_kth") <= F.lit(guarantee))) \
                       .select(query_id).persist()
         to_unpersist.append(done_ids)
-        solved = ranked.join(done_ids, on=query_id, how="leftsemi")
+        # drop the probe-side cell cols so ring-round output and the
+        # brute-force fallback share one schema (safe to union below)
+        solved = ranked.join(done_ids, on=query_id, how="leftsemi") \
+                       .drop("pcx", "pcy")
         out = solved if out is None else out.unionByName(solved)
         remaining = remaining.join(done_ids, on=query_id, how="left_anti").persist()
         to_unpersist.append(remaining)
@@ -100,7 +103,7 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
         out = _brute_force_rank(remaining, p, k, query_id)
     elif not remaining.isEmpty():
         out = out.unionByName(_brute_force_rank(remaining, p, k, query_id))
-    out = out.drop("qcx", "qcy", "pcx", "pcy", "_n", "_kth").persist()
+    out = out.drop("qcx", "qcy", "_n", "_kth").persist()
     out.count()  # materialize before releasing the round intermediates
     for df in to_unpersist:
         df.unpersist()

@@ -100,12 +100,21 @@ def shingle_expr(text_col: str, k: int):
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
-                        text_col: str = "text",
-                        threshold: float = 0.0) -> DataFrame:
+                        text_col: str = "text", threshold: float = 0.0,
+                        max_rows: int = 10_000) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity, fully JVM-side:
-    shingle arrays + array_intersect/array_union inside codegen. For
-    all-pairs use restrict the input (or use minhash_dedup for the
-    LSH-pruned scale path). Returns (id_a, id_b, jaccard)."""
+    shingle arrays + array_intersect/array_union inside codegen.
+
+    This is the O(N^2) exact small-n verification surface — it REFUSES
+    input larger than ``max_rows`` (the crossJoin would be quadratic at
+    corpus scale); use ``dedup.minhash_dedup`` as the LSH-pruned scale
+    path. Returns (id_a, id_b, jaccard)."""
+    n = docs.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the exact all-pairs (O(N^2)) surface; "
+            f"input has > {max_rows} rows. Use dedup.minhash_dedup (LSH) "
+            f"for large corpora, or raise max_rows explicitly.")
     sh = docs.select(F.col(id_col).cast("string").alias("id"),
                      shingle_expr(text_col, k).alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))

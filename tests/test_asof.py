@@ -27,6 +27,29 @@ def test_asof_join_semantics(spark):
     assert out[6] is None       # key with no right rows at all
 
 
+def test_asof_matched_row_is_atomic(spark):
+    """The matched right row is attached whole: its own NULLs are
+    preserved (no substitution from an older row) and multiple value
+    columns always come from the same right row."""
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a"], "ts": [10.0, 30.0], "lid": [1, 2]}))
+    right_pdf = pd.DataFrame({
+        "k": ["a", "a"],
+        "ts": [5.0, 20.0],
+        "u": [11.0, None],     # newer row has NULL u
+        "v": [None, 22.0],     # newer row has non-null v
+    })
+    right = spark.createDataFrame(right_pdf)
+
+    rows = {r["lid"]: (r["u"], r["v"]) for r in
+            asof_join(left, right, key="k", ts="ts").collect()}
+    # lid=1 matches ts=5: (11.0, NULL)
+    assert rows[1] == (11.0, None)
+    # lid=2 matches ts=20 atomically: (NULL, 22.0) — u must NOT be
+    # back-filled with 11.0 from the older row
+    assert rows[2] == (None, 22.0)
+
+
 def test_asof_matches_duckdb(spark, sf_dir):
     import duckdb
     import __spark_entry__ as E

@@ -80,3 +80,40 @@ def test_chunked_diff_equals_whole(spark):
     assert chunked["diff_max"] == whole["diff_max"]
     assert chunked["diff_sum"] == pytest.approx(whole["diff_sum"], rel=1e-12)
     assert chunked["abs_diff_sum"] == pytest.approx(whole["abs_diff_sum"], rel=1e-12)
+
+
+def test_chunked_diff_with_padding_equals_unpadded_range(spark):
+    """padding > 0 loads context rows shared by adjacent chunks; the
+    diff must aggregate DATA rows only (no double counting). With the
+    reference's clamping the processed range is rows padding..h-?, so
+    compare against a whole-image diff restricted to the same range."""
+    rng = np.random.default_rng(0xABCD)
+    data1 = rng.normal(size=(64, 32))
+    data2 = rng.normal(size=(64, 32))
+    mk = lambda iid, d: pd.DataFrame([{
+        "image_id": iid, "bytes": codecs.encode_raw(d),
+        "w": 32, "h": 64, "fmt": "raw",
+        "gt": [0.0, 1.0, 0.0, 0.0, 0.0, 1.0],
+        "crs": "IDENTITY", "no_val": float("nan")}])
+    a = spark.createDataFrame(mk("p0", data1))
+    b = spark.createDataFrame(mk("p0", data2))
+
+    pad = 3
+    a_chunks = C.chunk_images(a, min_data_size=32 * 8, padding=pad)
+    chunked = C.diff_stats_chunked(a_chunks, b).collect()[0]
+
+    # oracle: numpy over the chunked data range (the planner clamps
+    # start to `padding` and the last data_end to load_end - padding,
+    # so rows pad..h-pad are the data rows — same as the roundtrip test)
+    spans = sorted((r["data_start"], r["data_end"])
+                   for r in a_chunks.select("data_start", "data_end").collect())
+    lo, hi = spans[0][0], spans[-1][1]
+    for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+        assert e0 == s1  # contiguous, non-overlapping data ranges
+    rows = slice(lo, hi)
+    d = data2[rows] - data1[rows]
+    assert chunked["count"] == d.size
+    assert chunked["diff_sum"] == pytest.approx(d.sum(), rel=1e-12)
+    assert chunked["diff_min"] == pytest.approx(d.min(), rel=1e-12)
+    assert chunked["diff_max"] == pytest.approx(d.max(), rel=1e-12)
+    assert chunked["abs_diff_sum"] == pytest.approx(np.abs(d).sum(), rel=1e-12)

@@ -35,6 +35,40 @@ def test_knn_join_exact_vs_bruteforce(spark):
         assert np.allclose([d for _, d in got[qid]], [d for _, d in expect[qid]])
 
 
+def test_knn_join_partial_fallback_union(spark):
+    """max_rounds exhausted with SOME queries satisfied: the ring-round
+    output and the brute-force fallback for the rest must union cleanly
+    (regression: mismatched pcx/pcy columns raised AnalysisException)
+    and stay exact."""
+    # sparse grid (one point per cell -> density ~1 -> initial radius 2,
+    # guarantee cell_size) + a tight cluster that satisfies the near
+    # queries in round 1; the far query's neighbors sit outside the
+    # probed window so it falls through to brute force
+    grid = [(i * 50.0 + 10.0, j * 50.0 + 10.0)
+            for i in range(5) for j in range(5)]
+    cluster = [(25.0, 30.0), (30.0, 25.0), (20.0, 20.0)]
+    far = [(9000.0, 9000.0), (9100.0, 9100.0)]
+    pts = grid + cluster + far
+    ps = pd.DataFrame({
+        "pt_id": [f"pt_{i:07d}" for i in range(len(pts))],
+        "x": [p[0] for p in pts],
+        "y": [p[1] for p in pts],
+        "z": np.zeros(len(pts)),
+    })
+    qs = pd.DataFrame({
+        "qid": ["near0", "near1", "far0"],
+        "x": [25.0, 30.0, 8000.0],
+        "y": [25.0, 30.0, 8000.0],
+    })
+    expect = _bruteforce_knn(qs, ps, 3)
+    res = K.knn_join(spark.createDataFrame(qs), spark.createDataFrame(ps),
+                     k=3, cell_size=50.0, query_id="qid", max_rounds=1).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(r["pt_id"])
+    assert {q: [p for p, _ in v] for q, v in expect.items()} == got
+
+
 def test_knn_broadcast_matches(spark):
     ps = synth.points_table(200, seed=22)
     qs = synth.points_table(25, seed=23).rename(columns={"pt_id": "qid"}).drop(columns=["z"])

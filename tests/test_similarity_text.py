@@ -92,6 +92,18 @@ def test_lang_id_tiebreak_deterministic(spark):
     assert out["lang_id"] == "es"
 
 
+def test_ngram_jaccard_refuses_large_input(spark):
+    """The exact all-pairs surface is gated: inputs larger than
+    max_rows raise instead of silently running an O(N^2) crossJoin."""
+    pdf = pd.DataFrame({"doc_id": [str(i) for i in range(30)],
+                        "text": ["a b c d e"] * 30})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="minhash_dedup"):
+        TX.ngram_jaccard_pairs(df, k=3, max_rows=10)
+    # at or under the gate it runs
+    assert TX.ngram_jaccard_pairs(df.limit(5), k=3, max_rows=10).count() == 10
+
+
 def test_fingerprint_deterministic_and_robust(spark):
     t1 = "the quick brown fox jumps over the lazy dog"
     f1 = TX.fingerprint_minhash(t1)
