@@ -287,7 +287,8 @@ def _q_mask(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    docs = _tbl(spark, sf_dir, "documents").limit(2000)
+    # deterministic subset (limit() is order-dependent); full table at sf0.01
+    docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
     return dedup.minhash_dedup(docs, threshold=0.2, shingle_k=3) \
                 .select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
@@ -313,8 +314,11 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_phash_neardup(spark, sf_dir):
+    # blocks derive from max_hamming (13 blocks): pigeonhole-complete
+    # recall, verified row-for-row against the all-pairs SQL oracle
     images = _synth_images(spark, 48)
-    return dedup.phash_neardup(images, max_hamming=12)
+    return dedup.phash_neardup(images, max_hamming=12) \
+                .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -779,6 +783,109 @@ def _chunk_plan_sql() -> str:
     """
 
 
+# --- md5-based dedup oracles: the Spark pipelines are pure Catalyst
+# (md5 + array lambdas), so DuckDB reproduces them value-for-value.
+
+_SHINGLES_SQL = """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+             i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS s
+    FROM documents WHERE doc_id < 2000
+"""
+
+
+def _minhash_sql() -> str:
+    """Full MinHash-LSH mirror: 64 md5 minhashes, 16 bands of 4, band
+    equi-join candidates, exact shingle-jaccard verify at 0.2."""
+    return f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sigs AS (
+          SELECT id, s, list_transform(range(0, 64), i ->
+            list_min(list_transform(s, x ->
+              md5(CAST(i AS VARCHAR) || ':' || x)))) AS sg
+          FROM sh),
+        bands AS (
+          SELECT id, b.b AS band,
+                 md5(array_to_string(sg[b.b*4+1 : b.b*4+4], '|')) AS band_key
+          FROM sigs, (SELECT unnest(range(0, 16)) AS b) b),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+          WHERE a.id < b.id),
+        verified AS (
+          SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+          FROM cand c
+          JOIN sh sa ON sa.id = c.id_a
+          JOIN sh sb ON sb.id = c.id_b)
+        SELECT id_a, id_b, round(jaccard, 9) AS jaccard
+        FROM verified WHERE jaccard >= 0.2
+    """
+
+
+def _simhash_sql() -> str:
+    """Mirror of dedup.simhash_expr: token hash = first 16 hex chars of
+    md5(token); bit j set when the +/-1 votes on that bit sum positive."""
+    terms = []
+    for j in range(64):
+        p = j // 4 + 1
+        b = j % 4
+        bit = (f"((strpos('0123456789abcdef', substr(x, {p}, 1)) - 1)"
+               f" >> {b}) & 1")
+        vote = (f"list_sum(list_transform(hs, x -> "
+                f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END))")
+        w = "(-9223372036854775807 - 1)" if j == 63 else str(1 << j)
+        terms.append(f"CASE WHEN {vote} > 0 THEN {w} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+        WITH h AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 list_transform(string_split(text, ' '),
+                                t -> substr(md5(t), 1, 16)) AS hs
+          FROM documents)
+        SELECT id, CAST({total} AS BIGINT) AS simhash FROM h
+    """
+
+
+def _fingerprint_sql(k: int = 8) -> str:
+    """Mirror of text.fingerprint_minhash: min over character k-gram
+    polynomial hashes mod M31 (base 1000003); out-of-range chars read
+    as 0 (DuckDB ascii(substr-beyond-end) = 0 = numpy's zero padding)."""
+    powers = [1] * k
+    for i in range(1, k):
+        powers[i] = (powers[i - 1] * text.FP_BASE) % text.FP_MOD
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i + {d}, 1)) AS BIGINT) * {powers[k - 1 - d]}"
+        for d in range(k))
+    return f"""
+        WITH pos AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                 unnest(range(1, greatest(length(text) - {k - 1}, 1) + 1)) AS i
+          FROM documents)
+        SELECT doc_id, min(({terms}) % {text.FP_MOD}) AS fingerprint
+        FROM pos GROUP BY doc_id
+    """
+
+
+def _phash_neardup_sql() -> str:
+    """All-pairs hamming oracle over the deterministic synth phashes
+    (inlined VALUES): the Spark side must reach exact recall through
+    its blocked LSH, so the candidate pruning is what's under test."""
+    pdf = synth.image_table(48, seed=42, h=64, w=64, pixel_size=2.0)
+    vals = ", ".join(f"('{r.image_id}', CAST({int(r.phash)} AS BIGINT))"
+                     for r in pdf.itertuples(index=False))
+    return f"""
+        WITH p(id, ph) AS (VALUES {vals})
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 12
+    """
+
+
 _STOP_IN = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
 
@@ -941,6 +1048,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_plan_parts": _chunk_plan_sql(),
         "tile_assignment_synth": _tile_assignment_sql(),
+        "minhash_pairs_docs": _minhash_sql(),
+        "simhash_docs": _simhash_sql(),
+        "fingerprint_docs": _fingerprint_sql(),
+        "phash_neardup_synth": _phash_neardup_sql(),
         "lcg_image_stats": _lcg_stats_sql(),
         "lcg_zonal_rects": _lcg_zonal_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),

@@ -1,12 +1,15 @@
 """Deduplication operators for large text/image corpora.
 
 Engine-native additions beyond the reference (SURVEY.md's training-data
-layer): exact dedup, MinHash+LSH, SimHash, n-gram Jaccard verification,
-and embedding near-dup. Design rules: signatures are computed in
-Arrow-batched pandas UDFs (numpy-hashed, deterministic — no Python
-`hash()`), candidate generation is an equi-join on band/bucket keys so
-Catalyst can pick broadcast vs shuffle-hash, and verification only ever
-touches candidate pairs (never the full cross product).
+layer): exact dedup, MinHash+LSH, SimHash, and embedding near-dup.
+Design rules: signatures are pure Catalyst expressions (md5 + array
+lambdas, whole-stage codegen — NO Python in the hot path), candidate
+generation is an equi-join on band/bucket keys so Catalyst can pick
+broadcast vs shuffle-hash, and verification only ever touches candidate
+pairs (never the full cross product). Because every hash is md5 over
+deterministic strings, the full MinHash/SimHash pipelines are
+reproducible in ANSI SQL and carry hard DuckDB oracles in the driver
+contract (__spark_entry__.py).
 """
 
 from __future__ import annotations
@@ -17,8 +20,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-_MERSENNE = (1 << 61) - 1
-_HASH_BASE = np.uint64(1000003)
+from .text import shingle_expr
+
+HEX = "0123456789abcdef"
 
 
 # ---------------------------------------------------------------------------
@@ -43,88 +47,58 @@ def duplicate_groups(df: DataFrame, cols, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# shingling + deterministic hashing (numpy, no Python hash())
+# shingling + jaccard (python helpers used by tests as oracles)
 # ---------------------------------------------------------------------------
 
 
-def _token_shingles(text: str, k: int) -> np.ndarray:
-    """Deterministic 64-bit hashes of word k-shingles.
-
-    Token hash: FNV-1a over bytes (wrapping uint64); shingle hash:
-    polynomial combine of k consecutive token hashes (wrapping uint64 —
-    mod-2^64 wrap is the hash, not an error)."""
-    toks = text.split()
-    if len(toks) < k:
-        toks = toks + [""] * (k - len(toks))
-    with np.errstate(over="ignore"):
-        th = np.empty(len(toks), dtype=np.uint64)
-        for i, tok in enumerate(toks):
-            h = np.uint64(1469598103934665603)
-            for b in tok.encode():
-                h = (h ^ np.uint64(b)) * np.uint64(1099511628211)
-            th[i] = h
-        n = len(toks) - k + 1
-        acc = np.zeros(n, dtype=np.uint64)
-        for i in range(k):
-            acc = acc * _HASH_BASE + th[i:i + n]
-    return np.unique(acc)
-
-
-def _minhash_params(num_hashes: int, seed: int = 0xC0FFEE):
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
-    return a, b
-
-
-def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_hashes-wide minhash: min over (a*s + b), wrapping uint64
-    multiply-shift hashing (deterministic, overflow is the mixer)."""
-    s = shingles.astype(np.uint64)[:, None]
-    with np.errstate(over="ignore"):
-        hv = s * a[None, :] + b[None, :]
-    return hv.min(axis=0)
+def shingle_set(text: str, k: int) -> set[str]:
+    """Distinct word k-shingles as strings — the python mirror of
+    text.shingle_expr (split on single spaces, pad to >= 1 shingle)."""
+    toks = text.split(" ")
+    n = max(len(toks) - (k - 1), 1)
+    return {" ".join(toks[i:i + k]) for i in range(n)}
 
 
 def jaccard(text_a: str, text_b: str, k: int) -> float:
-    sa = _token_shingles(text_a, k)
-    sb = _token_shingles(text_b, k)
-    inter = np.intersect1d(sa, sb, assume_unique=True).size
-    union = sa.size + sb.size - inter
-    return inter / union if union else 1.0
+    sa, sb = shingle_set(text_a, k), shingle_set(text_b, k)
+    union = len(sa | sb)
+    return len(sa & sb) / union if union else 1.0
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH near-dup
+# MinHash + LSH near-dup (pure Catalyst; SQL-oracled)
 # ---------------------------------------------------------------------------
 
 
 def minhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   num_hashes: int = 64, bands: int = 16, shingle_k: int = 3) -> DataFrame:
     """(id, band, band_key) rows: LSH banding of minhash signatures.
-    band_key packs the band's rows into one deterministic 64-bit key."""
+
+    Signature i = lexicographic min over the document's shingles of
+    md5(i || ':' || shingle) (fixed-width lowercase hex, so string min
+    == numeric min of the 128-bit hash); band_key = md5 of the band's
+    '|'-joined signatures. Shape: explode shingles -> num_hashes plain
+    md5 columns -> groupBy(id).agg(min...) — everything stays inside
+    whole-stage codegen with map-side partial mins (one shuffle), which
+    is both the fast local plan and the 100 TB plan. Exactly
+    reproducible in DuckDB (the contract oracle)."""
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    a, b = _minhash_params(num_hashes)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_id, out_band, out_key = [], [], []
-            for rid, text in zip(pdf[id_col].astype(str), pdf[text_col]):
-                sig = minhash_signature(_token_shingles(text or "", shingle_k), a, b)
-                banded = sig.reshape(bands, rows_per_band)
-                key = np.full(bands, 1469598103934665603, dtype=np.uint64)
-                with np.errstate(over="ignore"):
-                    for c in range(rows_per_band):
-                        key = key * _HASH_BASE + banded[:, c]
-                key = (key % np.uint64(_MERSENNE)).astype(np.int64)
-                out_id += [rid] * bands
-                out_band += list(range(bands))
-                out_key += [int(v) for v in key]
-            yield pd.DataFrame({"id": out_id, "band": out_band, "band_key": out_key})
-
-    return docs.select(F.col(id_col).alias(id_col), F.col(text_col)) \
-               .mapInPandas(gen, schema="id string, band int, band_key long")
+    r = num_hashes // bands
+    sh = docs.select(F.col(id_col).cast("string").alias("id"),
+                     F.explode(shingle_expr(text_col, shingle_k)).alias("_s"))
+    hashed = sh.select("id", *[
+        F.md5(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"_h{i}")
+        for i in range(num_hashes)])
+    sigs = hashed.groupBy("id").agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)])
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws("|", *[F.col(f"_m{b * r + j}")
+                                          for j in range(r)])).alias("band_key"))
+        for b in range(bands)])
+    e = sigs.select("id", F.explode(band_structs).alias("e"))
+    return e.select("id", F.col("e.band").alias("band"),
+                    F.col("e.band_key").alias("band_key"))
 
 
 def lsh_candidate_pairs(band_rows: DataFrame) -> DataFrame:
@@ -143,25 +117,23 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
                   num_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
                   threshold: float = 0.8) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates refined by exact
-    n-gram Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
+    n-gram Jaccard >= threshold (array_intersect/array_union, JVM-side).
+    Returns (id_a, id_b, jaccard). Zero Python in the pipeline."""
     band_rows = minhash_bands(docs, text_col, id_col, num_hashes, bands, shingle_k)
     cand = lsh_candidate_pairs(band_rows)
     texts = docs.select(F.col(id_col).cast("string").alias("id"),
-                        F.col(text_col).alias("_t"))
+                        shingle_expr(text_col, shingle_k).alias("_sh"))
     pairs = (
-        cand.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("_t", "_ta"), "id_a")
-            .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("_t", "_tb"), "id_b")
+        cand.join(texts.withColumnRenamed("id", "id_a")
+                       .withColumnRenamed("_sh", "_sha"), "id_a")
+            .join(texts.withColumnRenamed("id", "id_b")
+                       .withColumnRenamed("_sh", "_shb"), "id_b")
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            jac = [jaccard(ta, tb, shingle_k) for ta, tb in zip(pdf["_ta"], pdf["_tb"])]
-            res = pdf[["id_a", "id_b"]].copy()
-            res["jaccard"] = jac
-            yield res
-
-    verified = pairs.mapInPandas(gen, schema="id_a string, id_b string, jaccard double")
-    return verified.where(F.col("jaccard") >= threshold)
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    verified = pairs.withColumn("jaccard", inter / union)
+    return verified.where(F.col("jaccard") >= threshold) \
+                   .select("id_a", "id_b", "jaccard")
 
 
 def keep_canonical(docs: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -172,65 +144,109 @@ def keep_canonical(docs: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id"
 
 
 # ---------------------------------------------------------------------------
-# SimHash
+# SimHash (pure Catalyst; SQL-oracled)
 # ---------------------------------------------------------------------------
 
 
-def _simhash64(text: str) -> int:
-    toks = text.split()
-    if not toks:
-        return 0
-    hs = np.empty(len(toks), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, tok in enumerate(toks):
-            h = np.uint64(1469598103934665603)
-            for bb in tok.encode():
-                h = h * np.uint64(1099511628211) + np.uint64(bb)  # FNV-ish, wraps mod 2^64
-            hs[i] = h
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    out = np.uint64(0)
-    for bit in range(64):
-        if votes[bit] > 0:
-            out |= np.uint64(1) << np.uint64(bit)
-    return int(out.astype(np.int64))
-
-
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "id": pdf[id_col].astype(str),
-                "simhash": [_simhash64(t or "") for t in pdf[text_col]],
-            })
+    """64-bit SimHash (bigint, two's complement). Token hash = first 16
+    hex chars of md5(token); bit j of the simhash is set when the
+    per-token votes (+1/-1 on that bit) sum positive; ties (vote sum 0)
+    leave the bit clear.
 
-    return docs.mapInPandas(gen, schema="id string, simhash long")
+    Shape: explode tokens -> one hex-nibble-decoded vote column per bit
+    -> groupBy(id) with 64 sum aggregates (map-side partials, one
+    shuffle) -> assemble the bigint. Pure codegen'd expressions; the
+    hex decode (instr into '0123456789abcdef') keeps the computation
+    portable to DuckDB for the contract oracle."""
+    toks = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_t"))
+    hs = toks.select("id", F.expr("substring(md5(_t), 1, 16)").alias("_h"))
+    votes = []
+    for j in range(64):
+        p = j // 4 + 1      # 1-based hex char holding bit j
+        b = j % 4           # bit within the nibble
+        bit = (f"(shiftright(instr('{HEX}', substring(_h, {p}, 1)) - 1, {b})"
+               f" & 1)")
+        votes.append(F.sum(F.expr(f"if({bit} = 1, 1, -1)")).alias(f"_v{j}"))
+    agg = hs.groupBy("id").agg(*votes)
+    # bit 63 in two's complement: int64 min (built without literal overflow)
+    terms = " + ".join(
+        f"if(_v{j} > 0, " +
+        ("(-9223372036854775807L - 1L)" if j == 63 else f"{1 << j}L") + ", 0L)"
+        for j in range(64))
+    return agg.select("id", F.expr(terms).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# blocked-LSH hamming join (shared by simhash_dedup and phash_neardup)
+# ---------------------------------------------------------------------------
+
+
+def _block_plan(total_bits: int, max_hamming: int, blocks: int | None):
+    """Split ``total_bits`` into ``blocks`` contiguous blocks. Recall is
+    structural: a pair within ``max_hamming`` differs in at most
+    max_hamming blocks, so with blocks > max_hamming the pigeonhole
+    guarantees at least one shared block. ``blocks=None`` derives the
+    minimal complete count (max_hamming + 1)."""
+    if blocks is None:
+        blocks = max_hamming + 1
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"blocked-LSH recall requires max_hamming < blocks "
+            f"(got max_hamming={max_hamming}, blocks={blocks}); pass "
+            f"blocks=None to derive a complete block count")
+    if blocks > total_bits:
+        raise ValueError(f"blocks={blocks} exceeds {total_bits} hash bits")
+    base, rem = divmod(total_bits, blocks)
+    plan, start = [], 0
+    for i in range(blocks):
+        w = base + (1 if i < rem else 0)
+        plan.append((i, start, w))
+        start += w
+    return plan
+
+
+def _blocked_hamming_pairs(keyed: DataFrame, hash_col: str,
+                           max_hamming: int, blocks: int | None) -> DataFrame:
+    """Candidate pairs by block-pigeonhole LSH over ``keyed`` =
+    (id, hash_col), verified with bit_count(xor) entirely JVM-side.
+    One equi-join on (block idx, block value); complete for hamming
+    <= max_hamming by construction. Returns (id_a, id_b, hamming)."""
+    plan = _block_plan(64, max_hamming, blocks)
+    entries = F.array(*[
+        F.struct(
+            F.lit(i).alias("bi"),
+            (F.col(hash_col) if w == 64
+             else F.shiftrightunsigned(F.col(hash_col), s)
+                   .bitwiseAND(F.lit((1 << w) - 1))).alias("bv"))
+        for (i, s, w) in plan
+    ])
+    ex = keyed.select("id", F.col(hash_col).alias("hv"),
+                      F.explode(entries).alias("e")) \
+              .select("id", "hv", F.col("e.bi").alias("bi"),
+                      F.col("e.bv").alias("bv"))
+    left = ex.select(F.col("id").alias("id_a"), F.col("hv").alias("hv_a"),
+                     "bi", "bv")
+    right = ex.select(F.col("id").alias("id_b"), F.col("hv").alias("hv_b"),
+                      "bi", "bv")
+    cand = left.join(right, on=["bi", "bv"]) \
+               .where(F.col("id_a") < F.col("id_b")) \
+               .select("id_a", "id_b", "hv_a", "hv_b").distinct()
+    ham = F.bit_count(F.col("hv_a").bitwiseXOR(F.col("hv_b")))
+    return cand.withColumn("hamming", ham) \
+               .where(F.col("hamming") <= max_hamming) \
+               .select("id_a", "id_b", "hamming")
 
 
 def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, blocks: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of ``blocks``
-    16-bit blocks (pigeonhole guarantees recall for hamming < blocks),
-    verified by exact popcount <= max_hamming."""
+                  max_hamming: int = 3, blocks: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Blocks derive from max_hamming (pigeonhole-complete recall) unless
+    given explicitly, in which case max_hamming < blocks is enforced."""
     sh = simhash(docs, text_col, id_col)
-    block_cols = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
-        for i in range(blocks)
-    ]
-    keyed = sh.select("id", "simhash", *block_cols)
-    cands = None
-    for i in range(blocks):
-        left = keyed.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
-                            F.col(f"b{i}").alias("bk"))
-        right = keyed.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
-                             F.col(f"b{i}").alias("bk"))
-        c = left.join(right, "bk").where(F.col("id_a") < F.col("id_b")) \
-                .select("id_a", "id_b", "sh_a", "sh_b")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming) \
-                .select("id_a", "id_b", "hamming")
+    return _blocked_hamming_pairs(sh, "simhash", max_hamming, blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -240,33 +256,15 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def phash_neardup(images: DataFrame, max_hamming: int = 6,
                   id_col: str = "image_id", hash_col: str = "phash",
-                  blocks: int = 4) -> DataFrame:
+                  blocks: int | None = None) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash hamming distance.
 
-    Same block-pigeonhole LSH as simhash_dedup (candidates share one of
-    ``blocks`` 16-bit blocks — complete for hamming < blocks), verified
-    with bit_count(xor) entirely JVM-side. Returns (id_a, id_b, hamming).
-    """
-    block_cols = [
-        F.shiftrightunsigned(F.col(hash_col), 16 * i).bitwiseAND(F.lit(0xFFFF))
-         .alias(f"b{i}")
-        for i in range(blocks)
-    ]
+    Blocked-LSH candidates (complete for hamming <= max_hamming since
+    blocks > max_hamming always holds), verified with bit_count(xor)
+    JVM-side. Returns (id_a, id_b, hamming)."""
     keyed = images.select(F.col(id_col).cast("string").alias("id"),
-                          F.col(hash_col).alias("ph"), *block_cols)
-    cands = None
-    for i in range(blocks):
-        left = keyed.select(F.col("id").alias("id_a"), F.col("ph").alias("ph_a"),
-                            F.col(f"b{i}").alias("bk"))
-        right = keyed.select(F.col("id").alias("id_b"), F.col("ph").alias("ph_b"),
-                             F.col(f"b{i}").alias("bk"))
-        c = left.join(right, "bk").where(F.col("id_a") < F.col("id_b")) \
-                .select("id_a", "id_b", "ph_a", "ph_b")
-        cands = c if cands is None else cands.unionByName(c)
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (cands.distinct().withColumn("hamming", ham)
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+                          F.col(hash_col).alias("ph"))
+    return _blocked_hamming_pairs(keyed, "ph", max_hamming, blocks)
 
 
 def caption_dup_groups(images: DataFrame, id_col: str = "image_id",

@@ -135,26 +135,28 @@ def token_count_bpe_expr(text_col: str = "text"):
     return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0))
 
 
+FP_BASE = 1000003
+FP_MOD = (1 << 31) - 1  # Mersenne M31: keeps every product/sum exact in int64
+
+
 def fingerprint_minhash(text: str, k: int = 8) -> int:
     """Document fingerprint: min rolling hash over character k-grams
-    (winnowing-style min-sketch reduced to one value). Vectorized:
-    numpy cumulative polynomial hash over the byte array."""
+    (winnowing-style min-sketch reduced to one value). Vectorized numpy
+    over the byte array; true polynomial hash mod M31 — byte*power
+    products stay < 2^39 and the 8-term sum < 2^42, so int64 arithmetic
+    is exact and the identical value is reproducible in plain ANSI SQL
+    (the driver-contract DuckDB oracle). ASCII text assumed (bytes ==
+    code points)."""
     data = np.frombuffer(text.encode(), dtype=np.uint8)
     if data.size < k:
         data = np.pad(data, (0, k - data.size), constant_values=0)
-    base = np.uint64(1000003)
-    mod = np.uint64((1 << 61) - 1)
-    n = data.size - k + 1
-    with np.errstate(over="ignore"):
-        # hash of each k-gram via sliding windows: h = sum b^i * c_i mod p
-        powers = np.empty(k, dtype=np.uint64)
-        powers[0] = 1
-        for i in range(1, k):
-            powers[i] = (powers[i - 1] * base) % mod
-        windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-        acc = np.zeros(n, dtype=np.uint64)
-        for i in range(k):
-            acc = (acc + windows[:, i] * powers[k - 1 - i]) % mod
+    powers = np.empty(k, dtype=np.int64)
+    powers[0] = 1
+    for i in range(1, k):
+        powers[i] = (powers[i - 1] * FP_BASE) % FP_MOD
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.int64)
+    # h(i) = (sum_d c_{i+d} * base^(k-1-d)) mod p — exact, no wrapping
+    acc = (windows * powers[::-1][None, :]).sum(axis=1) % FP_MOD
     return int(acc.min())
 
 

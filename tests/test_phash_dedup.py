@@ -28,6 +28,27 @@ def test_phash_neardup_planted(spark):
         assert bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1") == h
 
 
+def test_phash_recall_beyond_fixed_blocks(spark):
+    """Recall is structural for hamming <= max_hamming: a planted pair
+    at hamming 8 whose flips hit ALL four 16-bit quarters (round 1's
+    fixed blocks=4 pigeonhole missed it) must be found when
+    max_hamming=12 derives 13 blocks."""
+    pdf = pd.DataFrame({
+        "image_id": ["a", "b", "c"],
+        "phash": np.array([0x1111222233334444,
+                           0x1111222233334444 ^ 0x0101010101010101,  # hamming 8
+                           0x7FFFFFFFFFFFFFFF], dtype=np.int64),
+    })
+    df = spark.createDataFrame(pdf)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.phash_neardup(df, max_hamming=12).collect()}
+    assert pairs == {("a", "b"): 8}
+    # explicit blocks that cannot guarantee recall are refused
+    import pytest
+    with pytest.raises(ValueError, match="max_hamming < blocks"):
+        D.phash_neardup(df, max_hamming=12, blocks=4)
+
+
 def test_caption_dup_groups(spark):
     pdf = synth.image_table(10, seed=61, h=16, w=16, fmt_cycle=("raw",))
     pdf.loc[len(pdf)] = dict(pdf.iloc[3])
