@@ -246,20 +246,46 @@ def _q_tile_pyramid(spark, sf_dir):
                       F.round("err", 12).alias("err"))
 
 
+# AOI polygons overlapping the LCG image grid (star-convex + one with a
+# hole + one disjoint, from the deterministic generator)
+_ZONAL_AOI_EXTENT = (-1050.0, 550.0, -50.0, 1050.0)
+
+
 def _q_zonal_stats_images(spark, sf_dir):
-    return stats.zonal_stats(_synth_images(spark, 24), _synth_aois(8))
+    """Zonal stats through the REAL polygon path (winding refine,
+    broadcast AOIs) over LCG images: dyadic pixel values make every
+    aggregate exact, and the even-odd PIP is mirrored edge-for-edge in
+    the SQL oracle (holes included)."""
+    images = spark.createDataFrame(synth.lcg_image_table(32))
+    aois = synth.aoi_table(8, seed=43, extent=_ZONAL_AOI_EXTENT)
+    return stats.zonal_stats(images, aois)
 
 
 def _q_image_stats(spark, sf_dir):
-    return stats.image_pixel_stats(_synth_images(spark, 24), per_image=True)
+    """PixelStats over q16-encoded LCG images: exercises the lossy
+    codec round-trip; the quantize/dequantize arithmetic is mirrored in
+    SQL. Sums of reconstructed values are order-sensitive in the last
+    ulps, so sum-derived outputs are rounded to 6 on both sides."""
+    images = spark.createDataFrame(synth.lcg_image_table(24, fmt="q16"))
+    out = stats.image_pixel_stats(images, per_image=True)
+    return out.select(
+        "image_id", F.col("count").cast("bigint").alias("count"),
+        "min", "max",
+        F.round("sum", 6).alias("sum"), F.round("sum_2", 6).alias("sum_2"),
+        F.round("mean", 6).alias("mean"),
+        F.round("variance", 6).alias("variance"),
+        F.round("std", 6).alias("std"))
 
 
 def _q_diff_synth(spark, sf_dir):
-    a = _synth_images(spark, 12)
+    """Alignment diff with PARTIAL overlap (B shifted by half its
+    footprint): exercises window snapping and out-of-bounds rejection;
+    LCG values keep every aggregate exact (bit-compared, no rounding)."""
+    a = spark.createDataFrame(synth.lcg_image_table(12, 32, 32, 2.0))
     b = spark.createDataFrame(
-        synth.image_table(12, seed=77, h=32, w=32, fmt_cycle=("raw",),
-                          pixel_size=4.0))
-    return diff.diff_stats(a, b, per_pair=True).orderBy("pair_id")
+        synth.lcg_image_table(12, 16, 16, 4.0, k_offset=10_000_000,
+                              origin_shift=(16.0, -16.0)))
+    return diff.diff_stats(a, b, per_pair=True)
 
 
 def _q_knn_ring(spark, sf_dir):
@@ -268,22 +294,38 @@ def _q_knn_ring(spark, sf_dir):
         synth.points_table(50, seed=21).rename(columns={"pt_id": "qid"})
         .drop(columns=["z"]))
     return knn.knn_join(qs, pts, k=5, cell_size=300.0, query_id="qid") \
-              .select("qid", "pt_id", F.round("dist", 9).alias("dist"), "rank")
+              .select("qid", "pt_id", F.round("dist", 9).alias("dist"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+_FILL_PTS_EXTENT = (-1000.0, 900.0, -100.0, 1010.0)
 
 
 def _q_fill_idw(spark, sf_dir):
-    images = spark.createDataFrame(
-        synth.image_table(8, seed=50, h=32, w=32, fmt_cycle=("raw",),
-                          nan_frac=0.1))
-    images = images.withColumn("no_val", F.lit(-999.0))
-    pts = synth.points_table(200, seed=51)
-    out = knn.fill_idw(images, pts, k=4, fill_nan=True)
-    return out.select("image_id", "filled")
+    """IDW hole filling end-to-end: LCG images with SQL-derivable holes
+    (value < 0.125 -> no_val), filled through the real fill_idw kernel,
+    then every pixel emitted. The oracle recomputes hole fills as the
+    ordered IDW fold over the SQL kNN and passes untouched pixels
+    through the LCG closed form."""
+    pdf = synth.lcg_image_table(8, 32, 32, pixel_size=2.0, holes_below=0.125)
+    images = spark.createDataFrame(pdf)
+    pts = synth.points_table(200, seed=51, extent=_FILL_PTS_EXTENT)
+    filled = knn.fill_idw(images, pts, k=4)
 
+    def gen(batches):
+        for pdfb in batches:
+            out = []
+            for row in pdfb.itertuples(index=False):
+                blk = synth.codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+                ii, jj = np.indices(blk.shape)
+                out.append(pd.DataFrame({
+                    "image_id": row.image_id, "i": ii.ravel(), "j": jj.ravel(),
+                    "v": blk.ravel()}))
+            yield (pd.concat(out) if out
+                   else pd.DataFrame(columns=["image_id", "i", "j", "v"]))
 
-def _q_mask(spark, sf_dir):
-    images = _synth_images(spark, 8)
-    return mask.mask(images).select("image_id", "w", "h", "fmt")
+    px = filled.mapInPandas(gen, schema="image_id string, i long, j long, v double")
+    return px.select("image_id", "i", "j", F.round("v", 9).alias("v"))
 
 
 def _q_minhash_pairs(spark, sf_dir):
@@ -333,7 +375,11 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_image_features(spark, sf_dir):
-    return multimodal.image_features(_synth_images(spark, 16)) \
+    """Image feature extraction over LCG images: px_mean is exact
+    (dyadic grid); px_std's squared deviations are order-sensitive in
+    the last ulps, hence round 9 on both sides."""
+    images = spark.createDataFrame(synth.lcg_image_table(16))
+    return multimodal.image_features(images) \
         .select("image_id", F.round("px_mean", 9).alias("px_mean"),
                 F.round("px_std", 9).alias("px_std"), "valid_frac")
 
@@ -628,7 +674,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_stats_synth": _q_diff_synth,
         "knn_ring_synth": _q_knn_ring,
         "fill_idw_synth": _q_fill_idw,
-        "mask_synth": _q_mask,
         "minhash_pairs_docs": _q_minhash_pairs,
         "simhash_docs": _q_simhash,
         "fingerprint_docs": _q_fingerprint,
@@ -780,6 +825,221 @@ def _chunk_plan_sql() -> str:
                ds - 2 AS load_start,
                le AS load_end
         FROM calc2
+    """
+
+
+def _dbl17(v: float) -> str:
+    """DuckDB parses bare float literals as DECIMAL with a lossy
+    DECIMAL->DOUBLE cast; exponent notation goes through a correctly
+    rounded strtod, matching Python/numpy bit-for-bit."""
+    return f"{float(v):.17e}"
+
+
+def _lcg_px_cte(n_images: int, w: int = 32, h: int = 32,
+                pixel_size: float = 2.0) -> str:
+    """Common CTE body: per-pixel rows (m, i, j, rawv, v, wx, wy) for
+    the LCG image grid (origins -1000 + (m%8)*120 / 1000 - (m//8)*120)."""
+    npx = w * h
+    return f"""
+          SELECT m, idx // {w} AS i, idx % {w} AS j, rawv,
+                 CAST(rawv AS DOUBLE) / 1048576.0 AS v,
+                 (-1000.0 + (m % 8) * 120.0)
+                   + (idx % {w} + 0.5) * {_dbl17(pixel_size)} AS wx,
+                 (1000.0 - (m // 8) * 120.0)
+                   - (idx // {w} + 0.5) * {_dbl17(pixel_size)} AS wy
+          FROM (
+            SELECT m.m, i.idx,
+                   ((1103515245 * (m.m * {npx} + i.idx) + 12345)
+                    % 2147483648) % 1048576 AS rawv
+            FROM (SELECT unnest(generate_series(0, {n_images - 1})) AS m) m,
+                 (SELECT unnest(generate_series(0, {npx - 1})) AS idx) i)
+    """
+
+
+def _lcg_q16_stats_sql() -> str:
+    """Mirror of the q16 quantize -> dequantize -> PixelStats path:
+    disc = floor((v - vmin) * (65535/(vmax - vmin))); stored collides at
+    disc == bins (reference dem.rs quirk) so decode yields disc-1 there."""
+    return f"""
+        WITH px AS ({_lcg_px_cte(24)}),
+        mm AS (SELECT m, min(v) AS vmin, max(v) AS vmax FROM px GROUP BY m),
+        d AS (
+          SELECT px.m, vmin, vmax,
+                 floor((v - vmin) * (65535.0 / (vmax - vmin))) AS disc
+          FROM px JOIN mm ON px.m = mm.m),
+        rec AS (
+          SELECT m, vmin + (vmax - vmin)
+                 * (CASE WHEN disc < 65535 THEN disc ELSE disc - 1 END)
+                 / 65535.0 AS r
+          FROM d)
+        SELECT printf('img_%08d', m) AS image_id,
+               CAST(count(*) AS BIGINT) AS count,
+               min(r) AS min, max(r) AS max,
+               round(sum(r), 6) AS sum, round(sum(r*r), 6) AS sum_2,
+               round(sum(r) / count(*), 6) AS mean,
+               round(sum(r*r) / count(*), 6) AS variance,
+               round(sqrt(sum(r*r) / count(*)), 6) AS std
+        FROM rec GROUP BY m
+    """
+
+
+def _zonal_poly_edges_values() -> str:
+    """All polygon ring edges (with ring-closing wraparound) of the
+    deterministic AOI table, as inline VALUES."""
+    aois = synth.aoi_table(8, seed=43, extent=_ZONAL_AOI_EXTENT)
+    rows = []
+    for r in aois.itertuples(index=False):
+        offs = list(r.ring_offsets) + [len(r.xs)]
+        for k in range(len(offs) - 1):
+            a, b = offs[k], offs[k + 1]
+            if b - a < 3:
+                continue
+            for e in range(a, b):
+                e2 = a + (e - a + 1) % (b - a)
+                rows.append(f"('{r.aoi_id}', {_dbl17(r.xs[e])}, "
+                            f"{_dbl17(r.ys[e])}, {_dbl17(r.xs[e2])}, "
+                            f"{_dbl17(r.ys[e2])})")
+    return ", ".join(rows)
+
+
+def _lcg_zonal_poly_sql() -> str:
+    """Mirror of the winding refine: even-odd crossing parity over all
+    ring edges (geom.points_in_rings), exact dyadic PixelStats."""
+    return f"""
+        WITH px AS ({_lcg_px_cte(32)}),
+        edges(aoi_id, x0, y0, x1, y1) AS (VALUES {_zonal_poly_edges_values()}),
+        cont AS (
+          SELECT p.m, p.i, p.j, e.aoi_id
+          FROM px p JOIN edges e
+            ON ((e.y0 > p.wy) != (e.y1 > p.wy))
+           AND p.wx < e.x0 + (p.wy - e.y0) / (e.y1 - e.y0) * (e.x1 - e.x0)
+          GROUP BY p.m, p.i, p.j, e.aoi_id
+          HAVING count(*) % 2 = 1)
+        SELECT aoi_id,
+               CAST(count(*) AS DOUBLE) AS count,
+               min(v) AS min, max(v) AS max,
+               sum(v) AS sum, sum(v*v) AS sum_2,
+               sum(v) / count(*) AS mean,
+               sum(v*v) / count(*) AS variance,
+               sqrt(sum(v*v) / count(*)) AS std
+        FROM cont JOIN px USING (m, i, j)
+        GROUP BY aoi_id
+    """
+
+
+def _lcg_diff_partial_sql() -> str:
+    """Partial-overlap alignment diff: B is 16x16 at 4x pixel size,
+    origin-shifted by (+16, -16), so A pixels map to B index
+    floor(((c + 0.5)*2 - 16)/4) and out-of-range pixels drop (G5/F2)."""
+    va = _LCG_SQL("m*1024 + i*32 + j")
+    vb = _LCG_SQL("10000000 + m*256 + ib*16 + jb")
+    return f"""
+        WITH px AS (
+          SELECT m.m, ij.idx // 32 AS i, ij.idx % 32 AS j
+          FROM (SELECT unnest(generate_series(0, 11)) AS m) m,
+               (SELECT unnest(generate_series(0, 1023)) AS idx) ij),
+        mapped AS (
+          SELECT m, i, j,
+                 CAST(floor(((i + 0.5) * 2.0 - 16.0) / 4.0) AS BIGINT) AS ib,
+                 CAST(floor(((j + 0.5) * 2.0 - 16.0) / 4.0) AS BIGINT) AS jb
+          FROM px),
+        pairs AS (
+          SELECT m, {va} AS va, {vb} AS vb
+          FROM mapped
+          WHERE ib >= 0 AND ib < 16 AND jb >= 0 AND jb < 16)
+        SELECT printf('img_%08d', m) AS pair_id,
+               CAST(count(*) AS DOUBLE) AS count,
+               min(va) AS first_min, max(va) AS first_max,
+               sum(va) AS first_sum, sum(va*va) AS first_sum_2,
+               min(vb) AS second_min, max(vb) AS second_max,
+               sum(vb) AS second_sum, sum(vb*vb) AS second_sum_2,
+               min(vb-va) AS diff_min, max(vb-va) AS diff_max,
+               sum(vb-va) AS diff_sum, sum((vb-va)*(vb-va)) AS diff_sum_2,
+               min(abs(vb-va)) AS abs_diff_min, max(abs(vb-va)) AS abs_diff_max,
+               sum(abs(vb-va)) AS abs_diff_sum,
+               sum(abs(vb-va)*abs(vb-va)) AS abs_diff_sum_2,
+               sum(vb-va)/count(*) AS diff_mean,
+               sqrt(sum((vb-va)*(vb-va))/count(*)) AS diff_std
+        FROM pairs GROUP BY m
+    """
+
+
+def _points_values(pdf: pd.DataFrame, with_z: bool) -> str:
+    cols = []
+    for r in pdf.itertuples(index=False):
+        z = f", {_dbl17(r.z)}" if with_z else ""
+        cols.append(f"('{r[0]}', {_dbl17(r.x)}, {_dbl17(r.y)}{z})")
+    return ", ".join(cols)
+
+
+def _knn_ring_sql() -> str:
+    """Brute-force kNN oracle over the inlined deterministic point set:
+    the Spark side's ring expansion must reach the exact same top-k."""
+    pts = _points_values(synth.points_table(500, seed=20), with_z=False)
+    qs = _points_values(
+        synth.points_table(50, seed=21).rename(columns={"pt_id": "qid"}),
+        with_z=False)
+    return f"""
+        WITH p(pt_id, x, y) AS (VALUES {pts}),
+        q(qid, qx, qy) AS (VALUES {qs}),
+        cand AS (
+          SELECT qid, pt_id,
+                 sqrt((qx - x)*(qx - x) + (qy - y)*(qy - y)) AS dist
+          FROM q CROSS JOIN p),
+        ranked AS (
+          SELECT qid, pt_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, pt_id) AS rank
+          FROM cand)
+        SELECT qid, pt_id, round(dist, 9) AS dist, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def _fill_idw_sql() -> str:
+    """Per-pixel mirror of the IDW fill: holes (lcg raw < 2^17, i.e.
+    v < 0.125) take the ordered IDW left-fold over the SQL-computed
+    4-NN; untouched pixels pass the LCG value through."""
+    pts = _points_values(
+        synth.points_table(200, seed=51, extent=_FILL_PTS_EXTENT), with_z=True)
+    return f"""
+        WITH px AS ({_lcg_px_cte(8)}),
+        pt(pid, ptx, pty, pz) AS (VALUES {pts}),
+        cand AS (
+          SELECT h.m, h.i, h.j, p.pid, p.pz,
+                 sqrt((h.wx - p.ptx)*(h.wx - p.ptx)
+                      + (h.wy - p.pty)*(h.wy - p.pty)) AS dist
+          FROM px h CROSS JOIN pt p
+          WHERE h.rawv < 131072),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY m, i, j
+                                       ORDER BY dist, pid) AS rk
+          FROM cand),
+        fills AS (
+          SELECT m, i, j,
+                 list_reduce(list((1.0 / (dist * dist)) * pz ORDER BY rk),
+                             (a, b) -> a + b)
+               / list_reduce(list(1.0 / (dist * dist) ORDER BY rk),
+                             (a, b) -> a + b) AS fv
+          FROM ranked WHERE rk <= 4 GROUP BY m, i, j)
+        SELECT printf('img_%08d', p.m) AS image_id, p.i AS i, p.j AS j,
+               round(CASE WHEN p.rawv < 131072 THEN f.fv ELSE p.v END, 9) AS v
+        FROM px p LEFT JOIN fills f ON p.m = f.m AND p.i = f.i AND p.j = f.j
+    """
+
+
+def _lcg_features_sql() -> str:
+    """Mirror of multimodal.image_features over LCG images: exact mean
+    (dyadic), std from squared deviations (round 9 for sum-order ulps)."""
+    return f"""
+        WITH px AS ({_lcg_px_cte(16)}),
+        mm AS (SELECT m, sum(v) / 1024.0 AS mean FROM px GROUP BY m)
+        SELECT printf('img_%08d', px.m) AS image_id,
+               round(any_value(mean), 9) AS px_mean,
+               round(sqrt(sum((v - mean) * (v - mean)) / 1024.0), 9) AS px_std,
+               CAST(1.0 AS DOUBLE) AS valid_frac
+        FROM px JOIN mm ON px.m = mm.m
+        GROUP BY px.m
     """
 
 
@@ -1052,6 +1312,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _simhash_sql(),
         "fingerprint_docs": _fingerprint_sql(),
         "phash_neardup_synth": _phash_neardup_sql(),
+        "image_stats_synth": _lcg_q16_stats_sql(),
+        "zonal_stats_synth": _lcg_zonal_poly_sql(),
+        "diff_stats_synth": _lcg_diff_partial_sql(),
+        "knn_ring_synth": _knn_ring_sql(),
+        "fill_idw_synth": _fill_idw_sql(),
+        "image_features_synth": _lcg_features_sql(),
         "lcg_image_stats": _lcg_stats_sql(),
         "lcg_zonal_rects": _lcg_zonal_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),

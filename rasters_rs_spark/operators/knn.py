@@ -76,10 +76,7 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
             (F.col("qcy") + F.col("dy")).alias("pcy"),
         ).drop("dx", "dy")
         cand = probes.join(p, on=["pcx", "pcy"], how="inner")
-        cand = cand.withColumn(
-            "dist",
-            F.sqrt((F.col("qx") - F.col("x")) ** 2 + (F.col("qy") - F.col("y")) ** 2),
-        )
+        cand = cand.withColumn("dist", _dist_expr())
         w = Window.partitionBy(query_id).orderBy("dist", "pt_id")
         ranked = cand.withColumn("rank", F.row_number().over(w)) \
                      .where(F.col("rank") <= k).persist()
@@ -110,14 +107,20 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
     return out
 
 
+def _dist_expr():
+    """Euclidean distance via explicit multiplication (not pow): the
+    same IEEE ops the DuckDB contract oracle writes, so dist values are
+    bit-identical across engines."""
+    dx = F.col("qx") - F.col("x")
+    dy = F.col("qy") - F.col("y")
+    return F.sqrt(dx * dx + dy * dy)
+
+
 def _brute_force_rank(remaining: DataFrame, p: DataFrame, k: int, query_id: str):
     """Fallback for queries the bounded ring expansion never satisfied
     (sparse far-away points): a full cross join, still exact."""
     cand = remaining.crossJoin(p.drop("pcx", "pcy"))
-    cand = cand.withColumn(
-        "dist",
-        F.sqrt((F.col("qx") - F.col("x")) ** 2 + (F.col("qy") - F.col("y")) ** 2),
-    )
+    cand = cand.withColumn("dist", _dist_expr())
     w = Window.partitionBy(query_id).orderBy("dist", "pt_id")
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -156,13 +159,21 @@ def knn_join_broadcast(queries: DataFrame, points: pd.DataFrame, k: int,
 
 def idw(values: np.ndarray, dists: np.ndarray, power: float = 2.0) -> np.ndarray:
     """Inverse-distance weighting along the last axis; an exact hit
-    (dist == 0) returns that value."""
+    (dist == 0) returns that value. For the default power the weight is
+    computed as 1/(d*d) — the same IEEE ops the SQL oracle writes."""
     with np.errstate(divide="ignore"):
-        w = 1.0 / np.power(dists, power)
+        w = 1.0 / (dists * dists) if power == 2.0 else 1.0 / np.power(dists, power)
     exact = dists == 0.0
     has_exact = exact.any(axis=-1)
     w = np.where(np.isinf(w), 0.0, w)
-    est = (w * values).sum(axis=-1) / w.sum(axis=-1)
+    # strict left-fold in the given neighbor order: bit-reproducible,
+    # mirrored by the SQL oracle's ordered list_reduce
+    num = w[..., 0] * values[..., 0]
+    den = w[..., 0].copy()
+    for c in range(1, w.shape[-1]):
+        num = num + w[..., c] * values[..., c]
+        den = den + w[..., c]
+    est = num / den
     if has_exact.any():
         first_exact = np.argmax(exact, axis=-1)
         est = np.where(has_exact, np.take_along_axis(
@@ -194,11 +205,17 @@ def fill_idw(images: DataFrame, points: pd.DataFrame, k: int = 8,
                     ii, jj = np.nonzero(holes)
                     t = geom.transform_from_gdal(row.gt)
                     wx, wy = geom.transform_points(t, jj + 0.5, ii + 0.5)
-                    d = np.sqrt((wx[:, None] - px[None, :]) ** 2 +
-                                (wy[:, None] - py[None, :]) ** 2)
+                    ddx = wx[:, None] - px[None, :]
+                    ddy = wy[:, None] - py[None, :]
+                    d = np.sqrt(ddx * ddx + ddy * ddy)
                     kk = min(k, d.shape[1])
                     idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
                     dk = np.take_along_axis(d, idx, axis=1)
+                    # deterministic accumulation order: (dist, point idx)
+                    # ascending — the order the SQL oracle's ranked fold uses
+                    order = np.lexsort((idx, dk), axis=1)
+                    idx = np.take_along_axis(idx, order, axis=1)
+                    dk = np.take_along_axis(dk, order, axis=1)
                     vk = pz[idx]
                     block[ii, jj] = idw(vk, dk, power)
                 out.append((row.image_id, codecs.encode_block(block, row.fmt),

@@ -89,45 +89,87 @@ def resample(images: DataFrame, dst_gt, dst_w: int, dst_h: int,
     return images.mapInPandas(gen, schema=schema)
 
 
-def mosaic(images: DataFrame, dst_gt, dst_w: int, dst_h: int,
-           method: str = "nearest") -> DataFrame:
-    """Composite many images onto one target grid: resample each, then a
-    NaN-aware per-pixel mean across overlapping images.
+def _shift_gt(gt, px: int, py: int):
+    """Geo-transform of the same grid with its origin moved to pixel
+    (px, py) — general affine (rotation terms included)."""
+    return [gt[0] + px * gt[1] + py * gt[2], gt[1], gt[2],
+            gt[3] + px * gt[4] + py * gt[5], gt[4], gt[5]]
 
-    Shape: one narrow resample stage emitting per-image partial
-    (sum, count) planes, then a single groupBy merge — overlap blending
-    is associative, so partial aggregation applies and no image pair
-    ever meets in one task."""
-    res = resample(images, dst_gt, dst_w, dst_h, method)
+
+def mosaic(images: DataFrame, dst_gt, dst_w: int, dst_h: int,
+           method: str = "nearest", strip_height: int = 256,
+           assemble: bool = True) -> DataFrame:
+    """Composite many images onto one target grid: windowed resample of
+    each image, then a NaN-aware per-pixel mean across overlaps.
+
+    Scale shape: each image resamples ONLY the target window its extent
+    covers (plan-time G6 window transform, not the full plane) and emits
+    (sum, count) partials keyed by target ROW STRIP, so the merge
+    parallelizes across strips and no task ever holds more than one
+    strip — at 100x image counts the merge fan-in per strip is just the
+    images overlapping that strip. With ``assemble=False`` the result
+    stays in the chunked-strip representation (chunked.CHUNK_SCHEMA);
+    otherwise strips are stitched into one image row (driver-sized
+    outputs only)."""
+    dst_gt = [float(v) for v in dst_gt]
+    strip_height = max(1, min(strip_height, dst_h))
 
     def to_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                block = codecs.decode_raw(row.bytes, dst_h, dst_w)
-                m = ~np.isnan(block)
-                out.append((0, codecs.encode_raw(np.where(m, block, 0.0)),
-                            m.astype("<f8").tobytes()))
-            yield pd.DataFrame(out, columns=["mkey", "vsum", "wsum"])
+                block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+                t = geom.transform_between(row.gt, dst_gt)  # src px -> dst px
+                (x0, y0), (ww, wh) = geom.transform_window(
+                    ((0, 0), (row.w, row.h)), t, (dst_w, dst_h))
+                if ww <= 0 or wh <= 0:
+                    continue
+                sub = resample_block(block, row.gt, _shift_gt(dst_gt, x0, y0),
+                                     ww, wh, method, row.no_val)
+                m = ~np.isnan(sub)
+                for sy in range(y0 // strip_height,
+                                (y0 + wh - 1) // strip_height + 1):
+                    r0 = max(y0, sy * strip_height)
+                    r1 = min(y0 + wh, (sy + 1) * strip_height)
+                    sm = m[r0 - y0:r1 - y0]
+                    if not sm.any():
+                        continue
+                    sv = sub[r0 - y0:r1 - y0]
+                    out.append((sy, x0, r0, r1,
+                                codecs.encode_raw(np.where(sm, sv, 0.0)),
+                                sm.astype("<f8").tobytes()))
+            yield pd.DataFrame(out, columns=["sy", "x0", "r0", "r1",
+                                             "vsum", "wsum"])
 
-    partials = res.mapInPandas(
-        to_partials, schema="mkey int, vsum binary, wsum binary")
+    partials = images.mapInPandas(
+        to_partials,
+        schema="sy long, x0 long, r0 long, r1 long, vsum binary, wsum binary")
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        vs = np.zeros((dst_h, dst_w))
-        ws = np.zeros((dst_h, dst_w))
+        sy = int(pdf["sy"].iloc[0])
+        s0 = sy * strip_height
+        s1 = min(s0 + strip_height, dst_h)
+        vs = np.zeros((s1 - s0, dst_w))
+        ws = np.zeros((s1 - s0, dst_w))
         for row in pdf.itertuples(index=False):
-            vs += codecs.decode_raw(row.vsum, dst_h, dst_w)
-            ws += codecs.decode_raw(row.wsum, dst_h, dst_w)
+            h = int(row.r1 - row.r0)
+            pv = np.frombuffer(row.vsum, dtype="<f8").reshape(h, -1)
+            pw = np.frombuffer(row.wsum, dtype="<f8").reshape(h, -1)
+            rr = slice(int(row.r0) - s0, int(row.r1) - s0)
+            cc = slice(int(row.x0), int(row.x0) + pv.shape[1])
+            vs[rr, cc] += pv
+            ws[rr, cc] += pw
         with np.errstate(invalid="ignore"):
-            out = np.where(ws > 0, vs / np.maximum(ws, 1.0), np.nan)
+            strip = np.where(ws > 0, vs / np.maximum(ws, 1.0), np.nan)
         return pd.DataFrame([{
-            "image_id": "mosaic", "bytes": codecs.encode_raw(out),
+            "image_id": "mosaic", "chunk_idx": sy,
+            "data_start": s0, "data_end": s1,
+            "load_start": s0, "load_end": s1,
+            "bytes": codecs.encode_raw(strip),
             "w": dst_w, "h": dst_h, "fmt": "raw",
-            "gt": [float(v) for v in dst_gt], "crs": "EPSG:3857",
-            "no_val": float("nan")}])
+            "gt": list(dst_gt), "crs": "EPSG:3857", "no_val": float("nan")}])
 
-    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
-              "gt array<double>, crs string, no_val double")
-    return partials.groupBy("mkey").applyInPandas(
-        lambda key, pdf: merge(pdf), schema=schema)
+    from .chunked import CHUNK_SCHEMA, assemble_images
+    strips = partials.groupBy("sy").applyInPandas(
+        lambda key, pdf: merge(pdf), schema=CHUNK_SCHEMA)
+    return assemble_images(strips) if assemble else strips

@@ -160,12 +160,20 @@ def lcg_sql_expr(k_expr: str) -> str:
 def lcg_image_table(n: int, w: int = 32, h: int = 32, pixel_size: float = 2.0,
                     k_offset: int = 0, bands: int = 1,
                     grid_cols: int = 8, spacing: float = 120.0,
-                    coarse: int = 0) -> pd.DataFrame:
+                    coarse: int = 0, fmt: str = "raw",
+                    origin_shift: tuple[float, float] = (0.0, 0.0),
+                    holes_below: float | None = None,
+                    hole_val: float = -999.0) -> pd.DataFrame:
     """Image table whose pixels come from the SQL-expressible LCG:
     pixel (i, j) of image m has k = k_offset + m*bands*h*w + b*h*w + i*w + j.
-    Images sit on a deterministic grid of origins. ``coarse`` > 0
+    Images sit on a deterministic grid of origins (optionally shifted by
+    ``origin_shift`` for partial-overlap fixtures). ``coarse`` > 0
     quantizes values onto {0, 1/coarse, ...} (e.g. coarse=4 makes 0.0 a
-    25%-likely value, useful as a no-data sentinel)."""
+    25%-likely value, useful as a no-data sentinel). ``fmt`` selects the
+    codec ('q16' exercises the lossy path; its min/max/quantize math is
+    SQL-mirrorable). ``holes_below`` plants SQL-derivable no-data holes:
+    pixels with lcg value < holes_below become ``hole_val`` and the
+    table's no_val is set accordingly."""
     rows = []
     for m in range(n):
         k0 = k_offset + m * bands * h * w
@@ -176,15 +184,19 @@ def lcg_image_table(n: int, w: int = 32, h: int = 32, pixel_size: float = 2.0,
             block = block.reshape(bands * h, w)
         else:
             block = lcg_values(k).reshape(bands * h, w)
-        gx = -1000.0 + (m % grid_cols) * spacing
-        gy = 1000.0 - (m // grid_cols) * spacing
+        no_val = float("nan")
+        if holes_below is not None:
+            block = np.where(block < holes_below, hole_val, block)
+            no_val = hole_val
+        gx = -1000.0 + (m % grid_cols) * spacing + origin_shift[0]
+        gy = 1000.0 - (m // grid_cols) * spacing + origin_shift[1]
         rows.append({
             "image_id": f"img_{m:08d}",
-            "bytes": codecs.encode_raw(block),
-            "w": np.int32(w), "h": np.int32(h), "fmt": "raw",
+            "bytes": codecs.encode_block(block, fmt),
+            "w": np.int32(w), "h": np.int32(h), "fmt": fmt,
             "caption": f"lcg {m}", "phash": np.int64(0),
             "gt": [gx, pixel_size, 0.0, gy, 0.0, -pixel_size],
-            "crs": "EPSG:3857", "no_val": float("nan"),
+            "crs": "EPSG:3857", "no_val": no_val,
             "bands": np.int32(bands),
         })
     return pd.DataFrame(rows)

@@ -85,6 +85,42 @@ def test_mosaic_overlap_mean(spark):
     assert np.allclose(got[:, 4:6], 6.0)       # b only
 
 
+def test_mosaic_strip_partitioned_merge(spark):
+    """The merge is keyed by target row strip: a tall mosaic with a
+    small strip_height produces >1 merge group (no single-reducer), and
+    the assembled result still equals the per-pixel NaN-aware mean."""
+    from rasters_rs_spark.operators.resample import mosaic
+    rng = np.random.default_rng(9)
+    rows = []
+    blocks = []
+    for i in range(6):
+        blk = rng.normal(size=(8, 8))
+        blocks.append(blk)
+        rows.append({
+            "image_id": f"m{i}", "bytes": codecs.encode_raw(blk),
+            "w": 8, "h": 8, "fmt": "raw",
+            # stacked vertically with 4-row overlap between neighbors
+            "gt": [0.0, 1.0, 0.0, 32.0 - i * 4.0, 0.0, -1.0],
+            "crs": "IDENTITY", "no_val": float("nan")})
+    dst_gt = [0.0, 1.0, 0.0, 32.0, 0.0, -1.0]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    strips = mosaic(df, dst_gt, 8, 32, strip_height=8, assemble=False)
+    srows = strips.collect()
+    assert len(srows) > 1  # multiple merge groups, not one reducer
+
+    out = mosaic(df, dst_gt, 8, 32, strip_height=8).collect()[0]
+    got = codecs.decode_raw(out["bytes"], 32, 8)
+    # numpy oracle: sum/count over the stacked placement
+    vs = np.zeros((32, 8))
+    ws = np.zeros((32, 8))
+    for i, blk in enumerate(blocks):
+        vs[i * 4:i * 4 + 8] += blk
+        ws[i * 4:i * 4 + 8] += 1.0
+    expect = np.where(ws > 0, vs / np.maximum(ws, 1.0), np.nan)
+    assert np.allclose(got, expect, equal_nan=True)
+
+
 def test_resample_dataframe(spark):
     rng = np.random.default_rng(3)
     src = rng.normal(size=(8, 16))
