@@ -94,11 +94,9 @@ def diff_stats_chunked(a_chunks: DataFrame, b: DataFrame,
     A-chunk row processes independently against its pair's B image; the
     partial-stat rows merge in one aggregation. With A chunked, the
     parallelism unit is the chunk, not the image — the path for rasters
-    whose full block exceeds task memory.
-
-    (B rows here ride whole; for huge B too, the same plan-time window
-    computation keys B chunks — future work, the join shape is already
-    per-chunk.)"""
+    whose full block exceeds task memory. For huge-B-side pairs use
+    ``diff_stats_chunked_both`` (both sides chunked, windowed B reads
+    like raster-diff/diff.rs:38-57)."""
     bb = b.select(
         F.col(pair_col).alias("pair_id"),
         *[F.col(c).alias(f"b_{c}") for c in b.columns if c != pair_col],
@@ -140,6 +138,101 @@ def diff_stats_chunked(a_chunks: DataFrame, b: DataFrame,
                     if mask.any():
                         ii, jj = np.nonzero(mask)
                         vb = sub_b[i2[ii, jj], j2[ii, jj]]
+                        ok = ~np.isnan(vb)
+                        if not np.isnan(row.b_no_val):
+                            ok &= vb != row.b_no_val
+                        va = data[ii[ok], jj[ok]]
+                        vb = vb[ok]
+                        d = vb - va
+                        vals["count"] = float(va.size)
+                        _acc(vals, "first", va)
+                        _acc(vals, "second", vb)
+                        _acc(vals, "diff", d)
+                        _acc(vals, "abs_diff", np.abs(d))
+                out.append({"pair_id": row.pair_id, **vals})
+            cols = [c.split(" ")[0] for c in DIFF_PARTIAL_SCHEMA.split(", ")]
+            yield pd.DataFrame(out, columns=cols)
+
+    partials = pairs.mapInPandas(gen, schema=DIFF_PARTIAL_SCHEMA)
+    merged = [F.sum("count").alias("count")]
+    for k in ("first", "second", "diff", "abs_diff"):
+        merged += [
+            F.min(f"{k}_min").alias(f"{k}_min"),
+            F.max(f"{k}_max").alias(f"{k}_max"),
+            F.sum(f"{k}_sum").alias(f"{k}_sum"),
+            F.sum(f"{k}_sum_2").alias(f"{k}_sum_2"),
+        ]
+    return partials.agg(*merged) \
+        .withColumn("diff_mean", F.col("diff_sum") / F.col("count")) \
+        .withColumn("diff_std", F.sqrt(F.col("diff_sum_2") / F.col("count")))
+
+
+def diff_stats_chunked_both(a_chunks: DataFrame, b_chunks: DataFrame,
+                            pair_col: str = "image_id") -> DataFrame:
+    """Alignment diff with BOTH sides chunked — the huge-A x huge-B
+    path, mirroring the reference's windowed B reads per A chunk
+    (raster-diff/diff.rs:38-57) in join form.
+
+    Plan: the B row range each A chunk needs is a plan-time expression
+    of the two geo-transforms (north-aligned rasters: row mapping is
+    monotonic in y), so the join is pair-key equi + a range-overlap
+    predicate on B's data rows with a +/-1 safety margin. Each A pixel's
+    mapped B row lands in exactly one B chunk's half-open data range,
+    so no pair is double-counted. Exactly equal to the whole-image
+    diff (tested).
+
+    B chunks are lookup storage, so chunk B with padding=0 (data ranges
+    then tile the full height). Padded B chunks follow the reference's
+    processed-range clamp: the first/last `padding` rows are context
+    only and lookups there are dropped."""
+    bb = b_chunks.select(
+        F.col(pair_col).alias("pair_id"),
+        *[F.col(c).alias(f"b_{c}") for c in b_chunks.columns if c != pair_col],
+    )
+    aa = a_chunks.withColumnRenamed(pair_col, "pair_id")
+    # B fractional row of the first/last A data-row center (plan-time
+    # expression over the gt metadata columns; gt[2] == gt[4] == 0 per
+    # the reference's north-aligned gate)
+    fa = (F.col("gt")[3] + (F.col("data_start") + 0.5) * F.col("gt")[5]
+          - F.col("b_gt")[3]) / F.col("b_gt")[5]
+    fb = (F.col("gt")[3] + (F.col("data_end") - 0.5) * F.col("gt")[5]
+          - F.col("b_gt")[3]) / F.col("b_gt")[5]
+    overlap = ((F.col("b_data_start") <= F.greatest(fa, fb) + 1) &
+               (F.col("b_data_end") >= F.least(fa, fb) - 1))
+    pairs = aa.join(bb, on="pair_id", how="inner").where(overlap)
+
+    from .diff import DIFF_PARTIAL_SCHEMA, _acc, _empty_partial
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                strip = codecs.decode_block(
+                    row.bytes, row.load_end - row.load_start, row.w, row.fmt)
+                ds = int(row.data_start)
+                data = strip[ds - int(row.load_start):
+                             int(row.data_end) - int(row.load_start)]
+                b_strip = codecs.decode_block(
+                    row.b_bytes, row.b_load_end - row.b_load_start,
+                    row.b_w, row.b_fmt)
+                t = geom.transform_between(row.gt, row.b_gt)
+                rows_n = data.shape[0]
+                vals = _empty_partial()
+                if data.size and b_strip.size:
+                    # GLOBAL B indices (same rounding as the whole-image
+                    # path), then restrict to this B chunk's data rows
+                    ct = geom.chunk_transform(t, (0.5, ds + 0.5), (0.0, 0.0))
+                    valid, i2, j2 = geom.index_transform_grid(
+                        ct, rows_n, row.w, (row.b_w, row.b_h))
+                    bds, bde = int(row.b_data_start), int(row.b_data_end)
+                    valid &= (i2 >= bds) & (i2 < bde)
+                    mask = valid & ~np.isnan(data)
+                    if not np.isnan(row.no_val):
+                        mask &= data != row.no_val
+                    if mask.any():
+                        ii, jj = np.nonzero(mask)
+                        bls = int(row.b_load_start)
+                        vb = b_strip[i2[ii, jj] - bls, j2[ii, jj]]
                         ok = ~np.isnan(vb)
                         if not np.isnan(row.b_no_val):
                             ok &= vb != row.b_no_val

@@ -40,11 +40,13 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
              query_id: str = "qid", max_rounds: int = 8) -> DataFrame:
     """Exact kNN join: for each query row, the k nearest points.
 
-    Ring-expansion: round i joins unsatisfied queries against all cells
-    within Chebyshev radius r_i (doubling each round). A query is
-    *satisfied* once it has >= k candidates whose kth distance is at most
-    (r_i - 1) * cell_size -- any point outside the probed window is at
-    least that far away, so the top-k is provably exact.
+    Ring-expansion: round i joins unsatisfied queries against the cell
+    ANNULUS not yet probed (Chebyshev radius prev_r+1 .. r, doubling),
+    carrying the running top-k from prior rounds, so no cell is joined
+    twice. A query is *satisfied* once it has >= k candidates whose kth
+    distance is at most its distance to the probed window's edge (a
+    per-query bound: any unprobed point lies beyond that edge) — tight
+    enough that typical densities finish in ONE round.
 
     Returns query columns + (pt_id, x, y, z) of neighbors + dist + rank.
     """
@@ -55,6 +57,7 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
     remaining = q.persist()
     to_unpersist = [p, remaining]
     out = None
+    carry = None          # running top-k candidate rows for unsatisfied queries
     # start the expansion where the expected candidate count already
     # covers k: mean density * (2r+1)^2 >= 4k  ->  saves whole rounds
     # (each round is several Spark jobs) when points are sparse
@@ -64,43 +67,58 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
     radius = 1
     while density * (2 * radius + 1) ** 2 < 4 * k and radius < 64:
         radius *= 2
-    for _ in range(max_rounds):
-        if remaining.isEmpty():
+    prev_radius = -1   # first round includes the query's own cell (dist 0)
+    cs = float(cell_size)
+    exhausted = True
+    for round_i in range(max_rounds):
+        if round_i > 0 and remaining.isEmpty():
+            exhausted = False
             break
+        # annulus offsets only: cells at Chebyshev distance prev_r+1..r
         offs = [(dx, dy) for dx in range(-radius, radius + 1)
-                for dy in range(-radius, radius + 1)]
+                for dy in range(-radius, radius + 1)
+                if max(abs(dx), abs(dy)) > prev_radius]
         offs_df = remaining.sparkSession.createDataFrame(offs, "dx int, dy int")
         probes = remaining.crossJoin(F.broadcast(offs_df)).select(
             "*",
             (F.col("qcx") + F.col("dx")).alias("pcx"),
             (F.col("qcy") + F.col("dy")).alias("pcy"),
         ).drop("dx", "dy")
-        cand = probes.join(p, on=["pcx", "pcy"], how="inner")
-        cand = cand.withColumn("dist", _dist_expr())
+        cand = probes.join(p, on=["pcx", "pcy"], how="inner") \
+                     .withColumn("dist", _dist_expr()).drop("pcx", "pcy")
+        if carry is not None:
+            cand = cand.unionByName(carry)
+        # rank and the satisfied test share one window partitioning: no
+        # extra shuffle for the per-query count/kth aggregates
         w = Window.partitionBy(query_id).orderBy("dist", "pt_id")
-        ranked = cand.withColumn("rank", F.row_number().over(w)) \
-                     .where(F.col("rank") <= k).persist()
+        wall = Window.partitionBy(query_id)
+        # per-query exactness bound: distance from the query point to
+        # the edge of the probed window [(qc - r)*cs, (qc + r + 1)*cs)
+        g = F.least(
+            F.col("qx") - (F.col("qcx") - radius) * F.lit(cs),
+            (F.col("qcx") + radius + 1) * F.lit(cs) - F.col("qx"),
+            F.col("qy") - (F.col("qcy") - radius) * F.lit(cs),
+            (F.col("qcy") + radius + 1) * F.lit(cs) - F.col("qy"))
+        ranked = (cand.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .withColumn("_sat", (F.count("*").over(wall) >= k) &
+                              (F.max("dist").over(wall) <= g))
+                  .persist())
         to_unpersist.append(ranked)
-        guarantee = float((radius - 1) * cell_size) if radius > 1 else 0.0
-        kth = ranked.groupBy(query_id).agg(
-            F.count("*").alias("_n"), F.max("dist").alias("_kth"))
-        # satisfied: k candidates and kth provably inside the probed window
-        done_ids = kth.where((F.col("_n") >= k) & (F.col("_kth") <= F.lit(guarantee))) \
-                      .select(query_id).persist()
-        to_unpersist.append(done_ids)
-        # drop the probe-side cell cols so ring-round output and the
-        # brute-force fallback share one schema (safe to union below)
-        solved = ranked.join(done_ids, on=query_id, how="leftsemi") \
-                       .drop("pcx", "pcy")
+        solved = ranked.where(F.col("_sat")).drop("_sat")
         out = solved if out is None else out.unionByName(solved)
-        remaining = remaining.join(done_ids, on=query_id, how="left_anti").persist()
+        carry = ranked.where(~F.col("_sat")).drop("_sat", "rank")
+        remaining = remaining.join(
+            ranked.where(F.col("_sat")).select(query_id).distinct(),
+            on=query_id, how="left_anti").persist()
         to_unpersist.append(remaining)
+        prev_radius = radius
         radius *= 2
     if out is None:
         out = _brute_force_rank(remaining, p, k, query_id)
-    elif not remaining.isEmpty():
+    elif exhausted and not remaining.isEmpty():
         out = out.unionByName(_brute_force_rank(remaining, p, k, query_id))
-    out = out.drop("qcx", "qcy", "_n", "_kth").persist()
+    out = out.drop("qcx", "qcy").persist()
     out.count()  # materialize before releasing the round intermediates
     for df in to_unpersist:
         df.unpersist()

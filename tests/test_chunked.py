@@ -82,6 +82,39 @@ def test_chunked_diff_equals_whole(spark):
     assert chunked["abs_diff_sum"] == pytest.approx(whole["abs_diff_sum"], rel=1e-12)
 
 
+def test_both_sides_chunked_diff_equals_whole(spark):
+    """Both A and B chunked (huge x huge path): the plan-time B-range
+    join + per-chunk windowed pairing must equal the whole-image diff
+    exactly, including B chunks that serve several A chunks."""
+    rng = np.random.default_rng(0xB07)
+    data1 = rng.normal(size=(64, 128))
+    data2 = rng.normal(size=(32, 64))
+    a = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "p0", "bytes": codecs.encode_raw(data1),
+        "w": 128, "h": 64, "fmt": "raw",
+        "gt": [-64.0, 1.0, 0.0, -32.0, 0.0, 1.0],
+        "crs": "IDENTITY", "no_val": float("nan")}]))
+    b = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "p0", "bytes": codecs.encode_raw(data2),
+        "w": 64, "h": 32, "fmt": "raw",
+        "gt": [-128.0, 4.0, 0.0, -64.0, 0.0, 4.0],
+        "crs": "IDENTITY", "no_val": float("nan")}]))
+
+    whole = D.diff_stats(a, b).collect()[0]
+    for b_rows, pad in ((4, 0), (8, 2)):
+        a_chunks = C.chunk_images(a, min_data_size=128 * 8)
+        b_chunks = C.chunk_images(b, min_data_size=64 * b_rows, padding=pad)
+        got = C.diff_stats_chunked_both(a_chunks, b_chunks).collect()[0]
+        assert got["count"] == whole["count"], (b_rows, pad)
+        assert got["diff_min"] == whole["diff_min"]
+        assert got["diff_max"] == whole["diff_max"]
+        assert got["diff_sum"] == pytest.approx(whole["diff_sum"], rel=1e-12)
+        assert got["abs_diff_sum"] == pytest.approx(whole["abs_diff_sum"],
+                                                    rel=1e-12)
+        assert got["first_sum"] == pytest.approx(whole["first_sum"], rel=1e-12)
+        assert got["second_sum"] == pytest.approx(whole["second_sum"], rel=1e-12)
+
+
 def test_chunked_diff_with_padding_equals_unpadded_range(spark):
     """padding > 0 loads context rows shared by adjacent chunks; the
     diff must aggregate DATA rows only (no double counting). With the
