@@ -346,13 +346,18 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
+    """LSH ANN with deterministic LCG hyperplanes (JVM fold dot
+    products): full pipeline — bucketing, multi-probe, candidate join,
+    exact rerank — reproduced value-for-value by the SQL oracle."""
     emb = _tbl(spark, sf_dir, "embeddings") \
         .selectExpr("cast(vec_id as bigint) vec_id",
                     "transform(embedding, v -> cast(v as double)) embedding")
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return similarity.lsh_topk(queries, emb, k=5, dim=64, n_planes=8, probes=4) \
-        .select("q_id", "vec_id", F.round("cosine", 9).alias("cosine"), "rank")
+    return similarity.lsh_topk_det(queries, emb, k=5, dim=64, n_planes=8,
+                                   probes=4) \
+        .select("q_id", "vec_id", F.round("cosine", 9).alias("cosine"),
+                F.col("rank").cast("bigint").alias("rank"))
 
 
 def _q_phash_neardup(spark, sf_dir):
@@ -364,14 +369,18 @@ def _q_phash_neardup(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN with deterministic LCG centroids (argmin assignment,
+    nprobe nearest lists, exact rerank) — SQL-oracled variant of the
+    trained ivf_topk (same join shape)."""
     emb = _tbl(spark, sf_dir, "embeddings") \
         .selectExpr("cast(vec_id as bigint) vec_id",
                     "transform(embedding, v -> cast(v as double)) embedding")
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return similarity.ivf_topk(queries, emb, k=5, dim=64,
-                               n_lists=16, nprobe=4) \
-        .select("q_id", "vec_id", F.round("cosine", 9).alias("cosine"), "rank")
+    return similarity.ivf_topk_det(queries, emb, k=5, dim=64,
+                                   n_lists=16, nprobe=4) \
+        .select("q_id", "vec_id", F.round("cosine", 9).alias("cosine"),
+                F.col("rank").cast("bigint").alias("rank"))
 
 
 def _q_image_features(spark, sf_dir):
@@ -1043,6 +1052,86 @@ def _lcg_features_sql() -> str:
     """
 
 
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(_dbl17(v) for v in vals) + "]"
+
+
+def _lsh_det_sql(n_planes: int = 8, probes: int = 4, k: int = 5) -> str:
+    """Mirror of similarity.lsh_topk_det: LCG hyperplanes, fold dot
+    products (list_reduce == the Spark aggregate's left fold), single-
+    bit multi-probe, exact cosine rerank."""
+    planes = similarity.lcg_planes(n_planes, 64)
+    bits = " + ".join(
+        f"CASE WHEN list_reduce(list_transform(range(1, 65), "
+        f"i -> v[i] * ({_sql_list(p)})[i]), (a, b) -> a + b) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(planes))
+    flips = [0] + [1 << b for b in range(min(probes, n_planes))]
+    return f"""
+        WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM e),
+        probes AS (
+          SELECT q.vec_id AS q_id, q.v AS qv, xor(q.bucket, f.f) AS bucket
+          FROM b q, (SELECT unnest({flips}) AS f) f
+          WHERE q.vec_id < 8),
+        cand AS (
+          SELECT DISTINCT p.q_id, p.qv, c.vec_id, c.v
+          FROM probes p JOIN b c ON p.bucket = c.bucket),
+        ranked AS (
+          SELECT q_id, vec_id, list_cosine_similarity(qv, v) AS cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY list_cosine_similarity(qv, v) DESC,
+                                             vec_id) AS rank
+          FROM cand)
+        SELECT q_id, vec_id, round(cos, 9) AS cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ivf_det_sql(n_lists: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """Mirror of similarity.ivf_topk_det: LCG centroids, argmin list
+    assignment (ties to the lowest id), nprobe nearest lists per query,
+    exact rerank."""
+    cents = similarity.lcg_centroids(n_lists, 64)
+    dcols = ", ".join(
+        f"list_reduce(list_transform(range(1, 65), "
+        f"i -> (v[i] - ({_sql_list(c)})[i]) * (v[i] - ({_sql_list(c)})[i])), "
+        f"(a, b) -> a + b) AS d{i}"
+        for i, c in enumerate(cents))
+    least = "least(" + ", ".join(f"d{i}" for i in range(n_lists)) + ")"
+    whens = " ".join(f"WHEN d{i} = m THEN {i}" for i in range(n_lists))
+    qpairs = ", ".join(f"{{'d': d{i}, 'c': {i}}}" for i in range(n_lists))
+    return f"""
+        WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        cd AS (SELECT vec_id, v, {dcols} FROM e),
+        assigned AS (
+          SELECT vec_id, v, CASE {whens} END AS list_id
+          FROM (SELECT *, {least} AS m FROM cd)),
+        ql AS (
+          SELECT vec_id AS q_id, v AS qv,
+                 unnest([{qpairs}], recursive := true)
+          FROM cd WHERE vec_id < 8),
+        qk AS (
+          SELECT q_id, qv, c AS list_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY d, c) AS rk
+          FROM ql),
+        cand AS (
+          SELECT DISTINCT q.q_id, q.qv, a.vec_id, a.v
+          FROM qk q JOIN assigned a ON q.list_id = a.list_id
+          WHERE q.rk <= {nprobe}),
+        ranked AS (
+          SELECT q_id, vec_id, list_cosine_similarity(qv, v) AS cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY list_cosine_similarity(qv, v) DESC,
+                                             vec_id) AS rank
+          FROM cand)
+        SELECT q_id, vec_id, round(cos, 9) AS cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 # --- md5-based dedup oracles: the Spark pipelines are pure Catalyst
 # (md5 + array lambdas), so DuckDB reproduces them value-for-value.
 
@@ -1318,6 +1407,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ring_synth": _knn_ring_sql(),
         "fill_idw_synth": _fill_idw_sql(),
         "image_features_synth": _lcg_features_sql(),
+        "ann_lsh_embeddings": _lsh_det_sql(),
+        "ann_ivf_embeddings": _ivf_det_sql(),
         "lcg_image_stats": _lcg_stats_sql(),
         "lcg_zonal_rects": _lcg_zonal_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),

@@ -42,6 +42,115 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
             .select(q_id, c_id, "cosine", "rank"))
 
 
+def lcg_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic LSH hyperplanes from the SQL-expressible LCG:
+    plane[j][d] = lcg(j*dim + d) - 0.5. Same closed form on the DuckDB
+    oracle side, so bucket bits are reproducible across engines."""
+    from ..sources.synth import lcg_values
+    import numpy as np
+    k = np.arange(n_planes * dim, dtype=np.int64)
+    vals = lcg_values(k) - 0.5
+    return [vals[j * dim:(j + 1) * dim].tolist() for j in range(n_planes)]
+
+
+def _dot_fold_expr(vec_col: str, plane: list[float]):
+    """Sequential left-fold dot product against a literal plane — the
+    exact op order the SQL oracle's list_reduce uses (bit-identical
+    signs, so bucket membership matches across engines)."""
+    arr = F.array(*[F.lit(float(v)) for v in plane])
+    return F.aggregate(F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Bucket id = hyperplane sign bits (bit j set when dot_j > 0)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        bucket = bucket + F.when(_dot_fold_expr(vec_col, plane) > 0,
+                                 F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
+                 n_planes: int = 8, probes: int = 3,
+                 q_id: str = "q_id", c_id: str = "vec_id",
+                 q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+    """lsh_topk with deterministic LCG hyperplanes and JVM-side fold
+    dot products: same plan shape (bucket equi-join + multi-probe +
+    exact rerank), but every intermediate is reproducible in ANSI SQL —
+    this is the contract-oracled variant."""
+    planes = lcg_planes(n_planes, dim)
+    ck = corpus.withColumn("bucket", lsh_bucket_expr(c_vec, planes))
+    qk = queries.withColumn("bucket", lsh_bucket_expr(q_vec, planes))
+    flips = [0] + [1 << b for b in range(min(probes, n_planes))]
+    probe_df = qk.sparkSession.createDataFrame([(f,) for f in flips], "flip long")
+    qprobe = qk.crossJoin(F.broadcast(probe_df)).withColumn(
+        "bucket", F.col("bucket").bitwiseXOR(F.col("flip"))).drop("flip")
+    cand = ck.join(F.broadcast(qprobe), on="bucket").dropDuplicates([q_id, c_id])
+    scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id, c_id, "cosine", "rank"))
+
+
+def lcg_centroids(n_lists: int, dim: int) -> list[list[float]]:
+    """Deterministic IVF coarse centroids from the LCG (k-offset 5e6 to
+    decorrelate from the LSH planes)."""
+    from ..sources.synth import lcg_values
+    import numpy as np
+    k = 5_000_000 + np.arange(n_lists * dim, dtype=np.int64)
+    vals = lcg_values(k)
+    return [vals[c * dim:(c + 1) * dim].tolist() for c in range(n_lists)]
+
+
+def _sqdist_fold_expr(vec_col: str, cent: list[float]):
+    arr = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
+                 n_lists: int = 16, nprobe: int = 4,
+                 q_id: str = "q_id", c_id: str = "vec_id",
+                 q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+    """ivf_topk with deterministic LCG centroids (no k-means training):
+    corpus rows go to their argmin list (ties to the lowest list id),
+    queries probe their nprobe nearest lists, exact rerank inside. The
+    SQL-oracled variant — same join shape as the trained ivf_topk."""
+    cents = lcg_centroids(n_lists, dim)
+
+    def assign_argmin(df, vec):
+        dists = [_sqdist_fold_expr(vec, c).alias(f"_d{i}")
+                 for i, c in enumerate(cents)]
+        df = df.select("*", *dists)
+        m = F.least(*[F.col(f"_d{i}") for i in range(n_lists)])
+        pick = F.lit(n_lists - 1)
+        for i in reversed(range(n_lists)):
+            pick = F.when(F.col(f"_d{i}") == m, F.lit(i)).otherwise(pick)
+        return df.withColumn("list_id", pick.cast("int")) \
+                 .drop(*[f"_d{i}" for i in range(n_lists)])
+
+    ck = assign_argmin(corpus, c_vec)
+    # queries: rank all lists by distance, probe the nprobe nearest
+    dists = [_sqdist_fold_expr(q_vec, c).alias(f"_d{i}")
+             for i, c in enumerate(cents)]
+    qd = queries.select("*", *dists)
+    pairs = F.array(*[F.struct(F.col(f"_d{i}").alias("d"),
+                               F.lit(i).cast("int").alias("c"))
+                      for i in range(n_lists)])
+    qk = qd.withColumn("_pair", F.explode(F.slice(F.array_sort(pairs), 1, nprobe))) \
+           .withColumn("list_id", F.col("_pair.c")) \
+           .drop("_pair", *[f"_d{i}" for i in range(n_lists)])
+    cand = ck.join(F.broadcast(qk), on="list_id").dropDuplicates([q_id, c_id])
+    scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id, c_id, "cosine", "rank"))
+
+
 def _bucket_udf(vec_col: str, dim: int, n_planes: int, seed: int):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rng = np.random.default_rng(seed)

@@ -83,6 +83,58 @@ def stream_user_stats(spark: SparkSession, source_dir: str, schema: str,
     )
 
 
+def stream_sessionize(spark: SparkSession, source_dir: str, schema: str,
+                      gap_seconds: int = 1800, ts_col: str = "ts",
+                      user_col: str = "user_id"):
+    """Streaming sessionization via applyInPandasWithState: per-user
+    GroupState carries the open session (index, start, last ts, count)
+    across micro-batches; each batch emits an update row for every
+    session it touched (closed or still open). With per-user arrival
+    in event-time order (late rows would need a watermark + reorder
+    buffer), the LAST update per (user, session_idx) converges to the
+    batch ``sessionize`` answer — tested."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def fmt(epoch_us: int) -> str:
+        return pd.Timestamp(epoch_us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            sid, start_us, last_us, n = state.get
+        else:
+            sid, start_us, last_us, n = 0, None, None, 0
+        touched = {}
+        for pdf in pdfs:
+            for t in sorted(pdf[ts_col]):
+                t_us = int(pd.Timestamp(t).value // 1000)
+                if last_us is None or (t_us - last_us) > gap_seconds * 1_000_000:
+                    if sid > 0:
+                        touched[sid] = (start_us, last_us, n)  # closed
+                    sid += 1
+                    start_us, n = t_us, 0
+                n += 1
+                last_us = t_us
+        touched[sid] = (start_us, last_us, n)  # open session update
+        state.update((sid, start_us, last_us, n))
+        yield pd.DataFrame([
+            {"user_id": int(key[0]), "session_idx": s,
+             "n_events": cnt, "t_start": fmt(s0), "t_end": fmt(s1)}
+            for s, (s0, s1, cnt) in touched.items()
+        ])
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=("user_id long, session_idx long, n_events long, "
+                          "t_start string, t_end string"),
+        stateStructType="sid long, start_us long, last_us long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800,
                ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
     """Gap-based sessions: a new session starts when the time since the

@@ -114,6 +114,75 @@ def test_fill_idw(spark):
     assert got[4:6, 4:8].min() >= zmin and got[4:6, 4:8].max() <= zmax
 
 
+def _barycentric_grid_fill(wx, wy, gx, gy, gz):
+    """Reference-style barycentric interpolation (the alternative the
+    reference itself documents, raster-fill-nn/interpolation.rs:36-39)
+    over a KNOWN triangulation: the regular point grid split into two
+    triangles per cell — no Delaunay library needed because the grid's
+    Delaunay triangulation IS this split."""
+    fx = np.clip(np.floor(wx - gx[0]).astype(int), 0, len(gx) - 2)
+    fy = np.clip(np.floor(wy - gy[0]).astype(int), 0, len(gy) - 2)
+    u = (wx - gx[0]) - fx
+    v = (wy - gy[0]) - fy
+    z00 = gz[fy, fx]
+    z10 = gz[fy, fx + 1]
+    z01 = gz[fy + 1, fx]
+    z11 = gz[fy + 1, fx + 1]
+    lower = u + v < 1.0
+    out = np.where(
+        lower,
+        z00 + u * (z10 - z00) + v * (z01 - z00),
+        z11 + (1.0 - u) * (z01 - z11) + (1.0 - v) * (z10 - z11))
+    return out
+
+
+def test_idw_divergence_from_barycentric_bounded(spark):
+    """Quantifies the deliberate J5 divergence (SURVEY section 7): the
+    engine fills holes with kNN+IDW instead of the reference's Sibson
+    C1 natural neighbors. On a shared fixture with an exactly-known
+    barycentric/natural-neighbor answer the drift is bounded and
+    documented (COVERAGE.md): a LINEAR field (where any natural-
+    neighbor scheme is exact) plus a curved field."""
+    gx = np.arange(0.0, 17.0)
+    gy = np.arange(0.0, 17.0)
+    gxx, gyy = np.meshgrid(gx, gy)
+
+    # measured: linear field exact to fp noise (hole centers are
+    # equidistant from their 4 grid neighbors -> IDW == plane value);
+    # curved field max|delta| = 0.0125 = 0.10% of the field range
+    for field, max_bound, mean_bound in (
+        (lambda x, y: 2.0 + 0.3 * x + 0.7 * y, 1e-9, 1e-9),     # linear
+        (lambda x, y: 0.05 * x * y, 0.02, 0.02),                # curved
+    ):
+        gz = field(gxx, gyy)
+        pts = pd.DataFrame({
+            "pt_id": [f"pt_{i:07d}" for i in range(gz.size)],
+            "x": gxx.ravel(), "y": gyy.ravel(), "z": gz.ravel(),
+        })
+        block = field(np.arange(16) + 0.5, (16.0 - np.arange(16) - 0.5)[:, None])
+        block = np.ascontiguousarray(block)
+        holes = np.zeros((16, 16), dtype=bool)
+        holes[5:9, 4:10] = True
+        block[holes] = -999.0
+        pdf = pd.DataFrame([{
+            "image_id": "nn0", "bytes": codecs.encode_raw(block),
+            "w": 16, "h": 16, "fmt": "raw",
+            "gt": [0.0, 1.0, 0.0, 16.0, 0.0, -1.0],
+            "crs": "IDENTITY", "no_val": -999.0}])
+        out = K.fill_idw(spark.createDataFrame(pdf), pts, k=4).collect()[0]
+        got = codecs.decode_raw(out["bytes"], 16, 16)
+
+        ii, jj = np.nonzero(holes)
+        wx = jj + 0.5
+        wy = 16.0 - ii - 0.5
+        bary = _barycentric_grid_fill(wx, wy, gx, gy, gz)
+        delta = np.abs(got[ii, jj] - bary)
+        # documented bounds (COVERAGE.md J5): IDW vs barycentric on unit
+        # grid spacing
+        assert delta.max() < max_bound, delta.max()
+        assert delta.mean() < mean_bound, delta.mean()
+
+
 def test_fill_nan_quirk_default_off(spark):
     """interpolation.rs:19: `val == f64::NAN` is always false -> NaN holes
     are NOT filled unless fill_nan=True (replicate behavior, not intent)."""

@@ -64,6 +64,35 @@ def test_lsh_topk_recall(spark, emb):
     assert np.mean(recalls) >= 0.3  # approximate, but far above chance (~2%)
 
 
+def test_det_ann_variants_recall(spark, emb):
+    """The SQL-oracled deterministic variants (LCG planes/centroids)
+    keep useful recall vs exact top-k and always find the query's own
+    vector (identical bucket / same list)."""
+    df, pdf = emb
+    qs = pdf.head(8)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": qs["vec_id"].astype(str),
+        "q_vec": [list(map(float, v)) for v in qs["embedding"]],
+    }))
+    corpus = df.selectExpr("cast(vec_id as string) vec_id",
+                           "transform(embedding, x -> cast(x as double)) embedding")
+    exact = SIM.cosine_topk(queries, corpus, k=5).collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for out in (SIM.lsh_topk_det(queries, corpus, k=5, dim=64,
+                                 n_planes=8, probes=4).collect(),
+                SIM.ivf_topk_det(queries, corpus, k=5, dim=64,
+                                 n_lists=16, nprobe=4).collect()):
+        a = {}
+        for r in out:
+            a.setdefault(r["q_id"], set()).add(r["vec_id"])
+        for q in e:
+            assert q in a and q in a[q]
+        recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+        assert np.mean(recalls) >= 0.3
+
+
 def test_quality_and_token_count(spark):
     pdf = pd.DataFrame({
         "doc_id": ["a", "b"],

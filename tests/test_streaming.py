@@ -81,6 +81,42 @@ def test_stateful_user_stats_converges(spark, sf_dir, tmp_path):
         assert got[u][1] == pytest.approx(expect[u][1], rel=1e-9)
 
 
+def test_stream_sessionize_converges_to_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization: events fed in event-time
+    order across two micro-batches; the last update per (user, session)
+    equals the batch sessionize answer exactly."""
+    from rasters_rs_spark.streaming.windows import stream_sessionize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = ", ".join(f"{n} {t}" for n, t in ev.dtypes)
+    gap = 900
+
+    # split by time so per-user arrival stays ordered across batches
+    epoch = ("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+             "cast(ts as timestamp_ntz))")
+    cut = ev.selectExpr(f"percentile({epoch}, 0.5) p").collect()[0]["p"]
+    src = str(tmp_path / "sess_src")
+    ev.where(F.expr(epoch) <= cut).write.mode("overwrite").parquet(src)
+    ev.where(F.expr(epoch) > cut).write.mode("append").parquet(src)
+
+    q = (stream_sessionize(spark, src, schema, gap_seconds=gap)
+         .writeStream.format("memory").queryName("sess_test")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sess_test").collect()
+    got = {}
+    for r in rows:
+        key = (r["user_id"], r["session_idx"])
+        cur = got.get(key)
+        # later updates only grow a session; keep the largest
+        if cur is None or r["n_events"] >= cur[0]:
+            got[key] = (r["n_events"], r["t_start"], r["t_end"])
+
+    expect = {(r["user_id"], r["session_idx"]):
+              (r["n_events"], r["t_start"], r["t_end"])
+              for r in sessionize(ev, gap_seconds=gap).collect()}
+    assert got == expect
+
+
 def test_sessionize_matches_python_oracle(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gap = 900
