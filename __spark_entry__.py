@@ -239,11 +239,31 @@ def _q_embedding_neardup(spark, sf_dir):
 # -- rows-only queries (non-SQL-expressible raster / LSH ops) ----------------
 
 
+# small tiles so 64x64 images span multiple tiles per axis: the 4->1
+# pyramid merge combines real multi-child groups under the oracle
+_TP_TS = 32
+
+
 def _q_tile_pyramid(spark, sf_dir):
-    images = _synth_images(spark, 8)
-    enc = tiling.tile_index_manifest(images, mode="local")
-    return enc.select("image_id", "z", "x", "y", "min", "max", "bins",
-                      F.round("err", 12).alias("err"))
+    """Full tile pipeline over LCG images: base fractional-area
+    aggregation, NaN-aware 4->1 pyramid, q16 stats — every float is
+    reproduced BIT-EXACTLY by the SQL oracle (the numpy accumulation
+    orders are mirrored with ordered list_reduce folds), so min, max
+    and the quantization err compare unrounded."""
+    images = spark.createDataFrame(
+        synth.lcg_image_table(8, 64, 64, pixel_size=8.0))
+    # 4 pyramid levels: enough to exercise multi-child 4->1 merges while
+    # keeping the (16-level-deep otherwise) SQL mirror tractable
+    from rasters_rs_spark.plans.tileplan import TileConfig
+    r0 = synth.lcg_image_table(1, 64, 64, pixel_size=8.0).iloc[0]
+    cfg0 = TileConfig.for_raster(64, 64, list(r0["gt"]), r0["crs"], _TP_TS)
+    enc = tiling.tile_index_manifest(images, mode="local", tile_size=_TP_TS,
+                                     min_zoom=cfg0.max_zoom() - 3)
+    return enc.select(
+        "image_id", F.col("z").cast("bigint").alias("z"),
+        F.col("x").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+        "min", "max", F.col("bins").cast("bigint").alias("bins"), "err")
 
 
 # AOI polygons overlapping the LCG image grid (star-convex + one with a
@@ -1052,6 +1072,160 @@ def _lcg_features_sql() -> str:
     """
 
 
+def _tile_pyramid_sql() -> str:
+    """Bit-exact mirror of the full tile pipeline over the 8 LCG
+    images. Plan-time constants (tile config, per-row windows) come
+    from the same TileConfig the engine uses; pixel values are the LCG
+    closed form; the base weighted aggregation reproduces np.add.at's
+    accumulation order (dy, dx, then row-major source pixels) and the
+    pyramid reproduces scale_children's quad order via ordered
+    list_reduce folds, so every derived float matches bitwise."""
+    from rasters_rs_spark.functions import geom
+    from rasters_rs_spark.plans.tileplan import TileConfig
+
+    ts, half = _TP_TS, _TP_TS // 2
+    pdf = synth.lcg_image_table(8, 64, 64, pixel_size=8.0)
+    row_vals, img_mz = [], {}
+    zooms = set()
+    for m, r in enumerate(pdf.itertuples(index=False)):
+        cfg = TileConfig.for_raster(64, 64, list(r.gt), r.crs, ts)
+        mz_max, mz_min = cfg.max_zoom(), cfg.max_zoom() - 3
+        zooms.add(mz_max)
+        img_mz[m] = mz_min
+        left_t, top, right_t, bot = cfg.tile_index_bounds(mz_max)
+        ntiles = right_t - left_t
+        for ty in range(top, bot):
+            pb = cfg.row_pix_bounds(mz_max, ty)
+            (ox, oy), (sw, sh) = geom.window_from_bounds(pb, (64, 64))
+            tpw = (pb[2] - pb[0]) / ntiles / ts
+            tph = (pb[3] - pb[1]) / ts
+            row_vals.append(
+                f"({m}, {ty}, {_dbl17(pb[0])}, {_dbl17(pb[1])}, {ox}, {oy}, "
+                f"{sw}, {sh}, {_dbl17(tpw)}, {_dbl17(tph)}, {left_t}, {ntiles})")
+    assert len(zooms) == 1, "generator assumes one max zoom across images"
+    z_max = zooms.pop()
+    z_min = min(img_mz.values())
+
+    v_expr = synth.lcg_sql_expr("m*4096 + (r + oy)*64 + (c + ox)")
+    parts = [f"""
+        rw(m, ty, l_edge, t_edge, ox, oy, sw, sh, tpw, tph, left_t, ntiles)
+          AS (VALUES {", ".join(row_vals)}),
+        px AS (
+          SELECT m, ty, l_edge, t_edge, ox, oy, tpw, tph, left_t, ntiles,
+                 k % sw AS c, k // sw AS r
+          FROM (SELECT rw.*, unnest(generate_series(0, sw*sh - 1)) AS k FROM rw)
+        ),
+        foot AS (
+          SELECT *, {v_expr} AS v,
+                 (c + ox - l_edge) / tpw AS fl,
+                 (r + oy - t_edge) / tph AS ft,
+                 (c + 1.0 + ox - l_edge) / tpw AS fr,
+                 (r + 1.0 + oy - t_edge) / tph AS fb
+          FROM px
+        ),
+        win AS (
+          SELECT *, greatest(fl, 0.0) AS ix0, greatest(ft, 0.0) AS iy0,
+                 least(fr, CAST(ntiles * {ts} AS DOUBLE)) AS ix1,
+                 least(fb, CAST({ts} AS DOUBLE)) AS iy1
+          FROM foot
+        ),
+        cand AS (
+          SELECT w.*, d.dx AS dx, d.dy AS dy,
+                 CAST(floor(ix0) AS BIGINT) + d.dx AS tc,
+                 CAST(floor(iy0) AS BIGINT) + d.dy AS tr
+          FROM win w
+          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS dx) d1,
+               LATERAL (SELECT d1.dx AS dx, unnest(generate_series(0, 3)) AS dy) d
+          WHERE ix0 < ix1 AND iy0 < iy1
+            AND CAST(floor(ix0) AS BIGINT) + d.dx < CAST(ceil(ix1) AS BIGINT)
+            AND CAST(floor(iy0) AS BIGINT) + d.dy < CAST(ceil(iy1) AS BIGINT)
+        ),
+        contrib AS (
+          SELECT m, left_t + tc // {ts} AS x, ty AS y,
+                 tc % {ts} AS tpx, tr AS tpy, dy, dx, r, c, v,
+                 (least(CAST(tc AS DOUBLE) + 1.0, fr)
+                  - greatest(CAST(tc AS DOUBLE), fl))
+                 * (least(CAST(tr AS DOUBLE) + 1.0, fb)
+                    - greatest(CAST(tr AS DOUBLE), ft)) AS mu
+          FROM cand
+          WHERE (least(CAST(tc AS DOUBLE) + 1.0, fr)
+                 - greatest(CAST(tc AS DOUBLE), fl)) > 0.0
+            AND (least(CAST(tr AS DOUBLE) + 1.0, fb)
+                 - greatest(CAST(tr AS DOUBLE), ft)) > 0.0
+        ),
+        pix_{z_max} AS (
+          SELECT m, x, y, tpx, tpy,
+                 list_reduce(list(mu * v ORDER BY dy, dx, r, c),
+                             (a, b) -> a + b)
+               / list_reduce(list(mu ORDER BY dy, dx, r, c),
+                             (a, b) -> a + b) AS v
+          FROM contrib GROUP BY m, x, y, tpx, tpy
+        ),
+        skel_{z_max} AS (
+          SELECT m, left_t + s AS x, ty AS y
+          FROM (SELECT rw.*, unnest(generate_series(0, ntiles - 1)) AS s FROM rw)
+        )"""]
+    for z in range(z_max, z_min, -1):
+        imgs = sorted(m for m, mz in img_mz.items() if mz <= z - 1)
+        in_list = ", ".join(str(m) for m in imgs)
+        parts.append(f"""
+        pix_{z - 1} AS (
+          SELECT m, x // 2 AS x, y // 2 AS y,
+                 (CASE WHEN x % 2 = 0 THEN 0 ELSE {half} END) + tpx // 2 AS tpx,
+                 (CASE WHEN y % 2 = 1 THEN 0 ELSE {half} END) + tpy // 2 AS tpy,
+                 list_reduce(list(v ORDER BY tpy % 2, tpx % 2),
+                             (a, b) -> a + b) / count(*) AS v
+          FROM pix_{z} WHERE m IN ({in_list})
+          GROUP BY m, x // 2, y // 2,
+                   (CASE WHEN x % 2 = 0 THEN 0 ELSE {half} END) + tpx // 2,
+                   (CASE WHEN y % 2 = 1 THEN 0 ELSE {half} END) + tpy // 2
+        ),
+        skel_{z - 1} AS (
+          SELECT DISTINCT m, x // 2 AS x, y // 2 AS y
+          FROM skel_{z} WHERE m IN ({in_list})
+        )""")
+    pix_union = " UNION ALL ".join(
+        f"SELECT m, {z} AS z, x, y, tpx, tpy, v FROM pix_{z}"
+        for z in range(z_max, z_min - 1, -1))
+    skel_union = " UNION ALL ".join(
+        f"SELECT m, {z} AS z, x, y FROM skel_{z}"
+        for z in range(z_max, z_min - 1, -1))
+    mz_filter = " OR ".join(
+        f"(m = {m} AND z >= {mz})" for m, mz in sorted(img_mz.items()))
+    parts.append(f"""
+        allpix AS ({pix_union}),
+        alltiles AS (SELECT * FROM ({skel_union}) WHERE {mz_filter}),
+        mm AS (
+          SELECT m, z, x, y, min(v) AS vmin, max(v) AS vmax
+          FROM allpix GROUP BY m, z, x, y
+        ),
+        errs AS (
+          SELECT p.m, p.z, p.x, p.y,
+                 CASE WHEN mm.vmax > mm.vmin THEN
+                   max((p.v - mm.vmin) * (65535.0 / (mm.vmax - mm.vmin))
+                       - floor((p.v - mm.vmin) * (65535.0 / (mm.vmax - mm.vmin))))
+                   * (mm.vmax - mm.vmin) / 65535.0
+                 ELSE 0.0 END AS err
+          FROM allpix p
+          JOIN mm ON p.m = mm.m AND p.z = mm.z AND p.x = mm.x AND p.y = mm.y
+          GROUP BY p.m, p.z, p.x, p.y, mm.vmin, mm.vmax
+        )""")
+    body = ",".join(parts)
+    return f"""
+        WITH {body}
+        SELECT printf('img_%08d', t.m) AS image_id,
+               CAST(t.z AS BIGINT) AS z, CAST(t.x AS BIGINT) AS x,
+               CAST(t.y AS BIGINT) AS y,
+               coalesce(mm.vmin, CAST('infinity' AS DOUBLE)) AS min,
+               coalesce(mm.vmax, CAST('-infinity' AS DOUBLE)) AS max,
+               CAST(65535 AS BIGINT) AS bins,
+               coalesce(e.err, 0.0) AS err
+        FROM alltiles t
+        LEFT JOIN mm ON t.m = mm.m AND t.z = mm.z AND t.x = mm.x AND t.y = mm.y
+        LEFT JOIN errs e ON t.m = e.m AND t.z = e.z AND t.x = e.x AND t.y = e.y
+    """
+
+
 def _sql_list(vals) -> str:
     return "[" + ", ".join(_dbl17(v) for v in vals) + "]"
 
@@ -1409,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "image_features_synth": _lcg_features_sql(),
         "ann_lsh_embeddings": _lsh_det_sql(),
         "ann_ivf_embeddings": _ivf_det_sql(),
+        "tile_pyramid_synth": _tile_pyramid_sql(),
         "lcg_image_stats": _lcg_stats_sql(),
         "lcg_zonal_rects": _lcg_zonal_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),
