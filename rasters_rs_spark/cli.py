@@ -56,7 +56,13 @@ def cmd_diff(args):
         hmin, hmax, bins = args.hist
         out = diff_histogram(a, b, float(hmin), float(hmax), int(bins),
                              adjust=args.adjust, negate=args.negate)
-        print(json.dumps({str(r["bin"]): r["n"] for r in out.collect()}))
+        hist = {str(r["bin"]): r["n"] for r in out.collect()}
+        if args.bin:
+            # the reference's --hist artifact is CBOR (write_bin,
+            # raster-tools/src/utils.rs:117-122)
+            from .functions.cbor import write_bin
+            write_bin(args.bin, hist)
+        print(json.dumps(hist))
         return
     if args.output:
         disc = tuple(args.discretize) if args.discretize else None
@@ -134,6 +140,8 @@ def build_parser():
     d.add_argument("--adjust", type=float, default=0.0)
     d.add_argument("--negate", action="store_true")
     d.add_argument("--hist", nargs=3, metavar=("MIN", "MAX", "BINS"))
+    d.add_argument("--bin", help="also write the histogram as CBOR "
+                                 "(reference write_bin artifact)")
     d.add_argument("--output")
     d.add_argument("--discretize", nargs=3, type=float)
     d.set_defaults(fn=cmd_diff)

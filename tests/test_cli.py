@@ -52,6 +52,17 @@ def test_cli_diff_and_resample(capsys, img_path, tmp_path):
     assert "written" in out
 
 
+def test_cli_diff_hist_cbor_artifact(capsys, img_path, tmp_path):
+    """S10: the --hist artifact is also written as CBOR (reference
+    write_bin); read_bin round-trips to the printed JSON dict."""
+    from rasters_rs_spark.functions.cbor import read_bin
+    bin_path = str(tmp_path / "hist.cbor")
+    hist = _run(capsys, ["--cores", "4", "diff", img_path, img_path,
+                         "--hist", "-1", "1", "8", "--bin", bin_path])
+    assert os.path.exists(bin_path)
+    assert read_bin(bin_path) == hist
+
+
 def test_cli_fill_and_chunk(capsys, img_path, tmp_path, spark):
     pts = synth.points_table(30, seed=5, extent=(-2000, -2000, 2000, 2000))
     ppath = str(tmp_path / "pts.parquet")

@@ -43,3 +43,26 @@ def test_dispatch():
         data = codecs.encode_block(block, fmt)
         out = codecs.decode_block(data, 4, 4, fmt)
         assert np.allclose(out, block, atol=1e-3)
+
+
+def test_cbor_rfc8949_vectors_and_roundtrip():
+    """CBOR sink/source (S10, utils.rs:117-128): encodings match the
+    RFC 8949 appendix-A test vectors; nested structures round-trip."""
+    from rasters_rs_spark.functions import cbor
+    vectors = {
+        0: "00", 23: "17", 24: "1818", 1000: "1903e8",
+        -1: "20", -1000: "3903e7",
+        1.1: "fb3ff199999999999a",
+        "a": "6161", "IETF": "6449455446",
+    }
+    for v, hexs in vectors.items():
+        assert cbor.dumps(v).hex() == hexs, v
+    assert cbor.dumps([1, 2, 3]).hex() == "83010203"
+    assert cbor.dumps({"a": 1, "b": [2, 3]}).hex() == "a26161016162820203"
+    assert cbor.dumps(b"\x01\x02").hex() == "420102"
+    for obj in (0, -99, 2 ** 40, [float("inf"), -0.5],
+                {"z": {"y": {"x": [1.5, None, True, b"ab"]}}}):
+        assert cbor.loads(cbor.dumps(obj)) == obj
+    # serde_cbor may shorten round halves to float16 on the wire
+    assert cbor.loads(bytes.fromhex("f93c00")) == 1.0
+    assert cbor.loads(bytes.fromhex("f90001")) == 2.0 ** -24
