@@ -1,0 +1,90 @@
+"""Physical-plan audits: the properties that make the 100 TB plans
+right are pinned here so a refactor can't silently regress them —
+filter/column pushdown reaching the parquet scan, broadcast joins where
+a side is known-small, no cartesian products hiding in LSH/candidate
+paths, and map-side partial aggregation in the signature pipelines."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_filter_and_column_pushdown_reach_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.where(F.col("l_partkey") < 100).select("l_partkey", "l_quantity")
+    p = plan(q)
+    assert "PushedFilters: [IsNotNull(l_partkey), LessThan(l_partkey,100)]" in p
+    # column pruning: the scan reads 2 columns, not the full schema
+    assert "ReadSchema: struct<l_partkey:bigint,l_quantity:" in p
+
+
+def test_minhash_pipeline_has_no_cartesian_and_partial_aggs(spark, docs):
+    from rasters_rs_spark.operators import dedup as D
+    pairs = D.minhash_dedup(docs.where(F.col("doc_id") < 200),
+                            threshold=0.2, shingle_k=3)
+    p = plan(pairs)
+    assert "CartesianProduct" not in p
+    # the signature agg runs partial (map-side) + final
+    assert "partial_min" in p or "partial_merge" in p or "HashAggregate" in p
+
+
+def test_cell_join_broadcasts_small_aoi_side(spark, sf_dir):
+    import __spark_entry__ as E
+    q = E.queries()["zonal_rect_events"](spark, sf_dir)
+    p = plan(q)
+    # the AOI/cell side is tiny and must broadcast — a shuffle join on
+    # the full event table would be the wrong plan at scale
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_knn_topk_broadcasts_queries(spark, sf_dir):
+    import __spark_entry__ as E
+    q = E.queries()["knn_topk_embeddings"](spark, sf_dir)
+    p = plan(q)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_asof_is_single_shuffle_window(spark, sf_dir):
+    from rasters_rs_spark.operators.asof import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "error") \
+             .select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "purchase") \
+              .select("user_id", "ts", F.col("value").alias("v"))
+    p = plan(asof_join(left, right, key="user_id", ts="ts"))
+    # no join operator at all: the union-window formulation
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_exact_dedup_uses_single_window_pass(spark, docs):
+    from rasters_rs_spark.operators.dedup import exact_dedup
+    p = plan(exact_dedup(docs, ["lang", "source"], "doc_id"))
+    assert "RunningWindowFunction" in p or "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_blocked_hamming_join_is_equi_join(spark):
+    """phash/simhash candidates must come from a hash equi-join on
+    (block idx, block value) — never a cartesian/bnl pairing."""
+    import numpy as np
+    from rasters_rs_spark.operators import dedup as D
+    pdf = pd.DataFrame({"image_id": [f"i{k}" for k in range(50)],
+                        "phash": np.arange(50, dtype=np.int64) * 7919})
+    q = D.phash_neardup(spark.createDataFrame(pdf), max_hamming=6)
+    p = plan(q)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
