@@ -219,30 +219,47 @@ def assignment_triples(cfg: TileConfig, zoom: int, tile_y: int, dims):
 def scale_children(children: list[tuple[int, int, np.ndarray]], ts: int):
     """One parent tile from up to 4 children [(x, y, arr)], reference
     corner layout (dem.rs:176-251): x even -> left, y odd -> top.
-    Returns (parent_array, vmin, vmax)."""
+    Returns (parent_array, vmin, vmax).
+
+    Deep-pyramid children are mostly NaN, so the 2x2 reduction runs
+    only over each child's even-aligned valid bounding box (aligned so
+    the 2x2 blocks don't shift) — bit-identical values, a fraction of
+    the array traffic."""
     parent = np.full((ts, ts), np.nan)
     half = ts // 2
+    vmin, vmax = np.inf, -np.inf
     for (x, y, arr) in children:
         # each child fills exactly one parent quadrant (quadrants are
         # disjoint), so the 2x2 NaN-aware mean reduces per child
         pr = 0 if y % 2 == 1 else half
         pc = 0 if x % 2 == 0 else half
-        quads = (arr[0::2, 0::2], arr[0::2, 1::2],
-                 arr[1::2, 0::2], arr[1::2, 1::2])
+        valid = ~np.isnan(arr)
+        rows = valid.any(axis=1)
+        if not rows.any():
+            continue
+        cols = valid.any(axis=0)
+        r0 = int(np.argmax(rows)) & ~1
+        r1 = min((ts - int(np.argmax(rows[::-1])) + 1) & ~1, ts)
+        c0 = int(np.argmax(cols)) & ~1
+        c1 = min((ts - int(np.argmax(cols[::-1])) + 1) & ~1, ts)
+        sub = arr[r0:r1, c0:c1]
+        quads = (sub[0::2, 0::2], sub[0::2, 1::2],
+                 sub[1::2, 0::2], sub[1::2, 1::2])
         masks = [~np.isnan(v) for v in quads]
         cnt = masks[0].astype(np.int64)
         for m in masks[1:]:
             cnt += m
-        s = np.zeros((half, half), dtype=np.float64)
+        s = np.zeros(quads[0].shape, dtype=np.float64)
         for v, m in zip(quads, masks):
             s += np.where(m, v, 0.0)
         with np.errstate(invalid="ignore"):
-            parent[pr:pr + half, pc:pc + half] = np.where(
-                cnt > 0, s / np.maximum(cnt, 1), np.nan)
-    valid = ~np.isnan(parent)
-    vmin = float(parent[valid].min()) if valid.any() else np.inf
-    vmax = float(parent[valid].max()) if valid.any() else -np.inf
-    return parent, vmin, vmax
+            out = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+        parent[pr + r0 // 2:pr + r1 // 2, pc + c0 // 2:pc + c1 // 2] = out
+        ok = cnt > 0
+        if ok.any():
+            vmin = min(vmin, float(out[ok].min()))
+            vmax = max(vmax, float(out[ok].max()))
+    return parent, float(vmin), float(vmax)
 
 
 def pyramid_local(base_rows, zoom: int, min_zoom: int, ts: int):
