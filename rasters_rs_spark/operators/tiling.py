@@ -114,6 +114,10 @@ def row_base_tiles(block: np.ndarray, cfg: TileConfig, zoom: int,
                 if not use.any():
                     continue
                 # linear index: tile slot = tc // ts, within-tile col tc % ts
+                # (np.add.at, not bincount: window-edge clipping makes
+                # several source pixels share a tile pixel within one
+                # pass, and the sequential add.at order is what the
+                # bit-exact pyramid oracle and triple cross-check mirror)
                 lin = (tc[use] // ts) * ts * ts + tr[use] * ts + (tc[use] % ts)
                 np.add.at(wsum, lin, mu[use] * vals[use])
                 np.add.at(wgt, lin, mu[use])
