@@ -135,6 +135,95 @@ def stream_sessionize(spark: SparkSession, source_dir: str, schema: str,
     )
 
 
+def stream_sessionize_late(spark: SparkSession, source_dir: str, schema: str,
+                           gap_seconds: int = 1800, watermark: str = "1 hour",
+                           ts_col: str = "ts", user_col: str = "user_id",
+                           max_files_per_trigger: int | None = None):
+    """Watermarked streaming sessionization tolerating LATE/OUT-OF-ORDER
+    arrival (the production variant of ``stream_sessionize``).
+
+    Per-user GroupState buffers unfinalized event timestamps (packed
+    float64 binary). Each batch merges + sorts the buffer, then emits —
+    as FINAL, append-style rows — every session whose close precedes
+    the current watermark by more than ``gap_seconds`` (no later event
+    can extend or split it); the rest stay buffered. An event-time
+    timeout re-invokes idle users once the watermark passes their
+    buffer so trailing sessions flush without new data. Late rows
+    within the watermark reorder correctly; rows later than the
+    watermark are dropped by Spark upstream (standard semantics).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (reader.parquet(source_dir)
+              .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+              .withWatermark(ts_col, watermark))
+    # note: event-time timeouts fire on the micro-batch AFTER the
+    # watermark advances; a source that ends abruptly flushes trailing
+    # sessions only when a later batch (e.g. a heartbeat row) arrives —
+    # standard Structured Streaming semantics
+    gap_us = gap_seconds * 1_000_000
+
+    def fmt(us: float) -> str:
+        return pd.Timestamp(int(us), unit="us").strftime("%Y-%m-%d %H:%M:%S")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n_done, buf_bytes = state.get
+            buf = np.frombuffer(buf_bytes, dtype=np.float64)
+        else:
+            n_done, buf = 0, np.empty(0, dtype=np.float64)
+        new = [buf]
+        for pdf in pdfs:
+            if len(pdf):
+                new.append(pdf[ts_col].astype("datetime64[us]")
+                           .astype(np.int64).astype(np.float64))
+        ts = np.sort(np.concatenate(new))
+        wm_us = state.getCurrentWatermarkMs() * 1000.0
+        out = []
+        if ts.size:
+            # split into sessions; a session is FINAL when its last
+            # event + gap precedes the watermark (nothing in-watermark
+            # can extend it) AND a later buffered event proves the gap,
+            # or the watermark itself passed the gap
+            brk = np.nonzero(np.diff(ts) > gap_us)[0]
+            starts = np.concatenate(([0], brk + 1))
+            ends = np.concatenate((brk, [ts.size - 1]))
+            keep_from = ts.size
+            for s, e in zip(starts, ends):
+                if ts[e] + gap_us < wm_us:
+                    n_done += 1
+                    out.append({"user_id": int(key[0]),
+                                "session_idx": n_done,
+                                "n_events": int(e - s + 1),
+                                "t_start": fmt(ts[s]), "t_end": fmt(ts[e])})
+                else:
+                    keep_from = s
+                    break
+            ts = ts[keep_from:]
+        if ts.size:
+            state.update((n_done, ts.tobytes()))
+            # wake this user once the watermark can finalize the buffer
+            state.setTimeoutTimestamp(int((ts[-1] + gap_us) // 1000) + 1)
+        else:
+            state.remove()
+        yield pd.DataFrame(out, columns=["user_id", "session_idx",
+                                         "n_events", "t_start", "t_end"])
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=("user_id long, session_idx long, n_events long, "
+                          "t_start string, t_end string"),
+        stateStructType="n_done long, buf binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800,
                ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
     """Gap-based sessions: a new session starts when the time since the

@@ -117,6 +117,53 @@ def test_stream_sessionize_converges_to_batch(spark, sf_dir, tmp_path):
     assert got == expect
 
 
+def test_stream_sessionize_late_out_of_order(spark, sf_dir, tmp_path):
+    """Watermarked sessionization under out-of-order arrival: events
+    shuffled WITHIN each batch; every emitted session is final and
+    exactly matches the batch answer, and every batch session closing
+    before (final watermark - gap) is emitted."""
+    from rasters_rs_spark.streaming.windows import stream_sessionize_late
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = ", ".join(f"{n} {t}" for n, t in ev.dtypes)
+    gap, wm_s = 900, 3600
+
+    epoch = ("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+             "cast(ts as timestamp_ntz))")
+    cut = ev.selectExpr(f"percentile({epoch}, 0.5) p").collect()[0]["p"]
+    src = str(tmp_path / "late_src")
+    # shuffle rows inside each half (repartition randomizes order)
+    ev.where(F.expr(epoch) <= cut).repartition(7) \
+      .write.mode("overwrite").parquet(src)
+    ev.where(F.expr(epoch) > cut).repartition(7) \
+      .write.mode("append").parquet(src)
+    # heartbeat sentinel far in the future: advances the watermark past
+    # every real session so the event-time timeouts flush all of them
+    # (timeouts fire on the batch AFTER the watermark moves)
+    max_ts = ev.selectExpr(f"max({epoch}) m").collect()[0]["m"]
+    sentinel_ts = F.expr(
+        f"cast(timestamp_seconds({max_ts + 3 * wm_s}) as timestamp_ntz)")
+    ev.limit(1).withColumn("ts", sentinel_ts) \
+      .withColumn("user_id", F.lit(999_999_999)) \
+      .write.mode("append").parquet(src)
+
+    q = (stream_sessionize_late(spark, src, schema, gap_seconds=gap,
+                                watermark=f"{wm_s} seconds",
+                                max_files_per_trigger=7)
+         .writeStream.format("memory").queryName("late_sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["session_idx"]):
+           (r["n_events"], r["t_start"], r["t_end"])
+           for r in spark.sql("select * from late_sess").collect()}
+
+    batch = {(r["user_id"], r["session_idx"]):
+             (r["n_events"], r["t_start"], r["t_end"])
+             for r in sessionize(ev, gap_seconds=gap).collect()}
+    # exact and complete: every real session emitted, values identical
+    # (the sentinel user's own open session never finalizes)
+    assert got == batch
+
+
 def test_sessionize_matches_python_oracle(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gap = 900
