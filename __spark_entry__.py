@@ -426,6 +426,11 @@ def _q_token_count_bpe(spark, sf_dir):
         text.token_count_bpe_expr().cast("bigint").alias("n_bpe_tokens"))
 
 
+def _q_repetition(spark, sf_dir):
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, n=2)
+
+
 def _q_props_json(spark, sf_dir):
     ev = _tbl(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
@@ -723,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _q_ngram_jaccard,
         "token_count_bpe": _q_token_count_bpe,
         "props_json_agg": _q_props_json,
+        "repetition_docs": _q_repetition,
     }
 
 
@@ -1664,6 +1670,20 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
                        AS n_bpe_tokens
             FROM documents
+        """,
+        "repetition_docs": """
+            WITH g AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS gram
+              FROM documents),
+            c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_ngrams,
+                   CAST(max(c) AS BIGINT) AS top_count,
+                   CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
+            FROM c GROUP BY doc_id
         """,
         "props_json_agg": """
             SELECT event_type,

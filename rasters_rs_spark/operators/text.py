@@ -133,6 +133,33 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+def repetition_stats(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signal: the share of a document's word
+    n-grams taken by its single most frequent n-gram (repetitive docs
+    score high and get filtered from training corpora).
+
+    Shape: n-grams (NOT deduped) exploded -> count per (doc, gram) ->
+    max/sum per doc — two partial-aggregated groupBys, no all-gram
+    state per task; scales as a plain shuffle on doc ids. Returns
+    (doc_id, n_ngrams, top_count, rep_ratio). SQL-oracled."""
+    g = docs.select(F.col(id_col).cast("bigint").alias("doc_id"),
+                    F.split(F.col(text_col), " ").alias("_toks")) \
+            .select("doc_id",
+                    F.explode(F.transform(
+                        F.sequence(F.lit(1),
+                                   F.greatest(F.size("_toks") - (n - 1),
+                                              F.lit(1))),
+                        lambda i: F.array_join(F.slice("_toks", i, n), " ")))
+                    .alias("_g"))
+    counts = g.groupBy("doc_id", "_g").agg(F.count("*").alias("_c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("_c").cast("bigint").alias("n_ngrams"),
+        F.max("_c").cast("bigint").alias("top_count"),
+    ).withColumn("rep_ratio",
+                 F.col("top_count").cast("double") / F.col("n_ngrams"))
+
+
 BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 

@@ -121,6 +121,24 @@ def test_lang_id_tiebreak_deterministic(spark):
     assert out["lang_id"] == "es"
 
 
+def test_repetition_stats_flags_repetitive_doc(spark):
+    """Gopher-style repetition filter: a doc dominated by one repeated
+    bigram scores near 1.0; diverse docs score low."""
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["spam ham " * 20 + "end", "the quick brown fox jumps high"],
+    })
+    pdf["text"] = pdf["text"].str.strip()
+    out = {r["doc_id"]: r for r in
+           TX.repetition_stats(spark.createDataFrame(pdf), n=2).collect()}
+    # doc 1: 40 bigrams, "spam ham" appears 20 times
+    assert out[1]["n_ngrams"] == 40
+    assert out[1]["top_count"] == 20
+    assert abs(out[1]["rep_ratio"] - 0.5) < 1e-12
+    assert out[2]["top_count"] == 1
+    assert out[2]["rep_ratio"] < 0.25
+
+
 def test_ngram_jaccard_refuses_large_input(spark):
     """The exact all-pairs surface is gated: inputs larger than
     max_rows raise instead of silently running an O(N^2) crossJoin."""
