@@ -426,6 +426,33 @@ def _q_token_count_bpe(spark, sf_dir):
         text.token_count_bpe_expr().cast("bigint").alias("n_bpe_tokens"))
 
 
+_AUG_CROP = (4, 6, 20, 24)  # (i0, j0, h, w)
+
+
+def _q_augment(spark, sf_dir):
+    """Image augmentation chain (crop -> horizontal flip) over the real
+    decode/encode path on LCG images, emitted per pixel: dyadic values
+    round-trip losslessly so the SQL oracle (an index remap of the LCG
+    closed form) compares bit-exactly."""
+    images = spark.createDataFrame(synth.lcg_image_table(8))
+    out = multimodal.augment_images(
+        multimodal.augment_images(images, "crop", _AUG_CROP), "fliph")
+
+    def gen(batches):
+        for pdfb in batches:
+            frames = []
+            for row in pdfb.itertuples(index=False):
+                blk = synth.codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+                ii, jj = np.indices(blk.shape)
+                frames.append(pd.DataFrame({
+                    "image_id": row.image_id, "i": ii.ravel(),
+                    "j": jj.ravel(), "v": blk.ravel()}))
+            yield (pd.concat(frames) if frames
+                   else pd.DataFrame(columns=["image_id", "i", "j", "v"]))
+
+    return out.mapInPandas(gen, schema="image_id string, i long, j long, v double")
+
+
 def _q_repetition(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return text.repetition_stats(docs, n=2)
@@ -618,6 +645,40 @@ def _q_events_tumbling(spark, sf_dir):
     return tumbling_agg(_tbl(spark, sf_dir, "events"))
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+_FUNNEL_WITHIN = 604_800  # 7 days
+
+
+def _q_funnel(spark, sf_dir):
+    from rasters_rs_spark.streaming.windows import funnel
+    return funnel(_tbl(spark, sf_dir, "events"), _FUNNEL_STEPS,
+                  within_seconds=_FUNNEL_WITHIN)
+
+
+def _funnel_sql() -> str:
+    """Mirror of streaming.windows.funnel: earliest-completion chain
+    via iterated conditional-min CTEs."""
+    parts = [f"""e AS (SELECT user_id AS u, event_type AS t, epoch(ts) AS s
+                 FROM events),
+        s1 AS (SELECT u, min(s) AS t1 FROM e
+               WHERE t = '{_FUNNEL_STEPS[0]}' GROUP BY u)"""]
+    for k, step in enumerate(_FUNNEL_STEPS[1:], start=2):
+        prev = k - 1
+        carry = ", ".join(f"p.t{j}" for j in range(1, k))
+        parts.append(f"""
+        s{k} AS (
+          SELECT e.u, {carry}, min(e.s) AS t{k}
+          FROM e JOIN s{prev} p ON e.u = p.u
+          WHERE e.t = '{step}' AND e.s > p.t{prev}
+            AND e.s <= p.t1 + {_FUNNEL_WITHIN}
+          GROUP BY e.u, {carry})""")
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS step_idx, '{s}' AS step, "
+        f"CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM s{k}"
+        for k, s in enumerate(_FUNNEL_STEPS, start=1))
+    return "WITH " + ",".join(parts) + " " + unions
+
+
 def _q_events_sessions(spark, sf_dir):
     from rasters_rs_spark.streaming.windows import sessionize
     out = sessionize(_tbl(spark, sf_dir, "events"), gap_seconds=900)
@@ -729,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "props_json_agg": _q_props_json,
         "repetition_docs": _q_repetition,
+        "augment_pixels_synth": _q_augment,
+        "funnel_events": _q_funnel,
     }
 
 
@@ -1670,6 +1733,20 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
                        AS n_bpe_tokens
             FROM documents
+        """,
+        "funnel_events": _funnel_sql(),
+        "augment_pixels_synth": f"""
+            WITH px AS (
+              SELECT m.m, i.idx // {_AUG_CROP[3]} AS i,
+                     i.idx % {_AUG_CROP[3]} AS j
+              FROM (SELECT unnest(generate_series(0, 7)) AS m) m,
+                   (SELECT unnest(generate_series(0,
+                        {_AUG_CROP[2] * _AUG_CROP[3] - 1})) AS idx) i)
+            SELECT printf('img_%08d', m) AS image_id, i, j,
+                   {synth.lcg_sql_expr(
+                       f"m*1024 + ({_AUG_CROP[0]} + i)*32 "
+                       f"+ ({_AUG_CROP[1]} + {_AUG_CROP[3] - 1} - j)")} AS v
+            FROM px
         """,
         "repetition_docs": """
             WITH g AS (

@@ -74,6 +74,59 @@ def resize_images(images: DataFrame, out_h: int, out_w: int,
         gen, schema="image_id string, bytes binary, w int, h int, fmt string")
 
 
+AUG_OPS = ("fliph", "flipv", "rot90", "rot180", "rot270", "crop")
+
+
+def augment_block(block, op: str, crop=None):
+    """One deterministic augmentation on a decoded block. ``crop`` is
+    (i0, j0, h, w) for op == 'crop'."""
+    if op == "fliph":
+        return np.ascontiguousarray(block[:, ::-1])
+    if op == "flipv":
+        return np.ascontiguousarray(block[::-1, :])
+    if op == "rot90":
+        return np.ascontiguousarray(np.rot90(block, 1))
+    if op == "rot180":
+        return np.ascontiguousarray(np.rot90(block, 2))
+    if op == "rot270":
+        return np.ascontiguousarray(np.rot90(block, 3))
+    if op == "crop":
+        i0, j0, h, w = crop
+        return np.ascontiguousarray(block[i0:i0 + h, j0:j0 + w])
+    raise ValueError(f"unknown augmentation: {op} (one of {AUG_OPS})")
+
+
+def augment_images(images: DataFrame, op: str, crop=None,
+                   allow_fake: bool = False) -> DataFrame:
+    """Training-data image augmentation over the real decode path:
+    deterministic flips/rotations/crops on decoded pixel blocks,
+    re-encoded with the row's own codec (raw stays lossless; q16
+    re-quantizes). Geo metadata columns pass through unchanged — these
+    are ML augmentations, not geodetic transforms. Arrow-batched; the
+    output keeps the input schema with updated bytes/w/h."""
+    if op not in AUG_OPS:
+        raise ValueError(f"unknown augmentation: {op} (one of {AUG_OPS})")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            blobs, ws, hs = [], [], []
+            for row in pdf.itertuples(index=False):
+                block = decode_any(row.bytes, row.h, row.w, row.fmt, allow_fake)
+                aug = augment_block(block, op, crop)
+                fmt = row.fmt if row.fmt in _REAL_FORMATS else "raw"
+                blobs.append(codecs.encode_block(aug, fmt))
+                hs.append(aug.shape[0])
+                ws.append(aug.shape[1])
+            out["bytes"] = blobs
+            out["w"] = np.array(ws, dtype=np.int32)
+            out["h"] = np.array(hs, dtype=np.int32)
+            yield out
+
+    schema = ", ".join(f"{n} {t}" for n, t in images.dtypes)
+    return images.mapInPandas(gen, schema=schema)
+
+
 def image_features(images: DataFrame, allow_fake: bool = False) -> DataFrame:
     """Cheap feature extraction per image: mean/std/valid-fraction plus
     an 8x8 intensity thumbnail (the embedding-ish vector)."""

@@ -224,6 +224,54 @@ def stream_sessionize_late(spark: SparkSession, source_dir: str, schema: str,
     )
 
 
+def funnel(events: DataFrame, steps: list[str], within_seconds: int | None = None,
+           ts_col: str = "ts", user_col: str = "user_id",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis: for each funnel prefix, how many users
+    completed it — step k counts users with a strictly increasing
+    event-time chain step1 < step2 < ... < stepk (earliest-completion
+    semantics: each step matched at its earliest time after the
+    previous step), optionally requiring the whole chain to fit within
+    ``within_seconds`` of the step-1 time.
+
+    Shape: one shuffle per step boundary is avoided — the per-user
+    earliest-chain recursion is a sequence of conditional min
+    aggregates over ONE grouped pass (step k's time = min ts of step-k
+    events after t_{k-1}, computed via min(case ...) over the
+    collected per-user events in SQL aggregate form). Implemented as
+    iterated self-aggregation: k tiny groupBys on user_id, each a
+    partial-aggregated shuffle of per-user scalars. Returns
+    (step_idx, step, n_users). SQL-oracled (DuckDB mirror)."""
+    ts_s = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"cast({ts_col} as timestamp_ntz)) / 1e6")
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.col(type_col).alias("t"), ts_s.alias("s"))
+    cur = ev.where(F.col("t") == steps[0]).groupBy("u").agg(
+        F.min("s").alias("t1"))
+    if within_seconds is not None:
+        cur = cur.withColumn("tmax", F.col("t1") + within_seconds)
+    counts = [(1, steps[0], cur)]
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col("t") == step).join(cur, on="u")
+        cond = F.col("s") > F.col(f"t{k - 1}")
+        if within_seconds is not None:
+            cond &= F.col("s") <= F.col("tmax")
+        keep = ["u"] + [f"t{j}" for j in range(1, k)] \
+            + (["tmax"] if within_seconds is not None else [])
+        nxt = nxt.where(cond).groupBy(*keep).agg(F.min("s").alias(f"t{k}"))
+        counts.append((k, step, nxt))
+        cur = nxt
+    out = None
+    for (k, step, df) in counts:
+        row = df.agg(F.countDistinct("u").alias("n_users")) \
+                .select(F.lit(k).alias("step_idx"),
+                        F.lit(step).alias("step"), "n_users")
+        out = row if out is None else out.unionByName(row)
+    return out.select("step_idx", "step",
+                      F.col("n_users").cast("bigint").alias("n_users"))
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800,
                ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
     """Gap-based sessions: a new session starts when the time since the

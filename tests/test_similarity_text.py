@@ -161,6 +161,42 @@ def test_fingerprint_deterministic_and_robust(spark):
     assert row["fingerprint"] == f1
 
 
+def test_augment_images_ops(spark):
+    """Deterministic augmentations over the real decode/encode path:
+    each op equals its numpy counterpart; q16 inputs re-quantize; crop
+    updates dimensions; unknown op refused."""
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.operators import multimodal as MM
+    rng = np.random.default_rng(12)
+    block = rng.normal(size=(16, 12))
+    pdf = pd.DataFrame([
+        {"image_id": "a0", "bytes": codecs.encode_raw(block),
+         "w": 12, "h": 16, "fmt": "raw"},
+    ])
+    df = spark.createDataFrame(pdf)
+    for op, expect in (
+        ("fliph", block[:, ::-1]), ("flipv", block[::-1, :]),
+        ("rot90", np.rot90(block)), ("rot180", np.rot90(block, 2)),
+        ("rot270", np.rot90(block, 3)),
+    ):
+        r = MM.augment_images(df, op).collect()[0]
+        got = codecs.decode_raw(r["bytes"], r["h"], r["w"])
+        assert np.array_equal(got, expect), op
+    r = MM.augment_images(df, "crop", (2, 3, 5, 7)).collect()[0]
+    assert (r["h"], r["w"]) == (5, 7)
+    assert np.array_equal(codecs.decode_raw(r["bytes"], 5, 7),
+                          block[2:7, 3:10])
+    with pytest.raises(ValueError, match="unknown augmentation"):
+        MM.augment_images(df, "zoom")
+    # q16 path: re-quantized output stays within one quantization step
+    q = spark.createDataFrame(pd.DataFrame([
+        {"image_id": "q0", "bytes": codecs.encode_q16(block),
+         "w": 12, "h": 16, "fmt": "q16"}]))
+    r = MM.augment_images(q, "fliph").collect()[0]
+    got = codecs.decode_q16(r["bytes"], 16, 12)
+    assert codecs.psnr(block[:, ::-1], got) >= 40.0
+
+
 def test_multimodal_plumbing(spark):
     from rasters_rs_spark.functions import codecs
     from rasters_rs_spark.operators import multimodal as MM

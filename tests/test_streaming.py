@@ -164,6 +164,28 @@ def test_stream_sessionize_late_out_of_order(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_funnel_ordered_chain_semantics(spark):
+    """Earliest-completion funnel: out-of-order steps don't count, the
+    chain must be strictly increasing in time, and the within-window
+    binds from the step-1 time."""
+    from rasters_rs_spark.streaming.windows import funnel
+    rows = []
+
+    def ev(u, t, s):
+        rows.append({"user_id": u, "event_type": t,
+                     "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)})
+
+    ev(1, "a", 0); ev(1, "b", 10); ev(1, "c", 20)      # full chain
+    ev(2, "b", 0); ev(2, "a", 10); ev(2, "c", 20)      # b BEFORE a: only a->c? b never after a -> stops at a
+    ev(3, "a", 0); ev(3, "b", 5)                       # no c
+    ev(4, "a", 0); ev(4, "b", 2000); ev(4, "c", 2100)  # b outside within=1000
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    got = {r["step"]: r["n_users"]
+           for r in funnel(df, ["a", "b", "c"], within_seconds=1000).collect()}
+    assert got == {"a": 4, "b": 2, "c": 1}
+
+
 def test_sessionize_matches_python_oracle(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gap = 900
