@@ -458,6 +458,12 @@ def _q_repetition(spark, sf_dir):
     return text.repetition_stats(docs, n=2)
 
 
+def _q_filter_corpus(spark, sf_dir):
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.filter_corpus(docs, min_tokens=30, max_rep=0.12,
+                              langs=("en", "es"))
+
+
 def _q_props_json(spark, sf_dir):
     ev = _tbl(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
@@ -792,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": _q_repetition,
         "augment_pixels_synth": _q_augment,
         "funnel_events": _q_funnel,
+        "filter_corpus_docs": _q_filter_corpus,
     }
 
 
@@ -1735,6 +1742,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "funnel_events": _funnel_sql(),
+        "filter_corpus_docs": f"""
+            WITH rep AS (
+              SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
+              FROM (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, gram, count(*) AS c
+                FROM (
+                  SELECT doc_id, unnest(list_transform(
+                    generate_series(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                    i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS gram
+                  FROM documents)
+                GROUP BY doc_id, gram)
+              GROUP BY doc_id),
+            lang AS ({_lang_case()}),
+            q AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents)
+            SELECT q.doc_id, q.n_tokens, lang.lang_id, rep.rep_ratio
+            FROM q
+            JOIN lang ON q.doc_id = lang.doc_id
+            JOIN rep ON q.doc_id = rep.doc_id
+            WHERE q.n_tokens >= 30 AND rep.rep_ratio <= 0.12
+              AND lang.lang_id IN ('en', 'es')
+        """,
         "augment_pixels_synth": f"""
             WITH px AS (
               SELECT m.m, i.idx // {_AUG_CROP[3]} AS i,

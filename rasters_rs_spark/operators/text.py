@@ -160,6 +160,31 @@ def repetition_stats(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
                  F.col("top_count").cast("double") / F.col("n_ngrams"))
 
 
+def filter_corpus(docs: DataFrame, min_tokens: int = 30,
+                  max_rep: float = 0.12, langs: tuple = ("en",),
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Training-corpus quality cascade (the composite a real pipeline
+    runs before dedup): token-count floor, repetition ceiling
+    (Gopher-style top-bigram share), and language allowlist. Returns
+    the kept documents' ids with their filter signals.
+
+    Shape: the quality/lang signals are pure row-local Catalyst exprs;
+    the repetition signal joins in from its two-stage aggregation —
+    one broadcast-able join on doc id; everything partial-aggregates.
+    """
+    q = with_lang_id(with_quality(docs, text_col), text_col).select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"), "lang_id")
+    rep = repetition_stats(docs, n=2, id_col=id_col, text_col=text_col) \
+        .select("doc_id", "rep_ratio")
+    out = q.join(rep, "doc_id") \
+        .where((F.col("n_tokens") >= min_tokens)
+               & (F.col("rep_ratio") <= max_rep)
+               & F.col("lang_id").isin(*langs))
+    return out.select("doc_id", "n_tokens", "lang_id", "rep_ratio")
+
+
 BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
