@@ -89,6 +89,8 @@ def main():
         "q1_pricing", "events_topk", "nation_revenue", "text_quality",
         "minhash_pairs_docs", "simhash_docs", "ann_lsh_embeddings",
         "tile_pyramid_synth", "zonal_stats_synth", "knn_ring_synth",
+        "fill_idw_synth", "repetition_docs", "funnel_events",
+        "filter_corpus_docs",
     ]
     timings = {}
     for name in bench_queries:

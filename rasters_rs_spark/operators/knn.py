@@ -37,7 +37,8 @@ def _with_cell(df: DataFrame, x_col: str, y_col: str, cs: float, prefix: str):
 
 
 def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
-             query_id: str = "qid", max_rounds: int = 8) -> DataFrame:
+             query_id: str = "qid", max_rounds: int = 8,
+             fast_path_points: int = 10_000) -> DataFrame:
     """Exact kNN join: for each query row, the k nearest points.
 
     Ring-expansion: round i joins unsatisfied queries against the cell
@@ -47,6 +48,12 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
     distance is at most its distance to the probed window's edge (a
     per-query bound: any unprobed point lies beyond that edge) — tight
     enough that typical densities finish in ONE round.
+
+    Adaptive plan: when the point side is tiny (<= fast_path_points,
+    known from the same stats pass that seeds the ring radius) the
+    multi-job ring loop is pure overhead — a single broadcast
+    crossJoin + top-k window is both exact and one job. Corpora above
+    the threshold take the ring path (the 100 TB plan).
 
     Returns query columns + (pt_id, x, y, z) of neighbors + dist + rank.
     """
@@ -62,8 +69,16 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
     # covers k: mean density * (2r+1)^2 >= 4k  ->  saves whole rounds
     # (each round is several Spark jobs) when points are sparse
     stats_row = p.groupBy("pcx", "pcy").count().agg(
-        F.avg("count").alias("avg")).collect()[0]
+        F.avg("count").alias("avg"), F.sum("count").alias("n")).collect()[0]
     density = float(stats_row["avg"] or 1.0)
+    n_points = int(stats_row["n"] or 0)
+    if n_points <= fast_path_points:
+        out = _brute_force_rank(remaining, F.broadcast(p), k, query_id) \
+            .drop("qcx", "qcy").persist()
+        out.count()
+        for df in to_unpersist:
+            df.unpersist()
+        return out
     radius = 1
     while density * (2 * radius + 1) ** 2 < 4 * k and radius < 64:
         radius *= 2

@@ -24,8 +24,11 @@ def test_knn_join_exact_vs_bruteforce(spark):
     expect = _bruteforce_knn(qs, ps, 5)
 
     got = {}
+    # fast_path_points=0 forces the ring-expansion path (the default
+    # adaptive plan would broadcast-brute-force a 300-point corpus)
     res = K.knn_join(spark.createDataFrame(qs), spark.createDataFrame(ps),
-                     k=5, cell_size=300.0, query_id="qid").collect()
+                     k=5, cell_size=300.0, query_id="qid",
+                     fast_path_points=0).collect()
     for r in sorted(res, key=lambda r: (r["qid"], r["rank"])):
         got.setdefault(r["qid"], []).append((r["pt_id"], r["dist"]))
 
@@ -62,11 +65,31 @@ def test_knn_join_partial_fallback_union(spark):
     })
     expect = _bruteforce_knn(qs, ps, 3)
     res = K.knn_join(spark.createDataFrame(qs), spark.createDataFrame(ps),
-                     k=3, cell_size=50.0, query_id="qid", max_rounds=1).collect()
+                     k=3, cell_size=50.0, query_id="qid", max_rounds=1,
+                     fast_path_points=0).collect()
     got = {}
     for r in sorted(res, key=lambda r: (r["qid"], r["rank"])):
         got.setdefault(r["qid"], []).append(r["pt_id"])
     assert {q: [p for p, _ in v] for q, v in expect.items()} == got
+
+
+def test_knn_join_fast_path_matches_ring(spark):
+    """The adaptive small-corpus fast path (broadcast brute force)
+    returns exactly the ring path's answer."""
+    ps = synth.points_table(150, seed=24)
+    qs = synth.points_table(20, seed=25).rename(columns={"pt_id": "qid"}) \
+                                        .drop(columns=["z"])
+    ring = K.knn_join(spark.createDataFrame(qs), spark.createDataFrame(ps),
+                      k=4, cell_size=300.0, query_id="qid",
+                      fast_path_points=0)
+    fast = K.knn_join(spark.createDataFrame(qs), spark.createDataFrame(ps),
+                      k=4, cell_size=300.0, query_id="qid")
+    key = lambda r: (r["qid"], r["rank"])
+    a = sorted(((r["qid"], r["rank"], r["pt_id"], r["dist"])
+                for r in ring.collect()))
+    b = sorted(((r["qid"], r["rank"], r["pt_id"], r["dist"])
+                for r in fast.collect()))
+    assert a == b
 
 
 def test_knn_broadcast_matches(spark):
