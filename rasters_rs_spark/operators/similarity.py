@@ -53,22 +53,37 @@ def lcg_planes(n_planes: int, dim: int) -> list[list[float]]:
     return [vals[j * dim:(j + 1) * dim].tolist() for j in range(n_planes)]
 
 
-def _dot_fold_expr(vec_col: str, plane: list[float]):
-    """Sequential left-fold dot product against a literal plane — the
-    exact op order the SQL oracle's list_reduce uses (bit-identical
-    signs, so bucket membership matches across engines)."""
-    arr = F.array(*[F.lit(float(v)) for v in plane])
-    return F.aggregate(F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
-                       F.lit(0.0), lambda acc, x: acc + x)
+def _fold_dot_rows(mat, plane) -> "np.ndarray":
+    """Strict left-fold dot product, vectorized across rows: the exact
+    per-element op order the SQL oracle's list_reduce uses (so signs
+    and distances are bit-identical across engines). numpy's pairwise
+    `mat @ plane` would NOT match."""
+    import numpy as np
+    acc = np.zeros(mat.shape[0])
+    for d in range(mat.shape[1]):
+        acc = acc + mat[:, d] * plane[d]
+    return acc
 
 
-def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
-    """Bucket id = hyperplane sign bits (bit j set when dot_j > 0)."""
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        bucket = bucket + F.when(_dot_fold_expr(vec_col, plane) > 0,
-                                 F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+def _lsh_bucket_udf(vec_col: str, planes: list[list[float]]):
+    """Bucket id = hyperplane sign bits (bit j set when dot_j > 0),
+    computed in an Arrow-batched pandas UDF with fold-order dots."""
+    import numpy as np
+    pl = [np.asarray(p, dtype=np.float64) for p in planes]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for j, p in enumerate(pl):
+                bucket |= (_fold_dot_rows(mat, p) > 0).astype(np.int64) << j
+            res = pdf.copy()
+            res["bucket"] = bucket
+            yield res
+    return gen
 
 
 def lsh_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
@@ -80,8 +95,10 @@ def lsh_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     exact rerank), but every intermediate is reproducible in ANSI SQL —
     this is the contract-oracled variant."""
     planes = lcg_planes(n_planes, dim)
-    ck = corpus.withColumn("bucket", lsh_bucket_expr(c_vec, planes))
-    qk = queries.withColumn("bucket", lsh_bucket_expr(q_vec, planes))
+    c_schema = ", ".join(f"{n} {t}" for n, t in corpus.dtypes) + ", bucket long"
+    q_schema = ", ".join(f"{n} {t}" for n, t in queries.dtypes) + ", bucket long"
+    ck = corpus.mapInPandas(_lsh_bucket_udf(c_vec, planes), schema=c_schema)
+    qk = queries.mapInPandas(_lsh_bucket_udf(q_vec, planes), schema=q_schema)
     flips = [0] + [1 << b for b in range(min(probes, n_planes))]
     probe_df = qk.sparkSession.createDataFrame([(f,) for f in flips], "flip long")
     qprobe = qk.crossJoin(F.broadcast(probe_df)).withColumn(
@@ -104,11 +121,34 @@ def lcg_centroids(n_lists: int, dim: int) -> list[list[float]]:
     return [vals[c * dim:(c + 1) * dim].tolist() for c in range(n_lists)]
 
 
-def _sqdist_fold_expr(vec_col: str, cent: list[float]):
-    arr = F.array(*[F.lit(float(v)) for v in cent])
-    return F.aggregate(
-        F.zip_with(F.col(vec_col), arr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+def _fold_sqdist_rows(mat, cent) -> "np.ndarray":
+    """Strict left-fold squared distance (see _fold_dot_rows)."""
+    import numpy as np
+    acc = np.zeros(mat.shape[0])
+    for d in range(mat.shape[1]):
+        diff = mat[:, d] - cent[d]
+        acc = acc + diff * diff
+    return acc
+
+
+def _ivf_assign_det_udf(vec_col: str, cents: list[list[float]], nprobe: int):
+    import numpy as np
+    cl = [np.asarray(c, dtype=np.float64) for c in cents]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            d = np.stack([_fold_sqdist_rows(mat, c) for c in cl], axis=1)
+            # stable sort: equal distances keep the lower list id, the
+            # same tie-break as the oracle's ORDER BY (dist, list)
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            res = pdf.copy()
+            res["lists"] = [row.tolist() for row in order.astype(np.int32)]
+            yield res
+    return gen
 
 
 def ivf_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
@@ -118,31 +158,18 @@ def ivf_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     """ivf_topk with deterministic LCG centroids (no k-means training):
     corpus rows go to their argmin list (ties to the lowest list id),
     queries probe their nprobe nearest lists, exact rerank inside. The
-    SQL-oracled variant — same join shape as the trained ivf_topk."""
+    SQL-oracled variant — same join shape as the trained ivf_topk; the
+    fold-order distances keep list membership bit-identical to the
+    DuckDB mirror."""
     cents = lcg_centroids(n_lists, dim)
-
-    def assign_argmin(df, vec):
-        dists = [_sqdist_fold_expr(vec, c).alias(f"_d{i}")
-                 for i, c in enumerate(cents)]
-        df = df.select("*", *dists)
-        m = F.least(*[F.col(f"_d{i}") for i in range(n_lists)])
-        pick = F.lit(n_lists - 1)
-        for i in reversed(range(n_lists)):
-            pick = F.when(F.col(f"_d{i}") == m, F.lit(i)).otherwise(pick)
-        return df.withColumn("list_id", pick.cast("int")) \
-                 .drop(*[f"_d{i}" for i in range(n_lists)])
-
-    ck = assign_argmin(corpus, c_vec)
-    # queries: rank all lists by distance, probe the nprobe nearest
-    dists = [_sqdist_fold_expr(q_vec, c).alias(f"_d{i}")
-             for i, c in enumerate(cents)]
-    qd = queries.select("*", *dists)
-    pairs = F.array(*[F.struct(F.col(f"_d{i}").alias("d"),
-                               F.lit(i).cast("int").alias("c"))
-                      for i in range(n_lists)])
-    qk = qd.withColumn("_pair", F.explode(F.slice(F.array_sort(pairs), 1, nprobe))) \
-           .withColumn("list_id", F.col("_pair.c")) \
-           .drop("_pair", *[f"_d{i}" for i in range(n_lists)])
+    c_schema = ", ".join(f"{n} {t}" for n, t in corpus.dtypes) + ", lists array<int>"
+    q_schema = ", ".join(f"{n} {t}" for n, t in queries.dtypes) + ", lists array<int>"
+    ck = corpus.mapInPandas(_ivf_assign_det_udf(c_vec, cents, 1),
+                            schema=c_schema) \
+               .withColumn("list_id", F.col("lists")[0]).drop("lists")
+    qk = queries.mapInPandas(_ivf_assign_det_udf(q_vec, cents, nprobe),
+                             schema=q_schema) \
+                .withColumn("list_id", F.explode("lists")).drop("lists")
     cand = ck.join(F.broadcast(qk), on="list_id").dropDuplicates([q_id, c_id])
     scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
