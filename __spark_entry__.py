@@ -464,6 +464,18 @@ def _q_filter_corpus(spark, sf_dir):
                               langs=("en", "es"))
 
 
+def _q_corpus_rollup(spark, sf_dir):
+    """Corpus statistics at three granularities in one pass (ROLLUP
+    grouping sets): per (lang, source), per lang, and grand total —
+    the standard reporting rollup over a training corpus."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return docs.rollup("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"))
+
+
 def _q_props_json(spark, sf_dir):
     ev = _tbl(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
@@ -799,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment_pixels_synth": _q_augment,
         "funnel_events": _q_funnel,
         "filter_corpus_docs": _q_filter_corpus,
+        "corpus_rollup": _q_corpus_rollup,
     }
 
 
@@ -1742,6 +1755,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "funnel_events": _funnel_sql(),
+        "corpus_rollup": """
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc
+            FROM documents GROUP BY ROLLUP (lang, source)
+        """,
         "filter_corpus_docs": f"""
             WITH rep AS (
               SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
