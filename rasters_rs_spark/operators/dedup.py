@@ -124,11 +124,16 @@ def minhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """)
 
 
-def lsh_candidate_pairs(band_rows: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(band_rows: DataFrame,
+                        broadcast_right: bool = False) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH bucket.
-    Bucket self-join expressed as an equi-join on (band, band_key)."""
+    Bucket self-join expressed as an equi-join on (band, band_key);
+    pass ``broadcast_right`` when the band table is known-small (the
+    caller usually just counted it) to skip both shuffle exchanges."""
     left = band_rows.select(F.col("id").alias("id_a"), "band", "band_key")
     right = band_rows.select(F.col("id").alias("id_b"), "band", "band_key")
+    if broadcast_right:
+        right = F.broadcast(right)
     return (
         left.join(right, on=["band", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -144,8 +149,11 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     Returns (id_a, id_b, jaccard). Zero Python in the pipeline."""
     band_rows = minhash_bands(docs, text_col, id_col, num_hashes, bands,
                               shingle_k).persist()
-    band_rows.count()  # eager: the self-join's two sides read the cache
-    cand = lsh_candidate_pairs(band_rows)
+    # eager count: the self-join's two sides read the cache, and the
+    # size decides broadcast vs shuffle for the bucket join
+    n_band_rows = band_rows.count()
+    cand = lsh_candidate_pairs(band_rows,
+                               broadcast_right=n_band_rows <= 1_000_000)
     texts = docs.select(F.col(id_col).cast("string").alias("id"),
                         F.split(F.col(text_col), " ").alias("_toks")) \
                 .select("id", shingle_expr("_toks", shingle_k,
