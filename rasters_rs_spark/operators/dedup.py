@@ -22,8 +22,6 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import shingle_expr
 
-HEX = "0123456789abcdef"
-
 
 # ---------------------------------------------------------------------------
 # exact dedup
