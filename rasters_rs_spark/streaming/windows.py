@@ -224,6 +224,24 @@ def stream_sessionize_late(spark: SparkSession, source_dir: str, schema: str,
     )
 
 
+def stream_tile_ingest(spark: SparkSession, source_dir: str, schema: str,
+                       tile_size: int = 256, min_zoom: int | None = None,
+                       max_zoom: int | None = None, compress: bool = False):
+    """Continuous tile ingestion: image rows arriving as a stream run
+    the SAME fused base+pyramid+encode generator the batch pipeline
+    uses (tiling.tile_index_manifest local mode is stateless
+    mapInPandas, so it lifts to Structured Streaming unchanged — each
+    image's full pyramid is one row-local computation). Attach a
+    parquet/memory sink in append mode; per-image tile rows are final
+    on arrival, so no watermark or state is involved and streamed
+    output is row-identical to the batch pipeline (tested)."""
+    from ..operators.tiling import tile_index_manifest
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return tile_index_manifest(stream, tile_size=tile_size,
+                               min_zoom=min_zoom, max_zoom=max_zoom,
+                               mode="local", compress=compress)
+
+
 def funnel(events: DataFrame, steps: list[str], within_seconds: int | None = None,
            ts_col: str = "ts", user_col: str = "user_id",
            type_col: str = "event_type") -> DataFrame:

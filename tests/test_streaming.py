@@ -164,6 +164,37 @@ def test_stream_sessionize_late_out_of_order(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_stream_tile_ingest_equals_batch(spark, tmp_path):
+    """The flagship raster pipeline as a stream: images arriving over
+    two micro-batches produce exactly the batch pipeline's tile rows
+    (stateless per-image computation -> append rows are final)."""
+    from rasters_rs_spark.operators.tiling import tile_index_manifest
+    from rasters_rs_spark.sources import synth
+    from rasters_rs_spark.streaming.windows import stream_tile_ingest
+
+    pdf = synth.lcg_image_table(6, 64, 64, pixel_size=8.0)
+    images = spark.createDataFrame(pdf)
+    schema = ", ".join(f"{n} {t}" for n, t in images.dtypes)
+    src = str(tmp_path / "img_stream")
+    images.where("image_id < 'img_00000003'").write.mode("overwrite").parquet(src)
+    images.where("image_id >= 'img_00000003'").write.mode("append").parquet(src)
+
+    mz = None  # full pyramid per image
+    q = (stream_tile_ingest(spark, src, schema, tile_size=32, min_zoom=14)
+         .writeStream.format("memory").queryName("tile_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["image_id"], r["z"], r["x"], r["y"]):
+           (r["min"], r["max"], r["err"], bytes(r["bytes"]))
+           for r in spark.sql("select * from tile_stream").collect()}
+
+    expect = {(r["image_id"], r["z"], r["x"], r["y"]):
+              (r["min"], r["max"], r["err"], bytes(r["bytes"]))
+              for r in tile_index_manifest(images, tile_size=32,
+                                           min_zoom=14).collect()}
+    assert got == expect and len(got) > 0
+
+
 def test_funnel_ordered_chain_semantics(spark):
     """Earliest-completion funnel: out-of-order steps don't count, the
     chain must be strictly increasing in time, and the within-window
