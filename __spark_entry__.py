@@ -355,6 +355,15 @@ def _q_minhash_pairs(spark, sf_dir):
                 .select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def _q_dup_components(spark, sf_dir):
+    """Transitive near-dup clusters: minhash LSH pairs -> iterative
+    min-label connected components. Oracled end-to-end: DuckDB rebuilds
+    the same pairs and closes them with a recursive CTE."""
+    docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    pairs = dedup.minhash_dedup(docs, threshold=0.2, shingle_k=3)
+    return dedup.connected_components(pairs).select("node", "component")
+
+
 def _q_simhash(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return dedup.simhash(docs)
@@ -812,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": _q_funnel,
         "filter_corpus_docs": _q_filter_corpus,
         "corpus_rollup": _q_corpus_rollup,
+        "dup_components_docs": _q_dup_components,
     }
 
 
@@ -1446,6 +1456,23 @@ def _minhash_sql() -> str:
     """
 
 
+def _dup_components_sql() -> str:
+    """The minhash pairs closed transitively with a recursive CTE:
+    component(node) = min id reachable in the pair graph."""
+    return f"""
+        WITH RECURSIVE mh AS ({_minhash_sql()}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM mh
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM mh),
+        reach(node, lab) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node)
+        SELECT node, min(lab) AS component FROM reach GROUP BY node
+    """
+
+
 def _simhash_sql() -> str:
     """Mirror of dedup.simhash: token hash = first 16 hex chars of
     md5(token) as four 16-bit groups; bit j set when the +/-1 votes on
@@ -1669,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_plan_parts": _chunk_plan_sql(),
         "tile_assignment_synth": _tile_assignment_sql(),
         "minhash_pairs_docs": _minhash_sql(),
+        "dup_components_docs": _dup_components_sql(),
         "simhash_docs": _simhash_sql(),
         "fingerprint_docs": _fingerprint_sql(),
         "phash_neardup_synth": _phash_neardup_sql(),

@@ -169,6 +169,48 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
                    .select("id_a", "id_b", "jaccard")
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iters: int = 25) -> DataFrame:
+    """Transitive duplicate clusters from near-dup pairs: iterative
+    min-label propagation (each node adopts the smallest label among
+    itself and its neighbors until fixpoint — converges in O(component
+    diameter) rounds, each one shuffle). The canonical keeper of a
+    cluster is its component id (the smallest member). Returns
+    (node, component).
+
+    This is the engine's iterative-algorithm surface: driver-side loop
+    with a convergence check, per-round persist/unpersist — the same
+    shape PageRank/label-propagation jobs use at scale."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    e = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
+        .distinct().persist()
+    labels = e.select(F.col("src").alias("node")).distinct() \
+              .withColumn("label", F.col("node")).persist()
+    to_unpersist = [e, labels]
+    for _ in range(max_iters):
+        prop = (e.join(labels.select(F.col("node").alias("dst"),
+                                     F.col("label").alias("nlabel")), "dst")
+                 .groupBy("src").agg(F.min("nlabel").alias("prop")))
+        new_labels = (labels.join(prop, labels.node == prop.src, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("prop"),
+                                                 F.col("label"))).alias("label"))
+                      .persist())
+        to_unpersist.append(new_labels)
+        converged = new_labels.alias("n").join(
+            labels.alias("o"), "node").where("n.label != o.label").isEmpty()
+        labels = new_labels
+        if converged:
+            break
+    out = labels.select("node", F.col("label").alias("component")).persist()
+    out.count()
+    for df in to_unpersist:
+        df.unpersist()
+    return out
+
+
 def keep_canonical(docs: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Drop every row that near-duplicates a smaller id (greedy keeper
     rule; standard for LSH dedup pipelines)."""

@@ -70,6 +70,40 @@ def test_simhash_dedup(spark, docs_pdf):
     assert all(h <= 3 for h in got.values())
 
 
+def test_connected_components_transitive(spark):
+    """Min-label propagation closes chains transitively (a-b, b-c, c-d
+    one component even though a and d never pair directly) and keeps
+    disjoint clusters apart; matches a python union-find oracle."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"),      # chain of 4
+             ("x", "y"),                               # pair
+             ("m", "n"), ("n", "o"), ("m", "o")]       # triangle
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    got = {r["node"]: r["component"]
+           for r in D.connected_components(df).collect()}
+
+    # union-find oracle
+    parent = {}
+    def find(v):
+        parent.setdefault(v, v)
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    nodes = {v for p in pairs for v in p}
+    expect = {}
+    roots = {}
+    for v in sorted(nodes):
+        r = find(v)
+        roots.setdefault(r, v)   # smallest member = component id
+    for v in nodes:
+        expect[v] = roots[find(v)]
+    assert got == expect
+    assert got["a"] == got["d"] == "a"
+    assert got["x"] == "x" and got["m"] == "m"
+
+
 def test_embedding_neardup(spark):
     rng = np.random.default_rng(5)
     vecs = rng.normal(size=(30, 16))
