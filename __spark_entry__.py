@@ -473,6 +473,27 @@ def _q_filter_corpus(spark, sf_dir):
                               langs=("en", "es"))
 
 
+def _q_split_assign(spark, sf_dir):
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.deterministic_split(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "split")
+
+
+def _split_assign_sql() -> str:
+    # same accumulated-float thresholds as the Spark when-chain
+    t1, t2 = 0.9, 0.9 + 0.05
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN u < {_dbl17(t1)} THEN 'train'
+                    WHEN u < {_dbl17(t2)} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':v1'), 1, 15))::BIGINT
+                     / {_dbl17(float(1 << 60))} AS u
+              FROM documents)
+    """
+
+
 def _q_corpus_rollup(spark, sf_dir):
     """Corpus statistics at three granularities in one pass (ROLLUP
     grouping sets): per (lang, source), per lang, and grand total —
@@ -822,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_corpus_docs": _q_filter_corpus,
         "corpus_rollup": _q_corpus_rollup,
         "dup_components_docs": _q_dup_components,
+        "split_assign_docs": _q_split_assign,
     }
 
 
@@ -1783,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "funnel_events": _funnel_sql(),
+        "split_assign_docs": _split_assign_sql(),
         "corpus_rollup": """
             SELECT lang, source,
                    CAST(count(*) AS BIGINT) AS n_docs,

@@ -185,6 +185,31 @@ def filter_corpus(docs: DataFrame, min_tokens: int = 30,
     return out.select("doc_id", "n_tokens", "lang_id", "rep_ratio")
 
 
+def deterministic_split(df: DataFrame, id_col: str = "doc_id",
+                        weights: tuple = (0.9, 0.05, 0.05),
+                        names: tuple = ("train", "val", "test"),
+                        salt: str = "v1") -> DataFrame:
+    """Reproducible train/val/test assignment: split = f(id, salt)
+    only, so re-runs, different partitionings, and incremental
+    additions never reshuffle rows between splits (the property random
+    splits lack). u = first 60 bits of md5(id || ':' || salt) / 2^60;
+    cumulative weight thresholds pick the split. Row-local Catalyst
+    exprs; SQL-oracled."""
+    assert len(weights) == len(names) and abs(sum(weights) - 1.0) < 1e-9
+    u = (F.expr(f"cast(conv(substring(md5(concat(cast({id_col} as string), "
+                f"':{salt}')), 1, 15), 16, 10) as bigint)")
+         / F.lit(float(1 << 60)))
+    expr = F.lit(names[-1])
+    acc = 0.0
+    branches = []
+    for w, nm in zip(weights[:-1], names[:-1]):
+        acc += w
+        branches.append((acc, nm))
+    for acc, nm in reversed(branches):
+        expr = F.when(u < F.lit(acc), F.lit(nm)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 

@@ -223,3 +223,26 @@ def test_multimodal_plumbing(spark):
     feats = {r["image_id"]: r for r in MM.image_features(df, allow_fake=True).collect()}
     assert abs(feats["i0"]["px_mean"] - block.mean()) < 1e-12
     assert len(feats["i0"]["thumb"]) == 64
+
+
+def test_deterministic_split_stable_and_weighted(spark):
+    """Split assignment is a pure function of (id, salt): stable across
+    recomputation and input growth, roughly honoring the weights."""
+    pdf = pd.DataFrame({"doc_id": range(2000), "text": "x"})
+    df = spark.createDataFrame(pdf)
+    a = {r["doc_id"]: r["split"]
+         for r in TX.deterministic_split(df).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in TX.deterministic_split(df.limit(500)).collect()}
+    # subset rows keep their assignment (incremental-growth property)
+    for k, v in b.items():
+        assert a[k] == v
+    import collections
+    c = collections.Counter(a.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert 0.03 < c["val"] / 2000 < 0.08
+    assert 0.03 < c["test"] / 2000 < 0.08
+    # different salt reshuffles
+    s2 = {r["doc_id"]: r["split"]
+          for r in TX.deterministic_split(df, salt="v2").collect()}
+    assert any(a[k] != s2[k] for k in a)
