@@ -188,6 +188,20 @@ def _q_cell_index(spark, sf_dir):
         celljoin.cell_expr("x", "y", 12).cast("bigint").alias("cell"))
 
 
+def _q_morton(spark, sf_dir):
+    """Z-order keys for the event cells: the locality sort key the tile
+    sink range-partitions on; bit-interleave mirrored in SQL."""
+    ts12 = 2.0 * 20037508.0 / float(1 << 12)
+    pts = _event_points(spark, sf_dir)
+    keyed = pts.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.floor((F.col("x") + F.lit(20037508.0)) / F.lit(ts12)).cast("long").alias("cx"),
+        F.floor((F.col("y") + F.lit(20037508.0)) / F.lit(ts12)).cast("long").alias("cy"))
+    return keyed.select("event_id",
+                        celljoin.morton_expr("cx", "cy", bits=12)
+                        .cast("bigint").alias("morton"))
+
+
 def _q_q1_pricing(spark, sf_dir):
     li = _tbl(spark, sf_dir, "lineitem")
     qty = _dec("l_quantity")
@@ -844,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": _q_corpus_rollup,
         "dup_components_docs": _q_dup_components,
         "split_assign_docs": _q_split_assign,
+        "morton_cells_events": _q_morton,
     }
 
 
@@ -1806,6 +1821,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "funnel_events": _funnel_sql(),
         "split_assign_docs": _split_assign_sql(),
+        "morton_cells_events": f"""
+            WITH keyed AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CAST(floor(((value * 60.0 - 9000.0) + 20037508.0)
+                          / {_dbl17(2.0 * 20037508.0 / float(1 << 12))}) AS BIGINT) AS cx,
+                     CAST(floor(((CAST(event_id % 199 AS DOUBLE) * 97.0 - 9000.0)
+                          + 20037508.0)
+                          / {_dbl17(2.0 * 20037508.0 / float(1 << 12))}) AS BIGINT) AS cy
+              FROM events)
+            SELECT event_id,
+                   CAST({" + ".join(
+                       f"(((cx >> {b}) & 1) << {2 * b + 1})"
+                       f" + (((cy >> {b}) & 1) << {2 * b})"
+                       for b in range(12))} AS BIGINT) AS morton
+            FROM keyed
+        """,
         "corpus_rollup": """
             SELECT lang, source,
                    CAST(count(*) AS BIGINT) AS n_docs,

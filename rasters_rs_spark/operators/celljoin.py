@@ -40,6 +40,23 @@ def cell_expr(x_col: str, y_col: str, zoom: int):
     return F.shiftleft(cx, 32) + cy
 
 
+def morton_expr(cx_col, cy_col, bits: int = 16):
+    """Z-order (Morton) code of two cell coordinates: interleaves the
+    low ``bits`` bits of each — the space-filling-curve sort key that
+    keeps spatially-near tiles/cells in the same files when used as a
+    range-partition/sort column (locality for z/x/y lookups). Pure
+    Catalyst shifts/masks; identically expressible in ANSI SQL (the
+    contract oracle)."""
+    code = F.lit(0).cast("long")
+    for b in range(bits):
+        code = (code
+                + F.shiftleft(F.shiftrightunsigned(F.col(cx_col), b)
+                              .bitwiseAND(F.lit(1)), 2 * b + 1)
+                + F.shiftleft(F.shiftrightunsigned(F.col(cy_col), b)
+                              .bitwiseAND(F.lit(1)), 2 * b))
+    return code
+
+
 def aoi_cells_df(spark: SparkSession, aois: pd.DataFrame, zoom: int) -> DataFrame:
     """Explode each AOI into its covering cells at ``zoom`` (bbox cover;
     the exact test happens after the join). Computed driver-side: the

@@ -224,6 +224,20 @@ def stream_sessionize_late(spark: SparkSession, source_dir: str, schema: str,
     )
 
 
+def stream_exact_dedup(spark: SparkSession, source_dir: str, schema: str,
+                       keys: list[str], ts_col: str = "ts",
+                       watermark: str = "1 hour"):
+    """Streaming exact deduplication for continuous corpus ingestion:
+    rows whose ``keys`` repeat within the watermark horizon are dropped
+    (state for a key is freed once the watermark passes it, so state
+    stays bounded — the standard ingestion-dedup contract: exact within
+    the horizon, best-effort beyond it)."""
+    stream = (spark.readStream.schema(schema).parquet(source_dir)
+              .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+              .withWatermark(ts_col, watermark))
+    return stream.dropDuplicatesWithinWatermark(keys)
+
+
 def stream_tile_ingest(spark: SparkSession, source_dir: str, schema: str,
                        tile_size: int = 256, min_zoom: int | None = None,
                        max_zoom: int | None = None, compress: bool = False):

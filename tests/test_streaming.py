@@ -164,6 +164,29 @@ def test_stream_sessionize_late_out_of_order(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_stream_exact_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming ingestion dedup: duplicate event_ids arriving across
+    micro-batches within the watermark horizon are dropped; the output
+    is exactly the distinct set."""
+    from rasters_rs_spark.streaming.windows import stream_exact_dedup
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(400)
+    schema = ", ".join(f"{n} {t}" for n, t in ev.dtypes)
+    src = str(tmp_path / "dedup_src")
+    ev.write.mode("overwrite").parquet(src)
+    ev.limit(150).write.mode("append").parquet(src)  # replay a subset
+
+    q = (stream_exact_dedup(spark, src, schema, keys=["event_id"],
+                            watermark="10 days")
+         .writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = [r["event_id"] for r in
+           spark.sql("select event_id from dedup_stream").collect()]
+    expect = {r["event_id"] for r in ev.collect()}
+    assert len(got) == len(set(got)) == len(expect)
+    assert set(got) == expect
+
+
 def test_stream_tile_ingest_equals_batch(spark, tmp_path):
     """The flagship raster pipeline as a stream: images arriving over
     two micro-batches produce exactly the batch pipeline's tile rows
