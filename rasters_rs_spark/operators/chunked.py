@@ -262,6 +262,60 @@ def diff_stats_chunked_both(a_chunks: DataFrame, b_chunks: DataFrame,
         .withColumn("diff_std", F.sqrt(F.col("diff_sum_2") / F.col("count")))
 
 
+def chunked_zonal_stats(chunks: DataFrame, aois: pd.DataFrame) -> DataFrame:
+    """Zonal statistics over the chunked representation — the
+    reference's actual execution shape (raster-stats folds per chunk,
+    main.rs:50-93): each strip contributes partial per-AOI stats from
+    its DATA rows only, one groupBy merges. Equals the whole-image
+    zonal_stats exactly (tested); the path for rasters whose full block
+    exceeds task memory."""
+    aoi_rows = [
+        (r.aoi_id, np.asarray(r.ring_offsets), np.asarray(r.xs, dtype=np.float64),
+         np.asarray(r.ys, dtype=np.float64))
+        for r in aois.itertuples(index=False)
+    ]
+    aoi_boxes = [geom.polygon_bbox(ro, xs, ys) for (_, ro, xs, ys) in aoi_rows]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                strip = codecs.decode_block(
+                    row.bytes, row.load_end - row.load_start, row.w, row.fmt)
+                ds = int(row.data_start)
+                data = strip[ds - int(row.load_start):
+                             int(row.data_end) - int(row.load_start)]
+                valid = ~np.isnan(data)
+                if not np.isnan(row.no_val):
+                    valid &= data != row.no_val
+                if not valid.any():
+                    continue
+                ii, jj = np.nonzero(valid)
+                vals = data[ii, jj]
+                t = geom.transform_from_gdal(row.gt)
+                # pixel centers in world coords: strip rows are global
+                # rows ds..data_end, so shift i by the data offset
+                wx, wy = geom.transform_points(t, jj + 0.5, ii + ds + 0.5)
+                box = (wx.min(), wy.min(), wx.max(), wy.max())
+                for (aoi_id, ro, xs, ys), abox in zip(aoi_rows, aoi_boxes):
+                    if geom.bounds_intersect(box, abox) is None:
+                        continue
+                    inside = geom.points_in_rings(wx, wy, ro, xs, ys)
+                    if not inside.any():
+                        continue
+                    v = vals[inside]
+                    out.append((row.image_id, aoi_id, float(v.size),
+                                float(v.min()), float(v.max()),
+                                float(v.sum()), float((v * v).sum())))
+            cols = ["image_id", "aoi_id", "count", "min", "max", "sum", "sum_2"]
+            yield pd.DataFrame(out, columns=cols)
+
+    from .stats import ZONAL_PARTIAL_SCHEMA
+    partials = chunks.mapInPandas(gen, schema=ZONAL_PARTIAL_SCHEMA)
+    return with_derived_stats(
+        partials.groupBy("aoi_id").agg(*merge_partials_exprs()))
+
+
 def chunked_pixel_stats(chunks: DataFrame) -> DataFrame:
     """PixelStats over the chunked representation: each strip
     contributes only its DATA rows (padding excluded), so totals equal

@@ -55,6 +55,24 @@ def test_chunked_stats_equal_whole(spark, images):
         assert whole[k]["sum"] == pytest.approx(part[k]["sum"], rel=1e-12)
 
 
+def test_chunked_zonal_equals_whole(spark, images):
+    """Per-chunk zonal stats (the reference's raster-stats execution
+    shape) equal the whole-image zonal_stats exactly, including an AOI
+    that straddles chunk boundaries."""
+    aois = synth.aoi_table(6, seed=91, extent=(-2000.0, -2000.0, 2000.0, 2000.0))
+    whole = {r["aoi_id"]: r for r in S.zonal_stats(images, aois).collect()}
+    chunks = C.chunk_images(images, min_data_size=48 * 8)
+    part = {r["aoi_id"]: r
+            for r in C.chunked_zonal_stats(chunks, aois).collect()}
+    assert set(whole) == set(part) and len(whole) > 0
+    for k in whole:
+        assert whole[k]["count"] == part[k]["count"]
+        assert whole[k]["min"] == part[k]["min"]
+        assert whole[k]["max"] == part[k]["max"]
+        assert whole[k]["sum"] == pytest.approx(part[k]["sum"], rel=1e-12)
+        assert whole[k]["sum_2"] == pytest.approx(part[k]["sum_2"], rel=1e-12)
+
+
 def test_chunked_diff_equals_whole(spark):
     rng = np.random.default_rng(0xD1FF)
     data1 = rng.normal(size=(64, 128))
