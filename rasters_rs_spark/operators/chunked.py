@@ -262,6 +262,73 @@ def diff_stats_chunked_both(a_chunks: DataFrame, b_chunks: DataFrame,
         .withColumn("diff_std", F.sqrt(F.col("diff_sum_2") / F.col("count")))
 
 
+def diff_histogram_chunked(a_chunks: DataFrame, b: DataFrame,
+                           hmin: float, hmax: float, bins: int,
+                           pair_col: str = "image_id",
+                           adjust: float = 0.0,
+                           negate: bool = False) -> DataFrame:
+    """Histogram of diff values with the A side chunked: per-strip bin
+    counts (data rows only), additively merged — bin counts equal the
+    whole-image diff_histogram exactly (counts are integers; the merge
+    is exact). Reference shape: raster-diff bins per chunk inside the
+    rayon fold and merges histograms (main.rs:108-156)."""
+    bb = b.select(
+        F.col(pair_col).alias("pair_id"),
+        *[F.col(c).alias(f"b_{c}") for c in b.columns if c != pair_col],
+    )
+    aa = a_chunks.withColumnRenamed(pair_col, "pair_id")
+    pairs = aa.join(bb, on="pair_id", how="inner")
+    step = (hmax - hmin) / bins
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc: dict[int, int] = {}
+            for row in pdf.itertuples(index=False):
+                strip = codecs.decode_block(
+                    row.bytes, row.load_end - row.load_start, row.w, row.fmt)
+                ds = int(row.data_start)
+                data = strip[ds - int(row.load_start):
+                             int(row.data_end) - int(row.load_start)]
+                block_b = codecs.decode_block(row.b_bytes, row.b_h, row.b_w,
+                                              row.b_fmt)
+                t = geom.transform_between(row.gt, row.b_gt)
+                h_b, w_b = block_b.shape
+                rows_n = data.shape[0]
+                (bx, by), (bw, bh) = geom.transform_window(
+                    ((0, ds), (row.w, rows_n)), t, (w_b, h_b))
+                sub_b = block_b[by:by + bh, bx:bx + bw]
+                if not (data.size and sub_b.size):
+                    continue
+                ct = geom.chunk_transform(t, (0.5, ds + 0.5),
+                                          (float(bx), float(by)))
+                valid, i2, j2 = geom.index_transform_grid(
+                    ct, rows_n, row.w, (bw, bh))
+                mask = valid & ~np.isnan(data)
+                if not np.isnan(row.no_val):
+                    mask &= data != row.no_val
+                if not mask.any():
+                    continue
+                ii, jj = np.nonzero(mask)
+                vb = sub_b[i2[ii, jj], j2[ii, jj]]
+                ok = ~np.isnan(vb)
+                if not np.isnan(row.b_no_val):
+                    ok &= vb != row.b_no_val
+                d = vb[ok] - data[ii[ok], jj[ok]] + adjust
+                if negate:
+                    d = -d
+                bn = np.floor((d - hmin) / step).astype(np.int64)
+                bn = np.where(d >= hmax, bins,
+                              np.where(d < hmin, -1, np.minimum(bn, bins)))
+                idx, cnt = np.unique(bn, return_counts=True)
+                for i, c in zip(idx, cnt):
+                    acc[int(i)] = acc.get(int(i), 0) + int(c)
+            yield pd.DataFrame({"bin": list(acc.keys()),
+                                "n": list(acc.values())})
+
+    partials = pairs.mapInPandas(gen, schema="bin long, n long")
+    return partials.groupBy("bin").agg(F.sum("n").alias("n")).orderBy("bin")
+
+
 def chunked_zonal_stats(chunks: DataFrame, aois: pd.DataFrame) -> DataFrame:
     """Zonal statistics over the chunked representation — the
     reference's actual execution shape (raster-stats folds per chunk,

@@ -133,6 +133,30 @@ def test_both_sides_chunked_diff_equals_whole(spark):
         assert got["second_sum"] == pytest.approx(whole["second_sum"], rel=1e-12)
 
 
+def test_chunked_diff_histogram_equals_whole(spark):
+    """Chunked histogram bin counts are integers merged additively —
+    exactly equal to the whole-image diff_histogram."""
+    rng = np.random.default_rng(0x415)
+    data1 = rng.normal(size=(64, 128))
+    data2 = rng.normal(size=(32, 64))
+    a = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "p0", "bytes": codecs.encode_raw(data1),
+        "w": 128, "h": 64, "fmt": "raw",
+        "gt": [-64.0, 1.0, 0.0, -32.0, 0.0, 1.0],
+        "crs": "IDENTITY", "no_val": float("nan")}]))
+    b = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "p0", "bytes": codecs.encode_raw(data2),
+        "w": 64, "h": 32, "fmt": "raw",
+        "gt": [-128.0, 4.0, 0.0, -64.0, 0.0, 4.0],
+        "crs": "IDENTITY", "no_val": float("nan")}]))
+    whole = {r["bin"]: r["n"]
+             for r in D.diff_histogram(a, b, -3.0, 3.0, 12).collect()}
+    a_chunks = C.chunk_images(a, min_data_size=128 * 8)
+    got = {r["bin"]: r["n"]
+           for r in C.diff_histogram_chunked(a_chunks, b, -3.0, 3.0, 12).collect()}
+    assert got == whole and sum(whole.values()) == 64 * 128
+
+
 def test_chunked_diff_with_padding_equals_unpadded_range(spark):
     """padding > 0 loads context rows shared by adjacent chunks; the
     diff must aggregate DATA rows only (no double counting). With the
