@@ -75,10 +75,13 @@ def row_base_tiles(block: np.ndarray, cfg: TileConfig, zoom: int,
         tph = (b_edge - t_edge) / ts
         tpx_w, tpx_h = ntiles * ts, ts
 
-        cc, rr = np.meshgrid(np.arange(sw, dtype=np.float64),
-                             np.arange(sh, dtype=np.float64))
-        fl = (cc + ox - l_edge) / tpw          # footprint left
-        ft = (rr + oy - t_edge) / tph          # footprint top
+        # footprint bounds are column-/row-separable: compute 1-D and
+        # broadcast (bit-identical per-element values; the 2-D meshgrid
+        # formulation allocated ~12 full planes of the same numbers)
+        cc = np.arange(sw, dtype=np.float64)
+        rr = np.arange(sh, dtype=np.float64)
+        fl = (cc + ox - l_edge) / tpw          # footprint left  (per col)
+        ft = (rr + oy - t_edge) / tph          # footprint top   (per row)
         fr = (cc + 1.0 + ox - l_edge) / tpw
         fb = (rr + 1.0 + oy - t_edge) / tph
 
@@ -87,7 +90,8 @@ def row_base_tiles(block: np.ndarray, cfg: TileConfig, zoom: int,
         iy0 = np.maximum(ft, 0.0)
         ix1 = np.minimum(fr, float(tpx_w))
         iy1 = np.minimum(fb, float(tpx_h))
-        has_win = (ix0 < ix1) & (iy0 < iy1)
+        win_c = ix0 < ix1
+        win_r = iy0 < iy1
         x0 = np.floor(ix0).astype(np.int64)
         y0 = np.floor(iy0).astype(np.int64)
         x1 = np.ceil(ix1).astype(np.int64)
@@ -97,28 +101,36 @@ def row_base_tiles(block: np.ndarray, cfg: TileConfig, zoom: int,
         vmask = ~np.isnan(vals)
         if not np.isnan(no_val):
             vmask &= vals != no_val
+        has_any = win_r.any() and win_c.any()
 
-        span_x = int((x1 - x0)[has_win].max()) if has_win.any() else 0
-        span_y = int((y1 - y0)[has_win].max()) if has_win.any() else 0
+        span_x = int((x1 - x0)[win_c].max()) if has_any else 0
+        span_y = int((y1 - y0)[win_r].max()) if has_any else 0
         for dy in range(span_y):
+            tr = y0 + dy
+            ovy = np.minimum(tr + 1.0, fb) - np.maximum(tr.astype(np.float64), ft)
+            use_r = win_r & (tr < y1) & (ovy > 0.0)
+            if not use_r.any():
+                continue
             for dx in range(span_x):
                 tc = x0 + dx
-                tr = y0 + dy
-                use = has_win & (tc < x1) & (tr < y1) & vmask
-                if not use.any():
-                    continue
                 ovx = np.minimum(tc + 1.0, fr) - np.maximum(tc.astype(np.float64), fl)
-                ovy = np.minimum(tr + 1.0, fb) - np.maximum(tr.astype(np.float64), ft)
-                mu = ovx * ovy
-                use &= (ovx > 0.0) & (ovy > 0.0)
+                use_c = win_c & (tc < x1) & (ovx > 0.0)
+                if not use_c.any():
+                    continue
+                use = use_r[:, None] & use_c[None, :] & vmask
                 if not use.any():
                     continue
+                # mu = ovx * ovy elementwise, built by broadcast (same
+                # operands per cell as the 2-D form -> same bits)
+                mu = ovx[None, :] * ovy[:, None]
+                tc2 = np.broadcast_to(tc, (sh, sw))
+                tr2 = np.broadcast_to(tr[:, None], (sh, sw))
                 # linear index: tile slot = tc // ts, within-tile col tc % ts
                 # (np.add.at, not bincount: window-edge clipping makes
                 # several source pixels share a tile pixel within one
                 # pass, and the sequential add.at order is what the
                 # bit-exact pyramid oracle and triple cross-check mirror)
-                lin = (tc[use] // ts) * ts * ts + tr[use] * ts + (tc[use] % ts)
+                lin = (tc2[use] // ts) * ts * ts + tr2[use] * ts + (tc2[use] % ts)
                 np.add.at(wsum, lin, mu[use] * vals[use])
                 np.add.at(wgt, lin, mu[use])
 
