@@ -15,7 +15,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions import codecs
 
@@ -125,6 +125,42 @@ def augment_images(images: DataFrame, op: str, crop=None,
 
     schema = ", ".join(f"{n} {t}" for n, t in images.dtypes)
     return images.mapInPandas(gen, schema=schema)
+
+
+def validate_images(a: DataFrame, b: DataFrame, id_col: str = "image_id",
+                    min_psnr: float = 40.0,
+                    allow_fake: bool = False) -> DataFrame:
+    """The input-hint per-row invariant as a first-class operator: join
+    two image tables on id and report, per row, decoded-pixel fidelity
+    (PSNR, infinite for bit-equal rasters; must be >= min_psnr for
+    lossy codecs) and caption equality. Returns
+    (image_id, psnr, psnr_ok, caption_match) — the validation gate a
+    pipeline runs after any re-encode/transcode stage."""
+    # note: itertuples renames leading-underscore columns, so the
+    # joined b-side columns use a plain prefix
+    bb = b.select(F.col(id_col).alias("b2_id"),
+                  F.col("bytes").alias("b2_bytes"),
+                  F.col("fmt").alias("b2_fmt"),
+                  F.col("caption").alias("b2_caption"))
+    j = a.join(bb, a[id_col] == bb["b2_id"])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                orig = decode_any(row.bytes, row.h, row.w, row.fmt, allow_fake)
+                dec = decode_any(row.b2_bytes, row.h, row.w, row.b2_fmt,
+                                 allow_fake)
+                p = codecs.psnr(orig, dec)
+                out.append((getattr(row, id_col), float(p),
+                            bool(p >= min_psnr),
+                            bool(row.caption == row.b2_caption)))
+            yield pd.DataFrame(out, columns=["image_id", "psnr", "psnr_ok",
+                                             "caption_match"])
+
+    return j.mapInPandas(
+        gen, schema="image_id string, psnr double, psnr_ok boolean, "
+                    "caption_match boolean")
 
 
 def image_features(images: DataFrame, allow_fake: bool = False) -> DataFrame:

@@ -197,6 +197,38 @@ def test_augment_images_ops(spark):
     assert codecs.psnr(block[:, ::-1], got) >= 40.0
 
 
+def test_validate_images_invariant(spark):
+    """The input-hint per-row invariant operator: raw round-trip gives
+    infinite PSNR; q16 transcode stays >= 40 dB; a corrupted caption is
+    flagged; a genuinely degraded payload fails the gate."""
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.operators import multimodal as MM
+    from rasters_rs_spark.sources import synth
+    pdf = synth.image_table(6, seed=71, h=32, w=32, fmt_cycle=("raw",))
+    a = spark.createDataFrame(pdf)
+
+    # b: q16 transcode of the same pixels + one caption corruption +
+    # one heavily quantized (degraded) payload
+    b = pdf.copy()
+    blocks = [codecs.decode_raw(r["bytes"], 32, 32) for _, r in pdf.iterrows()]
+    b["bytes"] = [codecs.encode_q16(blk) for blk in blocks]
+    b["fmt"] = "q16"
+    b.loc[1, "caption"] = "corrupted caption"
+    bad = blocks[2]
+    b.loc[2, "bytes"] = codecs.encode_q16(np.round(bad * 2) / 2)  # coarse
+    out = {r["image_id"]: r for r in
+           MM.validate_images(a, spark.createDataFrame(b)).collect()}
+    assert all(r["psnr_ok"] for k, r in out.items()
+               if k != pdf.iloc[2]["image_id"])
+    assert not out[pdf.iloc[2]["image_id"]]["psnr_ok"]
+    assert not out[pdf.iloc[1]["image_id"]]["caption_match"]
+    assert sum(not r["caption_match"] for r in out.values()) == 1
+    # raw vs raw: bit-equal -> infinite PSNR
+    ident = {r["image_id"]: r["psnr"] for r in
+             MM.validate_images(a, a).collect()}
+    assert all(p == float("inf") for p in ident.values())
+
+
 def test_multimodal_plumbing(spark):
     from rasters_rs_spark.functions import codecs
     from rasters_rs_spark.operators import multimodal as MM
