@@ -123,6 +123,28 @@ def cmd_chunk(args):
     print(json.dumps({"written": args.output}))
 
 
+def cmd_validate(args):
+    from .operators.multimodal import validate_images
+    spark = _spark(args)
+    out = validate_images(_images(spark, args.input_a),
+                          _images(spark, args.input_b),
+                          min_psnr=args.min_psnr).persist()
+    bad = out.where("NOT psnr_ok OR NOT caption_match")
+    n_bad = bad.count()
+    print(json.dumps({"rows": out.count(), "failures": n_bad,
+                      "failed_ids": [r["image_id"]
+                                     for r in bad.limit(20).collect()]}))
+
+
+def cmd_augment(args):
+    from .operators.multimodal import augment_images
+    spark = _spark(args)
+    crop = tuple(args.crop) if args.crop else None
+    out = augment_images(_images(spark, args.input), args.op, crop=crop)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"written": args.output, "op": args.op}))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="rasters-rs-spark")
     p.add_argument("--cores", type=int, default=8)
@@ -184,6 +206,22 @@ def build_parser():
     c.add_argument("-c", "--chunk-size", type=int, default=0x10000)
     c.add_argument("--padding", type=int, default=0)
     c.set_defaults(fn=cmd_chunk)
+
+    v = sub.add_parser("validate", help="per-row PSNR/caption invariant gate")
+    v.add_argument("input_a")
+    v.add_argument("input_b")
+    v.add_argument("--min-psnr", type=float, default=40.0)
+    v.set_defaults(fn=cmd_validate)
+
+    g = sub.add_parser("augment", help="deterministic image augmentation")
+    g.add_argument("input")
+    g.add_argument("output")
+    g.add_argument("--op", required=True,
+                   choices=["fliph", "flipv", "rot90", "rot180", "rot270",
+                            "crop"])
+    g.add_argument("--crop", nargs=4, type=int,
+                   metavar=("I0", "J0", "H", "W"))
+    g.set_defaults(fn=cmd_augment)
     return p
 
 

@@ -63,6 +63,19 @@ def test_cli_diff_hist_cbor_artifact(capsys, img_path, tmp_path):
     assert read_bin(bin_path) == hist
 
 
+def test_cli_validate_and_augment(capsys, img_path, tmp_path):
+    out = _run(capsys, ["--cores", "4", "augment", img_path,
+                        str(tmp_path / "aug"), "--op", "fliph"])
+    assert out["op"] == "fliph"
+    # fliph is lossless on raw: flipped-vs-flipped... validate original
+    # against the written augmentation of the augmentation (identity)
+    out2 = _run(capsys, ["--cores", "4", "augment", str(tmp_path / "aug"),
+                         str(tmp_path / "aug2"), "--op", "fliph"])
+    res = _run(capsys, ["--cores", "4", "validate", img_path,
+                        str(tmp_path / "aug2")])
+    assert res["rows"] == 4 and res["failures"] == 0
+
+
 def test_cli_fill_and_chunk(capsys, img_path, tmp_path, spark):
     pts = synth.points_table(30, seed=5, extent=(-2000, -2000, 2000, 2000))
     ppath = str(tmp_path / "pts.parquet")
