@@ -702,6 +702,21 @@ def _q_asof_join(spark, sf_dir):
                       "last_purchase_value")
 
 
+def _q_asof_tolerance(spark, sf_dir):
+    """As-of with a staleness tolerance (pandas merge_asof parity):
+    purchases older than 1h before the error are discarded."""
+    from rasters_rs_spark.operators.asof import asof_join
+    ev = _tbl(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "error") \
+             .select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "purchase") \
+              .select("user_id", "ts", F.col("value").alias("recent_purchase_value"))
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    tolerance_seconds=3600.0)
+    return out.select(F.col("event_id").cast("bigint").alias("event_id"),
+                      "recent_purchase_value")
+
+
 def _q_events_tumbling(spark, sf_dir):
     from rasters_rs_spark.streaming.windows import tumbling_agg
     return tumbling_agg(_tbl(spark, sf_dir, "events"))
@@ -859,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components_docs": _q_dup_components,
         "split_assign_docs": _q_split_assign,
         "morton_cells_events": _q_morton,
+        "asof_tolerance_events": _q_asof_tolerance,
     }
 
 
@@ -1757,6 +1773,18 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type = 'purchase')
             SELECT CAST(l.event_id AS BIGINT) AS event_id,
                    r.value AS last_purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_tolerance_events": """
+            WITH l AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'error'),
+                 r AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase')
+            SELECT CAST(l.event_id AS BIGINT) AS event_id,
+                   CASE WHEN r.ts IS NOT NULL
+                             AND epoch(l.ts) - epoch(r.ts) <= 3600.0
+                        THEN r.value END AS recent_purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,

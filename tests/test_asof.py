@@ -60,3 +60,21 @@ def test_asof_matches_duckdb(spark, sf_dir):
     orows = sorted(con.sql(
         E.oracle_sql()["asof_purchase_before_error"]).fetchall())
     assert got == orows
+
+
+def test_asof_tolerance(spark):
+    """Matches older than the tolerance yield NULL (pandas merge_asof
+    tolerance semantics); in-tolerance matches are unchanged."""
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a"],
+        "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 12:00:00"]),
+        "lid": [1, 2]}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"],
+        "ts": pd.to_datetime(["2024-01-01 09:30:00"]),
+        "v": [7.0]}))
+    out = {r["lid"]: r["v"] for r in
+           asof_join(left, right, key="k", ts="ts",
+                     tolerance_seconds=3600.0).collect()}
+    assert out[1] == 7.0      # 30 min old: within tolerance
+    assert out[2] is None     # 2.5 h old: discarded
