@@ -237,7 +237,9 @@ def _q_nation_revenue(spark, sf_dir):
         F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
 
 
-def _q_embedding_neardup(spark, sf_dir):
+def _q_embedding_neardup_exact(spark, sf_dir):
+    """Exact all-pairs cosine near-dup (the small-n verification
+    surface; the LSH operator itself is oracled by embedding_neardup)."""
     emb = _tbl(spark, sf_dir, "embeddings") \
         .selectExpr("cast(vec_id as bigint) vec_id",
                     "transform(embedding, v -> cast(v as double)) embedding") \
@@ -248,6 +250,30 @@ def _q_embedding_neardup(spark, sf_dir):
     cos = similarity.cosine_expr("va", "vb")
     return pairs.withColumn("cosine", F.round(cos, 9)) \
                 .where(F.col("cosine") >= 0.4).select("id_a", "id_b", "cosine")
+
+
+_EN_BANDS, _EN_BAND_PLANES, _EN_THRESH = 8, 4, 0.4
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    """Drives dedup.embedding_neardup ITSELF (banded multi-signature
+    LSH candidates + exact cosine verify) with deterministic LCG
+    hyperplanes and fold-order dots, so every band bucket bit — and
+    therefore the exact candidate pair set — is reproduced by the
+    DuckDB mirror. Pairs are re-oriented numerically (the operator
+    orders string ids) so both engines emit (min, max)."""
+    emb = _tbl(spark, sf_dir, "embeddings") \
+        .selectExpr("cast(vec_id as bigint) vec_id",
+                    "transform(embedding, v -> cast(v as double)) embedding") \
+        .where(F.col("vec_id") < 400)
+    out = dedup.embedding_neardup(emb, bands=_EN_BANDS,
+                                  band_planes=_EN_BAND_PLANES,
+                                  threshold=_EN_THRESH, seed=None)
+    a = F.col("id_a").cast("bigint")
+    b = F.col("id_b").cast("bigint")
+    return out.select(F.least(a, b).alias("id_a"),
+                      F.greatest(a, b).alias("id_b"),
+                      F.round("cosine", 9).alias("cosine"))
 
 
 # -- rows-only queries (non-SQL-expressible raster / LSH ops) ----------------
@@ -839,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk": _q_events_topk,
         "nation_revenue": _q_nation_revenue,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_exact": _q_embedding_neardup_exact,
         # rows-only (exact numpy oracles live in tests/)
         "tile_pyramid_synth": _q_tile_pyramid,
         "zonal_stats_synth": _q_zonal_stats_images,
@@ -1415,6 +1442,37 @@ def _lsh_det_sql(n_planes: int = 8, probes: int = 4, k: int = 5) -> str:
     """
 
 
+def _embedding_neardup_lsh_sql() -> str:
+    """Mirror of dedup.embedding_neardup (banded multi-signature LSH):
+    LCG hyperplanes, fold-order dots (list_reduce == the numpy strict
+    left fold in embedding_bands), per-band sign-bit buckets, candidate
+    pairs = share ANY band bucket, exact cosine verify at threshold."""
+    bands, r, thresh = _EN_BANDS, _EN_BAND_PLANES, _EN_THRESH
+    planes = similarity.lcg_planes(bands * r, 64)
+
+    def dot(p):
+        return (f"list_reduce(list_transform(range(1, 65), "
+                f"i -> v[i] * ({_sql_list(p)})[i]), (a, b) -> a + b)")
+
+    bks = ", ".join(
+        "CAST(" + " + ".join(
+            f"CASE WHEN {dot(planes[b * r + j])} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(r)) + f" AS BIGINT) AS bk{b}"
+        for b in range(bands))
+    share = " OR ".join(f"a.bk{b} = b.bk{b}" for b in range(bands))
+    return f"""
+        WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id < 400),
+        bk AS (SELECT vec_id, v, {bks} FROM e),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+          FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({share}))
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(va, vb), 9) AS cosine
+        FROM cand WHERE list_cosine_similarity(va, vb) >= {thresh}
+    """
+
+
 def _ivf_det_sql(n_lists: int = 16, nprobe: int = 4, k: int = 5) -> str:
     """Mirror of similarity.ivf_topk_det: LCG centroids, argmin list
     assignment (ties to the lowest id), nprobe nearest lists per query,
@@ -1738,7 +1796,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        "embedding_neardup": """
+        "embedding_neardup": _embedding_neardup_lsh_sql(),
+        "embedding_neardup_exact": """
             WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings WHERE vec_id < 400)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

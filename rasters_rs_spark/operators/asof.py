@@ -28,7 +28,9 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
 
     ``tolerance_seconds`` (pandas merge_asof parity): matches older
     than the tolerance are discarded — the left row keeps NULLs, as if
-    no sufficiently recent right row existed.
+    no sufficiently recent right row existed. Works for timestamp ts
+    columns (staleness via timestampdiff) and for numeric ts columns
+    (plain subtraction, like merge_asof on integer/float keys).
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, ts)]
@@ -57,9 +59,16 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     out = u.withColumn("_row", F.last("_row", ignorenulls=True).over(w)) \
            .where(F.col("_src") == 1).drop("_src")
     if tolerance_seconds is not None:
-        stale = F.expr(
-            f"timestampdiff(MICROSECOND, cast(_row._mts as timestamp_ntz), "
-            f"cast({ts} as timestamp_ntz)) / 1e6") > tolerance_seconds
+        ts_type = dict(left.dtypes)[ts]
+        if ts_type.startswith("timestamp") or ts_type == "date":
+            stale = F.expr(
+                f"timestampdiff(MICROSECOND, cast(_row._mts as timestamp_ntz), "
+                f"cast({ts} as timestamp_ntz)) / 1e6") > tolerance_seconds
+        else:
+            # numeric ts (epoch seconds etc.): Spark cannot cast numerics
+            # to TIMESTAMP_NTZ, and merge_asof tolerance on numeric keys
+            # is a plain difference anyway
+            stale = (F.col(ts) - F.col("_row._mts")) > F.lit(tolerance_seconds)
         out = out.withColumn(
             "_row", F.when(F.col("_row").isNull() | stale,
                            F.lit(None).cast(row_struct_type))

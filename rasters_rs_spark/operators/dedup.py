@@ -14,6 +14,7 @@ contract (__spark_entry__.py).
 
 from __future__ import annotations
 
+import uuid
 from typing import Iterator
 
 import numpy as np
@@ -21,6 +22,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import shingle_expr
+
+
+def _temp_view(df: DataFrame) -> str:
+    """Collision-proof temp view name (id()-based names can be reused
+    after GC within one session). Callers drop the view right after
+    spark.sql() returns — analysis is eager, so the resolved plan no
+    longer references it."""
+    view = f"_rrs_{uuid.uuid4().hex}"
+    df.createOrReplaceTempView(view)
+    return view
 
 
 # ---------------------------------------------------------------------------
@@ -82,8 +93,7 @@ def minhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     Exactly reproducible in DuckDB (the contract oracle)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    view = f"_mh_docs_{abs(id(docs)) % 10_000_000}"
-    docs.createOrReplaceTempView(view)
+    view = _temp_view(docs)
     k = shingle_k
     mins = ", ".join(f"min(_h1 + {i} * _h2) AS _m{i}"
                      for i in range(num_hashes))
@@ -97,7 +107,7 @@ def minhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     # (num_hashes min columns) on purpose: one pass over the shingle
     # rows with 64 register-resident accumulators beats exploding the
     # hash index into 64x the rows (measured 10x on a 50k-doc corpus).
-    return docs.sparkSession.sql(f"""
+    out = docs.sparkSession.sql(f"""
         WITH t AS (
           -- materialize the token array once: a split() inside the
           -- transform lambda would re-split per shingle position (O(n^2))
@@ -120,21 +130,63 @@ def minhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         SELECT id, e.band AS band, e.band_key AS band_key
         FROM (SELECT id, explode(array({structs})) AS e FROM sigs)
     """)
+    docs.sparkSession.catalog.dropTempView(view)
+    return out
+
+
+def _salted_bucket_join(left: DataFrame, right: DataFrame, keys: list[str],
+                        hot_bucket_rows: int, hot_salt: int,
+                        sizes_from: DataFrame) -> DataFrame:
+    """Self-equi-join on bucket ``keys`` with hot-bucket salting.
+
+    A degenerate corpus (N identical/boilerplate docs) puts N rows into
+    one bucket, and a plain equi-join then emits N^2 candidate rows from
+    a SINGLE task — the classic minhash-dedup failure mode at corpus
+    scale. Remedy: count rows per bucket (map-side partial agg, tiny
+    output), broadcast the over-cap bucket keys, and for those buckets
+    only, split the left side into ``hot_salt`` id-hash sub-buckets
+    while replicating the right side across them. Every (a, b) pair
+    still meets exactly once — a meets b in a's salt partition — but
+    per-task work drops from n^2 to n^2/hot_salt. Cold buckets join on
+    salt 0 exactly as before (bit-identical output either way)."""
+    hot = (sizes_from.groupBy(*keys).count()
+           .where(F.col("count") > hot_bucket_rows)
+           .select(*keys, F.lit(True).alias("_hot")))
+    lt = left.join(F.broadcast(hot), on=keys, how="left").withColumn(
+        "_salt", F.when(F.col("_hot").isNotNull(),
+                        F.pmod(F.xxhash64("id_a"), F.lit(hot_salt)))
+                  .otherwise(F.lit(0)).cast("int")).drop("_hot")
+    rt = right.join(F.broadcast(hot), on=keys, how="left") \
+        .withColumn("_salts",
+                    F.when(F.col("_hot").isNotNull(),
+                           F.sequence(F.lit(0), F.lit(hot_salt - 1)))
+                    .otherwise(F.array(F.lit(0)))) \
+        .withColumn("_salt", F.explode("_salts")) \
+        .drop("_hot", "_salts")
+    return lt.join(rt, on=keys + ["_salt"]).drop("_salt")
 
 
 def lsh_candidate_pairs(band_rows: DataFrame,
-                        broadcast_right: bool = False) -> DataFrame:
+                        broadcast_right: bool = False,
+                        hot_bucket_rows: int = 10_000,
+                        hot_salt: int = 32) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH bucket.
     Bucket self-join expressed as an equi-join on (band, band_key);
     pass ``broadcast_right`` when the band table is known-small (the
-    caller usually just counted it) to skip both shuffle exchanges."""
+    caller usually just counted it) to skip both shuffle exchanges —
+    the salting guard is skipped too, since a broadcastable table can't
+    host a task-killing bucket. Buckets with more than
+    ``hot_bucket_rows`` rows are salted (see _salted_bucket_join) so a
+    boilerplate-heavy corpus can't go quadratic inside one task."""
     left = band_rows.select(F.col("id").alias("id_a"), "band", "band_key")
     right = band_rows.select(F.col("id").alias("id_b"), "band", "band_key")
     if broadcast_right:
-        right = F.broadcast(right)
+        joined = left.join(F.broadcast(right), on=["band", "band_key"])
+    else:
+        joined = _salted_bucket_join(left, right, ["band", "band_key"],
+                                     hot_bucket_rows, hot_salt, band_rows)
     return (
-        left.join(right, on=["band", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
+        joined.where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
 
@@ -185,9 +237,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     e = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
         .distinct().persist()
+    # eager localCheckpoint per round: materializes the round AND cuts
+    # the lineage — without it each round's plan nests the previous
+    # round's join, and the per-round convergence check (which only
+    # computes a prefix of the cache) re-derives that nested lineage
+    # with exponential blowup over the rounds
     labels = e.select(F.col("src").alias("node")).distinct() \
-              .withColumn("label", F.col("node")).persist()
-    to_unpersist = [e, labels]
+              .withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         prop = (e.join(labels.select(F.col("node").alias("dst"),
                                      F.col("label").alias("nlabel")), "dst")
@@ -197,18 +254,22 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                               F.least(F.col("label"),
                                       F.coalesce(F.col("prop"),
                                                  F.col("label"))).alias("label"))
-                      .persist())
-        to_unpersist.append(new_labels)
+                      .localCheckpoint(eager=True))
         converged = new_labels.alias("n").join(
             labels.alias("o"), "node").where("n.label != o.label").isEmpty()
         labels = new_labels
         if converged:
             break
-    out = labels.select("node", F.col("label").alias("component")).persist()
-    out.count()
-    for df in to_unpersist:
-        df.unpersist()
-    return out
+    e.unpersist()
+    if not converged:
+        # returning unconverged labels would silently split clusters
+        # whose diameter exceeds the iteration budget — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters} rounds (a component's diameter exceeds the "
+            f"budget); raise max_iters — each round is one shuffle and "
+            f"convergence is O(max component diameter)")
+    return labels.select("node", F.col("label").alias("component"))
 
 
 def keep_canonical(docs: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -234,8 +295,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     with 64 shift/mask sum aggregates (map-side partials, one shuffle)
     -> assemble the bigint. Pure codegen'd expressions, mirrored in
     DuckDB via ('0x' || substr(md5(t), ...))::BIGINT for the oracle."""
-    view = f"_sh_docs_{abs(id(docs)) % 10_000_000}"
-    docs.createOrReplaceTempView(view)
+    view = _temp_view(docs)
     votes = ", ".join(
         f"sum(if((shiftright(_g{j // 16}, {j % 16}) & 1) = 1, 1, -1)) AS _v{j}"
         for j in range(64))
@@ -247,7 +307,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         f"if(_v{j} > 0, " +
         ("(-9223372036854775807L - 1L)" if j == 63 else f"{1 << j}L") + ", 0L)"
         for j in range(64))
-    return docs.sparkSession.sql(f"""
+    out = docs.sparkSession.sql(f"""
         WITH toks AS (
           SELECT cast({id_col} as string) AS id,
                  explode(split({text_col}, ' ')) AS _t
@@ -256,6 +316,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         agg AS (SELECT id, {votes} FROM hs GROUP BY id)
         SELECT id, {terms} AS simhash FROM agg
     """)
+    docs.sparkSession.catalog.dropTempView(view)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -288,11 +350,15 @@ def _block_plan(total_bits: int, max_hamming: int, blocks: int | None):
 
 
 def _blocked_hamming_pairs(keyed: DataFrame, hash_col: str,
-                           max_hamming: int, blocks: int | None) -> DataFrame:
+                           max_hamming: int, blocks: int | None,
+                           hot_bucket_rows: int = 10_000,
+                           hot_salt: int = 32) -> DataFrame:
     """Candidate pairs by block-pigeonhole LSH over ``keyed`` =
     (id, hash_col), verified with bit_count(xor) entirely JVM-side.
     One equi-join on (block idx, block value); complete for hamming
-    <= max_hamming by construction. Returns (id_a, id_b, hamming)."""
+    <= max_hamming by construction. Hot (block, value) buckets — e.g.
+    N identical hashes — are salted so no task goes quadratic.
+    Returns (id_a, id_b, hamming)."""
     plan = _block_plan(64, max_hamming, blocks)
     entries = F.array(*[
         F.struct(
@@ -310,9 +376,10 @@ def _blocked_hamming_pairs(keyed: DataFrame, hash_col: str,
                      "bi", "bv")
     right = ex.select(F.col("id").alias("id_b"), F.col("hv").alias("hv_b"),
                       "bi", "bv")
-    cand = left.join(right, on=["bi", "bv"]) \
-               .where(F.col("id_a") < F.col("id_b")) \
-               .select("id_a", "id_b", "hv_a", "hv_b").distinct()
+    cand = _salted_bucket_join(left, right, ["bi", "bv"],
+                               hot_bucket_rows, hot_salt, ex) \
+        .where(F.col("id_a") < F.col("id_b")) \
+        .select("id_a", "id_b", "hv_a", "hv_b").distinct()
     ham = F.bit_count(F.col("hv_a").bitwiseXOR(F.col("hv_b")))
     return cand.withColumn("hamming", ham) \
                .where(F.col("hamming") <= max_hamming) \
@@ -320,12 +387,15 @@ def _blocked_hamming_pairs(keyed: DataFrame, hash_col: str,
 
 
 def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, blocks: int | None = None) -> DataFrame:
+                  max_hamming: int = 3, blocks: int | None = None,
+                  hot_bucket_rows: int = 10_000,
+                  hot_salt: int = 32) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
     Blocks derive from max_hamming (pigeonhole-complete recall) unless
     given explicitly, in which case max_hamming < blocks is enforced."""
     sh = simhash(docs, text_col, id_col)
-    return _blocked_hamming_pairs(sh, "simhash", max_hamming, blocks)
+    return _blocked_hamming_pairs(sh, "simhash", max_hamming, blocks,
+                                  hot_bucket_rows, hot_salt)
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +405,9 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def phash_neardup(images: DataFrame, max_hamming: int = 6,
                   id_col: str = "image_id", hash_col: str = "phash",
-                  blocks: int | None = None) -> DataFrame:
+                  blocks: int | None = None,
+                  hot_bucket_rows: int = 10_000,
+                  hot_salt: int = 32) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash hamming distance.
 
     Blocked-LSH candidates (complete for hamming <= max_hamming since
@@ -343,7 +415,8 @@ def phash_neardup(images: DataFrame, max_hamming: int = 6,
     JVM-side. Returns (id_a, id_b, hamming)."""
     keyed = images.select(F.col(id_col).cast("string").alias("id"),
                           F.col(hash_col).alias("ph"))
-    return _blocked_hamming_pairs(keyed, "ph", max_hamming, blocks)
+    return _blocked_hamming_pairs(keyed, "ph", max_hamming, blocks,
+                                  hot_bucket_rows, hot_salt)
 
 
 def caption_dup_groups(images: DataFrame, id_col: str = "image_id",
@@ -358,36 +431,88 @@ def caption_dup_groups(images: DataFrame, id_col: str = "image_id",
 # ---------------------------------------------------------------------------
 
 
-def embedding_neardup(embs: DataFrame, id_col: str = "vec_id",
-                      vec_col: str = "embedding", n_planes: int = 16,
-                      threshold: float = 0.95, seed: int = 7) -> DataFrame:
-    """Near-dup pairs by cosine >= threshold. Candidates = identical
-    random-hyperplane sign signature (prefilter), exact cosine verify."""
+def embedding_bands(embs: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", bands: int = 8,
+                    band_planes: int = 6, seed: int | None = None) -> DataFrame:
+    """(id, band, bucket) rows: banded random-hyperplane signatures.
+
+    ``bands`` independent sign signatures of ``band_planes`` hyperplanes
+    each — the minhash_bands shape for cosine space. A pair at angle
+    theta shares a given band with p = (1 - theta/pi)^band_planes, and
+    is MISSED by all bands with (1 - p)^bands: at cosine 0.95 the
+    defaults give ~99.8% structural recall, where a single 16-plane
+    signature (the round-2 design) caught only ~18%.
+
+    ``seed=None`` (default) uses the deterministic LCG hyperplanes with
+    strict fold-order dot products, so every bucket bit is reproducible
+    in ANSI SQL — the driver-contract oracle drives THIS operator.
+    Pass a seed for independent random planes."""
+    from .similarity import _fold_dot_rows, lcg_planes
+
+    n_planes = bands * band_planes
+    band_cols = [f"_bk{b}" for b in range(bands)]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
             if planes is None:
-                rng = np.random.default_rng(seed)
-                planes = rng.normal(size=(mat.shape[1], n_planes))
-            signs = (mat @ planes) > 0
-            key = np.zeros(len(pdf), dtype=np.int64)
-            for b in range(n_planes):
-                key = key * 2 + signs[:, b].astype(np.int64)
-            norm = np.linalg.norm(mat, axis=1)
-            yield pd.DataFrame({
-                "id": pdf[id_col].astype(str), "bucket": key,
-                "vec": [v.tolist() for v in (mat / np.maximum(norm, 1e-300)[:, None])],
-            })
+                if seed is None:
+                    planes = [np.asarray(p, dtype=np.float64)
+                              for p in lcg_planes(n_planes, mat.shape[1])]
+                else:
+                    rng = np.random.default_rng(seed)
+                    planes = list(rng.normal(size=(n_planes, mat.shape[1])))
+            cols = {"id": pdf[id_col].astype(str)}
+            for b in range(bands):
+                key = np.zeros(len(pdf), dtype=np.int64)
+                for j in range(band_planes):
+                    bit = _fold_dot_rows(mat, planes[b * band_planes + j]) > 0
+                    key |= bit.astype(np.int64) << j
+                cols[band_cols[b]] = key
+            yield pd.DataFrame(cols)
 
-    keyed = embs.mapInPandas(gen, schema="id string, bucket long, vec array<double>")
-    left = keyed.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
-    right = keyed.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
-    pairs = left.join(right, "bucket").where(F.col("id_a") < F.col("id_b"))
-    cos = F.aggregate(
-        F.zip_with("va", "vb", lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return pairs.withColumn("cosine", cos).where(F.col("cosine") >= threshold) \
-                .select("id_a", "id_b", "cosine").distinct()
+    keyed = embs.mapInPandas(
+        gen, schema="id string, " + ", ".join(f"{c} long" for c in band_cols))
+    entries = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(band_cols[b]).alias("bucket"))
+        for b in range(bands)])
+    return keyed.select("id", F.explode(entries).alias("e")) \
+                .select("id", F.col("e.band").alias("band"),
+                        F.col("e.bucket").alias("bucket"))
+
+
+def embedding_neardup(embs: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", bands: int = 8,
+                      band_planes: int = 6, threshold: float = 0.95,
+                      seed: int | None = None,
+                      hot_bucket_rows: int = 10_000,
+                      hot_salt: int = 32) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold: banded multi-signature
+    LSH candidates (union over bands — structural recall, see
+    embedding_bands), exact JVM-side cosine verification restricted to
+    candidates. Hot buckets are salted like the minhash path. Returns
+    (id_a, id_b, cosine)."""
+    from .similarity import cosine_expr
+
+    band_rows = embedding_bands(embs, id_col, vec_col, bands, band_planes,
+                                seed)
+    left = band_rows.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = band_rows.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = _salted_bucket_join(left, right, ["band", "bucket"],
+                               hot_bucket_rows, hot_salt, band_rows) \
+        .where(F.col("id_a") < F.col("id_b")) \
+        .select("id_a", "id_b").distinct()
+    vecs = embs.select(F.col(id_col).cast("string").alias("id"),
+                       F.col(vec_col).alias("_v"))
+    pairs = (cand
+             .join(vecs.select(F.col("id").alias("id_a"),
+                               F.col("_v").alias("va")), "id_a")
+             .join(vecs.select(F.col("id").alias("id_b"),
+                               F.col("_v").alias("vb")), "id_b"))
+    return pairs.withColumn("cosine", cosine_expr("va", "vb")) \
+                .where(F.col("cosine") >= threshold) \
+                .select("id_a", "id_b", "cosine")

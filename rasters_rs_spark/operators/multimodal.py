@@ -134,12 +134,18 @@ def validate_images(a: DataFrame, b: DataFrame, id_col: str = "image_id",
     two image tables on id and report, per row, decoded-pixel fidelity
     (PSNR, infinite for bit-equal rasters; must be >= min_psnr for
     lossy codecs) and caption equality. Returns
-    (image_id, psnr, psnr_ok, caption_match) — the validation gate a
-    pipeline runs after any re-encode/transcode stage."""
+    (image_id, psnr, dims_match, psnr_ok, caption_match) — the
+    validation gate a pipeline runs after any re-encode/transcode
+    stage. Rows whose rasters differ in shape (e.g. validating against
+    a cropped/augmented output) report dims_match=false and
+    psnr_ok=false with a NULL psnr instead of misdecoding b with a's
+    dimensions."""
     # note: itertuples renames leading-underscore columns, so the
     # joined b-side columns use a plain prefix
     bb = b.select(F.col(id_col).alias("b2_id"),
                   F.col("bytes").alias("b2_bytes"),
+                  F.col("w").alias("b2_w"),
+                  F.col("h").alias("b2_h"),
                   F.col("fmt").alias("b2_fmt"),
                   F.col("caption").alias("b2_caption"))
     j = a.join(bb, a[id_col] == bb["b2_id"])
@@ -148,19 +154,26 @@ def validate_images(a: DataFrame, b: DataFrame, id_col: str = "image_id",
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                orig = decode_any(row.bytes, row.h, row.w, row.fmt, allow_fake)
-                dec = decode_any(row.b2_bytes, row.h, row.w, row.b2_fmt,
-                                 allow_fake)
-                p = codecs.psnr(orig, dec)
-                out.append((getattr(row, id_col), float(p),
-                            bool(p >= min_psnr),
+                dims_ok = (int(row.h) == int(row.b2_h)
+                           and int(row.w) == int(row.b2_w))
+                if dims_ok:
+                    orig = decode_any(row.bytes, row.h, row.w, row.fmt,
+                                      allow_fake)
+                    dec = decode_any(row.b2_bytes, row.b2_h, row.b2_w,
+                                     row.b2_fmt, allow_fake)
+                    p = float(codecs.psnr(orig, dec))
+                    p_ok = bool(p >= min_psnr)
+                else:
+                    p, p_ok = None, False
+                out.append((getattr(row, id_col), p, dims_ok, p_ok,
                             bool(row.caption == row.b2_caption)))
-            yield pd.DataFrame(out, columns=["image_id", "psnr", "psnr_ok",
+            yield pd.DataFrame(out, columns=["image_id", "psnr",
+                                             "dims_match", "psnr_ok",
                                              "caption_match"])
 
     return j.mapInPandas(
-        gen, schema="image_id string, psnr double, psnr_ok boolean, "
-                    "caption_match boolean")
+        gen, schema="image_id string, psnr double, dims_match boolean, "
+                    "psnr_ok boolean, caption_match boolean")
 
 
 def image_features(images: DataFrame, allow_fake: bool = False) -> DataFrame:

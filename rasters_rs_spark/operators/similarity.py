@@ -18,6 +18,22 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _maybe_broadcast_queries(queries: DataFrame, qprobe: DataFrame,
+                             broadcast_queries: bool | None,
+                             max_broadcast_queries: int) -> DataFrame:
+    """Adaptive query-side plan for the bucket/list candidate join
+    (knn_join's stats-based fast-path pattern): broadcast the probe
+    table when the query side is small — the common ANN shape, no
+    shuffle of the corpus — but fall back to a plain equi-join (Catalyst
+    picks sort-merge/shuffled-hash) when a caller feeds a LARGE query
+    table, where an unconditional broadcast would OOM the executors.
+    The decision counts the RAW query input (a cheap scan), not the
+    bucketed probe table, so the pandas bucketing UDF runs once."""
+    if broadcast_queries is None:
+        broadcast_queries = queries.count() <= max_broadcast_queries
+    return F.broadcast(qprobe) if broadcast_queries else qprobe
+
+
 def _norm_expr(col: str):
     sq = F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     return F.sqrt(sq)
@@ -89,7 +105,9 @@ def _lsh_bucket_udf(vec_col: str, planes: list[list[float]]):
 def lsh_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
                  n_planes: int = 8, probes: int = 3,
                  q_id: str = "q_id", c_id: str = "vec_id",
-                 q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+                 q_vec: str = "q_vec", c_vec: str = "embedding",
+                 broadcast_queries: bool | None = None,
+                 max_broadcast_queries: int = 1_000_000) -> DataFrame:
     """lsh_topk with deterministic LCG hyperplanes and JVM-side fold
     dot products: same plan shape (bucket equi-join + multi-probe +
     exact rerank), but every intermediate is reproducible in ANSI SQL —
@@ -103,7 +121,9 @@ def lsh_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     probe_df = qk.sparkSession.createDataFrame([(f,) for f in flips], "flip long")
     qprobe = qk.crossJoin(F.broadcast(probe_df)).withColumn(
         "bucket", F.col("bucket").bitwiseXOR(F.col("flip"))).drop("flip")
-    cand = ck.join(F.broadcast(qprobe), on="bucket").dropDuplicates([q_id, c_id])
+    qprobe = _maybe_broadcast_queries(queries, qprobe, broadcast_queries,
+                                      max_broadcast_queries)
+    cand = ck.join(qprobe, on="bucket").dropDuplicates([q_id, c_id])
     scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -154,7 +174,9 @@ def _ivf_assign_det_udf(vec_col: str, cents: list[list[float]], nprobe: int):
 def ivf_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
                  n_lists: int = 16, nprobe: int = 4,
                  q_id: str = "q_id", c_id: str = "vec_id",
-                 q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+                 q_vec: str = "q_vec", c_vec: str = "embedding",
+                 broadcast_queries: bool | None = None,
+                 max_broadcast_queries: int = 1_000_000) -> DataFrame:
     """ivf_topk with deterministic LCG centroids (no k-means training):
     corpus rows go to their argmin list (ties to the lowest list id),
     queries probe their nprobe nearest lists, exact rerank inside. The
@@ -170,7 +192,9 @@ def ivf_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     qk = queries.mapInPandas(_ivf_assign_det_udf(q_vec, cents, nprobe),
                              schema=q_schema) \
                 .withColumn("list_id", F.explode("lists")).drop("lists")
-    cand = ck.join(F.broadcast(qk), on="list_id").dropDuplicates([q_id, c_id])
+    qk = _maybe_broadcast_queries(queries, qk, broadcast_queries,
+                                  max_broadcast_queries)
+    cand = ck.join(qk, on="list_id").dropDuplicates([q_id, c_id])
     scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -230,7 +254,9 @@ def _ivf_assign_udf(vec_col: str, cents: np.ndarray, nprobe: int):
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
              n_lists: int = 16, nprobe: int = 4, train_sample: int = 2048,
              q_id: str = "q_id", c_id: str = "vec_id",
-             q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+             q_vec: str = "q_vec", c_vec: str = "embedding",
+             broadcast_queries: bool | None = None,
+             max_broadcast_queries: int = 1_000_000) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer, corpus rows
     assigned to their nearest list, queries probe their ``nprobe``
     nearest lists, exact cosine rerank inside the probed lists.
@@ -248,7 +274,9 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     qk = queries.mapInPandas(_ivf_assign_udf(q_vec, cents, nprobe), schema=q_schema) \
                 .withColumn("list_id", F.explode("lists")).drop("lists")
 
-    cand = ck.join(F.broadcast(qk), on="list_id").dropDuplicates([q_id, c_id])
+    qk = _maybe_broadcast_queries(queries, qk, broadcast_queries,
+                                  max_broadcast_queries)
+    cand = ck.join(qk, on="list_id").dropDuplicates([q_id, c_id])
     scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -259,7 +287,9 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
              n_planes: int = 12, probes: int = 3, seed: int = 7,
              q_id: str = "q_id", c_id: str = "vec_id",
-             q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+             q_vec: str = "q_vec", c_vec: str = "embedding",
+             broadcast_queries: bool | None = None,
+             max_broadcast_queries: int = 1_000_000) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by hyperplane signs,
     multi-probe by flipping ``probes`` single bits, equi-join on bucket,
     exact cosine rerank. Same output schema as cosine_topk."""
@@ -274,7 +304,9 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     qprobe = qk.crossJoin(F.broadcast(probe_df)).withColumn(
         "bucket", F.col("bucket").bitwiseXOR(F.col("flip"))).drop("flip")
 
-    cand = ck.join(F.broadcast(qprobe), on="bucket").dropDuplicates([q_id, c_id])
+    qprobe = _maybe_broadcast_queries(queries, qprobe, broadcast_queries,
+                                      max_broadcast_queries)
+    cand = ck.join(qprobe, on="bucket").dropDuplicates([q_id, c_id])
     scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -78,3 +78,35 @@ def test_asof_tolerance(spark):
                      tolerance_seconds=3600.0).collect()}
     assert out[1] == 7.0      # 30 min old: within tolerance
     assert out[2] is None     # 2.5 h old: discarded
+
+
+def test_asof_tolerance_numeric_ts(spark):
+    """tolerance_seconds on a NUMERIC ts column (epoch seconds /
+    doubles): pandas merge_asof tolerance works on numeric keys, and
+    the base operator supports them — the tolerance path must too
+    (round-2 advice: the timestamp_ntz cast raised AnalysisException
+    for numeric ts)."""
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": [100.0, 500.0, 50.0],
+        "lid": [1, 2, 3]}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "b"],
+        "ts": [90.0, 45.0],
+        "v": [7.0, 8.0]}))
+    out = {r["lid"]: r["v"] for r in
+           asof_join(left, right, key="k", ts="ts",
+                     tolerance_seconds=60.0).collect()}
+    assert out[1] == 7.0      # 10 units old: within tolerance
+    assert out[2] is None     # 410 units old: discarded
+    assert out[3] == 8.0
+
+    # pandas merge_asof parity on the same data
+    lp = pd.DataFrame({"k": ["a", "a", "b"], "ts": [100.0, 500.0, 50.0],
+                       "lid": [1, 2, 3]}).sort_values("ts")
+    rp = pd.DataFrame({"k": ["a", "b"], "ts": [90.0, 45.0],
+                       "v": [7.0, 8.0]}).sort_values("ts")
+    m = pd.merge_asof(lp, rp, on="ts", by="k", tolerance=60.0)
+    expect = {int(r.lid): (None if pd.isna(r.v) else float(r.v))
+              for r in m.itertuples()}
+    assert out == expect

@@ -88,3 +88,68 @@ def test_blocked_hamming_join_is_equi_join(spark):
     p = plan(q)
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Disable size-based auto-broadcast so the audits below see the
+    plan the operator CHOSE, not what Catalyst infers from the tiny
+    test tables (at sf0.01 everything fits under the threshold)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _embs_and_queries(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .selectExpr("cast(vec_id as bigint) vec_id",
+                    "transform(embedding, v -> cast(v as double)) embedding")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return emb, queries
+
+
+def test_lsh_topk_adaptive_query_side(spark, sf_dir, no_auto_broadcast):
+    """The ANN bucket join must broadcast the probe table when the
+    query side is small, but choose a shuffle join (sort-merge or
+    shuffled-hash) when the caller feeds a large query table — an
+    unconditional broadcast OOMs there (round-2 perf weakness #1)."""
+    from rasters_rs_spark.operators import similarity as S
+    emb, queries = _embs_and_queries(spark, sf_dir)
+
+    small = S.lsh_topk_det(queries, emb, k=3, dim=64, n_planes=8,
+                           broadcast_queries=True)
+    assert "BroadcastHashJoin" in plan(small)
+
+    big = S.lsh_topk_det(queries, emb, k=3, dim=64, n_planes=8,
+                         broadcast_queries=False)
+    pb = plan(big)
+    assert "SortMergeJoin" in pb or "ShuffledHashJoin" in pb
+
+    # count-based auto decision: threshold below the query count must
+    # pick the shuffle plan; above it, the broadcast plan
+    auto_big = S.lsh_topk_det(queries, emb, k=3, dim=64, n_planes=8,
+                              max_broadcast_queries=2)
+    p = plan(auto_big)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    auto_small = S.lsh_topk_det(queries, emb, k=3, dim=64, n_planes=8,
+                                max_broadcast_queries=1000)
+    assert "BroadcastHashJoin" in plan(auto_small)
+
+    # the plan choice must not change the result
+    rows_b = sorted(map(tuple, small.collect()))
+    rows_s = sorted(map(tuple, big.collect()))
+    assert rows_b == rows_s and len(rows_b) > 0
+
+
+def test_ivf_topk_adaptive_query_side(spark, sf_dir, no_auto_broadcast):
+    from rasters_rs_spark.operators import similarity as S
+    emb, queries = _embs_and_queries(spark, sf_dir)
+    big = S.ivf_topk_det(queries, emb, k=3, dim=64, broadcast_queries=False)
+    pb = plan(big)
+    assert "SortMergeJoin" in pb or "ShuffledHashJoin" in pb
+    small = S.ivf_topk_det(queries, emb, k=3, dim=64, broadcast_queries=True)
+    assert "BroadcastHashJoin" in plan(small)
+    assert sorted(map(tuple, big.collect())) == \
+        sorted(map(tuple, small.collect()))
