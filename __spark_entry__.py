@@ -361,17 +361,7 @@ def _q_knn_ring(spark, sf_dir):
 _FILL_PTS_EXTENT = (-1000.0, 900.0, -100.0, 1010.0)
 
 
-def _q_fill_idw(spark, sf_dir):
-    """IDW hole filling end-to-end: LCG images with SQL-derivable holes
-    (value < 0.125 -> no_val), filled through the real fill_idw kernel,
-    then every pixel emitted. The oracle recomputes hole fills as the
-    ordered IDW fold over the SQL kNN and passes untouched pixels
-    through the LCG closed form."""
-    pdf = synth.lcg_image_table(8, 32, 32, pixel_size=2.0, holes_below=0.125)
-    images = spark.createDataFrame(pdf)
-    pts = synth.points_table(200, seed=51, extent=_FILL_PTS_EXTENT)
-    filled = knn.fill_idw(images, pts, k=4)
-
+def _explode_pixels(filled):
     def gen(batches):
         for pdfb in batches:
             out = []
@@ -386,6 +376,33 @@ def _q_fill_idw(spark, sf_dir):
 
     px = filled.mapInPandas(gen, schema="image_id string, i long, j long, v double")
     return px.select("image_id", "i", "j", F.round("v", 9).alias("v"))
+
+
+def _q_fill_idw(spark, sf_dir):
+    """IDW hole filling end-to-end: LCG images with SQL-derivable holes
+    (value < 0.125 -> no_val), filled through the real fill_idw kernel,
+    then every pixel emitted. The oracle recomputes hole fills as the
+    ordered IDW fold over the SQL kNN and passes untouched pixels
+    through the LCG closed form."""
+    pdf = synth.lcg_image_table(8, 32, 32, pixel_size=2.0, holes_below=0.125)
+    images = spark.createDataFrame(pdf)
+    pts = synth.points_table(200, seed=51, extent=_FILL_PTS_EXTENT)
+    return _explode_pixels(knn.fill_idw(images, pts, k=4))
+
+
+def _q_fill_idw_dist(spark, sf_dir):
+    """The DISTRIBUTED fill (hole explode -> cell-bucketed knn_join ->
+    per-image IDW reassembly; no broadcast of the point side,
+    fast_path_points=0 forces the ring path) against the SAME SQL
+    oracle as fill_idw_synth — byte-level parity of the two plans is
+    also pinned by tests/test_knn.py."""
+    pdf = synth.lcg_image_table(8, 32, 32, pixel_size=2.0, holes_below=0.125)
+    images = spark.createDataFrame(pdf)
+    pts = synth.points_table(200, seed=51, extent=_FILL_PTS_EXTENT)
+    filled = knn.fill_idw_distributed(images, spark.createDataFrame(pts),
+                                      k=4, cell_size=256.0,
+                                      fast_path_points=0)
+    return _explode_pixels(filled)
 
 
 def _q_minhash_pairs(spark, sf_dir):
@@ -873,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_stats_synth": _q_diff_synth,
         "knn_ring_synth": _q_knn_ring,
         "fill_idw_synth": _q_fill_idw,
+        "fill_idw_dist_synth": _q_fill_idw_dist,
         "minhash_pairs_docs": _q_minhash_pairs,
         "simhash_docs": _q_simhash,
         "fingerprint_docs": _q_fingerprint,
@@ -1817,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "diff_stats_synth": _lcg_diff_partial_sql(),
         "knn_ring_synth": _knn_ring_sql(),
         "fill_idw_synth": _fill_idw_sql(),
+        "fill_idw_dist_synth": _fill_idw_sql(),
         "image_features_synth": _lcg_features_sql(),
         "ann_lsh_embeddings": _lsh_det_sql(),
         "ann_ivf_embeddings": _ivf_det_sql(),

@@ -261,3 +261,92 @@ def fill_idw(images: DataFrame, points: pd.DataFrame, k: int = 8,
     schema = ("image_id string, bytes binary, w int, h int, fmt string, "
               "gt array<double>, crs string, no_val double, filled long")
     return images.mapInPandas(gen, schema=schema)
+
+
+def hole_pixels(images: DataFrame, fill_nan: bool = False) -> DataFrame:
+    """Explode each image's hole pixels (val == no_val, optionally NaN)
+    into point rows (image_id, pi, pj, x, y) with world coordinates at
+    the pixel center — the query side of the distributed fill."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+                holes = block == row.no_val
+                if fill_nan:
+                    holes |= np.isnan(block)
+                if not holes.any():
+                    continue
+                ii, jj = np.nonzero(holes)
+                t = geom.transform_from_gdal(row.gt)
+                wx, wy = geom.transform_points(t, jj + 0.5, ii + 0.5)
+                out.append(pd.DataFrame({
+                    "image_id": row.image_id, "pi": ii, "pj": jj,
+                    "x": wx, "y": wy}))
+            yield (pd.concat(out) if out else pd.DataFrame(
+                columns=["image_id", "pi", "pj", "x", "y"]))
+
+    return images.mapInPandas(
+        gen, schema="image_id string, pi long, pj long, x double, y double")
+
+
+def fill_idw_distributed(images: DataFrame, points: DataFrame, k: int = 8,
+                         power: float = 2.0, fill_nan: bool = False,
+                         cell_size: float = 256.0,
+                         fast_path_points: int = 10_000) -> DataFrame:
+    """fill_idw for point tables too large to broadcast: composes the
+    engine's own operators instead of shipping the whole point set into
+    every task (the round-2 gap — fill_idw's numpy closure is the
+    reference's shared-triangulation analogue and caps at task memory).
+
+    Shape: explode hole pixels (hole_pixels) -> distributed cell-
+    bucketed knn_join (the candidate step is an equi-join on cell keys;
+    no broadcast of the point side when it exceeds fast_path_points) ->
+    per-image reassembly that applies the SAME strict-fold IDW kernel.
+    Exactly equal to fill_idw when the points' pt_id string order
+    matches their positional order (zero-padded ids, e.g.
+    synth.points_table), because knn_join tie-breaks by (dist, pt_id)
+    and fill_idw by (dist, positional index).
+
+    ``points``: DataFrame with (pt_id string, x, y, z). Returns the
+    fill_idw schema (filled image rows + per-image filled count)."""
+    # knn_join partitions by a single query-id column: derive one
+    q = hole_pixels(images, fill_nan).withColumn(
+        "qid", F.concat_ws(":", "image_id", "pi", "pj"))
+    nn = knn_join(q, points, k=k, cell_size=cell_size, query_id="qid",
+                  fast_path_points=fast_path_points) \
+        .select("image_id", "pi", "pj", "pt_id", "dist", "z")
+
+    out_schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+                  "gt array<double>, crs string, no_val double, filled long")
+
+    def patch(img_pdf: pd.DataFrame, nn_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        nn_by_img = (nn_pdf.sort_values(["pi", "pj", "dist", "pt_id"])
+                     if len(nn_pdf) else nn_pdf)
+        for row in img_pdf.itertuples(index=False):
+            block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+            n = 0
+            if len(nn_by_img):
+                g = nn_by_img[nn_by_img["image_id"] == row.image_id]
+                if len(g):
+                    # every hole has the same neighbor count (min(k, N))
+                    counts = g.groupby(["pi", "pj"], sort=True).size()
+                    kk = int(counts.iloc[0])
+                    assert (counts == kk).all(), "ragged kNN result"
+                    n = len(counts)
+                    ii = counts.index.get_level_values(0).to_numpy()
+                    jj = counts.index.get_level_values(1).to_numpy()
+                    dk = g["dist"].to_numpy().reshape(n, kk)
+                    vk = g["z"].to_numpy().reshape(n, kk)
+                    block[ii, jj] = idw(vk, dk, power)
+            out.append((row.image_id, codecs.encode_block(block, row.fmt),
+                        row.w, row.h, row.fmt, list(row.gt), row.crs,
+                        row.no_val, n))
+        return pd.DataFrame(out, columns=[
+            "image_id", "bytes", "w", "h", "fmt", "gt", "crs",
+            "no_val", "filled"])
+
+    return images.groupBy("image_id").cogroup(nn.groupBy("image_id")) \
+        .applyInPandas(lambda ik, a, b: patch(a, b), schema=out_schema)

@@ -14,7 +14,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions import codecs, geom
 
@@ -96,23 +96,27 @@ def _shift_gt(gt, px: int, py: int):
             gt[3] + px * gt[4] + py * gt[5], gt[4], gt[5]]
 
 
-def mosaic(images: DataFrame, dst_gt, dst_w: int, dst_h: int,
-           method: str = "nearest", strip_height: int = 256,
-           assemble: bool = True) -> DataFrame:
-    """Composite many images onto one target grid: windowed resample of
-    each image, then a NaN-aware per-pixel mean across overlaps.
+MOSAIC_TILE_SCHEMA = ("sy long, sx long, y0 long, y1 long, x0 long, "
+                      "x1 long, bytes binary")
+
+
+def mosaic_tiles(images: DataFrame, dst_gt, dst_w: int, dst_h: int,
+                 method: str = "nearest", strip_height: int = 256,
+                 tile_width: int = 1024) -> DataFrame:
+    """Composite many images onto one target grid, returning the merged
+    mosaic as (sy, sx)-keyed TILES — the scale representation.
 
     Scale shape: each image resamples ONLY the target window its extent
-    covers (plan-time G6 window transform, not the full plane) and emits
-    (sum, count) partials keyed by target ROW STRIP, so the merge
-    parallelizes across strips and no task ever holds more than one
-    strip — at 100x image counts the merge fan-in per strip is just the
-    images overlapping that strip. With ``assemble=False`` the result
-    stays in the chunked-strip representation (chunked.CHUNK_SCHEMA);
-    otherwise strips are stitched into one image row (driver-sized
-    outputs only)."""
+    covers (plan-time G6 window transform, not the full plane) and
+    emits (sum, count) partials keyed by (row strip, column tile), so
+    the merge parallelizes across BOTH axes and per-merge-task memory
+    is bounded by strip_height x tile_width regardless of the target
+    raster's width — the round-2 plan kept full-dst_w strips, which a
+    planet-scale mosaic would turn into multi-GB tasks. The merge
+    fan-in per tile is just the images overlapping that tile."""
     dst_gt = [float(v) for v in dst_gt]
     strip_height = max(1, min(strip_height, dst_h))
+    tile_width = max(1, min(tile_width, dst_w))
 
     def to_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,45 +135,78 @@ def mosaic(images: DataFrame, dst_gt, dst_w: int, dst_h: int,
                                 (y0 + wh - 1) // strip_height + 1):
                     r0 = max(y0, sy * strip_height)
                     r1 = min(y0 + wh, (sy + 1) * strip_height)
-                    sm = m[r0 - y0:r1 - y0]
-                    if not sm.any():
-                        continue
-                    sv = sub[r0 - y0:r1 - y0]
-                    out.append((sy, x0, r0, r1,
-                                codecs.encode_raw(np.where(sm, sv, 0.0)),
-                                sm.astype("<f8").tobytes()))
-            yield pd.DataFrame(out, columns=["sy", "x0", "r0", "r1",
-                                             "vsum", "wsum"])
+                    for sx in range(x0 // tile_width,
+                                    (x0 + ww - 1) // tile_width + 1):
+                        c0 = max(x0, sx * tile_width)
+                        c1 = min(x0 + ww, (sx + 1) * tile_width)
+                        sm = m[r0 - y0:r1 - y0, c0 - x0:c1 - x0]
+                        if not sm.any():
+                            continue
+                        sv = sub[r0 - y0:r1 - y0, c0 - x0:c1 - x0]
+                        out.append((sy, sx, r0, r1, c0, c1,
+                                    codecs.encode_raw(np.where(sm, sv, 0.0)),
+                                    sm.astype("<f8").tobytes()))
+            yield pd.DataFrame(out, columns=["sy", "sx", "r0", "r1",
+                                             "c0", "c1", "vsum", "wsum"])
 
     partials = images.mapInPandas(
         to_partials,
-        schema="sy long, x0 long, r0 long, r1 long, vsum binary, wsum binary")
+        schema=("sy long, sx long, r0 long, r1 long, c0 long, c1 long, "
+                "vsum binary, wsum binary"))
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         sy = int(pdf["sy"].iloc[0])
-        s0 = sy * strip_height
+        sx = int(pdf["sx"].iloc[0])
+        s0, t0 = sy * strip_height, sx * tile_width
         s1 = min(s0 + strip_height, dst_h)
-        vs = np.zeros((s1 - s0, dst_w))
-        ws = np.zeros((s1 - s0, dst_w))
+        t1 = min(t0 + tile_width, dst_w)
+        vs = np.zeros((s1 - s0, t1 - t0))
+        ws = np.zeros((s1 - s0, t1 - t0))
         for row in pdf.itertuples(index=False):
             h = int(row.r1 - row.r0)
             pv = np.frombuffer(row.vsum, dtype="<f8").reshape(h, -1)
             pw = np.frombuffer(row.wsum, dtype="<f8").reshape(h, -1)
             rr = slice(int(row.r0) - s0, int(row.r1) - s0)
-            cc = slice(int(row.x0), int(row.x0) + pv.shape[1])
+            cc = slice(int(row.c0) - t0, int(row.c1) - t0)
             vs[rr, cc] += pv
             ws[rr, cc] += pw
         with np.errstate(invalid="ignore"):
-            strip = np.where(ws > 0, vs / np.maximum(ws, 1.0), np.nan)
+            tile = np.where(ws > 0, vs / np.maximum(ws, 1.0), np.nan)
         return pd.DataFrame([{
-            "image_id": "mosaic", "chunk_idx": sy,
-            "data_start": s0, "data_end": s1,
-            "load_start": s0, "load_end": s1,
-            "bytes": codecs.encode_raw(strip),
-            "w": dst_w, "h": dst_h, "fmt": "raw",
-            "gt": list(dst_gt), "crs": "EPSG:3857", "no_val": float("nan")}])
+            "sy": sy, "sx": sx, "y0": s0, "y1": s1, "x0": t0, "x1": t1,
+            "bytes": codecs.encode_raw(tile)}])
 
-    from .chunked import CHUNK_SCHEMA, assemble_images
-    strips = partials.groupBy("sy").applyInPandas(
-        lambda key, pdf: merge(pdf), schema=CHUNK_SCHEMA)
-    return assemble_images(strips) if assemble else strips
+    return partials.groupBy("sy", "sx").applyInPandas(
+        lambda key, pdf: merge(pdf), schema=MOSAIC_TILE_SCHEMA)
+
+
+def mosaic(images: DataFrame, dst_gt, dst_w: int, dst_h: int,
+           method: str = "nearest", strip_height: int = 256,
+           tile_width: int = 1024, assemble: bool = True) -> DataFrame:
+    """Composite many images onto one target grid: windowed resample,
+    NaN-aware per-pixel mean across overlaps, (sy, sx)-tiled merge
+    (see mosaic_tiles — that is the scale surface). With
+    ``assemble=False`` the merged tiles are returned as-is; otherwise
+    they are stitched into ONE full image row — a driver-sized
+    convenience for mosaics that fit in a single task's memory."""
+    dst_gt = [float(v) for v in dst_gt]
+    tiles = mosaic_tiles(images, dst_gt, dst_w, dst_h, method,
+                         strip_height, tile_width)
+    if not assemble:
+        return tiles
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        block = np.full((dst_h, dst_w), np.nan)
+        for row in pdf.itertuples(index=False):
+            th, tw = int(row.y1 - row.y0), int(row.x1 - row.x0)
+            block[row.y0:row.y1, row.x0:row.x1] = \
+                np.frombuffer(row.bytes, dtype="<f8").reshape(th, tw)
+        return pd.DataFrame([{
+            "image_id": "mosaic", "bytes": codecs.encode_raw(block),
+            "w": dst_w, "h": dst_h, "fmt": "raw", "gt": list(dst_gt),
+            "crs": "EPSG:3857", "no_val": float("nan")}])
+
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "gt array<double>, crs string, no_val double")
+    return tiles.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        lambda key, pdf: stitch(pdf), schema=schema)

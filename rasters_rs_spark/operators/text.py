@@ -27,10 +27,6 @@ LANG_MARKERS = {
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
 
-def _in_list(words) -> str:
-    return ", ".join(f"'{w}'" for w in words)
-
-
 def token_count_expr(text_col: str = "text"):
     return F.size(F.split(F.col(text_col), " "))
 
@@ -39,43 +35,54 @@ def with_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("n_tokens", token_count_expr(text_col))
 
 
-def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality(docs: DataFrame, text_col: str = "text",
+                 tokens_col: str | None = None) -> DataFrame:
     """Quality features: token count, char count, mean token length,
     stopword ratio, punctuation ratio, uppercase ratio — all codegen'd
-    column expressions (no UDF)."""
+    column expressions (no UDF).
+
+    ``tokens_col``: name of an already-materialized split-token array
+    column to reuse (fused pipelines like filter_corpus tokenize once
+    and share the array across quality + lang-id + repetition instead
+    of re-splitting the text per signal)."""
     t = F.col(text_col)
-    n_tokens = F.size(F.split(t, " "))
+    toks = F.col(tokens_col) if tokens_col else F.split(t, " ")
+    n_tokens = F.size(toks)
     n_chars = F.length(t)
-    n_nospace = F.length(F.regexp_replace(t, " ", ""))
+    # non-space chars == sum of split-token lengths (empty tokens from
+    # repeated spaces contribute 0) — no regexp pass needed
+    n_nospace = F.aggregate(F.transform(toks, F.length),
+                            F.lit(0), lambda a, x: a + x)
     n_punct = n_chars - F.length(F.regexp_replace(t, "[.,;:!?]", ""))
     n_upper = n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))
-    stop_sql = (f"size(filter(split({text_col}, ' '), "
-                f"w -> w in ({_in_list(STOPWORDS)})))")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
     return (
         docs.withColumn("n_tokens", n_tokens)
         .withColumn("n_chars_q", n_chars)
         .withColumn("mean_token_len", n_nospace / n_tokens)
         .withColumn("punct_ratio", n_punct / n_chars)
         .withColumn("upper_ratio", n_upper / n_chars)
-        .withColumn("stopword_ratio", F.expr(stop_sql) / n_tokens)
+        .withColumn("stopword_ratio", n_stop / n_tokens)
     )
 
 
-def lang_marker_counts(text_col: str = "text"):
+def lang_marker_counts(text_col: str = "text",
+                       tokens_col: str | None = None):
     """One count column per language: tokens in that language's marker
-    list (pure SQL lambda, DuckDB-expressible verbatim)."""
+    list (pure Catalyst lambda, DuckDB-expressible verbatim)."""
+    toks = (F.col(tokens_col) if tokens_col
+            else F.split(F.col(text_col), " "))
     return {
-        lang: F.expr(
-            f"size(filter(split({text_col}, ' '), w -> w in ({_in_list(words)})))"
-        )
+        lang: F.size(F.filter(toks, lambda w: w.isin(*words)))
         for lang, words in LANG_MARKERS.items()
     }
 
 
-def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_lang_id(docs: DataFrame, text_col: str = "text",
+                 tokens_col: str | None = None) -> DataFrame:
     """Heuristic language ID: argmax of marker-token counts, 'und' when
     every count is zero; deterministic tie-break by language name."""
-    counts = lang_marker_counts(text_col)
+    counts = lang_marker_counts(text_col, tokens_col)
     df = docs
     for lang, expr in counts.items():
         df = df.withColumn(f"_c_{lang}", expr)
@@ -141,7 +148,8 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
 
 
 def repetition_stats(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     tokens_col: str | None = None) -> DataFrame:
     """Gopher-style repetition signal: the share of a document's word
     n-grams taken by its single most frequent n-gram (repetitive docs
     score high and get filtered from training corpora).
@@ -150,8 +158,10 @@ def repetition_stats(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
     max/sum per doc — two partial-aggregated groupBys, no all-gram
     state per task; scales as a plain shuffle on doc ids. Returns
     (doc_id, n_ngrams, top_count, rep_ratio). SQL-oracled."""
+    toks = (F.col(tokens_col) if tokens_col
+            else F.split(F.col(text_col), " "))
     g = docs.select(F.col(id_col).cast("bigint").alias("doc_id"),
-                    F.split(F.col(text_col), " ").alias("_toks")) \
+                    toks.alias("_toks")) \
             .select("doc_id",
                     F.explode(F.transform(
                         F.sequence(F.lit(1),
@@ -179,11 +189,17 @@ def filter_corpus(docs: DataFrame, min_tokens: int = 30,
     Shape: the quality/lang signals are pure row-local Catalyst exprs;
     the repetition signal joins in from its two-stage aggregation —
     one broadcast-able join on doc id; everything partial-aggregates.
-    """
-    q = with_lang_id(with_quality(docs, text_col), text_col).select(
+    The text is tokenized ONCE into a shared array column that quality,
+    lang-id, and repetition all reuse (previously each signal re-split
+    the text)."""
+    toked = docs.select(F.col(id_col).alias(id_col), F.col(text_col),
+                        F.split(F.col(text_col), " ").alias("_toks"))
+    q = with_lang_id(with_quality(toked, text_col, tokens_col="_toks"),
+                     text_col, tokens_col="_toks").select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"), "lang_id")
-    rep = repetition_stats(docs, n=2, id_col=id_col, text_col=text_col) \
+    rep = repetition_stats(toked, n=2, id_col=id_col, text_col=text_col,
+                           tokens_col="_toks") \
         .select("doc_id", "rep_ratio")
     out = q.join(rep, "doc_id") \
         .where((F.col("n_tokens") >= min_tokens)
@@ -251,11 +267,51 @@ def fingerprint_minhash(text: str, k: int = 8) -> int:
     return int(acc.min())
 
 
+def fingerprint_batch(texts, k: int = 8) -> np.ndarray:
+    """fingerprint_minhash vectorized ACROSS documents: all docs of an
+    Arrow batch concatenate (zero-padded to >= k bytes each, matching
+    the scalar path) into one byte buffer; the rolling polynomial hash
+    runs as k shifted vectorized passes over the whole buffer (no
+    (N, k) window materialization, so memory stays O(total bytes));
+    cross-document windows are masked with a sentinel and per-doc
+    minima fall out of one minimum.reduceat. No per-document Python in
+    the hash loop — the round-2 constant-factor weakness."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    bufs = [(t or "").encode() for t in texts]
+    bufs = [b if len(b) >= k else b + b"\x00" * (k - len(b)) for b in bufs]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+    total = offsets[-1]
+
+    powers = np.empty(k, dtype=np.int64)
+    powers[0] = 1
+    for i in range(1, k):
+        powers[i] = (powers[i - 1] * FP_BASE) % FP_MOD
+    # h(s) = (sum_d c_{s+d} * base^(k-1-d)) mod p as k shifted adds;
+    # byte*power < 2^39 and the running value < 2^31 + 2^39, so int64
+    # arithmetic is exact and the residue equals the scalar path's
+    n_win = int(total - k + 1)
+    acc = np.zeros(n_win, dtype=np.int64)
+    for d in range(k):
+        acc = (acc + data[d:d + n_win] * powers[k - 1 - d]) % FP_MOD
+    # window start s belongs to doc i iff it does not cross into the
+    # next doc: (s - offsets[i]) <= lens[i] - k
+    doc_idx = np.repeat(np.arange(n), lens)[:n_win]
+    pos = np.arange(n_win, dtype=np.int64) - offsets[doc_idx]
+    full = np.full(int(total), FP_MOD, dtype=np.int64)  # sentinel > any hash
+    full[:n_win] = np.where(pos <= lens[doc_idx] - k, acc, FP_MOD)
+    return np.minimum.reduceat(full, offsets[:-1])
+
+
 def with_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             res = pdf.copy()
-            res["fingerprint"] = [fingerprint_minhash(t or "", k) for t in pdf[text_col]]
+            res["fingerprint"] = fingerprint_batch(list(pdf[text_col]), k)
             yield res
 
     schema = ", ".join(f"{n} {t}" for n, t in docs.dtypes) + ", fingerprint long"

@@ -224,3 +224,45 @@ def test_fill_nan_quirk_default_off(spark):
     assert np.isnan(codecs.decode_raw(out["bytes"], 4, 4)[0, 0])
     out2 = K.fill_idw(imgs, pts, k=2, fill_nan=True).collect()[0]
     assert out2["filled"] == 1
+
+
+def test_fill_idw_distributed_equals_broadcast(spark):
+    """The distributed fill (hole explode -> cell-bucketed knn_join ->
+    per-image IDW reassembly) must equal fill_idw BYTE-FOR-BYTE on the
+    fill_idw_synth fixture — same neighbor sets, same tie-breaks, same
+    strict-fold accumulation — while the plan never broadcasts the
+    point side (fast_path_points=0 forces the ring path)."""
+    from rasters_rs_spark.sources import synth
+    pdf = synth.lcg_image_table(8, 32, 32, pixel_size=2.0, holes_below=0.125)
+    images = spark.createDataFrame(pdf)
+    pts = synth.points_table(200, seed=51,
+                             extent=(-1000.0, 900.0, -100.0, 1010.0))
+
+    base = {r["image_id"]: r for r in
+            K.fill_idw(images, pts, k=4).collect()}
+    dist = {r["image_id"]: r for r in
+            K.fill_idw_distributed(images, spark.createDataFrame(pts),
+                                   k=4, cell_size=256.0,
+                                   fast_path_points=0).collect()}
+    assert set(base) == set(dist)
+    for iid in base:
+        assert bytes(base[iid]["bytes"]) == bytes(dist[iid]["bytes"])
+        assert base[iid]["filled"] == dist[iid]["filled"]
+    assert sum(r["filled"] for r in base.values()) > 0
+
+
+def test_fill_idw_distributed_no_holes_passthrough(spark):
+    """Images with no holes pass through untouched (cogroup keeps them
+    even with an empty kNN side)."""
+    from rasters_rs_spark.sources import synth
+    pdf = synth.lcg_image_table(2, 16, 16, pixel_size=2.0)  # no holes
+    images = spark.createDataFrame(pdf)
+    pts = synth.points_table(50, seed=51)
+    out = {r["image_id"]: r for r in
+           K.fill_idw_distributed(images, spark.createDataFrame(pts),
+                                  k=3).collect()}
+    assert len(out) == 2 and all(r["filled"] == 0 for r in out.values())
+    orig = {r["image_id"]: bytes(r["bytes"])
+            for r in images.select("image_id", "bytes").collect()}
+    for iid, r in out.items():
+        assert bytes(r["bytes"]) == orig[iid]

@@ -85,10 +85,12 @@ def test_mosaic_overlap_mean(spark):
     assert np.allclose(got[:, 4:6], 6.0)       # b only
 
 
-def test_mosaic_strip_partitioned_merge(spark):
-    """The merge is keyed by target row strip: a tall mosaic with a
-    small strip_height produces >1 merge group (no single-reducer), and
-    the assembled result still equals the per-pixel NaN-aware mean."""
+def test_mosaic_tile_partitioned_merge(spark):
+    """The merge is keyed by (row strip, column tile): a tall+wide
+    mosaic with small strip_height AND tile_width produces >1 merge
+    group in BOTH dimensions — per-task memory is bounded by
+    strip_height x tile_width regardless of dst_w — and the assembled
+    result still equals the per-pixel NaN-aware mean."""
     from rasters_rs_spark.operators.resample import mosaic
     rng = np.random.default_rng(9)
     rows = []
@@ -98,25 +100,31 @@ def test_mosaic_strip_partitioned_merge(spark):
         blocks.append(blk)
         rows.append({
             "image_id": f"m{i}", "bytes": codecs.encode_raw(blk),
+            # staircase: down 4 rows AND right 4 cols per image, so
+            # neighbors overlap in both axes
+            "gt": [i * 4.0, 1.0, 0.0, 32.0 - i * 4.0, 0.0, -1.0],
             "w": 8, "h": 8, "fmt": "raw",
-            # stacked vertically with 4-row overlap between neighbors
-            "gt": [0.0, 1.0, 0.0, 32.0 - i * 4.0, 0.0, -1.0],
             "crs": "IDENTITY", "no_val": float("nan")})
     dst_gt = [0.0, 1.0, 0.0, 32.0, 0.0, -1.0]
+    dst_w, dst_h = 28, 32
     df = spark.createDataFrame(pd.DataFrame(rows))
 
-    strips = mosaic(df, dst_gt, 8, 32, strip_height=8, assemble=False)
-    srows = strips.collect()
-    assert len(srows) > 1  # multiple merge groups, not one reducer
+    tiles = mosaic(df, dst_gt, dst_w, dst_h, strip_height=8, tile_width=8,
+                   assemble=False).collect()
+    assert len({r["sy"] for r in tiles}) > 1   # >1 merge group in y
+    assert len({r["sx"] for r in tiles}) > 1   # >1 merge group in x
+    for r in tiles:  # every tile bounded by strip_height x tile_width
+        assert (r["y1"] - r["y0"]) <= 8 and (r["x1"] - r["x0"]) <= 8
 
-    out = mosaic(df, dst_gt, 8, 32, strip_height=8).collect()[0]
-    got = codecs.decode_raw(out["bytes"], 32, 8)
-    # numpy oracle: sum/count over the stacked placement
-    vs = np.zeros((32, 8))
-    ws = np.zeros((32, 8))
+    out = mosaic(df, dst_gt, dst_w, dst_h, strip_height=8,
+                 tile_width=8).collect()[0]
+    got = codecs.decode_raw(out["bytes"], dst_h, dst_w)
+    # numpy oracle: sum/count over the staircase placement
+    vs = np.zeros((dst_h, dst_w))
+    ws = np.zeros((dst_h, dst_w))
     for i, blk in enumerate(blocks):
-        vs[i * 4:i * 4 + 8] += blk
-        ws[i * 4:i * 4 + 8] += 1.0
+        vs[i * 4:i * 4 + 8, i * 4:i * 4 + 8] += blk
+        ws[i * 4:i * 4 + 8, i * 4:i * 4 + 8] += 1.0
     expect = np.where(ws > 0, vs / np.maximum(ws, 1.0), np.nan)
     assert np.allclose(got, expect, equal_nan=True)
 

@@ -278,3 +278,23 @@ def test_deterministic_split_stable_and_weighted(spark):
     s2 = {r["doc_id"]: r["split"]
           for r in TX.deterministic_split(df, salt="v2").collect()}
     assert any(a[k] != s2[k] for k in a)
+
+
+def test_fingerprint_batch_matches_scalar():
+    """The cross-document vectorized fingerprint must equal the scalar
+    per-doc rolling hash for every doc, including empty and shorter-
+    than-k texts (zero-padded on both paths)."""
+    import numpy as np
+    from rasters_rs_spark.operators import text as TX
+    rng = np.random.default_rng(21)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    texts = [" ".join(rng.choice(words, size=int(n)))
+             for n in rng.integers(1, 40, size=50)]
+    texts += ["", "ab", "abcdefg", "x" * 8, "exactly8"]  # < k and == k
+    got = TX.fingerprint_batch(texts, k=8)
+    expect = [TX.fingerprint_minhash(t or "", 8) for t in texts]
+    assert got.tolist() == expect
+    # non-ascii: both paths hash utf-8 bytes
+    uni = ["héllo wörld " * 3, "日本語テキスト"]
+    assert TX.fingerprint_batch(uni).tolist() == \
+        [TX.fingerprint_minhash(t) for t in uni]
