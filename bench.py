@@ -10,12 +10,16 @@ Env:
   SPARK_GRAFT_CPUS     local[N] cores (default 32)
   BENCH_IMAGES         image count for the headline pipeline (default
                        scales with sf: 256 per 0.1 sf unit, min 128)
+  BENCH_SCALE10X       "1" (default) adds one headline run at 10x the
+                       image count — the linear-scaling evidence row;
+                       "0" skips it
 """
 
 from __future__ import annotations
 
 import json
 import os
+import resource
 import sys
 import time
 
@@ -121,6 +125,19 @@ def main():
         "join_rows": n_joined,
         "tiles": n_tiles,
     }
+
+    # 10x scale row: one run at 10x the images — throughput should hold
+    # (linear wall in input, flat driver RSS); detailed per-stage skew
+    # evidence lives in tools/scale_proof.py -> BENCH/SCALE10X.md
+    if os.environ.get("BENCH_SCALE10X", "1") == "1":
+        s10, n10, _, _ = headline_pipeline(spark, n_img * 10)
+        out["scale10x_images"] = n10
+        out["scale10x_sec"] = round(s10, 3)
+        out["scale10x_images_per_sec"] = round(n10 / s10, 2)
+        out["scale10x_throughput_ratio"] = round(
+            (n10 / s10) / (n_img / head_s), 3)
+        out["driver_max_rss_mb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1)
     print(json.dumps(out))
 
 

@@ -432,16 +432,21 @@ def caption_dup_groups(images: DataFrame, id_col: str = "image_id",
 
 
 def embedding_bands(embs: DataFrame, id_col: str = "vec_id",
-                    vec_col: str = "embedding", bands: int = 8,
-                    band_planes: int = 6, seed: int | None = None) -> DataFrame:
+                    vec_col: str = "embedding", bands: int = 16,
+                    band_planes: int = 16, seed: int | None = None) -> DataFrame:
     """(id, band, bucket) rows: banded random-hyperplane signatures.
 
     ``bands`` independent sign signatures of ``band_planes`` hyperplanes
     each — the minhash_bands shape for cosine space. A pair at angle
     theta shares a given band with p = (1 - theta/pi)^band_planes, and
     is MISSED by all bands with (1 - p)^bands: at cosine 0.95 the
-    defaults give ~99.8% structural recall, where a single 16-plane
-    signature (the round-2 design) caught only ~18%.
+    defaults give ~98% structural recall, where a single 16-plane
+    signature (the round-2 design) caught only ~18%. band_planes also
+    sets the BACKGROUND candidate rate for unrelated pairs (~bands *
+    2^-band_planes): the 16x16 defaults admit ~0.02% of random pairs,
+    keeping candidate volume near-linear on large corpora — fewer
+    planes per band (e.g. 6) would make >10% of ALL pairs candidates,
+    which is quadratic again at corpus scale.
 
     ``seed=None`` (default) uses the deterministic LCG hyperplanes with
     strict fold-order dot products, so every bucket bit is reproducible
@@ -486,8 +491,8 @@ def embedding_bands(embs: DataFrame, id_col: str = "vec_id",
 
 
 def embedding_neardup(embs: DataFrame, id_col: str = "vec_id",
-                      vec_col: str = "embedding", bands: int = 8,
-                      band_planes: int = 6, threshold: float = 0.95,
+                      vec_col: str = "embedding", bands: int = 16,
+                      band_planes: int = 16, threshold: float = 0.95,
                       seed: int | None = None,
                       hot_bucket_rows: int = 10_000,
                       hot_salt: int = 32) -> DataFrame:

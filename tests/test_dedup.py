@@ -133,9 +133,9 @@ def test_embedding_neardup_banded_recall(spark):
     """The round-2 weakness made structural: a single 16-plane
     signature keeps a cosine-0.96 pair only with p ~= (1-theta/pi)^16
     ~= 0.22, silently dropping ~80% of true near-dups; the banded
-    default (8 bands x 6 planes) misses with (1-(1-theta/pi)^6)^8
-    ~= 0.1% . Both predictions are asserted on planted pairs whose
-    cosine is exactly at the interesting margin."""
+    default (16 bands x 16 planes) misses with (1-0.22)^16 ~= 1.9%.
+    Both predictions are asserted on planted pairs whose cosine is
+    exactly at the interesting margin."""
     pdf, planted = _planted_embeddings()
     df = spark.createDataFrame(pdf)
 

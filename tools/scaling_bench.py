@@ -108,8 +108,13 @@ refine, then base tile assignment + NaN-aware pyramid + q16 tile encode
 | local[8]  | {r8['sec']:.2f} | {r8['ips']:.1f} | {r8['ips_all']} |
 | local[32] | {r32['sec']:.2f} | {r32['ips']:.1f} | {r32['ips_all']} |
 
-**Scaling efficiency N -> 4N (2 -> 8 cores): {eff_2_8:.2f}** (target >= 0.8)
-Scaling efficiency 8 -> 32 cores: {eff_8_32:.2f}
+Both N -> 4N pairs are GATED metrics against the >= 0.8 target (the
+measurement basis is not relaxed post hoc):
+
+| pair | efficiency | gate (>= 0.8) |
+|---|---|---|
+| 2 -> 8 cores  | **{eff_2_8:.2f}** | {'PASS' if eff_2_8 >= 0.8 else 'FAIL'} |
+| 8 -> 32 cores | **{eff_8_32:.2f}** | {'PASS' if eff_8_32 >= 0.8 else 'FAIL on this single socket — hardware ceiling, see BENCH/HARDWARE.md'} |
 
 (The sandbox is a shared VM: per-run throughput varies ~15-20%, so each
 point reports best-of-3 with the full spread shown; efficiencies
@@ -120,10 +125,14 @@ on a real cluster each executor brings its own memory bandwidth, while
 on this single socket the pipeline (which streams ~30 MB of tile
 arrays per image) saturates the shared memory bus near ~16 cores — the
 8 -> 32 pair measures that ceiling, not the engine's shuffle/partition
-behavior. Per-task work is embarrassingly parallel (one image per row;
-zero shuffles in the tiling stage; one broadcast join in the cell
-stage), so executor-count scaling on a real cluster tracks the 2 -> 8
-number.
+behavior (Spark-free memory-bandwidth probe + hot-cell skew evidence:
+BENCH/HARDWARE.md). Per-task work is embarrassingly parallel (one
+image per row; zero shuffles in the tiling stage; one broadcast join
+in the cell stage), so executor-count scaling on a real cluster tracks
+the 2 -> 8 number.
+
+10x-volume evidence (throughput at 10x images, dedup/ANN at 10x
+corpus, flat driver RSS, per-stage task-time skew): BENCH/SCALE10X.md.
 
 Determinism across parallelism (join rows {r2['join_rows']}/{r8['join_rows']}/{r32['join_rows']},
 tiles {r2['tiles']}/{r8['tiles']}/{r32['tiles']}):
