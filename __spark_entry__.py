@@ -760,6 +760,153 @@ def _q_asof_tolerance(spark, sf_dir):
                       "recent_purchase_value")
 
 
+def _q_mosaic_mean(spark, sf_dir):
+    """Mosaic compositor end-to-end: 6 LCG images in one grid row with
+    12-px horizontal overlaps, composited onto an aligned target grid
+    through the real windowed-resample + (strip, tile)-keyed merge
+    (strip_height=8, tile_width=32 so BOTH merge axes have multiple
+    groups), then every pixel emitted. Aligned grids make the nearest
+    lookup an exact integer shift and overlap counts are 1 or 2, so
+    sum/count is exact dyadic math — the oracle recomputes each pixel
+    as the mean of the in-bounds LCG closed forms."""
+    from rasters_rs_spark.operators import resample as R
+    pdf = synth.lcg_image_table(6, 32, 32, pixel_size=2.0, spacing=40.0)
+    images = spark.createDataFrame(pdf)
+    dst_gt = [-1000.0, 2.0, 0.0, 1000.0, 0.0, -2.0]
+    out = R.mosaic(images, dst_gt, 132, 32, strip_height=8, tile_width=32)
+    # NaN (uncovered) pixels arrive as NULL through the Arrow transfer
+    return _explode_pixels(out) \
+        .where(F.col("v").isNotNull() & ~F.isnan("v")) \
+        .select("i", "j", "v")
+
+
+def _mosaic_mean_sql() -> str:
+    """Mirror of _q_mosaic_mean: image m covers dst columns
+    [20m, 20m+32); pixel (i, j) of image m is lcg(m*1024 + i*32 +
+    (j - 20m)); mosaic value = mean over covering images (dyadic sums,
+    counts 1-2 -> exact)."""
+    v = synth.lcg_sql_expr("m * 1024 + i * 32 + (j - 20 * m)")
+    return f"""
+        WITH px AS (
+          SELECT CAST(idx // 132 AS BIGINT) AS i,
+                 CAST(idx % 132 AS BIGINT) AS j
+          FROM (SELECT unnest(range(0, 32 * 132)) AS idx)),
+        contrib AS (
+          SELECT i, j, {v} AS v
+          FROM px, (SELECT unnest(range(0, 6)) AS m) ms
+          WHERE j - 20 * m >= 0 AND j - 20 * m < 32)
+        SELECT i, j, round(sum(v) / count(*), 9) AS v
+        FROM contrib GROUP BY i, j
+    """
+
+
+def _q_resample_bilinear(spark, sf_dir):
+    """Bilinear resample through the real kernel: one LCG image onto
+    the same-resolution grid shifted by exactly half a pixel in x and
+    y, so every interior target pixel blends its 4 source neighbors
+    with weights exactly 0.25 (dyadic — bit-exact in SQL); border
+    pixels (incomplete neighborhoods) are NaN and filtered on both
+    sides."""
+    from rasters_rs_spark.operators import resample as R
+    pdf = synth.lcg_image_table(1, 32, 32, pixel_size=2.0)
+    images = spark.createDataFrame(pdf)
+    dst_gt = [-999.0, 2.0, 0.0, 999.0, 0.0, -2.0]
+    out = R.resample(images, dst_gt, 32, 32, method="bilinear")
+    # NaN (incomplete-neighborhood) pixels arrive as NULL through Arrow
+    return _explode_pixels(out) \
+        .where(F.col("v").isNotNull() & ~F.isnan("v")) \
+        .select("i", "j", "v")
+
+
+def _resample_bilinear_sql() -> str:
+    v00 = synth.lcg_sql_expr("i * 32 + j")
+    v01 = synth.lcg_sql_expr("i * 32 + j + 1")
+    v10 = synth.lcg_sql_expr("(i + 1) * 32 + j")
+    v11 = synth.lcg_sql_expr("(i + 1) * 32 + j + 1")
+    return f"""
+        WITH px AS (
+          SELECT CAST(idx // 32 AS BIGINT) AS i,
+                 CAST(idx % 32 AS BIGINT) AS j
+          FROM (SELECT unnest(range(0, 32 * 32)) AS idx))
+        SELECT i, j,
+               round(0.25 * ({v00}) + 0.25 * ({v01})
+                     + 0.25 * ({v10}) + 0.25 * ({v11}), 9) AS v
+        FROM px WHERE i < 31 AND j < 31
+    """
+
+
+def _q_validate_psnr(spark, sf_dir):
+    """The input-hint per-row invariant as a CONTRACT row: raw LCG
+    images validated against their lossy q16 transcode through the real
+    validate_images operator (join, decode both sides with their own
+    dims, PSNR over valid pixels, caption equality). The oracle
+    recomputes the q16 quantize->dequantize reconstruction in SQL (the
+    image_stats_synth mirror) and the PSNR closed form; q16's error
+    bound makes psnr_ok structurally true (>= 96 dB >= 40)."""
+    pdf = synth.lcg_image_table(8, 32, 32, pixel_size=2.0)
+    bdf = pdf.copy()
+    bdf["bytes"] = [
+        synth.codecs.encode_q16(
+            synth.codecs.decode_block(r.bytes, r.h, r.w, r.fmt))
+        for r in pdf.itertuples(index=False)]
+    bdf["fmt"] = "q16"
+    a = spark.createDataFrame(pdf)
+    b = spark.createDataFrame(bdf)
+    out = multimodal.validate_images(a, b)
+    return out.select("image_id", F.round("psnr", 6).alias("psnr"),
+                      "dims_match", "psnr_ok", "caption_match")
+
+
+def _validate_psnr_sql() -> str:
+    return f"""
+        WITH px AS ({_lcg_px_cte(8)}),
+        mm AS (SELECT m, min(v) AS vmin, max(v) AS vmax FROM px GROUP BY m),
+        d AS (
+          SELECT px.m, v, vmin, vmax,
+                 floor((v - vmin) * (65535.0 / (vmax - vmin))) AS disc
+          FROM px JOIN mm ON px.m = mm.m),
+        rec AS (
+          SELECT m, v, vmin + (vmax - vmin)
+                 * (CASE WHEN disc < 65535 THEN disc ELSE disc - 1 END)
+                 / 65535.0 AS r
+          FROM d),
+        agg AS (
+          SELECT m, sum((v - r) * (v - r)) / count(*) AS mse,
+                 max(v) - min(v) AS peak
+          FROM rec GROUP BY m)
+        SELECT printf('img_%08d', m) AS image_id,
+               round(10.0 * log10(peak * peak / mse), 6) AS psnr,
+               TRUE AS dims_match,
+               (10.0 * log10(peak * peak / mse)) >= 40.0 AS psnr_ok,
+               TRUE AS caption_match
+        FROM agg
+    """
+
+
+def _q_asof_numeric_tolerance(spark, sf_dir):
+    """As-of with tolerance over a NUMERIC ts column (epoch-second
+    doubles) — the merge_asof-on-numeric-keys path the round-2 advice
+    found broken (timestamp_ntz cast raised); oracled against DuckDB's
+    native ASOF on the same epoch doubles."""
+    from rasters_rs_spark.operators.asof import asof_join
+    ev = _tbl(spark, sf_dir, "events")
+    # TZ-free epoch seconds (works for timestamp AND timestamp_ntz;
+    # plain unix_timestamp would shift with the session timezone)
+    epoch = F.expr(
+        "timestampdiff(MICROSECOND, "
+        "cast('1970-01-01 00:00:00' as timestamp_ntz), "
+        "cast(ts as timestamp_ntz)) / 1e6")
+    left = ev.where(F.col("event_type") == "error") \
+             .select("user_id", epoch.alias("tsd"), "event_id")
+    right = ev.where(F.col("event_type") == "purchase") \
+              .select("user_id", epoch.alias("tsd"),
+                      F.col("value").alias("recent_purchase_value"))
+    out = asof_join(left, right, key="user_id", ts="tsd",
+                    tolerance_seconds=3600.0)
+    return out.select(F.col("event_id").cast("bigint").alias("event_id"),
+                      "recent_purchase_value")
+
+
 def _q_events_tumbling(spark, sf_dir):
     from rasters_rs_spark.streaming.windows import tumbling_agg
     return tumbling_agg(_tbl(spark, sf_dir, "events"))
@@ -891,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ring_synth": _q_knn_ring,
         "fill_idw_synth": _q_fill_idw,
         "fill_idw_dist_synth": _q_fill_idw_dist,
+        "mosaic_mean_synth": _q_mosaic_mean,
+        "resample_bilinear_synth": _q_resample_bilinear,
+        "validate_psnr_synth": _q_validate_psnr,
         "minhash_pairs_docs": _q_minhash_pairs,
         "simhash_docs": _q_simhash,
         "fingerprint_docs": _q_fingerprint,
@@ -920,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign_docs": _q_split_assign,
         "morton_cells_events": _q_morton,
         "asof_tolerance_events": _q_asof_tolerance,
+        "asof_numeric_tolerance_events": _q_asof_numeric_tolerance,
     }
 
 
@@ -1836,6 +1987,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_ring_synth": _knn_ring_sql(),
         "fill_idw_synth": _fill_idw_sql(),
         "fill_idw_dist_synth": _fill_idw_sql(),
+        "mosaic_mean_synth": _mosaic_mean_sql(),
+        "resample_bilinear_synth": _resample_bilinear_sql(),
+        "validate_psnr_synth": _validate_psnr_sql(),
         "image_features_synth": _lcg_features_sql(),
         "ann_lsh_embeddings": _lsh_det_sql(),
         "ann_ivf_embeddings": _ivf_det_sql(),
@@ -1865,6 +2019,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN r.value END AS recent_purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_numeric_tolerance_events": """
+            WITH l AS (SELECT user_id, epoch(ts) AS tsd, event_id FROM events
+                       WHERE event_type = 'error'),
+                 r AS (SELECT user_id, epoch(ts) AS tsd, value FROM events
+                       WHERE event_type = 'purchase')
+            SELECT CAST(l.event_id AS BIGINT) AS event_id,
+                   CASE WHEN r.tsd IS NOT NULL
+                             AND l.tsd - r.tsd <= 3600.0
+                        THEN r.value END AS recent_purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.tsd >= r.tsd
         """,
         "supplier_region_agg": """
             SELECT r_name,
