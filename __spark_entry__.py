@@ -412,6 +412,45 @@ def _q_minhash_pairs(spark, sf_dir):
                 .select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+_INC_SPLIT = 250  # doc_id < 250 = existing corpus; 250..499 = new batch
+
+
+def _q_minhash_incremental(spark, sf_dir):
+    """Append-only ingest dedup: the new batch (doc_id >= 250) checked
+    against the corpus (doc_id < 250) AND within itself, through the
+    real incremental operator; id_a is always a new doc. Oracled by the
+    same md5/affine SQL mirror with the corpus-OR-(id_a < id_b) pair
+    rule."""
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < _INC_SPLIT)
+    new = docs.where((F.col("doc_id") >= _INC_SPLIT)
+                     & (F.col("doc_id") < 500))
+    return dedup.minhash_dedup_incremental(new, corpus, threshold=0.2,
+                                           shingle_k=3) \
+        .select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _minhash_incremental_sql() -> str:
+    """Mirror of dedup.minhash_dedup_incremental over the same split:
+    candidates = new-batch band rows joined against ALL band rows, kept
+    when the b side is corpus (any order) or a.id < b.id within the
+    batch."""
+    base = _minhash_sql()
+    old_cand = """        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+          WHERE a.id < b.id),"""
+    new_cand = f"""        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+          WHERE CAST(a.id AS BIGINT) >= {_INC_SPLIT}
+            AND (CAST(b.id AS BIGINT) < {_INC_SPLIT} OR a.id < b.id)),"""
+    assert old_cand in base
+    return base.replace(old_cand, new_cand)
+
+
 def _q_dup_components(spark, sf_dir):
     """Transitive near-dup clusters: minhash LSH pairs -> iterative
     min-label connected components. Oracled end-to-end: DuckDB rebuilds
@@ -1042,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_bilinear_synth": _q_resample_bilinear,
         "validate_psnr_synth": _q_validate_psnr,
         "minhash_pairs_docs": _q_minhash_pairs,
+        "minhash_incremental_docs": _q_minhash_incremental,
         "simhash_docs": _q_simhash,
         "fingerprint_docs": _q_fingerprint,
         "ann_lsh_embeddings": _q_ann_lsh,
@@ -1977,6 +2017,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_plan_parts": _chunk_plan_sql(),
         "tile_assignment_synth": _tile_assignment_sql(),
         "minhash_pairs_docs": _minhash_sql(),
+        "minhash_incremental_docs": _minhash_incremental_sql(),
         "dup_components_docs": _dup_components_sql(),
         "simhash_docs": _simhash_sql(),
         "fingerprint_docs": _fingerprint_sql(),

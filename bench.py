@@ -97,9 +97,11 @@ def main():
         "filter_corpus_docs",
     ]
     # best-of-N per query: the shared VM's noisy-neighbor spikes can
-    # inflate a single shot 5-10x (measured); min-of-2 keeps the
-    # number a capability measurement rather than a contention sample
-    q_rounds = int(os.environ.get("BENCH_QUERY_ROUNDS", "2"))
+    # inflate a single shot 5-10x (measured), and the FIRST run also
+    # pays plan compilation + python-worker spin-up (measured 3-8x on
+    # sub-2s queries); min-of-3 keeps the number a steady-state
+    # capability measurement rather than a warmup/contention sample
+    q_rounds = int(os.environ.get("BENCH_QUERY_ROUNDS", "3"))
     timings = {}
     for name in bench_queries:
         best = None

@@ -221,6 +221,60 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
                    .select("id_a", "id_b", "jaccard")
 
 
+def minhash_dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              num_hashes: int = 64, bands: int = 16,
+                              shingle_k: int = 3, threshold: float = 0.8,
+                              hot_bucket_rows: int = 10_000,
+                              hot_salt: int = 32) -> DataFrame:
+    """Near-dup pairs for an APPEND-ONLY ingest: each new document is
+    checked against the existing corpus AND against the other new
+    documents, without re-pairing the corpus with itself — the shape a
+    production training-data pipeline runs per arriving batch.
+
+    Returns (id_a, id_b, jaccard) where id_a is always a NEW doc and
+    id_b is either a corpus doc (any order) or a later new doc
+    (id_a < id_b, so within-batch pairs appear once). Equals the full
+    minhash_dedup over (corpus UNION new) restricted to pairs touching
+    a new doc (pinned by test).
+
+    Scale shape: only the new batch is hashed per increment if the
+    caller persists the corpus band rows (minhash_bands output is a
+    plain DataFrame — write it to parquet once, append each batch's
+    rows); the probe side of the bucket join is the batch, so
+    per-increment cost scales with the batch, not the corpus."""
+    nb = minhash_bands(new_docs, text_col, id_col, num_hashes, bands,
+                       shingle_k)
+    cb = minhash_bands(corpus, text_col, id_col, num_hashes, bands,
+                       shingle_k)
+    all_b = nb.withColumn("_corp", F.lit(False)) \
+        .unionByName(cb.withColumn("_corp", F.lit(True)))
+    left = nb.select(F.col("id").alias("id_a"), "band", "band_key")
+    right = all_b.select(F.col("id").alias("id_b"), "band", "band_key",
+                         "_corp")
+    cand = _salted_bucket_join(left, right, ["band", "band_key"],
+                               hot_bucket_rows, hot_salt, all_b) \
+        .where(F.col("_corp") | (F.col("id_a") < F.col("id_b"))) \
+        .select("id_a", "id_b").distinct()
+
+    def _shingles(docs):
+        return docs.select(F.col(id_col).cast("string").alias("id"),
+                           F.split(F.col(text_col), " ").alias("_toks")) \
+                   .select("id", shingle_expr("_toks", shingle_k,
+                                              tokens=True).alias("_sh"))
+
+    texts = _shingles(new_docs).unionByName(_shingles(corpus))
+    pairs = (cand.join(texts.withColumnRenamed("id", "id_a")
+                            .withColumnRenamed("_sh", "_sha"), "id_a")
+                 .join(texts.withColumnRenamed("id", "id_b")
+                            .withColumnRenamed("_sh", "_shb"), "id_b"))
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    return pairs.withColumn("jaccard", inter / union) \
+                .where(F.col("jaccard") >= threshold) \
+                .select("id_a", "id_b", "jaccard")
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iters: int = 25) -> DataFrame:
     """Transitive duplicate clusters from near-dup pairs: iterative

@@ -219,3 +219,31 @@ def test_hot_bucket_salting_identity_and_boilerplate(spark, docs_pdf):
     assert n == 60 * 59 // 2
     ham = D.simhash_dedup(bdf, max_hamming=3)
     assert ham.count() == 60 * 59 // 2
+
+
+def test_minhash_incremental_matches_full_batch(spark, docs_pdf):
+    """Incremental dedup (new batch vs corpus + within-batch) must
+    equal the full-batch minhash_dedup over corpus UNION new,
+    restricted to pairs touching a new doc — the append-only ingest
+    consistency property."""
+    corpus_pdf = docs_pdf.iloc[:30]
+    new_pdf = docs_pdf.iloc[30:]          # contains d100 (dup of d000
+    corpus = spark.createDataFrame(corpus_pdf)   # in corpus) and d101
+    new = spark.createDataFrame(new_pdf)         # (near-dup of d001)
+
+    inc = D.minhash_dedup_incremental(new, corpus, threshold=0.5,
+                                      shingle_k=3)
+    got = {frozenset((r["id_a"], r["id_b"])): r["jaccard"]
+           for r in inc.collect()}
+
+    full = D.minhash_dedup(spark.createDataFrame(docs_pdf),
+                           threshold=0.5, shingle_k=3)
+    new_ids = set(new_pdf["doc_id"])
+    expect = {frozenset((r["id_a"], r["id_b"])): r["jaccard"]
+              for r in full.collect()
+              if r["id_a"] in new_ids or r["id_b"] in new_ids}
+    assert got == expect and len(got) > 0
+    assert frozenset(("d000", "d100")) in got      # corpus-vs-new dup
+    # every id_a is a new doc (orientation contract)
+    for r in inc.collect():
+        assert r["id_a"] in new_ids
