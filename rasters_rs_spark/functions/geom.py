@@ -239,6 +239,46 @@ def points_in_rings(px, py, ring_offsets, xs, ys) -> np.ndarray:
     return inside
 
 
+def points_in_rings_winding(px, py, ring_offsets, xs, ys) -> np.ndarray:
+    """NONZERO winding-number containment test over the same packed
+    ring buffers as points_in_rings: the winding number of each point
+    sums signed upward/downward edge crossings across ALL rings; a
+    point is contained when the total is nonzero.
+
+    For valid simple polygons with correctly oriented holes (holes
+    wound opposite the exterior) this equals the even-odd rule; the two
+    differ on self-intersecting rings and same-winding overlaps, where
+    nonzero fills the overlap region (the PostGIS/GEOS-style rule).
+    Fully vectorized, same O(points x edges) shape as the even-odd
+    path."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    offs = list(ring_offsets) + [len(xs)]
+
+    winding = np.zeros(px.shape, dtype=np.int64)
+    for r in range(len(offs) - 1):
+        a, b = offs[r], offs[r + 1]
+        if b - a < 3:
+            continue
+        x0 = xs[a:b]
+        y0 = ys[a:b]
+        x1 = np.roll(x0, -1)
+        y1 = np.roll(y0, -1)
+        pxc = px[:, None]
+        pyc = py[:, None]
+        up = (y0[None, :] <= pyc) & (y1[None, :] > pyc)      # upward edge
+        down = (y0[None, :] > pyc) & (y1[None, :] <= pyc)    # downward edge
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (pyc - y0[None, :]) / (y1[None, :] - y0[None, :])
+            xint = x0[None, :] + t * (x1[None, :] - x0[None, :])
+        left_of = pxc < xint
+        winding += (up & left_of).sum(axis=1)
+        winding -= (down & left_of).sum(axis=1)
+    return winding != 0
+
+
 def polygon_bbox(ring_offsets, xs, ys):
     """Bounding box of the exterior ring(s): (minx, miny, maxx, maxy)."""
     xs = np.asarray(xs, dtype=np.float64)

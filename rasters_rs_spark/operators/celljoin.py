@@ -82,9 +82,16 @@ def aoi_cells_df(spark: SparkSession, aois: pd.DataFrame, zoom: int) -> DataFram
     )
 
 
-def _refine(df: DataFrame, keep_cols: list[str]) -> DataFrame:
-    """Exact winding-number refine over candidate (point, aoi) rows."""
+def _refine(df: DataFrame, keep_cols: list[str],
+            pip_rule: str = "evenodd") -> DataFrame:
+    """Exact point-in-polygon refine over candidate (point, aoi) rows.
+    ``pip_rule``: 'evenodd' (crossing parity — the reference's
+    geo::Contains semantics) or 'nonzero' (signed winding number — the
+    GEOS/PostGIS rule; differs only on self-intersecting rings and
+    same-winding overlaps)."""
     out_schema = ", ".join(keep_cols)
+    pip = {"evenodd": geom.points_in_rings,
+           "nonzero": geom.points_in_rings_winding}[pip_rule]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,7 +103,7 @@ def _refine(df: DataFrame, keep_cols: list[str]) -> DataFrame:
             # points in one vectorized call
             for _, sub in pdf.groupby("aoi_id", sort=False):
                 first = sub.iloc[0]
-                inside = geom.points_in_rings(
+                inside = pip(
                     sub["px"].to_numpy(), sub["py"].to_numpy(),
                     list(first["ring_offsets"]),
                     np.asarray(first["xs"], dtype=np.float64),
@@ -119,7 +126,8 @@ def _reindexed(batches):
 
 def cell_pip_join(points: DataFrame, aois: pd.DataFrame, zoom: int = 12,
                   x_col: str = "x", y_col: str = "y",
-                  broadcast_aois: bool = True, salt: int = 1) -> DataFrame:
+                  broadcast_aois: bool = True, salt: int = 1,
+                  pip_rule: str = "evenodd") -> DataFrame:
     """Join points to every AOI that exactly contains them.
 
     ``points`` needs (id..., x_col, y_col) in WM/world coords. Returns the
@@ -143,4 +151,4 @@ def cell_pip_join(points: DataFrame, aois: pd.DataFrame, zoom: int = 12,
     cand = pts.join(right, on=join_keys, how="inner")
 
     keep = [f"{c} {t}" for c, t in points.dtypes] + ["aoi_id string"]
-    return _refine(cand, keep)
+    return _refine(cand, keep, pip_rule)

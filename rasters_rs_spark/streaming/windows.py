@@ -328,3 +328,112 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
              F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("t_start"),
              F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("t_end"))
     )
+
+
+def _minhash_band_rows_pdf(pdf, text_col: str, id_col: str,
+                           num_hashes: int, bands: int, k: int):
+    """Row-local mirror of dedup.minhash_bands (same md5/affine math,
+    so stream and batch produce IDENTICAL band keys), plus each doc's
+    distinct shingle-hash set for exact jaccard verification in state.
+    Row-local = stateless = lifts to Structured Streaming unchanged."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    r = num_hashes // bands
+    rows = []
+    for id_, text in zip(pdf[id_col].astype(str), pdf[text_col]):
+        toks = (text or "").split(" ")
+        n = max(len(toks) - (k - 1), 1)
+        shingles = {" ".join(toks[i:i + k]) for i in range(n)}
+        digests = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
+        h1 = np.array([int(d[0:15], 16) for d in digests], dtype=np.int64)
+        h2 = np.array([int(d[16:29], 16) for d in digests], dtype=np.int64)
+        sigs = [int((h1 + i * h2).min()) for i in range(num_hashes)]
+        hashes = sorted(set(int(v) for v in h1))
+        for b in range(bands):
+            band_key = hashlib.md5(
+                "|".join(str(s) for s in sigs[b * r:(b + 1) * r])
+                .encode()).hexdigest()
+            rows.append((id_, b, band_key, hashes))
+    return pd.DataFrame(rows, columns=["id", "band", "band_key", "hashes"])
+
+
+def stream_minhash_dedup(spark: SparkSession, source_dir: str, schema: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_hashes: int = 64, bands: int = 16,
+                         shingle_k: int = 3, threshold: float = 0.8,
+                         max_bucket_state: int = 256):
+    """Streaming near-duplicate detection on a continuous document
+    feed: every arriving doc is checked against all PREVIOUSLY ingested
+    docs sharing an LSH band bucket (and earlier docs of its own
+    micro-batch), emitting verified (id_a, id_b, jaccard) pairs as they
+    are discovered — the ingest-time variant of minhash_dedup.
+
+    Shape: row-local banding (stateless mapInPandas, identical band
+    keys to the batch/SQL pipeline) -> applyInPandasWithState keyed by
+    (band, band_key); GroupState carries the bucket's member ids and
+    their distinct shingle-hash sets (60-bit md5 prefixes — the same
+    values the batch verifier intersects as strings), so verification
+    is exact without re-reading any earlier document. State per bucket
+    is capped at ``max_bucket_state`` members (the streaming analogue
+    of the batch hot-bucket guard: a boilerplate flood degrades recall
+    in that bucket instead of growing state without bound). A pair
+    sharing several buckets is emitted once per bucket — distinct
+    downstream if exactly-once pairs are needed (the convergence test
+    compares sets). Replayed ids (micro-batch retries) are skipped
+    idempotently."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def to_bands(batches):
+        for pdf in batches:
+            yield _minhash_band_rows_pdf(pdf, text_col, id_col,
+                                         num_hashes, bands, shingle_k)
+
+    band_rows = stream.mapInPandas(
+        to_bands, schema="id string, band int, band_key string, "
+                         "hashes array<long>")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, hash_lists = state.get
+            ids = list(ids)
+            hash_lists = [list(h) for h in hash_lists]
+        else:
+            ids, hash_lists = [], []
+        new = []
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                new.append((row.id, [int(v) for v in row.hashes]))
+        new.sort(key=lambda t: t[0])
+        seen = set(ids)
+        pairs = []
+        for nid, nh in new:
+            if nid in seen:
+                continue          # micro-batch replay: already ingested
+            nset = set(nh)
+            for eid, eh in zip(ids, hash_lists):
+                eset = set(eh)
+                union = len(nset | eset)
+                jac = (len(nset & eset) / union) if union else 1.0
+                if jac >= threshold:
+                    a, b = (nid, eid) if nid < eid else (eid, nid)
+                    pairs.append((a, b, jac))
+            if len(ids) < max_bucket_state:
+                ids.append(nid)
+                hash_lists.append(nh)
+                seen.add(nid)
+        state.update((ids, hash_lists))
+        yield pd.DataFrame(pairs, columns=["id_a", "id_b", "jaccard"])
+
+    return band_rows.groupBy("band", "band_key").applyInPandasWithState(
+        update,
+        outputStructType="id_a string, id_b string, jaccard double",
+        stateStructType="ids array<string>, hashes array<array<long>>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -107,3 +107,77 @@ def test_bilinear_weights_sum_to_one():
     valid, i0, j0, wx, wy = geom.bilinear_weights_grid(t, 6, 6, (6, 6))
     w = (1 - wx) * (1 - wy) + wx * (1 - wy) + (1 - wx) * wy + wx * wy
     assert np.allclose(w[valid], 1.0)
+
+
+def test_winding_vs_evenodd_rules():
+    """points_in_rings_winding (nonzero rule): equals even-odd on
+    simple polygons and on polygons with properly (oppositely) wound
+    holes; differs on a self-intersecting pentagram, whose center winds
+    twice — nonzero contains it, even-odd does not."""
+    import numpy as np
+    from rasters_rs_spark.functions import geom as G
+
+    # simple CCW unit square
+    sq_x = np.array([0.0, 1.0, 1.0, 0.0])
+    sq_y = np.array([0.0, 0.0, 1.0, 1.0])
+    px = np.array([0.5, 1.5, 0.01, -0.2])
+    py = np.array([0.5, 0.5, 0.99, 0.5])
+    eo = G.points_in_rings(px, py, [0], sq_x, sq_y)
+    nz = G.points_in_rings_winding(px, py, [0], sq_x, sq_y)
+    assert eo.tolist() == [True, False, True, False]
+    assert nz.tolist() == eo.tolist()
+
+    # square with an oppositely-wound (CW) hole in the middle
+    hx = np.array([0.25, 0.25, 0.75, 0.75])   # CW
+    hy = np.array([0.25, 0.75, 0.75, 0.25])
+    xs = np.concatenate([sq_x, hx])
+    ys = np.concatenate([sq_y, hy])
+    px2 = np.array([0.5, 0.1, 0.26])
+    py2 = np.array([0.5, 0.1, 0.5])
+    eo2 = G.points_in_rings(px2, py2, [0, 4], xs, ys)
+    nz2 = G.points_in_rings_winding(px2, py2, [0, 4], xs, ys)
+    assert eo2.tolist() == [False, True, False]   # hole excluded
+    assert nz2.tolist() == eo2.tolist()
+
+    # pentagram: 5 vertices connected every-other (self-intersecting);
+    # the central region winds twice
+    ang = np.pi / 2 + 2 * np.pi * np.arange(5) * 2 / 5
+    star_x = np.cos(ang)
+    star_y = np.sin(ang)
+    c = np.array([0.0]), np.array([0.0])
+    assert not G.points_in_rings(c[0], c[1], [0], star_x, star_y)[0]
+    assert G.points_in_rings_winding(c[0], c[1], [0], star_x, star_y)[0]
+    # a point inside one star arm winds once: both rules contain it
+    arm = np.array([0.0]), np.array([0.9])
+    assert G.points_in_rings(arm[0], arm[1], [0], star_x, star_y)[0]
+    assert G.points_in_rings_winding(arm[0], arm[1], [0], star_x, star_y)[0]
+
+
+def test_cell_pip_join_nonzero_rule_matches_on_convex(spark):
+    """cell_pip_join(pip_rule='nonzero') returns identical rows to the
+    default even-odd rule for convex AOIs (rect fixtures) — the rules
+    only diverge on self-intersecting/overlapping rings."""
+    import numpy as np
+    import pandas as pd
+    from rasters_rs_spark.operators.celljoin import cell_pip_join
+    rng = np.random.default_rng(17)
+    pts = pd.DataFrame({
+        "pid": [f"p{i}" for i in range(500)],
+        "x": rng.uniform(-9000, 9000, 500),
+        "y": rng.uniform(-9000, 9000, 500),
+    })
+    aois = pd.DataFrame([
+        {"aoi_id": "r0", "ring_offsets": [0],
+         "xs": [11.37, 5000.49, 5000.49, 11.37],
+         "ys": [203.11, 203.11, 5200.73, 5200.73]},
+        {"aoi_id": "r1", "ring_offsets": [0],
+         "xs": [-9000.25, -20.11, -20.11, -9000.25],
+         "ys": [-8000.62, -8000.62, 4000.18, 4000.18]},
+    ])
+    df = spark.createDataFrame(pts)
+    eo = {(r["pid"], r["aoi_id"])
+          for r in cell_pip_join(df, aois, zoom=10).collect()}
+    nz = {(r["pid"], r["aoi_id"])
+          for r in cell_pip_join(df, aois, zoom=10,
+                                 pip_rule="nonzero").collect()}
+    assert eo == nz and len(eo) > 0

@@ -263,3 +263,48 @@ def test_sessionize_matches_python_oracle(spark, sf_dir):
     per_user = collections.Counter(u for (u, _) in got)
     for (u, s) in got:
         assert 1 <= s <= per_user[u]
+
+
+def test_stream_minhash_dedup_converges_to_batch(spark, tmp_path):
+    """Streaming LSH near-dup over two micro-batches finds exactly the
+    batch minhash_dedup pair set with identical jaccard values — the
+    ingest-time dedup contract. Pairs may repeat across buckets; the
+    comparison is on the distinct set."""
+    import numpy as np
+    from rasters_rs_spark.operators import dedup as D
+    from rasters_rs_spark.streaming.windows import stream_minhash_dedup
+
+    base = ("spark filter join window batch stream table scan merge sort "
+            "group agg row column vector hash key value order part").split()
+    rng = np.random.default_rng(99)
+    rows = []
+    for i in range(30):
+        rows.append((f"s{i:03d}", " ".join(rng.choice(base, size=30))))
+    rows.append(("s100", rows[2][1]))                 # dup across batches
+    near = rows[5][1].split()
+    near[4] = "changed"
+    rows.append(("s101", " ".join(near)))             # near-dup
+    rows.append(("s102", rows[8][1]))                 # dup within batch 2
+    rows.append(("s103", rows[8][1]))                 # second copy
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    src = str(tmp_path / "mh_src")
+    docs = spark.createDataFrame(pdf)
+    docs.where("doc_id < 's030'").write.mode("overwrite").parquet(src)
+    docs.where("doc_id >= 's030'").write.mode("append").parquet(src)
+    schema = "doc_id string, text string"
+
+    q = (stream_minhash_dedup(spark, src, schema, threshold=0.5)
+         .writeStream.format("memory").queryName("mh_stream_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in spark.sql("select * from mh_stream_test").collect()}
+
+    expect = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in D.minhash_dedup(docs, threshold=0.5,
+                                       shingle_k=3).collect()}
+    assert set(got) == set(expect) and len(got) >= 3
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=1e-12)
+    assert ("s002", "s100") in got and ("s102", "s103") in got
