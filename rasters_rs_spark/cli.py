@@ -145,6 +145,44 @@ def cmd_augment(args):
     print(json.dumps({"written": args.output, "op": args.op}))
 
 
+def cmd_mosaic(args):
+    from .operators.resample import mosaic
+    spark = _spark(args)
+    gt = [float(v) for v in args.gt]
+    out = mosaic(_images(spark, args.input), gt, args.width, args.height,
+                 method=args.method, strip_height=args.strip_height,
+                 tile_width=args.tile_width, assemble=args.assemble)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"written": args.output,
+                      "representation": ("image" if args.assemble
+                                         else "tiles")}))
+
+
+def cmd_dedup(args):
+    from .operators import dedup as D
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.method == "minhash":
+        pairs = D.minhash_dedup(docs, text_col=args.text_col,
+                                id_col=args.id_col,
+                                threshold=args.threshold,
+                                shingle_k=args.shingle_k)
+    else:
+        pairs = D.simhash_dedup(docs, text_col=args.text_col,
+                                id_col=args.id_col,
+                                max_hamming=args.max_hamming)
+    pairs = pairs.persist()
+    pairs.write.mode("overwrite").parquet(args.output)
+    n = pairs.count()
+    out = {"pairs": n, "output": args.output, "method": args.method}
+    if args.keep:
+        kept = D.keep_canonical(docs, pairs, id_col=args.id_col)
+        kept.write.mode("overwrite").parquet(args.keep)
+        out["kept_rows"] = kept.count()
+        out["kept_output"] = args.keep
+    print(json.dumps(out))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="rasters-rs-spark")
     p.add_argument("--cores", type=int, default=8)
@@ -222,6 +260,38 @@ def build_parser():
     g.add_argument("--crop", nargs=4, type=int,
                    metavar=("I0", "J0", "H", "W"))
     g.set_defaults(fn=cmd_augment)
+
+    mo = sub.add_parser("mosaic", help="composite images onto one grid "
+                                       "(NaN-aware overlap mean)")
+    mo.add_argument("input")
+    mo.add_argument("output")
+    mo.add_argument("--gt", nargs=6, required=True)
+    mo.add_argument("--width", type=int, required=True)
+    mo.add_argument("--height", type=int, required=True)
+    mo.add_argument("--method", default="nearest",
+                    choices=["nearest", "bilinear"])
+    mo.add_argument("--strip-height", type=int, default=256)
+    mo.add_argument("--tile-width", type=int, default=1024)
+    mo.add_argument("--tiles", dest="assemble", action="store_false",
+                    help="write the bounded (sy, sx) tile representation "
+                         "instead of one assembled image row")
+    mo.set_defaults(fn=cmd_mosaic, assemble=True)
+
+    dd = sub.add_parser("dedup", help="near-duplicate document pairs "
+                                      "(MinHash LSH or SimHash)")
+    dd.add_argument("input")
+    dd.add_argument("output")
+    dd.add_argument("--method", default="minhash",
+                    choices=["minhash", "simhash"])
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--threshold", type=float, default=0.8)
+    dd.add_argument("--shingle-k", type=int, default=3)
+    dd.add_argument("--max-hamming", type=int, default=3)
+    dd.add_argument("--keep", default=None,
+                    help="also write the deduplicated corpus "
+                         "(canonical keepers) to this path")
+    dd.set_defaults(fn=cmd_dedup)
     return p
 
 

@@ -86,3 +86,54 @@ def test_cli_fill_and_chunk(capsys, img_path, tmp_path, spark):
     out = _run(capsys, ["--cores", "4", "chunk", img_path, str(tmp_path / "c"),
                         "-c", "256"])
     assert "written" in out
+
+
+def test_cli_mosaic(capsys, tmp_path, spark):
+    from rasters_rs_spark.functions import codecs
+    a = np.full((4, 4), 2.0)
+    b = np.full((4, 4), 6.0)
+    rows = [
+        {"image_id": "a", "bytes": codecs.encode_raw(a), "w": 4, "h": 4,
+         "fmt": "raw", "gt": [0.0, 1.0, 0.0, 4.0, 0.0, -1.0],
+         "crs": "IDENTITY", "no_val": float("nan")},
+        {"image_id": "b", "bytes": codecs.encode_raw(b), "w": 4, "h": 4,
+         "fmt": "raw", "gt": [2.0, 1.0, 0.0, 4.0, 0.0, -1.0],
+         "crs": "IDENTITY", "no_val": float("nan")},
+    ]
+    src = str(tmp_path / "mosrc")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(src)
+    dst = str(tmp_path / "modst")
+    res = _run(capsys, ["mosaic", src, dst, "--gt", "0", "1", "0", "4",
+                        "0", "-1", "--width", "6", "--height", "4"])
+    assert res["representation"] == "image"
+    out = spark.read.parquet(dst).collect()[0]
+    got = codecs.decode_raw(bytes(out["bytes"]), 4, 6)
+    assert np.allclose(got[:, 2:4], 4.0)       # overlap mean
+
+    dst2 = str(tmp_path / "motiles")
+    res2 = _run(capsys, ["mosaic", src, dst2, "--gt", "0", "1", "0", "4",
+                         "0", "-1", "--width", "6", "--height", "4",
+                         "--tiles", "--tile-width", "4"])
+    assert res2["representation"] == "tiles"
+    assert spark.read.parquet(dst2).count() > 1
+
+
+def test_cli_dedup(capsys, tmp_path, spark):
+    docs = pd.DataFrame({
+        "doc_id": ["a1", "a2", "b1", "c1"],
+        "text": ["the quick brown fox jumps over the lazy dog today",
+                 "the quick brown fox jumps over the lazy dog today",
+                 "an entirely different document about spark pipelines",
+                 "yet another unrelated text with its own words here"],
+    })
+    src = str(tmp_path / "ddsrc")
+    spark.createDataFrame(docs).write.parquet(src)
+    dst = str(tmp_path / "dddst")
+    kept = str(tmp_path / "ddkeep")
+    res = _run(capsys, ["dedup", src, dst, "--threshold", "0.8",
+                        "--keep", kept])
+    assert res["pairs"] == 1 and res["kept_rows"] == 3
+    pair = spark.read.parquet(dst).collect()[0]
+    assert (pair["id_a"], pair["id_b"]) == ("a1", "a2")
+    assert "a2" not in {r["doc_id"]
+                        for r in spark.read.parquet(kept).collect()}
