@@ -126,3 +126,43 @@ def test_pip_agrees_with_matplotlib_free_oracle(px, py):
     expect = (np.abs(pts_x) + np.abs(pts_y)) < 50.0
     boundary = np.isclose(np.abs(pts_x) + np.abs(pts_y), 50.0)
     assert np.array_equal(got[~boundary], expect[~boundary])
+
+
+@given(texts=st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    max_size=60), min_size=0, max_size=25),
+    k=st.integers(2, 12))
+@settings(max_examples=120, deadline=None)
+def test_fingerprint_batch_equals_scalar_property(texts, k):
+    """The cross-document vectorized fingerprint equals the scalar
+    per-doc rolling hash for ARBITRARY unicode texts and window sizes
+    (empty docs, docs shorter than k, multi-byte codepoints)."""
+    from rasters_rs_spark.operators import text as TX
+    got = TX.fingerprint_batch(texts, k=k)
+    expect = [TX.fingerprint_minhash(t or "", k) for t in texts]
+    assert got.tolist() == expect
+
+
+@given(px=st.lists(st.floats(-2.5, 2.5), min_size=1, max_size=40),
+       py=st.lists(st.floats(-2.5, 2.5), min_size=1, max_size=40),
+       n=st.integers(3, 9), seed=st.integers(0, 10_000))
+@settings(max_examples=150, deadline=None)
+def test_winding_equals_evenodd_on_simple_polygons(px, py, n, seed):
+    """For SIMPLE (non-self-intersecting) polygons — any star-convex
+    ring qualifies — the nonzero winding rule and the even-odd rule
+    are the same predicate, regardless of ring orientation."""
+    rng = np.random.default_rng(seed)
+    m = min(len(px), len(py))
+    pxa = np.asarray(px[:m])
+    pya = np.asarray(py[:m])
+    ang = np.sort(rng.uniform(0, 2 * np.pi, size=n))
+    if np.any(np.diff(ang) < 1e-6):      # degenerate spoke collision
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    r = rng.uniform(0.5, 2.0, size=n)
+    xs = r * np.cos(ang)
+    ys = r * np.sin(ang)
+    if seed % 2:                          # flip orientation
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    eo = geom.points_in_rings(pxa, pya, [0], xs, ys)
+    nz = geom.points_in_rings_winding(pxa, pya, [0], xs, ys)
+    assert eo.tolist() == nz.tolist()
