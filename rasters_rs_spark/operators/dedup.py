@@ -485,6 +485,34 @@ def caption_dup_groups(images: DataFrame, id_col: str = "image_id",
 # ---------------------------------------------------------------------------
 
 
+def _embedding_planes(dim: int, bands: int, band_planes: int,
+                      seed: int | None):
+    """Hyperplane set shared by the batch and streaming embedding-LSH
+    paths: deterministic LCG planes when seed is None (SQL-mirrorable),
+    gaussian otherwise."""
+    from .similarity import lcg_planes
+    n_planes = bands * band_planes
+    if seed is None:
+        return [np.asarray(p, dtype=np.float64)
+                for p in lcg_planes(n_planes, dim)]
+    rng = np.random.default_rng(seed)
+    return list(rng.normal(size=(n_planes, dim)))
+
+
+def _embedding_band_keys(mat: np.ndarray, planes, bands: int,
+                         band_planes: int) -> np.ndarray:
+    """(rows, bands) int64 band bucket keys: sign bits of the fold-order
+    plane dots — the single source of truth for bucket identity across
+    embedding_bands (batch) and stream_embedding_neardup."""
+    from .similarity import _fold_dot_rows
+    keys = np.zeros((mat.shape[0], bands), dtype=np.int64)
+    for b in range(bands):
+        for j in range(band_planes):
+            bit = _fold_dot_rows(mat, planes[b * band_planes + j]) > 0
+            keys[:, b] |= bit.astype(np.int64) << j
+    return keys
+
+
 def embedding_bands(embs: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding", bands: int = 16,
                     band_planes: int = 16, seed: int | None = None) -> DataFrame:
@@ -506,9 +534,6 @@ def embedding_bands(embs: DataFrame, id_col: str = "vec_id",
     strict fold-order dot products, so every bucket bit is reproducible
     in ANSI SQL — the driver-contract oracle drives THIS operator.
     Pass a seed for independent random planes."""
-    from .similarity import _fold_dot_rows, lcg_planes
-
-    n_planes = bands * band_planes
     band_cols = [f"_bk{b}" for b in range(bands)]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -519,19 +544,12 @@ def embedding_bands(embs: DataFrame, id_col: str = "vec_id",
             mat = np.stack([np.asarray(v, dtype=np.float64)
                             for v in pdf[vec_col]])
             if planes is None:
-                if seed is None:
-                    planes = [np.asarray(p, dtype=np.float64)
-                              for p in lcg_planes(n_planes, mat.shape[1])]
-                else:
-                    rng = np.random.default_rng(seed)
-                    planes = list(rng.normal(size=(n_planes, mat.shape[1])))
+                planes = _embedding_planes(mat.shape[1], bands, band_planes,
+                                           seed)
+            keys = _embedding_band_keys(mat, planes, bands, band_planes)
             cols = {"id": pdf[id_col].astype(str)}
             for b in range(bands):
-                key = np.zeros(len(pdf), dtype=np.int64)
-                for j in range(band_planes):
-                    bit = _fold_dot_rows(mat, planes[b * band_planes + j]) > 0
-                    key |= bit.astype(np.int64) << j
-                cols[band_cols[b]] = key
+                cols[band_cols[b]] = keys[:, b]
             yield pd.DataFrame(cols)
 
     keyed = embs.mapInPandas(

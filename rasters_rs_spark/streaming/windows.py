@@ -437,3 +437,92 @@ def stream_minhash_dedup(spark: SparkSession, source_dir: str, schema: str,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_embedding_neardup(spark: SparkSession, source_dir: str,
+                             schema: str, vec_col: str = "embedding",
+                             id_col: str = "vec_id", bands: int = 16,
+                             band_planes: int = 16, threshold: float = 0.95,
+                             seed: int | None = None,
+                             max_bucket_state: int = 256):
+    """Streaming embedding near-duplicate detection: every arriving
+    vector is checked against all previously ingested vectors sharing a
+    hyperplane band bucket, emitting (id_a, id_b, cosine) pairs on
+    arrival — the ingest-time variant of dedup.embedding_neardup, using
+    the SAME band-key math (dedup._embedding_band_keys), so stream and
+    batch candidates are identical.
+
+    State per (band, bucket) holds member ids and their vectors (capped
+    at ``max_bucket_state`` like the batch hot-bucket guard); exact
+    cosine verification happens in-state against only bucket members.
+    Pairs sharing several bands emit once per band — distinct
+    downstream if needed. Replayed ids are skipped idempotently."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import _embedding_band_keys, _embedding_planes
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def to_bands(batches):
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            if planes is None:
+                planes = _embedding_planes(mat.shape[1], bands,
+                                           band_planes, seed)
+            keys = _embedding_band_keys(mat, planes, bands, band_planes)
+            out = []
+            ids = pdf[id_col].astype(str)
+            for i in range(len(pdf)):
+                vec = [float(x) for x in mat[i]]
+                for b in range(bands):
+                    out.append((ids.iloc[i], b, int(keys[i, b]), vec))
+            yield pd.DataFrame(out, columns=["id", "band", "bucket", "vec"])
+
+    band_rows = stream.mapInPandas(
+        to_bands, schema="id string, band int, bucket long, "
+                         "vec array<double>")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, vecs = state.get
+            ids = list(ids)
+            vecs = [np.asarray(v, dtype=np.float64) for v in vecs]
+        else:
+            ids, vecs = [], []
+        new = []
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                new.append((row.id, np.asarray(row.vec, dtype=np.float64)))
+        new.sort(key=lambda t: t[0])
+        seen = set(ids)
+        pairs = []
+        for nid, nv in new:
+            if nid in seen:
+                continue
+            nn = float(np.linalg.norm(nv))
+            for eid, ev in zip(ids, vecs):
+                denom = nn * float(np.linalg.norm(ev))
+                cos = float(nv @ ev) / denom if denom else 1.0
+                if cos >= threshold:
+                    a, b = (nid, eid) if nid < eid else (eid, nid)
+                    pairs.append((a, b, cos))
+            if len(ids) < max_bucket_state:
+                ids.append(nid)
+                vecs.append(nv)
+                seen.add(nid)
+        state.update((ids, [[float(x) for x in v] for v in vecs]))
+        yield pd.DataFrame(pairs, columns=["id_a", "id_b", "cosine"])
+
+    return band_rows.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        outputStructType="id_a string, id_b string, cosine double",
+        stateStructType="ids array<string>, vecs array<array<double>>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

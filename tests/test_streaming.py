@@ -308,3 +308,40 @@ def test_stream_minhash_dedup_converges_to_batch(spark, tmp_path):
     for k in expect:
         assert got[k] == pytest.approx(expect[k], abs=1e-12)
     assert ("s002", "s100") in got and ("s102", "s103") in got
+
+
+def test_stream_embedding_neardup_converges_to_batch(spark, tmp_path):
+    """Streaming embedding near-dup across two micro-batches finds the
+    same pair set as batch embedding_neardup (identical band keys by
+    construction; cosines equal to 1e-9 — numpy vs JVM fold order)."""
+    import numpy as np
+    from rasters_rs_spark.operators import dedup as D
+    from rasters_rs_spark.streaming.windows import stream_embedding_neardup
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(40, 16))
+    vecs[25] = vecs[3] + rng.normal(size=16) * 0.01   # dup across batches
+    vecs[33] = vecs[30] + rng.normal(size=16) * 0.01  # dup within batch 2
+    pdf = pd.DataFrame({
+        "vec_id": [f"e{i:03d}" for i in range(40)],
+        "embedding": [v.tolist() for v in vecs],
+    })
+    emb = spark.createDataFrame(pdf)
+    src = str(tmp_path / "emb_src")
+    emb.where("vec_id < 'e020'").write.mode("overwrite").parquet(src)
+    emb.where("vec_id >= 'e020'").write.mode("append").parquet(src)
+    schema = "vec_id string, embedding array<double>"
+
+    q = (stream_embedding_neardup(spark, src, schema, threshold=0.98)
+         .writeStream.format("memory").queryName("emb_stream_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in spark.sql("select * from emb_stream_test").collect()}
+
+    expect = {(r["id_a"], r["id_b"]): r["cosine"]
+              for r in D.embedding_neardup(emb, threshold=0.98).collect()}
+    assert set(got) == set(expect)
+    assert ("e003", "e025") in got and ("e030", "e033") in got
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=1e-9)
