@@ -922,6 +922,61 @@ def _validate_psnr_sql() -> str:
     """
 
 
+_FS_NF, _FS_H, _FS_W, _FS_EVERY = 12, 8, 9, 5
+
+
+def _q_frame_sample(spark, sf_dir):
+    """Video frame sampling through the real rawv decode plumbing: two
+    LCG-pixel videos (frame f pixel (i,j) of video m = lcg(m*864 +
+    f*72 + i*9 + j)), every 5th frame extracted, every sampled pixel
+    emitted — dyadic values, bit-stable."""
+    from rasters_rs_spark.operators import multimodal as MM
+    nf, h, w = _FS_NF, _FS_H, _FS_W
+    rows = []
+    for m in range(2):
+        k = m * nf * h * w + np.arange(nf * h * w, dtype=np.int64)
+        stack = synth.lcg_values(k).reshape(nf, h, w)
+        rows.append({"video_id": f"vid_{m}",
+                     "bytes": MM.encode_video_raw(stack),
+                     "n_frames": nf, "w": w, "h": h, "fmt": "rawv"})
+    videos = spark.createDataFrame(pd.DataFrame(rows))
+    frames = MM.sample_frames(videos, every_n=_FS_EVERY)
+
+    def gen(batches):
+        for pdfb in batches:
+            out = []
+            for row in pdfb.itertuples(index=False):
+                blk = synth.codecs.decode_raw(row.bytes, row.h, row.w)
+                ii, jj = np.indices(blk.shape)
+                out.append(pd.DataFrame({
+                    "video_id": row.video_id, "frame_idx": row.frame_idx,
+                    "i": ii.ravel(), "j": jj.ravel(), "v": blk.ravel()}))
+            yield (pd.concat(out) if out else pd.DataFrame(
+                columns=["video_id", "frame_idx", "i", "j", "v"]))
+
+    return frames.mapInPandas(
+        gen, schema="video_id string, frame_idx long, i long, j long, "
+                    "v double")
+
+
+def _frame_sample_sql() -> str:
+    nf, h, w, every = _FS_NF, _FS_H, _FS_W, _FS_EVERY
+    fids = list(range(0, nf, every))
+    v = synth.lcg_sql_expr(f"m * {nf * h * w} + f * {h * w} + i * {w} + j")
+    return f"""
+        WITH px AS (
+          SELECT m, f,
+                 CAST(idx // {w} AS BIGINT) AS i,
+                 CAST(idx % {w} AS BIGINT) AS j
+          FROM (SELECT unnest(range(0, 2)) AS m) ms,
+               (SELECT unnest([{', '.join(str(f) for f in fids)}]) AS f) fs,
+               (SELECT unnest(range(0, {h * w})) AS idx) px)
+        SELECT printf('vid_%d', m) AS video_id, CAST(f AS BIGINT) AS frame_idx,
+               i, j, {v} AS v
+        FROM px
+    """
+
+
 def _q_asof_numeric_tolerance(spark, sf_dir):
     """As-of with tolerance over a NUMERIC ts column (epoch-second
     doubles) — the merge_asof-on-numeric-keys path the round-2 advice
@@ -1080,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_mean_synth": _q_mosaic_mean,
         "resample_bilinear_synth": _q_resample_bilinear,
         "validate_psnr_synth": _q_validate_psnr,
+        "frame_sample_synth": _q_frame_sample,
         "minhash_pairs_docs": _q_minhash_pairs,
         "minhash_incremental_docs": _q_minhash_incremental,
         "simhash_docs": _q_simhash,
@@ -2031,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         "mosaic_mean_synth": _mosaic_mean_sql(),
         "resample_bilinear_synth": _resample_bilinear_sql(),
         "validate_psnr_synth": _validate_psnr_sql(),
+        "frame_sample_synth": _frame_sample_sql(),
         "image_features_synth": _lcg_features_sql(),
         "ann_lsh_embeddings": _lsh_det_sql(),
         "ann_ivf_embeddings": _ivf_det_sql(),

@@ -63,3 +63,42 @@ def test_audio_features_real_and_stub(spark):
     assert feats["a1"]["n_frames"] == 4
     with pytest.raises(Exception):
         MM.audio_features(df, allow_fake=False).collect()
+
+
+def test_sample_frames_raw_roundtrip_and_stub(spark):
+    """Frame sampling: the rawv path extracts exactly every-n-th frame
+    bit-for-bit; compressed formats raise without allow_fake and
+    produce a deterministic fake with it (the honest codec seam with
+    REAL Spark plumbing around it)."""
+    import numpy as np
+    import pandas as pd
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(13)
+    stacks = {f"v{i}": rng.normal(size=(7, 4, 5)) for i in range(2)}
+    rows = [{"video_id": vid, "bytes": MM.encode_video_raw(st),
+             "n_frames": 7, "w": 5, "h": 4, "fmt": "rawv"}
+            for vid, st in stacks.items()]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    out = MM.sample_frames(df, every_n=3).collect()
+    assert {(r["video_id"], r["frame_idx"]) for r in out} == \
+        {(v, i) for v in stacks for i in (0, 3, 6)}
+    for r in out:
+        got = codecs.decode_raw(bytes(r["bytes"]), 4, 5)
+        assert np.array_equal(got, stacks[r["video_id"]][r["frame_idx"]])
+
+    # stubbed codec: raises without allow_fake, deterministic with it
+    enc = [{"video_id": "c0", "bytes": b"\x01" * 64, "n_frames": 4,
+            "w": 3, "h": 2, "fmt": "h264"}]
+    cdf = spark.createDataFrame(pd.DataFrame(enc))
+    import pytest as _pt
+    with _pt.raises(Exception, match="video codec"):
+        MM.sample_frames(cdf, every_n=2).collect()
+    a = MM.sample_frames(cdf, every_n=2, allow_fake=True).collect()
+    b = MM.sample_frames(cdf, every_n=2, allow_fake=True).collect()
+    key = lambda r: (r["video_id"], r["frame_idx"])
+    assert sorted(map(key, a)) == sorted(map(key, b)) == \
+        [("c0", 0), ("c0", 2)]
+    assert {bytes(r["bytes"]) for r in a} == {bytes(r["bytes"]) for r in b}
