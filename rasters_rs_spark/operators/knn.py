@@ -263,6 +263,101 @@ def fill_idw(images: DataFrame, points: pd.DataFrame, k: int = 8,
     return images.mapInPandas(gen, schema=schema)
 
 
+def hole_pixels_chunked(chunks: DataFrame, fill_nan: bool = False) -> DataFrame:
+    """hole_pixels over the chunked-strip representation
+    (chunked.CHUNK_SCHEMA): each strip row emits ONLY its data-range
+    holes (padding rows belong to their owner strip) with GLOBAL pixel
+    indices, so world coordinates come straight from the image's gt.
+    The unit of decode is the strip — the path for rasters whose full
+    block exceeds task memory."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ls, le = int(row.load_start), int(row.load_end)
+                ds, de = int(row.data_start), int(row.data_end)
+                strip = codecs.decode_block(row.bytes, le - ls, row.w,
+                                            row.fmt)
+                data = strip[ds - ls:de - ls]
+                holes = data == row.no_val
+                if fill_nan:
+                    holes |= np.isnan(data)
+                if not holes.any():
+                    continue
+                ii, jj = np.nonzero(holes)
+                gi = ii + ds                      # global pixel rows
+                t = geom.transform_from_gdal(row.gt)
+                wx, wy = geom.transform_points(t, jj + 0.5, gi + 0.5)
+                out.append(pd.DataFrame({
+                    "image_id": row.image_id,
+                    "chunk_idx": int(row.chunk_idx),
+                    "pi": gi, "pj": jj, "x": wx, "y": wy}))
+            yield (pd.concat(out) if out else pd.DataFrame(
+                columns=["image_id", "chunk_idx", "pi", "pj", "x", "y"]))
+
+    return chunks.mapInPandas(
+        gen, schema="image_id string, chunk_idx int, pi long, pj long, "
+                    "x double, y double")
+
+
+def fill_idw_distributed_chunked(chunks: DataFrame, points: DataFrame,
+                                 k: int = 8, power: float = 2.0,
+                                 fill_nan: bool = False,
+                                 cell_size: float = 256.0,
+                                 fast_path_points: int = 10_000) -> DataFrame:
+    """The fully scaled fill: BOTH sides distributed — the raster as
+    chunk strips (chunked.CHUNK_SCHEMA; no task ever decodes a whole
+    image) and the points as a cell-bucketed table (no broadcast above
+    fast_path_points). Composes hole_pixels_chunked -> knn_join ->
+    per-STRIP cogroup patching; returns patched chunk rows (same
+    schema), assemble with chunked.assemble_images if the final image
+    fits a task. Fill values are identical to fill_idw /
+    fill_idw_distributed (same strict-fold IDW kernel and tie-breaks):
+    holes fall in exactly one strip's data range, and padding rows are
+    re-duplicated from the patched data by the caller's assembly."""
+    q = hole_pixels_chunked(chunks, fill_nan).withColumn(
+        "qid", F.concat_ws(":", "image_id", "pi", "pj"))
+    nn = knn_join(q, points, k=k, cell_size=cell_size, query_id="qid",
+                  fast_path_points=fast_path_points) \
+        .select("image_id", "chunk_idx", "pi", "pj", "pt_id", "dist", "z")
+
+    from .chunked import CHUNK_SCHEMA
+
+    def patch(chunk_pdf: pd.DataFrame, nn_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        nn_sorted = (nn_pdf.sort_values(["pi", "pj", "dist", "pt_id"])
+                     if len(nn_pdf) else nn_pdf)
+        for row in chunk_pdf.itertuples(index=False):
+            ls, le = int(row.load_start), int(row.load_end)
+            ds, de = int(row.data_start), int(row.data_end)
+            strip = codecs.decode_block(row.bytes, le - ls, row.w, row.fmt)
+            if len(nn_sorted):
+                g = nn_sorted
+                if len(g):
+                    counts = g.groupby(["pi", "pj"], sort=True).size()
+                    kk = int(counts.iloc[0])
+                    assert (counts == kk).all(), "ragged kNN result"
+                    gi = counts.index.get_level_values(0).to_numpy()
+                    jj = counts.index.get_level_values(1).to_numpy()
+                    dk = g["dist"].to_numpy().reshape(len(counts), kk)
+                    vk = g["z"].to_numpy().reshape(len(counts), kk)
+                    est = idw(vk, dk, power)
+                    inside = (gi >= ds) & (gi < de)
+                    strip[gi[inside] - ls, jj[inside]] = est[inside]
+            out.append((row.image_id, int(row.chunk_idx), ds, de, ls, le,
+                        codecs.encode_block(strip, row.fmt), row.w, row.h,
+                        row.fmt, list(row.gt), row.crs, row.no_val))
+        return pd.DataFrame(out, columns=[
+            "image_id", "chunk_idx", "data_start", "data_end",
+            "load_start", "load_end", "bytes", "w", "h", "fmt", "gt",
+            "crs", "no_val"])
+
+    return chunks.groupBy("image_id", "chunk_idx").cogroup(
+        nn.groupBy("image_id", "chunk_idx")) \
+        .applyInPandas(lambda key, a, b: patch(a, b), schema=CHUNK_SCHEMA)
+
+
 def hole_pixels(images: DataFrame, fill_nan: bool = False) -> DataFrame:
     """Explode each image's hole pixels (val == no_val, optionally NaN)
     into point rows (image_id, pi, pj, x, y) with world coordinates at

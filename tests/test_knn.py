@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from rasters_rs_spark.functions import codecs
 from rasters_rs_spark.operators import knn as K
@@ -266,3 +267,43 @@ def test_fill_idw_distributed_no_holes_passthrough(spark):
             for r in images.select("image_id", "bytes").collect()}
     for iid, r in out.items():
         assert bytes(r["bytes"]) == orig[iid]
+
+
+@pytest.mark.parametrize("padding", [0, 2])
+def test_fill_idw_distributed_chunked_equals_broadcast(spark, padding):
+    """The both-sides-distributed fill (chunk strips x cell-bucketed
+    points) must reproduce fill_idw's pixels exactly after reassembly —
+    holes fall in exactly one strip's data range, padding rows are
+    rebuilt by the assembly, and the IDW kernel/tie-breaks are shared."""
+    from rasters_rs_spark.operators.chunked import (assemble_images,
+                                                    chunk_images)
+    from rasters_rs_spark.sources import synth
+    pdf = synth.lcg_image_table(4, 32, 32, pixel_size=2.0, holes_below=0.125)
+    images = spark.createDataFrame(pdf)
+    pts = synth.points_table(200, seed=51,
+                             extent=(-1000.0, 900.0, -100.0, 1010.0))
+
+    base = {r["image_id"]: bytes(r["bytes"])
+            for r in K.fill_idw(images, pts, k=4).collect()}
+
+    chunks = chunk_images(images, min_data_size=32 * 8,  # 8-row strips
+                          padding=padding)
+    assert chunks.count() > len(pdf)        # really multiple strips
+    patched = K.fill_idw_distributed_chunked(
+        chunks, spark.createDataFrame(pts), k=4, cell_size=256.0,
+        fast_path_points=0)
+    got = {r["image_id"]: bytes(r["bytes"])
+           for r in assemble_images(patched).collect()}
+    if padding == 0:
+        assert got == base
+    else:
+        # with padding, the reference chunking clamps the first/last
+        # `padding` border rows out of every data range (chunk-plan
+        # semantics, not the fill): compare the covered rows exactly
+        # and expect NaN borders in the assembled image
+        for iid in base:
+            b = codecs.decode_raw(base[iid], 32, 32)
+            g = codecs.decode_raw(got[iid], 32, 32)
+            assert np.array_equal(g[padding:32 - padding],
+                                  b[padding:32 - padding])
+            assert np.isnan(g[:padding]).all()
