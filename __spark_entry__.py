@@ -977,6 +977,66 @@ def _frame_sample_sql() -> str:
     """
 
 
+_AF_N, _AF_FRAME, _AF_CLIPS = 1100, 256, 4
+
+
+def _q_audio_features(spark, sf_dir):
+    """Audio featurization through the real PCM decode path: LCG
+    waveforms (sample s of clip m = lcg(m*1100 + s) - 0.5, dyadic and
+    signed), framewise RMS/zero-crossing/peak. Frame sums of exact
+    dyadic squares make each frame RMS bit-identical in SQL; the
+    cross-frame means are rounded (4-term sum-order differences sit at
+    1e-17)."""
+    from rasters_rs_spark.operators import multimodal as MM
+    n, clips = _AF_N, _AF_CLIPS
+    rows = []
+    for m in range(clips):
+        k = m * n + np.arange(n, dtype=np.int64)
+        wav = synth.lcg_values(k) - 0.5
+        rows.append({"clip_id": f"clip_{m}",
+                     "bytes": wav.astype("<f8").tobytes(),
+                     "n_samples": n, "sample_rate": 16000,
+                     "fmt": "pcm_f64"})
+    audio = spark.createDataFrame(pd.DataFrame(rows))
+    out = MM.audio_features(audio, frame=_AF_FRAME)
+    return out.select("clip_id", F.round("rms", 9).alias("rms"),
+                      F.round("zcr", 9).alias("zcr"), "peak",
+                      F.col("n_frames").cast("bigint").alias("n_frames"))
+
+
+def _audio_features_sql() -> str:
+    n, frame, clips = _AF_N, _AF_FRAME, _AF_CLIPS
+    nf = n // frame
+    x = synth.lcg_sql_expr(f"m * {n} + idx") + " - 0.5"
+    return f"""
+        WITH s AS (
+          SELECT m, idx, {x} AS x
+          FROM (SELECT unnest(range(0, {clips})) AS m) ms,
+               (SELECT unnest(range(0, {n})) AS idx) i),
+        fr AS (SELECT m, idx // {frame} AS f, idx % {frame} AS p, x
+               FROM s WHERE idx < {nf * frame}),
+        rmsf AS (SELECT m, f, sqrt(sum(x * x) / {frame}.0) AS rms
+                 FROM fr GROUP BY m, f),
+        zcf AS (
+          SELECT m, f,
+                 CAST(sum(CASE WHEN (x < 0) != (xn < 0) THEN 1 ELSE 0 END)
+                      AS DOUBLE) / {frame - 1}.0 AS zc
+          FROM (SELECT m, f, p, x,
+                       lead(x) OVER (PARTITION BY m, f ORDER BY p) AS xn
+                FROM fr)
+          WHERE xn IS NOT NULL
+          GROUP BY m, f),
+        pk AS (SELECT m, max(abs(x)) AS peak FROM s GROUP BY m)
+        SELECT printf('clip_%d', m) AS clip_id,
+               round((SELECT sum(rms) / {nf} FROM rmsf r
+                      WHERE r.m = pk.m), 9) AS rms,
+               round((SELECT sum(zc) / {nf} FROM zcf z
+                      WHERE z.m = pk.m), 9) AS zcr,
+               peak, CAST({nf} AS BIGINT) AS n_frames
+        FROM pk
+    """
+
+
 def _q_asof_numeric_tolerance(spark, sf_dir):
     """As-of with tolerance over a NUMERIC ts column (epoch-second
     doubles) — the merge_asof-on-numeric-keys path the round-2 advice
@@ -1136,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_bilinear_synth": _q_resample_bilinear,
         "validate_psnr_synth": _q_validate_psnr,
         "frame_sample_synth": _q_frame_sample,
+        "audio_features_synth": _q_audio_features,
         "minhash_pairs_docs": _q_minhash_pairs,
         "minhash_incremental_docs": _q_minhash_incremental,
         "simhash_docs": _q_simhash,
@@ -2088,6 +2149,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_bilinear_synth": _resample_bilinear_sql(),
         "validate_psnr_synth": _validate_psnr_sql(),
         "frame_sample_synth": _frame_sample_sql(),
+        "audio_features_synth": _audio_features_sql(),
         "image_features_synth": _lcg_features_sql(),
         "ann_lsh_embeddings": _lsh_det_sql(),
         "ann_ivf_embeddings": _ivf_det_sql(),
