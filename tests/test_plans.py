@@ -153,3 +153,37 @@ def test_ivf_topk_adaptive_query_side(spark, sf_dir, no_auto_broadcast):
     assert "BroadcastHashJoin" in plan(small)
     assert sorted(map(tuple, big.collect())) == \
         sorted(map(tuple, small.collect()))
+
+
+def test_mosaic_single_shuffle_keyed_by_strip_and_tile(spark):
+    """The mosaic merge must be ONE shuffle keyed by (sy, sx) — the
+    bounded 2-D merge; no cartesian products, no extra exchanges."""
+    import numpy as np
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.operators.resample import mosaic
+    rows = [{"image_id": f"m{i}",
+             "bytes": codecs.encode_raw(np.full((4, 4), float(i))),
+             "w": 4, "h": 4, "fmt": "raw",
+             "gt": [i * 2.0, 1.0, 0.0, 4.0, 0.0, -1.0],
+             "crs": "IDENTITY", "no_val": float("nan")} for i in range(3)]
+    tiles = mosaic(spark.createDataFrame(pd.DataFrame(rows)),
+                   [0.0, 1.0, 0.0, 4.0, 0.0, -1.0], 10, 4,
+                   strip_height=2, tile_width=4, assemble=False)
+    p = plan(tiles)
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert p.count("Exchange hashpartitioning(sy") == 1
+    assert "FlatMapGroupsInPandas" in p
+
+
+def test_salted_bucket_join_plan_shape(spark, docs, no_auto_broadcast):
+    """The hot-bucket guard's plan: the over-cap bucket keys attach via
+    a BROADCAST left-outer join (they are a tiny aggregate output), the
+    main candidate join stays a shuffle equi-join on
+    (band, band_key, salt), and no cartesian product appears."""
+    from rasters_rs_spark.operators import dedup as D
+    bands = D.minhash_bands(docs.where(F.col("doc_id") < 100))
+    pairs = D.lsh_candidate_pairs(bands, hot_bucket_rows=5, hot_salt=4)
+    p = plan(pairs)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p      # hot-key attach (both sides)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p  # main join
