@@ -128,14 +128,17 @@ def main():
         "tiles": n_tiles,
     }
 
-    # 10x scale row: one run at 10x the images — throughput should hold
-    # (linear wall in input, flat driver RSS); detailed per-stage skew
-    # evidence lives in tools/scale_proof.py -> BENCH/SCALE10X.md
+    # 10x scale row: throughput should hold at 10x the images (linear
+    # wall in input, flat driver RSS); best-of-2 like everything else —
+    # a single 10x shot swings 2x with the shared VM. Detailed
+    # per-stage skew evidence: tools/scale_proof.py -> BENCH/SCALE10X.md
     if os.environ.get("BENCH_SCALE10X", "1") == "1":
-        s10, n10, _, _ = headline_pipeline(spark, n_img * 10)
+        runs10 = [headline_pipeline(spark, n_img * 10) for _ in range(2)]
+        s10, n10, _, _ = min(runs10, key=lambda r: r[0])
         out["scale10x_images"] = n10
         out["scale10x_sec"] = round(s10, 3)
         out["scale10x_images_per_sec"] = round(n10 / s10, 2)
+        out["scale10x_runs_sec"] = [round(r[0], 3) for r in runs10]
         out["scale10x_throughput_ratio"] = round(
             (n10 / s10) / (n_img / head_s), 3)
         out["driver_max_rss_mb"] = round(
