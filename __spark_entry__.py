@@ -649,6 +649,22 @@ def _q_lcg_diff_stats(spark, sf_dir):
     return diff.diff_stats(a, b, per_pair=True)
 
 
+def _q_lcg_diff_chunked(spark, sf_dir):
+    """The BOTH-SIDES-CHUNKED alignment diff (each A strip joins only
+    the B strips whose data rows it maps into — the huge-A x huge-B
+    plan) driven against the SAME SQL oracle as the whole-image
+    lcg_diff_stats: per-pair stats must be bit-identical because every
+    A data pixel's B lookup lands in exactly one B chunk's half-open
+    data range."""
+    from rasters_rs_spark.operators import chunked as C
+    a = spark.createDataFrame(synth.lcg_image_table(32, 32, 32, 2.0))
+    b = spark.createDataFrame(
+        synth.lcg_image_table(32, 16, 16, 4.0, k_offset=10_000_000))
+    a_chunks = C.chunk_images(a, min_data_size=32 * 8)   # 8-row strips
+    b_chunks = C.chunk_images(b, min_data_size=16 * 4)   # 4-row strips
+    return C.diff_stats_chunked_both(a_chunks, b_chunks, per_pair=True)
+
+
 def _q_lcg_mask_counts(spark, sf_dir):
     images = spark.createDataFrame(
         synth.lcg_image_table(16, 16, 16, 2.0, bands=3, coarse=4))
@@ -1037,6 +1053,33 @@ def _audio_features_sql() -> str:
     """
 
 
+def _q_resample_nearest(spark, sf_dir):
+    """Nearest-neighbor 2x downsample through the real kernel: one LCG
+    image (32x32 at 2 m) onto a same-origin 16x16 grid at 4 m — every
+    target center sits exactly on source pixel edge (2j+1, 2i+1) and
+    the reference's floor convention picks pixel (2i+1, 2j+1), so the
+    oracle is the LCG closed form at those strided indices."""
+    from rasters_rs_spark.operators import resample as R
+    pdf = synth.lcg_image_table(1, 32, 32, pixel_size=2.0)
+    images = spark.createDataFrame(pdf)
+    gx, gy = pdf.iloc[0]["gt"][0], pdf.iloc[0]["gt"][3]
+    dst_gt = [gx, 4.0, 0.0, gy, 0.0, -4.0]
+    out = R.resample(images, dst_gt, 16, 16, method="nearest")
+    return _explode_pixels(out) \
+        .where(F.col("v").isNotNull() & ~F.isnan("v")) \
+        .select("i", "j", "v")
+
+
+def _resample_nearest_sql() -> str:
+    v = synth.lcg_sql_expr("(2 * i + 1) * 32 + 2 * j + 1")
+    return f"""
+        SELECT CAST(idx // 16 AS BIGINT) AS i,
+               CAST(idx % 16 AS BIGINT) AS j,
+               round({v}, 9) AS v
+        FROM (SELECT unnest(range(0, 256)) AS idx)
+    """
+
+
 def _q_asof_numeric_tolerance(spark, sf_dir):
     """As-of with tolerance over a NUMERIC ts column (epoch-second
     doubles) — the merge_asof-on-numeric-keys path the round-2 advice
@@ -1194,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_idw_dist_synth": _q_fill_idw_dist,
         "mosaic_mean_synth": _q_mosaic_mean,
         "resample_bilinear_synth": _q_resample_bilinear,
+        "resample_nearest_synth": _q_resample_nearest,
         "validate_psnr_synth": _q_validate_psnr,
         "frame_sample_synth": _q_frame_sample,
         "audio_features_synth": _q_audio_features,
@@ -1207,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcg_image_stats": _q_lcg_image_stats,
         "lcg_zonal_rects": _q_lcg_zonal_rects,
         "lcg_diff_stats": _q_lcg_diff_stats,
+        "lcg_diff_chunked_both": _q_lcg_diff_chunked,
         "lcg_mask_counts": _q_lcg_mask_counts,
         "asof_purchase_before_error": _q_asof_join,
         "supplier_region_agg": _q_supplier_region,
@@ -2147,6 +2192,7 @@ def oracle_sql() -> dict[str, str]:
         "fill_idw_dist_synth": _fill_idw_sql(),
         "mosaic_mean_synth": _mosaic_mean_sql(),
         "resample_bilinear_synth": _resample_bilinear_sql(),
+        "resample_nearest_synth": _resample_nearest_sql(),
         "validate_psnr_synth": _validate_psnr_sql(),
         "frame_sample_synth": _frame_sample_sql(),
         "audio_features_synth": _audio_features_sql(),
@@ -2157,6 +2203,7 @@ def oracle_sql() -> dict[str, str]:
         "lcg_image_stats": _lcg_stats_sql(),
         "lcg_zonal_rects": _lcg_zonal_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),
+        "lcg_diff_chunked_both": _lcg_diff_sql(),
         "lcg_mask_counts": _lcg_mask_sql(),
         "asof_purchase_before_error": """
             WITH l AS (SELECT user_id, ts, event_id FROM events

@@ -168,7 +168,8 @@ def diff_stats_chunked(a_chunks: DataFrame, b: DataFrame,
 
 
 def diff_stats_chunked_both(a_chunks: DataFrame, b_chunks: DataFrame,
-                            pair_col: str = "image_id") -> DataFrame:
+                            pair_col: str = "image_id",
+                            per_pair: bool = False) -> DataFrame:
     """Alignment diff with BOTH sides chunked — the huge-A x huge-B
     path, mirroring the reference's windowed B reads per A chunk
     (raster-diff/diff.rs:38-57) in join form.
@@ -257,7 +258,9 @@ def diff_stats_chunked_both(a_chunks: DataFrame, b_chunks: DataFrame,
             F.sum(f"{k}_sum").alias(f"{k}_sum"),
             F.sum(f"{k}_sum_2").alias(f"{k}_sum_2"),
         ]
-    return partials.agg(*merged) \
+    out = (partials.groupBy("pair_id").agg(*merged) if per_pair
+           else partials.agg(*merged))
+    return out \
         .withColumn("diff_mean", F.col("diff_sum") / F.col("count")) \
         .withColumn("diff_std", F.sqrt(F.col("diff_sum_2") / F.col("count")))
 
