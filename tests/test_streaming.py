@@ -345,3 +345,61 @@ def test_stream_embedding_neardup_converges_to_batch(spark, tmp_path):
     assert ("e003", "e025") in got and ("e030", "e033") in got
     for k in expect:
         assert got[k] == pytest.approx(expect[k], abs=1e-9)
+
+
+def test_stream_minhash_dedup_checkpoint_restart(spark, tmp_path):
+    """North-rule resumability for the stateful streaming path: the
+    dedup query stops after batch 1 and a NEW query restarts from the
+    same checkpoint for batch 2 — bucket state (batch-1 members) is
+    recovered, so cross-batch pairs are still found, batch-1 pairs are
+    not re-emitted, and the union equals the batch answer."""
+    import numpy as np
+    from rasters_rs_spark.operators import dedup as D
+    from rasters_rs_spark.streaming.windows import stream_minhash_dedup
+
+    base = ("spark filter join window batch stream table scan merge sort "
+            "group agg row column vector hash key value order part").split()
+    rng = np.random.default_rng(123)
+    rows = [(f"r{i:03d}", " ".join(rng.choice(base, size=30)))
+            for i in range(24)]
+    rows.append(("r050", rows[1][1]))   # batch-1-internal dup (r001)
+    rows.append(("r100", rows[3][1]))   # batch-2 dup of batch-1 r003
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+
+    src = str(tmp_path / "ck_src")
+    ckpt = str(tmp_path / "ck_state")
+    sink = str(tmp_path / "ck_out")
+
+    def run_once():
+        q = (stream_minhash_dedup(spark, src, "doc_id string, text string",
+                                  threshold=0.5)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    # batch 1: docs < r060 (includes the internal dup pair)
+    docs.where("doc_id < 'r060'").write.mode("overwrite").parquet(src)
+    run_once()
+    first = {(r["id_a"], r["id_b"])
+             for r in spark.read.parquet(sink).collect()}
+    assert ("r001", "r050") in first
+
+    # batch 2 arrives; restart from the SAME checkpoint
+    docs.where("doc_id >= 'r060'").write.mode("append").parquet(src)
+    run_once()
+    all_pairs = [(r["id_a"], r["id_b"])
+                 for r in spark.read.parquet(sink).collect()]
+    # recovered state found the cross-restart pair...
+    assert ("r003", "r100") in set(all_pairs)
+    # ...and batch-1 pairs were NOT re-emitted (exactly-once sink rows
+    # per bucket-pair; duplicates across bands are allowed, across
+    # restarts are not)
+    batch = {(r["id_a"], r["id_b"])
+             for r in D.minhash_dedup(docs, threshold=0.5).collect()}
+    assert set(all_pairs) == batch
+    # bounded duplication: a pair can emit once per shared band (16),
+    # never more — re-emission across restarts would exceed it
+    from collections import Counter
+    assert max(Counter(all_pairs).values()) <= 16
