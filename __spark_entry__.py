@@ -665,6 +665,62 @@ def _q_lcg_diff_chunked(spark, sf_dir):
     return C.diff_stats_chunked_both(a_chunks, b_chunks, per_pair=True)
 
 
+def _focal_images(spark):
+    return spark.createDataFrame(synth.lcg_image_table(2, 32, 32, 2.0))
+
+
+def _q_focal(spark, op):
+    """Focal kernels through the CHUNKED path (padded strips are the
+    halo — the reference chunk model's reason for padding): 8-row
+    strips with padding=1, kernel on the load range, data rows only,
+    reassembled and exploded. Border pixels (incomplete neighborhoods)
+    are NaN and filtered on both sides; interior values are exact
+    dyadic sums (mean) / sqrt of dyadic squares (gradient)."""
+    from rasters_rs_spark.operators import focal as FO
+    from rasters_rs_spark.operators.chunked import (assemble_images,
+                                                    chunk_images)
+    chunks = chunk_images(_focal_images(spark), min_data_size=32 * 8,
+                          padding=1)
+    out = assemble_images(FO.focal_chunked(chunks, op))
+    return _explode_pixels(out) \
+        .where(F.col("v").isNotNull() & ~F.isnan("v")) \
+        .select("image_id", "i", "j", "v")
+
+
+def _focal_sql(op: str) -> str:
+    if op == "mean3":
+        terms = " + ".join(
+            "(" + synth.lcg_sql_expr(
+                f"m * 1024 + (i + {di - 1}) * 32 + j + {dj - 1}") + ")"
+            for di in (0, 1, 2) for dj in (0, 1, 2))
+        val = f"({terms}) / 9.0"
+    else:
+        e = synth.lcg_sql_expr("m * 1024 + i * 32 + j + 1")
+        w = synth.lcg_sql_expr("m * 1024 + i * 32 + j - 1")
+        sn = synth.lcg_sql_expr("m * 1024 + (i + 1) * 32 + j")
+        nn = synth.lcg_sql_expr("m * 1024 + (i - 1) * 32 + j")
+        val = (f"sqrt((({e}) - ({w})) / 4.0 * ((({e}) - ({w})) / 4.0) "
+               f"+ (({sn}) - ({nn})) / 4.0 * ((({sn}) - ({nn})) / 4.0))")
+    return f"""
+        WITH px AS (
+          SELECT m, CAST(idx // 32 AS BIGINT) AS i,
+                 CAST(idx % 32 AS BIGINT) AS j
+          FROM (SELECT unnest(range(0, 2)) AS m) ms,
+               (SELECT unnest(range(0, 1024)) AS idx) i)
+        SELECT printf('img_%08d', m) AS image_id, i, j,
+               round({val}, 9) AS v
+        FROM px WHERE i >= 1 AND i <= 30 AND j >= 1 AND j <= 30
+    """
+
+
+def _q_focal_mean(spark, sf_dir):
+    return _q_focal(spark, "mean3")
+
+
+def _q_focal_grad(spark, sf_dir):
+    return _q_focal(spark, "grad_mag")
+
+
 def _q_lcg_mask_counts(spark, sf_dir):
     images = spark.createDataFrame(
         synth.lcg_image_table(16, 16, 16, 2.0, bands=3, coarse=4))
@@ -1252,6 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcg_zonal_rects": _q_lcg_zonal_rects,
         "lcg_diff_stats": _q_lcg_diff_stats,
         "lcg_diff_chunked_both": _q_lcg_diff_chunked,
+        "focal_mean_synth": _q_focal_mean,
+        "focal_grad_synth": _q_focal_grad,
         "lcg_mask_counts": _q_lcg_mask_counts,
         "asof_purchase_before_error": _q_asof_join,
         "supplier_region_agg": _q_supplier_region,
@@ -2204,6 +2262,8 @@ def oracle_sql() -> dict[str, str]:
         "lcg_zonal_rects": _lcg_zonal_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),
         "lcg_diff_chunked_both": _lcg_diff_sql(),
+        "focal_mean_synth": _focal_sql("mean3"),
+        "focal_grad_synth": _focal_sql("grad_mag"),
         "lcg_mask_counts": _lcg_mask_sql(),
         "asof_purchase_before_error": """
             WITH l AS (SELECT user_id, ts, event_id FROM events

@@ -1,0 +1,52 @@
+"""Focal (neighborhood) kernels: numpy oracle, chunked == whole-image
+through the padding halo, border semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rasters_rs_spark.functions import codecs
+from rasters_rs_spark.operators import focal as FO
+from rasters_rs_spark.operators.chunked import assemble_images, chunk_images
+from rasters_rs_spark.sources import synth
+
+
+def test_focal_block_numpy_oracle():
+    rng = np.random.default_rng(41)
+    b = rng.normal(size=(10, 12))
+    m = FO.focal_block(b, "mean3")
+    assert np.isnan(m[0]).all() and np.isnan(m[:, -1]).all()
+    for i, j in [(1, 1), (4, 7), (8, 10)]:
+        assert m[i, j] == pytest.approx(b[i-1:i+2, j-1:j+2].mean(), rel=1e-12)
+    g = FO.focal_block(b, "grad_mag", pixel_size=2.0)
+    i, j = 5, 5
+    dzdx = (b[i, j+1] - b[i, j-1]) / 4.0
+    dzdy = (b[i+1, j] - b[i-1, j]) / 4.0
+    assert g[i, j] == pytest.approx(np.hypot(dzdx, dzdy), rel=1e-12)
+
+
+@pytest.mark.parametrize("op", ["mean3", "grad_mag"])
+def test_focal_chunked_equals_whole_image(spark, op):
+    """The padded-strip focal result reassembles to the whole-image
+    kernel EXACTLY — the chunk padding is the halo, so no strip ever
+    reads another strip's pixels. Interior data rows must be
+    bit-identical; the image border is NaN on both paths."""
+    images = spark.createDataFrame(synth.lcg_image_table(4, 32, 32, 2.0))
+    whole = {r["image_id"]: codecs.decode_raw(bytes(r["bytes"]), 32, 32)
+             for r in FO.focal(images, op).collect()}
+
+    chunks = chunk_images(images, min_data_size=32 * 8, padding=1)
+    assert chunks.count() > 4                       # multiple strips
+    got = {r["image_id"]: codecs.decode_raw(bytes(r["bytes"]), 32, 32)
+           for r in assemble_images(FO.focal_chunked(chunks, op)).collect()}
+    for iid, w in whole.items():
+        g = got[iid]
+        # data ranges cover rows 1..31 (padding clamps row 0); the
+        # whole-image kernel is NaN there anyway
+        assert np.array_equal(g[1:31], w[1:31], equal_nan=True)
+        assert np.isnan(g[0]).all() and np.isnan(w[0]).all()
+
+
+def test_focal_rejects_unknown_op():
+    with pytest.raises(ValueError, match="unknown focal op"):
+        FO.focal_block(np.zeros((4, 4)), "laplace9")
