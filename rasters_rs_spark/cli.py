@@ -158,6 +158,16 @@ def cmd_mosaic(args):
                                          else "tiles")}))
 
 
+def cmd_focal(args):
+    from .operators.focal import focal
+    spark = _spark(args)
+    out = focal(_images(spark, args.input), args.op,
+                sun_azimuth_deg=args.azimuth,
+                sun_altitude_deg=args.altitude)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"written": args.output, "op": args.op}))
+
+
 def cmd_dedup(args):
     from .operators import dedup as D
     spark = _spark(args)
@@ -276,6 +286,16 @@ def build_parser():
                     help="write the bounded (sy, sx) tile representation "
                          "instead of one assembled image row")
     mo.set_defaults(fn=cmd_mosaic, assemble=True)
+
+    fo = sub.add_parser("focal", help="neighborhood kernels: 3x3 mean, "
+                                      "gradient, slope, hillshade")
+    fo.add_argument("input")
+    fo.add_argument("output")
+    fo.add_argument("--op", required=True,
+                    choices=["mean3", "grad_mag", "slope", "hillshade"])
+    fo.add_argument("--azimuth", type=float, default=315.0)
+    fo.add_argument("--altitude", type=float, default=45.0)
+    fo.set_defaults(fn=cmd_focal)
 
     dd = sub.add_parser("dedup", help="near-duplicate document pairs "
                                       "(MinHash LSH or SimHash)")

@@ -26,13 +26,30 @@ from pyspark.sql import DataFrame
 
 from ..functions import codecs
 
-FOCAL_OPS = ("mean3", "grad_mag")
+FOCAL_OPS = ("mean3", "grad_mag", "slope", "hillshade")
 
 
-def focal_block(block: np.ndarray, op: str,
-                pixel_size: float = 1.0) -> np.ndarray:
+def _horn_gradients(block: np.ndarray, pixel_size: float):
+    """Horn's 8-neighbor weighted gradients (the standard GDAL/Esri DEM
+    convention): dz/dx over the west/east neighbor columns with the
+    row-adjacent cells weighted 1-2-1, likewise dz/dy. Row index +1 is
+    -y (north-up rasters), so dz/dy negates."""
+    ps8 = 8.0 * pixel_size
+    nw, n_, ne = block[:-2, :-2], block[:-2, 1:-1], block[:-2, 2:]
+    w_, e_ = block[1:-1, :-2], block[1:-1, 2:]
+    sw, s_, se = block[2:, :-2], block[2:, 1:-1], block[2:, 2:]
+    dzdx = ((ne + 2.0 * e_ + se) - (nw + 2.0 * w_ + sw)) / ps8
+    dzdy = ((nw + 2.0 * n_ + ne) - (sw + 2.0 * s_ + se)) / ps8
+    return dzdx, dzdy
+
+
+def focal_block(block: np.ndarray, op: str, pixel_size: float = 1.0,
+                sun_azimuth_deg: float = 315.0,
+                sun_altitude_deg: float = 45.0) -> np.ndarray:
     """Apply a 3x3 focal kernel to one block; border rows/cols are NaN
-    (incomplete neighborhood)."""
+    (incomplete neighborhood). Ops: mean3, grad_mag (central
+    differences), slope (degrees, Horn), hillshade (0..255, Horn
+    gradients + sun position — the standard DEM shaded relief)."""
     h, w = block.shape
     out = np.full((h, w), np.nan)
     if h < 3 or w < 3:
@@ -54,10 +71,28 @@ def focal_block(block: np.ndarray, op: str,
         dzdy = (block[2:, 1:-1] - block[:-2, 1:-1]) / (2.0 * pixel_size)
         out[1:-1, 1:-1] = np.sqrt(dzdx * dzdx + dzdy * dzdy)
         return out
+    if op == "slope":
+        dzdx, dzdy = _horn_gradients(block, pixel_size)
+        out[1:-1, 1:-1] = np.degrees(
+            np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
+        return out
+    if op == "hillshade":
+        dzdx, dzdy = _horn_gradients(block, pixel_size)
+        slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+        # aspect: downslope direction, clockwise from north; dzdx is
+        # +east and dzdy +north, so downslope = (-dzdx, -dzdy)
+        aspect = np.arctan2(-dzdx, -dzdy)
+        az = np.radians(sun_azimuth_deg)
+        alt = np.radians(sun_altitude_deg)
+        shade = (np.sin(alt) * np.cos(slope)
+                 + np.cos(alt) * np.sin(slope) * np.cos(az - aspect))
+        out[1:-1, 1:-1] = np.clip(255.0 * shade, 0.0, 255.0)
+        return out
     raise ValueError(f"unknown focal op: {op} (use one of {FOCAL_OPS})")
 
 
-def focal(images: DataFrame, op: str) -> DataFrame:
+def focal(images: DataFrame, op: str, sun_azimuth_deg: float = 315.0,
+          sun_altitude_deg: float = 45.0) -> DataFrame:
     """Whole-image focal kernel: one image row in, one out (fmt raw;
     pixel_size from the geo-transform)."""
 
@@ -66,7 +101,8 @@ def focal(images: DataFrame, op: str) -> DataFrame:
             out = []
             for row in pdf.itertuples(index=False):
                 block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
-                res = focal_block(block, op, abs(float(row.gt[1])))
+                res = focal_block(block, op, abs(float(row.gt[1])),
+                                  sun_azimuth_deg, sun_altitude_deg)
                 out.append((row.image_id, codecs.encode_raw(res),
                             row.w, row.h, "raw", list(row.gt), row.crs,
                             float("nan")))
@@ -78,7 +114,9 @@ def focal(images: DataFrame, op: str) -> DataFrame:
     return images.mapInPandas(gen, schema=schema)
 
 
-def focal_chunked(chunks: DataFrame, op: str) -> DataFrame:
+def focal_chunked(chunks: DataFrame, op: str,
+                  sun_azimuth_deg: float = 315.0,
+                  sun_altitude_deg: float = 45.0) -> DataFrame:
     """Focal kernel over padded chunk strips (chunked.CHUNK_SCHEMA,
     padding >= 1): each strip computes the kernel on its LOAD range
     (which carries the halo rows) and keeps only its DATA rows, so no
@@ -95,7 +133,8 @@ def focal_chunked(chunks: DataFrame, op: str) -> DataFrame:
                 ds, de = int(row.data_start), int(row.data_end)
                 strip = codecs.decode_block(row.bytes, le - ls, row.w,
                                             row.fmt)
-                res = focal_block(strip, op, abs(float(row.gt[1])))
+                res = focal_block(strip, op, abs(float(row.gt[1])),
+                                  sun_azimuth_deg, sun_altitude_deg)
                 # rows 0 / le-ls-1 of the strip are NaN from the kernel;
                 # when ls > 0 (interior strip) those are halo rows and
                 # the data range has full neighborhoods

@@ -137,3 +137,17 @@ def test_cli_dedup(capsys, tmp_path, spark):
     assert (pair["id_a"], pair["id_b"]) == ("a1", "a2")
     assert "a2" not in {r["doc_id"]
                         for r in spark.read.parquet(kept).collect()}
+
+
+def test_cli_focal(capsys, img_path, tmp_path, spark):
+    dst = str(tmp_path / "hs")
+    res = _run(capsys, ["focal", img_path, dst, "--op", "hillshade"])
+    assert res["op"] == "hillshade"
+    out = spark.read.parquet(dst)
+    assert out.count() == 4
+    r = out.collect()[0]
+    from rasters_rs_spark.functions import codecs as CC
+    block = CC.decode_raw(bytes(r["bytes"]), r["h"], r["w"])
+    interior = block[1:-1, 1:-1]
+    assert np.isfinite(interior).all()
+    assert (interior >= 0).all() and (interior <= 255).all()

@@ -50,3 +50,39 @@ def test_focal_chunked_equals_whole_image(spark, op):
 def test_focal_rejects_unknown_op():
     with pytest.raises(ValueError, match="unknown focal op"):
         FO.focal_block(np.zeros((4, 4)), "laplace9")
+
+
+def test_slope_and_hillshade_plane_oracle():
+    """Closed-form checks on an inclined plane z = -x (unit slope
+    dipping due east): Horn slope is exactly 45 degrees; a sun due east
+    at 45 degrees altitude hits the face head-on (shade 255) and a sun
+    due west leaves it fully dark (0). A flat plane shades to
+    255*sin(altitude) everywhere."""
+    x = np.arange(8, dtype=np.float64)
+    plane = np.tile(-x, (8, 1))
+    s = FO.focal_block(plane, "slope", pixel_size=1.0)
+    assert np.allclose(s[1:-1, 1:-1], 45.0)
+
+    hs_east = FO.focal_block(plane, "hillshade", pixel_size=1.0,
+                             sun_azimuth_deg=90.0, sun_altitude_deg=45.0)
+    assert np.allclose(hs_east[1:-1, 1:-1], 255.0)
+    hs_west = FO.focal_block(plane, "hillshade", pixel_size=1.0,
+                             sun_azimuth_deg=270.0, sun_altitude_deg=45.0)
+    assert np.allclose(hs_west[1:-1, 1:-1], 0.0)
+
+    flat = np.full((8, 8), 7.0)
+    hs_flat = FO.focal_block(flat, "hillshade", sun_altitude_deg=30.0)
+    assert np.allclose(hs_flat[1:-1, 1:-1], 255.0 * np.sin(np.radians(30.0)))
+
+
+def test_slope_hillshade_chunked_equals_whole(spark):
+    images = spark.createDataFrame(synth.lcg_image_table(2, 32, 32, 2.0))
+    for op in ("slope", "hillshade"):
+        whole = {r["image_id"]: codecs.decode_raw(bytes(r["bytes"]), 32, 32)
+                 for r in FO.focal(images, op).collect()}
+        chunks = chunk_images(images, min_data_size=32 * 8, padding=1)
+        got = {r["image_id"]: codecs.decode_raw(bytes(r["bytes"]), 32, 32)
+               for r in assemble_images(
+                   FO.focal_chunked(chunks, op)).collect()}
+        for iid, w in whole.items():
+            assert np.array_equal(got[iid][1:31], w[1:31], equal_nan=True)
