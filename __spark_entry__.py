@@ -202,6 +202,52 @@ def _q_morton(spark, sf_dir):
                         .cast("bigint").alias("morton"))
 
 
+def _q_hilbert(spark, sf_dir):
+    """Hilbert-curve keys for the event cells (the tile sink's
+    higher-locality alternative to Morton): the 12-level xy2d rotation
+    recurrence as chained Catalyst projections, mirrored level-by-level
+    in SQL CTEs."""
+    ts12 = 2.0 * 20037508.0 / float(1 << 12)
+    pts = _event_points(spark, sf_dir)
+    keyed = pts.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.floor((F.col("x") + F.lit(20037508.0)) / F.lit(ts12)).cast("long").alias("cx"),
+        F.floor((F.col("y") + F.lit(20037508.0)) / F.lit(ts12)).cast("long").alias("cy"))
+    return celljoin.with_hilbert(keyed, "cx", "cy", bits=12) \
+        .select("event_id", F.col("hilbert").cast("bigint").alias("hilbert"))
+
+
+def _hilbert_sql(bits: int = 12) -> str:
+    ts = _dbl17(2.0 * 20037508.0 / float(1 << 12))
+    ctes = [f"""l{bits} AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CAST(floor(((value * 60.0 - 9000.0) + 20037508.0)
+                          / {ts}) AS BIGINT) AS hx,
+                     CAST(floor(((CAST(event_id % 199 AS DOUBLE) * 97.0
+                          - 9000.0) + 20037508.0) / {ts}) AS BIGINT) AS hy,
+                     CAST(0 AS BIGINT) AS hd
+              FROM events)"""]
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        prev = f"l{level + 1}"
+        ctes.append(f"""l{level} AS (
+              SELECT event_id,
+                     hd + {s * s} * xor(
+                       3 * (CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END),
+                       CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END) AS hd,
+                     CASE WHEN (hy & {s}) = 0
+                          THEN (CASE WHEN (hx & {s}) > 0
+                                     THEN {s - 1} - hy ELSE hy END)
+                          ELSE hx END AS hx,
+                     CASE WHEN (hy & {s}) = 0
+                          THEN (CASE WHEN (hx & {s}) > 0
+                                     THEN {s - 1} - hx ELSE hx END)
+                          ELSE hy END AS hy
+              FROM {prev})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f" SELECT event_id, CAST(hd AS BIGINT) AS hilbert FROM l0")
+
+
 def _q_q1_pricing(spark, sf_dir):
     li = _tbl(spark, sf_dir, "lineitem")
     qty = _dec("l_quantity")
@@ -1329,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components_docs": _q_dup_components,
         "split_assign_docs": _q_split_assign,
         "morton_cells_events": _q_morton,
+        "hilbert_cells_events": _q_hilbert,
         "asof_tolerance_events": _q_asof_tolerance,
         "asof_numeric_tolerance_events": _q_asof_numeric_tolerance,
     }
@@ -2376,6 +2423,7 @@ def oracle_sql() -> dict[str, str]:
                        for b in range(12))} AS BIGINT) AS morton
             FROM keyed
         """,
+        "hilbert_cells_events": _hilbert_sql(),
         "corpus_rollup": """
             SELECT lang, source,
                    CAST(count(*) AS BIGINT) AS n_docs,

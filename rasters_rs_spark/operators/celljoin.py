@@ -57,6 +57,71 @@ def morton_expr(cx_col, cy_col, bits: int = 16):
     return code
 
 
+def with_hilbert(df: DataFrame, cx_col: str = "cx", cy_col: str = "cy",
+                 bits: int = 8, out: str = "hilbert") -> DataFrame:
+    """Hilbert-curve distance of two cell coordinates (low ``bits``
+    bits each) — the space-filling sort key with strictly better range
+    locality than Morton (consecutive codes are always 4-adjacent
+    cells, so a contiguous code range is a compact blob, not Z-shaped
+    jumps). Use as the repartitionByRange/sortBy column for tile and
+    cell sinks at scale.
+
+    Pure integer Catalyst expressions: the standard xy2d rotation
+    recurrence unrolled over ``bits`` levels, each level a projection
+    over the previous one (no expression-tree blowup). The identical
+    level-by-level CASE logic is emitted by the SQL oracle, so codes
+    are engine-exact."""
+    x = F.col(cx_col).cast("long")
+    y = F.col(cy_col).cast("long")
+    df = df.withColumn("_hx", x).withColumn("_hy", y) \
+           .withColumn("_hd", F.lit(0).cast("long"))
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)) \
+              .otherwise(F.lit(0))
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)) \
+              .otherwise(F.lit(0))
+        df = df.withColumn("_rx", rx).withColumn("_ry", ry)
+        d = (F.col("_hd")
+             + F.lit(s).cast("long") * F.lit(s)
+             * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")))
+        # rotate the quadrant when ry == 0 (reflect when rx == 1, swap)
+        nx = F.when(F.col("_ry") == 0,
+                    F.when(F.col("_rx") == 1,
+                           F.lit(s - 1) - F.col("_hy"))
+                     .otherwise(F.col("_hy"))) \
+              .otherwise(F.col("_hx"))
+        ny = F.when(F.col("_ry") == 0,
+                    F.when(F.col("_rx") == 1,
+                           F.lit(s - 1) - F.col("_hx"))
+                     .otherwise(F.col("_hx"))) \
+              .otherwise(F.col("_hy"))
+        df = df.withColumn("_hd", d).withColumn("_nx", nx) \
+               .withColumn("_ny", ny) \
+               .withColumn("_hx", F.col("_nx")) \
+               .withColumn("_hy", F.col("_ny")) \
+               .drop("_nx", "_ny", "_rx", "_ry")
+    return df.withColumn(out, F.col("_hd")).drop("_hx", "_hy", "_hd")
+
+
+def hilbert_xy2d(x: int, y: int, bits: int = 8) -> int:
+    """Scalar python mirror (tests): standard Hilbert xy2d."""
+    rx = ry = 0
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
 def aoi_cells_df(spark: SparkSession, aois: pd.DataFrame, zoom: int) -> DataFrame:
     """Explode each AOI into its covering cells at ``zoom`` (bbox cover;
     the exact test happens after the join). Computed driver-side: the

@@ -181,3 +181,35 @@ def test_cell_pip_join_nonzero_rule_matches_on_convex(spark):
           for r in cell_pip_join(df, aois, zoom=10,
                                  pip_rule="nonzero").collect()}
     assert eo == nz and len(eo) > 0
+
+
+def test_hilbert_spark_matches_scalar_and_adjacency(spark):
+    """with_hilbert (chained Catalyst projections) equals the scalar
+    xy2d recurrence for random coordinates, is a bijection on a full
+    small grid, and consecutive codes are always 4-adjacent cells — the
+    locality property that makes it the better range-partition key."""
+    import numpy as np
+    import pandas as pd
+    from rasters_rs_spark.operators import celljoin as CJ
+
+    rng = np.random.default_rng(8)
+    pdf = pd.DataFrame({
+        "i": np.arange(300),
+        "cx": rng.integers(0, 1 << 10, 300),
+        "cy": rng.integers(0, 1 << 10, 300),
+    })
+    got = {r["i"]: r["hilbert"] for r in
+           CJ.with_hilbert(spark.createDataFrame(pdf), bits=10).collect()}
+    for r in pdf.itertuples(index=False):
+        assert got[r.i] == CJ.hilbert_xy2d(int(r.cx), int(r.cy), 10)
+
+    # full 16x16 grid: bijection + adjacency
+    n = 16
+    pos = {}
+    for x in range(n):
+        for y in range(n):
+            pos[CJ.hilbert_xy2d(x, y, 4)] = (x, y)
+    assert sorted(pos) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
