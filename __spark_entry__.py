@@ -767,6 +767,52 @@ def _q_focal_grad(spark, sf_dir):
     return _q_focal(spark, "grad_mag")
 
 
+_RZ_GT = [-1100.0, 25.0, 0.0, 1100.0, 0.0, -25.0]
+
+
+def _q_rasterize(spark, sf_dir):
+    """Vector -> raster (the inverse of the zonal flow): the 8 star/
+    hole/disjoint AOIs burned into a 64x64 grid by pixel-center
+    even-odd PIP; contained pixels carry the containing AOI's sorted
+    ordinal (smallest id wins on overlap). The oracle recomputes the
+    crossing parity edge-for-edge (the zonal mirror's PIP) and takes
+    the min ordinal per pixel."""
+    from rasters_rs_spark.operators.chunked import assemble_images
+    aois = synth.aoi_table(8, seed=43, extent=_ZONAL_AOI_EXTENT)
+    chunks = celljoin.rasterize(spark, aois, _RZ_GT, 64, 64,
+                                strip_height=16)
+    out = assemble_images(chunks)
+    return _explode_pixels(out) \
+        .where(F.col("v").isNotNull() & ~F.isnan("v")) \
+        .select("i", "j", F.col("v").cast("bigint").alias("aoi_ord"))
+
+
+def _rasterize_sql() -> str:
+    aois = synth.aoi_table(8, seed=43, extent=_ZONAL_AOI_EXTENT)
+    ords = ", ".join(
+        f"('{a}', {k})" for k, a in enumerate(sorted(aois["aoi_id"])))
+    return f"""
+        WITH px AS (
+          SELECT CAST(idx // 64 AS BIGINT) AS i,
+                 CAST(idx % 64 AS BIGINT) AS j,
+                 -1100.0 + (idx % 64 + 0.5) * 25.0 AS wx,
+                 1100.0 - (idx // 64 + 0.5) * 25.0 AS wy
+          FROM (SELECT unnest(range(0, 4096)) AS idx)),
+        edges(aoi_id, x0, y0, x1, y1) AS (VALUES {_zonal_poly_edges_values()}),
+        ords(aoi_id, k) AS (VALUES {ords}),
+        cont AS (
+          SELECT p.i, p.j, e.aoi_id
+          FROM px p JOIN edges e
+            ON ((e.y0 > p.wy) != (e.y1 > p.wy))
+           AND p.wx < e.x0 + (p.wy - e.y0) / (e.y1 - e.y0) * (e.x1 - e.x0)
+          GROUP BY p.i, p.j, e.aoi_id
+          HAVING count(*) % 2 = 1)
+        SELECT i, j, CAST(min(k) AS BIGINT) AS aoi_ord
+        FROM cont JOIN ords USING (aoi_id)
+        GROUP BY i, j
+    """
+
+
 def _q_lcg_mask_counts(spark, sf_dir):
     images = spark.createDataFrame(
         synth.lcg_image_table(16, 16, 16, 2.0, bands=3, coarse=4))
@@ -1356,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcg_diff_chunked_both": _q_lcg_diff_chunked,
         "focal_mean_synth": _q_focal_mean,
         "focal_grad_synth": _q_focal_grad,
+        "rasterize_synth": _q_rasterize,
         "lcg_mask_counts": _q_lcg_mask_counts,
         "asof_purchase_before_error": _q_asof_join,
         "supplier_region_agg": _q_supplier_region,
@@ -2311,6 +2358,7 @@ def oracle_sql() -> dict[str, str]:
         "lcg_diff_chunked_both": _lcg_diff_sql(),
         "focal_mean_synth": _focal_sql("mean3"),
         "focal_grad_synth": _focal_sql("grad_mag"),
+        "rasterize_synth": _rasterize_sql(),
         "lcg_mask_counts": _lcg_mask_sql(),
         "asof_purchase_before_error": """
             WITH l AS (SELECT user_id, ts, event_id FROM events

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions import geom
+from ..functions import codecs, geom
 from ..functions.mercator import MAX_COORD
 
 AOI_SCHEMA = (
@@ -55,6 +55,67 @@ def morton_expr(cx_col, cy_col, bits: int = 16):
                 + F.shiftleft(F.shiftrightunsigned(F.col(cy_col), b)
                               .bitwiseAND(F.lit(1)), 2 * b))
     return code
+
+
+def rasterize(spark: SparkSession, aois: pd.DataFrame, gt, w: int, h: int,
+              strip_height: int = 256,
+              pip_rule: str = "evenodd") -> DataFrame:
+    """Vector -> raster: burn each target pixel whose CENTER lies
+    inside an AOI with that AOI's ordinal (its position in the sorted
+    aoi_id list; the smallest id wins where AOIs overlap). Uncovered
+    pixels are NaN. The inverse of the zonal flow — together they
+    close the raster<->vector loop.
+
+    Scale shape: the target grid explodes into ROW STRIPS (one task
+    decodes nothing and holds strip_height x w doubles); the AOI table
+    is the small dimension side and rides the task closure with a bbox
+    prefilter per strip, exactly like the zonal broadcast. Returns
+    chunked strip rows (chunked.CHUNK_SCHEMA); assemble with
+    chunked.assemble_images when the raster fits one task."""
+    G = geom
+    gt = [float(v) for v in gt]
+    strip_height = max(1, min(strip_height, h))
+    srt = aois.sort_values("aoi_id").reset_index(drop=True)
+    polys = [(k, list(r.ring_offsets),
+              np.asarray(r.xs, dtype=np.float64),
+              np.asarray(r.ys, dtype=np.float64),
+              G.polygon_bbox(r.ring_offsets, r.xs, r.ys))
+             for k, r in enumerate(srt.itertuples(index=False))]
+    pip = {"evenodd": G.points_in_rings,
+           "nonzero": G.points_in_rings_winding}[pip_rule]
+    n_strips = (h + strip_height - 1) // strip_height
+    t = G.transform_from_gdal(gt)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                sy = int(row.id)
+                r0 = sy * strip_height
+                r1 = min(r0 + strip_height, h)
+                jj, ii = np.meshgrid(np.arange(w), np.arange(r0, r1))
+                wx, wy = G.transform_points(t, jj.ravel() + 0.5,
+                                            ii.ravel() + 0.5)
+                block = np.full(wx.shape, np.nan)
+                for (k, ro, xs, ys, (bx0, by0, bx1, by1)) in polys:
+                    cand = ((wx >= bx0) & (wx <= bx1)
+                            & (wy >= by0) & (wy <= by1) & np.isnan(block))
+                    if not cand.any():
+                        continue
+                    idx = np.nonzero(cand)[0]
+                    inside = pip(wx[idx], wy[idx], ro, xs, ys)
+                    block[idx[inside]] = float(k)
+                out.append((
+                    "rasterized", sy, r0, r1, r0, r1,
+                    codecs.encode_raw(block.reshape(r1 - r0, w)),
+                    w, h, "raw", gt, "EPSG:3857", float("nan")))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "chunk_idx", "data_start", "data_end",
+                "load_start", "load_end", "bytes", "w", "h", "fmt",
+                "gt", "crs", "no_val"])
+
+    from .chunked import CHUNK_SCHEMA
+    return spark.range(n_strips).mapInPandas(gen, schema=CHUNK_SCHEMA)
 
 
 def with_hilbert(df: DataFrame, cx_col: str = "cx", cy_col: str = "cy",

@@ -213,3 +213,36 @@ def test_hilbert_spark_matches_scalar_and_adjacency(spark):
     for d in range(n * n - 1):
         (x1, y1), (x2, y2) = pos[d], pos[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_rasterize_roundtrip_with_zonal(spark):
+    """rasterize -> zonal closes the raster<->vector loop: burning
+    rect AOIs and counting each ordinal's pixels equals the direct
+    pixel-center PIP count, and overlap pixels take the SMALLEST
+    aoi_id's ordinal."""
+    import numpy as np
+    import pandas as pd
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.operators import celljoin as CJ
+    from rasters_rs_spark.operators.chunked import assemble_images
+
+    # bounds at .3/.7 so no pixel CENTER (at .5) sits on an edge
+    aois = pd.DataFrame([
+        {"aoi_id": "a", "ring_offsets": [0],
+         "xs": [0.3, 10.7, 10.7, 0.3], "ys": [0.3, 0.3, 8.7, 8.7]},
+        {"aoi_id": "b", "ring_offsets": [0],       # overlaps a
+         "xs": [6.3, 14.7, 14.7, 6.3], "ys": [4.3, 4.3, 12.7, 12.7]},
+    ])
+    gt = [0.0, 1.0, 0.0, 16.0, 0.0, -1.0]
+    out = assemble_images(
+        CJ.rasterize(spark, aois, gt, 16, 16, strip_height=4)).collect()[0]
+    block = codecs.decode_raw(bytes(out["bytes"]), 16, 16)
+
+    jj, ii = np.meshgrid(np.arange(16), np.arange(16))
+    wx, wy = jj + 0.5, 16.0 - (ii + 0.5)
+    in_a = (wx > 0.3) & (wx < 10.7) & (wy > 0.3) & (wy < 8.7)
+    in_b = (wx > 6.3) & (wx < 14.7) & (wy > 4.3) & (wy < 12.7)
+    expect = np.full((16, 16), np.nan)
+    expect[in_b] = 1.0
+    expect[in_a] = 0.0          # smallest id wins on the overlap
+    assert np.array_equal(block, expect, equal_nan=True)
