@@ -168,6 +168,22 @@ def cmd_focal(args):
     print(json.dumps({"written": args.output, "op": args.op}))
 
 
+def cmd_rasterize(args):
+    import pandas as pd
+    from .operators.celljoin import rasterize
+    from .operators.chunked import assemble_images
+    spark = _spark(args)
+    aois = pd.read_parquet(args.aois)
+    gt = [float(v) for v in args.gt]
+    chunks = rasterize(spark, aois, gt, args.width, args.height,
+                       strip_height=args.strip_height)
+    out = assemble_images(chunks) if args.assemble else chunks
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"written": args.output,
+                      "representation": ("image" if args.assemble
+                                         else "chunks")}))
+
+
 def cmd_dedup(args):
     from .operators import dedup as D
     spark = _spark(args)
@@ -296,6 +312,18 @@ def build_parser():
     fo.add_argument("--azimuth", type=float, default=315.0)
     fo.add_argument("--altitude", type=float, default=45.0)
     fo.set_defaults(fn=cmd_focal)
+
+    rz = sub.add_parser("rasterize", help="burn AOI polygons into a "
+                                          "raster grid")
+    rz.add_argument("aois", help="parquet with aoi_id/ring_offsets/xs/ys")
+    rz.add_argument("output")
+    rz.add_argument("--gt", nargs=6, required=True)
+    rz.add_argument("--width", type=int, required=True)
+    rz.add_argument("--height", type=int, required=True)
+    rz.add_argument("--strip-height", type=int, default=256)
+    rz.add_argument("--chunks", dest="assemble", action="store_false",
+                    help="write strip chunks instead of one image row")
+    rz.set_defaults(fn=cmd_rasterize, assemble=True)
 
     dd = sub.add_parser("dedup", help="near-duplicate document pairs "
                                       "(MinHash LSH or SimHash)")

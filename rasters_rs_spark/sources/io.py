@@ -69,9 +69,22 @@ def write_images_bucketed(df: DataFrame, table: str, buckets: int = 64,
        .bucketBy(buckets, key).sortBy(key).saveAsTable(table))
 
 
-def write_tiles(df: DataFrame, location: str, mode: str = "overwrite") -> None:
+def write_tiles(df: DataFrame, location: str, mode: str = "overwrite",
+                order: str = "rowmajor", hilbert_bits: int = 16) -> None:
     """Tile pyramid sink: partition by zoom so per-zoom reads prune to
     one directory, range-partition tile keys within each zoom so a
-    z/x/y lookup touches few files (S9/S11 analogue)."""
+    z/x/y lookup touches few files (S9/S11 analogue).
+
+    ``order``: 'rowmajor' ranges on (z, y, x); 'hilbert' ranges on the
+    Hilbert-curve key of (x, y) — consecutive keys are always adjacent
+    tiles, so a contiguous key range (one parquet file) is a compact
+    2-D blob rather than full-width stripes: better file locality for
+    bbox reads at planet scale."""
+    if order == "hilbert":
+        from ..operators.celljoin import with_hilbert
+        keyed = with_hilbert(df, "x", "y", bits=hilbert_bits, out="_hkey")
+        (keyed.repartitionByRange("z", "_hkey").drop("_hkey")
+              .write.mode(mode).partitionBy("z").parquet(location))
+        return
     (df.repartitionByRange("z", "y", "x")
        .write.mode(mode).partitionBy("z").parquet(location))

@@ -151,3 +151,21 @@ def test_cli_focal(capsys, img_path, tmp_path, spark):
     interior = block[1:-1, 1:-1]
     assert np.isfinite(interior).all()
     assert (interior >= 0).all() and (interior <= 255).all()
+
+
+def test_cli_rasterize(capsys, tmp_path, spark):
+    aois = pd.DataFrame([
+        {"aoi_id": "a", "ring_offsets": [0],
+         "xs": [0.3, 7.7, 7.7, 0.3], "ys": [0.3, 0.3, 7.7, 7.7]},
+    ])
+    asrc = str(tmp_path / "rz_aois")
+    aois.to_parquet(asrc)
+    dst = str(tmp_path / "rz_out")
+    res = _run(capsys, ["rasterize", asrc, dst, "--gt", "0", "1", "0",
+                        "8", "0", "-1", "--width", "8", "--height", "8"])
+    assert res["representation"] == "image"
+    from rasters_rs_spark.functions import codecs as CC
+    r = spark.read.parquet(dst).collect()[0]
+    block = CC.decode_raw(bytes(r["bytes"]), 8, 8)
+    assert np.nansum(block == 0.0) == 64 - np.isnan(block).sum()
+    assert (~np.isnan(block)).sum() > 0

@@ -74,3 +74,24 @@ def test_incomplete_stage_reruns(spark, tmp_path):
     r2 = CheckpointRunner(spark, root)
     r2.run("s", make_df)
     assert calls["n"] == 2
+
+
+def test_write_tiles_hilbert_order(spark, tmp_path):
+    """The hilbert tile sink writes the same rows as the row-major sink
+    (ordering is a layout choice, not a semantic one) and keeps the
+    per-zoom directory partitioning."""
+    import pandas as pd
+    from rasters_rs_spark.sources.io import write_tiles
+    rows = [(z, x, y, float(z * 100 + x * 10 + y))
+            for z in (3, 4) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "x", "y", "val"]))
+    p1 = str(tmp_path / "tiles_rm")
+    p2 = str(tmp_path / "tiles_hb")
+    write_tiles(df, p1)
+    write_tiles(df, p2, order="hilbert", hilbert_bits=4)
+    a = sorted(map(tuple, spark.read.parquet(p1).collect()))
+    b = sorted(map(tuple, spark.read.parquet(p2).collect()))
+    assert a == b
+    import os
+    assert any(d.startswith("z=") for d in os.listdir(p2))
