@@ -218,7 +218,7 @@ def _q_hilbert(spark, sf_dir):
 
 
 def _hilbert_sql(bits: int = 12) -> str:
-    ts = _dbl17(2.0 * 20037508.0 / float(1 << 12))
+    ts = _dbl17(2.0 * 20037508.0 / float(1 << bits))
     ctes = [f"""l{bits} AS (
               SELECT CAST(event_id AS BIGINT) AS event_id,
                      CAST(floor(((value * 60.0 - 9000.0) + 20037508.0)
@@ -492,7 +492,9 @@ def _minhash_incremental_sql() -> str:
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_key = b.band_key
           WHERE CAST(a.id AS BIGINT) >= {_INC_SPLIT}
-            AND (CAST(b.id AS BIGINT) < {_INC_SPLIT} OR a.id < b.id)),"""
+            AND CAST(a.id AS BIGINT) < 500
+            AND (CAST(b.id AS BIGINT) < {_INC_SPLIT}
+                 OR (CAST(b.id AS BIGINT) < 500 AND a.id < b.id))),"""
     assert old_cand in base
     return base.replace(old_cand, new_cand)
 

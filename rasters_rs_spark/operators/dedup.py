@@ -136,7 +136,8 @@ def minhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def _salted_bucket_join(left: DataFrame, right: DataFrame, keys: list[str],
                         hot_bucket_rows: int, hot_salt: int,
-                        sizes_from: DataFrame) -> DataFrame:
+                        sizes_from: DataFrame,
+                        salt_on: str = "id_a") -> DataFrame:
     """Self-equi-join on bucket ``keys`` with hot-bucket salting.
 
     A degenerate corpus (N identical/boilerplate docs) puts N rows into
@@ -148,13 +149,15 @@ def _salted_bucket_join(left: DataFrame, right: DataFrame, keys: list[str],
     while replicating the right side across them. Every (a, b) pair
     still meets exactly once — a meets b in a's salt partition — but
     per-task work drops from n^2 to n^2/hot_salt. Cold buckets join on
-    salt 0 exactly as before (bit-identical output either way)."""
+    salt 0 exactly as before (bit-identical output either way).
+    ``salt_on`` names the LEFT side's id column (the one hashed into
+    sub-buckets)."""
     hot = (sizes_from.groupBy(*keys).count()
            .where(F.col("count") > hot_bucket_rows)
            .select(*keys, F.lit(True).alias("_hot")))
     lt = left.join(F.broadcast(hot), on=keys, how="left").withColumn(
         "_salt", F.when(F.col("_hot").isNotNull(),
-                        F.pmod(F.xxhash64("id_a"), F.lit(hot_salt)))
+                        F.pmod(F.xxhash64(salt_on), F.lit(hot_salt)))
                   .otherwise(F.lit(0)).cast("int")).drop("_hot")
     rt = right.join(F.broadcast(hot), on=keys, how="left") \
         .withColumn("_salts",
@@ -226,27 +229,30 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
                               num_hashes: int = 64, bands: int = 16,
                               shingle_k: int = 3, threshold: float = 0.8,
                               hot_bucket_rows: int = 10_000,
-                              hot_salt: int = 32) -> DataFrame:
+                              hot_salt: int = 32,
+                              corpus_bands: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs for an APPEND-ONLY ingest: each new document is
     checked against the existing corpus AND against the other new
     documents, without re-pairing the corpus with itself — the shape a
     production training-data pipeline runs per arriving batch.
 
     Returns (id_a, id_b, jaccard) where id_a is always a NEW doc and
-    id_b is either a corpus doc (any order) or a later new doc
+    id_b is either a corpus doc (any order; a new doc whose id already
+    EXISTS in the corpus never self-pairs) or a later new doc
     (id_a < id_b, so within-batch pairs appear once). Equals the full
     minhash_dedup over (corpus UNION new) restricted to pairs touching
     a new doc (pinned by test).
 
-    Scale shape: only the new batch is hashed per increment if the
-    caller persists the corpus band rows (minhash_bands output is a
-    plain DataFrame — write it to parquet once, append each batch's
-    rows); the probe side of the bucket join is the batch, so
-    per-increment cost scales with the batch, not the corpus."""
+    Scale shape: pass ``corpus_bands`` (a persisted minhash_bands
+    output — write it to parquet once, append each batch's band rows)
+    and only the NEW batch is hashed per increment; without it the
+    corpus is re-banded for convenience. Corpus shingle arrays are only
+    computed for VERIFICATION and only for candidate ids (the join
+    below prunes them), so the probe-side cost scales with the batch."""
     nb = minhash_bands(new_docs, text_col, id_col, num_hashes, bands,
                        shingle_k)
-    cb = minhash_bands(corpus, text_col, id_col, num_hashes, bands,
-                       shingle_k)
+    cb = corpus_bands if corpus_bands is not None else minhash_bands(
+        corpus, text_col, id_col, num_hashes, bands, shingle_k)
     all_b = nb.withColumn("_corp", F.lit(False)) \
         .unionByName(cb.withColumn("_corp", F.lit(True)))
     left = nb.select(F.col("id").alias("id_a"), "band", "band_key")
@@ -254,7 +260,8 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
                          "_corp")
     cand = _salted_bucket_join(left, right, ["band", "band_key"],
                                hot_bucket_rows, hot_salt, all_b) \
-        .where(F.col("_corp") | (F.col("id_a") < F.col("id_b"))) \
+        .where((F.col("id_a") != F.col("id_b"))
+               & (F.col("_corp") | (F.col("id_a") < F.col("id_b")))) \
         .select("id_a", "id_b").distinct()
 
     def _shingles(docs):

@@ -29,27 +29,33 @@ from ..functions import codecs
 FOCAL_OPS = ("mean3", "grad_mag", "slope", "hillshade")
 
 
-def _horn_gradients(block: np.ndarray, pixel_size: float):
+def _horn_gradients(block: np.ndarray, pixel_size_x: float,
+                    pixel_size_y: float):
     """Horn's 8-neighbor weighted gradients (the standard GDAL/Esri DEM
     convention): dz/dx over the west/east neighbor columns with the
-    row-adjacent cells weighted 1-2-1, likewise dz/dy. Row index +1 is
-    -y (north-up rasters), so dz/dy negates."""
-    ps8 = 8.0 * pixel_size
+    row-adjacent cells weighted 1-2-1, likewise dz/dy — each axis over
+    its OWN cell size (anisotropic pixels are common after
+    reprojection). Row index +1 is -y (north-up rasters), so dz/dy
+    negates."""
     nw, n_, ne = block[:-2, :-2], block[:-2, 1:-1], block[:-2, 2:]
     w_, e_ = block[1:-1, :-2], block[1:-1, 2:]
     sw, s_, se = block[2:, :-2], block[2:, 1:-1], block[2:, 2:]
-    dzdx = ((ne + 2.0 * e_ + se) - (nw + 2.0 * w_ + sw)) / ps8
-    dzdy = ((nw + 2.0 * n_ + ne) - (sw + 2.0 * s_ + se)) / ps8
+    dzdx = ((ne + 2.0 * e_ + se) - (nw + 2.0 * w_ + sw)) \
+        / (8.0 * pixel_size_x)
+    dzdy = ((nw + 2.0 * n_ + ne) - (sw + 2.0 * s_ + se)) \
+        / (8.0 * pixel_size_y)
     return dzdx, dzdy
 
 
 def focal_block(block: np.ndarray, op: str, pixel_size: float = 1.0,
                 sun_azimuth_deg: float = 315.0,
-                sun_altitude_deg: float = 45.0) -> np.ndarray:
+                sun_altitude_deg: float = 45.0,
+                pixel_size_y: float | None = None) -> np.ndarray:
     """Apply a 3x3 focal kernel to one block; border rows/cols are NaN
     (incomplete neighborhood). Ops: mean3, grad_mag (central
     differences), slope (degrees, Horn), hillshade (0..255, Horn
     gradients + sun position — the standard DEM shaded relief)."""
+    psy = pixel_size if pixel_size_y is None else pixel_size_y
     h, w = block.shape
     out = np.full((h, w), np.nan)
     if h < 3 or w < 3:
@@ -68,16 +74,16 @@ def focal_block(block: np.ndarray, op: str, pixel_size: float = 1.0,
         # central differences; gt row order means +i is -y, but the
         # magnitude is orientation-free
         dzdx = (block[1:-1, 2:] - block[1:-1, :-2]) / (2.0 * pixel_size)
-        dzdy = (block[2:, 1:-1] - block[:-2, 1:-1]) / (2.0 * pixel_size)
+        dzdy = (block[2:, 1:-1] - block[:-2, 1:-1]) / (2.0 * psy)
         out[1:-1, 1:-1] = np.sqrt(dzdx * dzdx + dzdy * dzdy)
         return out
     if op == "slope":
-        dzdx, dzdy = _horn_gradients(block, pixel_size)
+        dzdx, dzdy = _horn_gradients(block, pixel_size, psy)
         out[1:-1, 1:-1] = np.degrees(
             np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy)))
         return out
     if op == "hillshade":
-        dzdx, dzdy = _horn_gradients(block, pixel_size)
+        dzdx, dzdy = _horn_gradients(block, pixel_size, psy)
         slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
         # aspect: downslope direction, clockwise from north; dzdx is
         # +east and dzdy +north, so downslope = (-dzdx, -dzdy)
@@ -102,7 +108,8 @@ def focal(images: DataFrame, op: str, sun_azimuth_deg: float = 315.0,
             for row in pdf.itertuples(index=False):
                 block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
                 res = focal_block(block, op, abs(float(row.gt[1])),
-                                  sun_azimuth_deg, sun_altitude_deg)
+                                  sun_azimuth_deg, sun_altitude_deg,
+                                  pixel_size_y=abs(float(row.gt[5])))
                 out.append((row.image_id, codecs.encode_raw(res),
                             row.w, row.h, "raw", list(row.gt), row.crs,
                             float("nan")))
@@ -134,7 +141,8 @@ def focal_chunked(chunks: DataFrame, op: str,
                 strip = codecs.decode_block(row.bytes, le - ls, row.w,
                                             row.fmt)
                 res = focal_block(strip, op, abs(float(row.gt[1])),
-                                  sun_azimuth_deg, sun_altitude_deg)
+                                  sun_azimuth_deg, sun_altitude_deg,
+                                  pixel_size_y=abs(float(row.gt[5])))
                 # rows 0 / le-ls-1 of the strip are NaN from the kernel;
                 # when ls > 0 (interior strip) those are halo rows and
                 # the data range has full neighborhoods

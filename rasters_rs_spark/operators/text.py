@@ -123,21 +123,18 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     corpus scale); use ``dedup.minhash_dedup`` as the LSH-pruned scale
     path. Returns (id_a, id_b, jaccard).
 
-    Note: the guard runs one eager Spark job, but over the SAME cached
-    shingle projection both crossJoin sides read — the input lineage is
-    computed exactly once, not once for the guard and again for the
-    query."""
-    sh = docs.select(F.col(id_col).cast("string").alias("id"),
-                     F.split(F.col(text_col), " ").alias("_toks")) \
-             .select("id", shingle_expr("_toks", k, tokens=True).alias("sh")) \
-             .persist()
-    n = sh.count()  # one pass; fully populates the cache both sides read
+    Note: the guard runs one eager Spark job, but over the id column
+    ONLY (column pruning keeps text parsing out of it), and nothing is
+    left persisted behind the caller's back."""
+    n = docs.select(F.col(id_col)).count()
     if n > max_rows:
-        sh.unpersist()
         raise ValueError(
             f"ngram_jaccard_pairs is the exact all-pairs (O(N^2)) surface; "
             f"input has > {max_rows} rows. Use dedup.minhash_dedup (LSH) "
             f"for large corpora, or raise max_rows explicitly.")
+    sh = docs.select(F.col(id_col).cast("string").alias("id"),
+                     F.split(F.col(text_col), " ").alias("_toks")) \
+             .select("id", shingle_expr("_toks", k, tokens=True).alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))

@@ -508,7 +508,11 @@ def stream_embedding_neardup(spark: SparkSession, source_dir: str,
             nn = float(np.linalg.norm(nv))
             for eid, ev in zip(ids, vecs):
                 denom = nn * float(np.linalg.norm(ev))
-                cos = float(nv @ ev) / denom if denom else 1.0
+                if denom == 0.0:
+                    # batch parity: cosine_expr divides by zero -> NULL
+                    # -> the pair is dropped, so drop it here too
+                    continue
+                cos = float(nv @ ev) / denom
                 if cos >= threshold:
                     a, b = (nid, eid) if nid < eid else (eid, nid)
                     pairs.append((a, b, cos))

@@ -247,3 +247,24 @@ def test_minhash_incremental_matches_full_batch(spark, docs_pdf):
     # every id_a is a new doc (orientation contract)
     for r in inc.collect():
         assert r["id_a"] in new_ids
+
+
+def test_minhash_incremental_reingest_no_self_pairs(spark, docs_pdf):
+    """Re-delivering docs whose ids already exist in the corpus must
+    not produce self-pairs (id_a == id_b) — and a precomputed
+    corpus_bands table gives identical results to the doc-level API
+    (the per-batch-cost path)."""
+    corpus_pdf = docs_pdf.iloc[:30]
+    corpus = spark.createDataFrame(corpus_pdf)
+    # new batch = tail docs PLUS a replay of two corpus docs
+    replay = pd.concat([docs_pdf.iloc[30:], corpus_pdf.iloc[:2]])
+    new = spark.createDataFrame(replay)
+
+    inc = D.minhash_dedup_incremental(new, corpus, threshold=0.5,
+                                      shingle_k=3).collect()
+    assert all(r["id_a"] != r["id_b"] for r in inc)
+
+    cb = D.minhash_bands(corpus)
+    inc2 = D.minhash_dedup_incremental(new, corpus, threshold=0.5,
+                                       shingle_k=3, corpus_bands=cb)
+    assert sorted(map(tuple, inc)) == sorted(map(tuple, inc2.collect()))

@@ -86,3 +86,30 @@ def test_slope_hillshade_chunked_equals_whole(spark):
                    FO.focal_chunked(chunks, op)).collect()}
         for iid, w in whole.items():
             assert np.array_equal(got[iid][1:31], w[1:31], equal_nan=True)
+
+
+def test_focal_anisotropic_pixels():
+    """Horn gradients use each axis's OWN cell size: a plane rising 2
+    per row on 2 m rows (true dz/dy = 1) has 45-degree slope even when
+    the columns are 1 m — the old single-pixel-size code would report
+    atan(2)."""
+    rows = np.arange(8, dtype=np.float64)
+    plane = np.tile(rows[:, None] * 2.0, (1, 8))
+    s = FO.focal_block(plane, "slope", pixel_size=1.0, pixel_size_y=2.0)
+    assert np.allclose(s[1:-1, 1:-1], 45.0)
+    g = FO.focal_block(plane, "grad_mag", pixel_size=1.0, pixel_size_y=2.0)
+    assert np.allclose(g[1:-1, 1:-1], 1.0)
+
+
+def test_focal_dataframe_uses_gt5_for_y(spark):
+    """focal() must take dz/dy's cell size from gt[5], not gt[1]."""
+    rows = np.arange(8, dtype=np.float64)
+    plane = np.tile(rows[:, None] * 2.0, (1, 8))
+    pdf = pd.DataFrame([{
+        "image_id": "p0", "bytes": codecs.encode_raw(plane),
+        "w": 8, "h": 8, "fmt": "raw",
+        "gt": [0.0, 1.0, 0.0, 16.0, 0.0, -2.0],   # 1 m cols, 2 m rows
+        "crs": "IDENTITY", "no_val": float("nan")}])
+    out = FO.focal(spark.createDataFrame(pdf), "slope").collect()[0]
+    block = codecs.decode_raw(bytes(out["bytes"]), 8, 8)
+    assert np.allclose(block[1:-1, 1:-1], 45.0)

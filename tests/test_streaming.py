@@ -326,6 +326,11 @@ def test_stream_embedding_neardup_converges_to_batch(spark, tmp_path):
         "vec_id": [f"e{i:03d}" for i in range(40)],
         "embedding": [v.tolist() for v in vecs],
     })
+    # zero-norm vector: batch cosine_expr yields NULL (dropped); the
+    # stream must drop it too, not report cosine 1.0 vs everyone
+    pdf = pd.concat([pdf, pd.DataFrame({
+        "vec_id": ["e900"], "embedding": [[0.0] * 16]})],
+        ignore_index=True)
     emb = spark.createDataFrame(pdf)
     src = str(tmp_path / "emb_src")
     emb.where("vec_id < 'e020'").write.mode("overwrite").parquet(src)
@@ -342,6 +347,7 @@ def test_stream_embedding_neardup_converges_to_batch(spark, tmp_path):
     expect = {(r["id_a"], r["id_b"]): r["cosine"]
               for r in D.embedding_neardup(emb, threshold=0.98).collect()}
     assert set(got) == set(expect)
+    assert not any("e900" in k for k in got)    # zero-norm never pairs
     assert ("e003", "e025") in got and ("e030", "e033") in got
     for k in expect:
         assert got[k] == pytest.approx(expect[k], abs=1e-9)
