@@ -38,7 +38,8 @@ def _with_cell(df: DataFrame, x_col: str, y_col: str, cs: float, prefix: str):
 
 def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
              query_id: str = "qid", max_rounds: int = 8,
-             fast_path_points: int = 10_000) -> DataFrame:
+             fast_path_points: int = 10_000,
+             max_annulus_cells: int = 1 << 18) -> DataFrame:
     """Exact kNN join: for each query row, the k nearest points.
 
     Ring-expansion: round i joins unsatisfied queries against the cell
@@ -89,7 +90,14 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
         if round_i > 0 and remaining.isEmpty():
             exhausted = False
             break
-        # annulus offsets only: cells at Chebyshev distance prev_r+1..r
+        # annulus offsets only: cells at Chebyshev distance prev_r+1..r.
+        # The offset list is driver-built and doubles in area per round;
+        # once it would exceed max_annulus_cells tuples the remaining
+        # (far-from-everything) queries are cheaper to brute-force than
+        # to ship millions of probe offsets from the driver
+        n_cells = (2 * radius + 1) ** 2 - max(2 * prev_radius + 1, 0) ** 2
+        if n_cells > max_annulus_cells:
+            break
         offs = [(dx, dy) for dx in range(-radius, radius + 1)
                 for dy in range(-radius, radius + 1)
                 if max(abs(dx), abs(dy)) > prev_radius]
@@ -108,7 +116,10 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
         w = Window.partitionBy(query_id).orderBy("dist", "pt_id")
         wall = Window.partitionBy(query_id)
         # per-query exactness bound: distance from the query point to
-        # the edge of the probed window [(qc - r)*cs, (qc + r + 1)*cs)
+        # the edge of the probed window [(qc - r)*cs, (qc + r + 1)*cs).
+        # STRICT inequality: an unprobed point can sit exactly ON the
+        # open edge at exactly the kth distance and still win the
+        # (dist, pt_id) tie-break — <= would wrongly stop probing
         g = F.least(
             F.col("qx") - (F.col("qcx") - radius) * F.lit(cs),
             (F.col("qcx") + radius + 1) * F.lit(cs) - F.col("qx"),
@@ -117,7 +128,7 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
         ranked = (cand.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
                   .withColumn("_sat", (F.count("*").over(wall) >= k) &
-                              (F.max("dist").over(wall) <= g))
+                              (F.max("dist").over(wall) < g))
                   .persist())
         to_unpersist.append(ranked)
         solved = ranked.where(F.col("_sat")).drop("_sat")
@@ -170,18 +181,20 @@ def knn_join_broadcast(queries: DataFrame, points: pd.DataFrame, k: int,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or len(px) == 0:
                 continue
             qx = pdf["x"].to_numpy()
             qy = pdf["y"].to_numpy()
             d = np.sqrt((qx[:, None] - px[None, :]) ** 2 +
                         (qy[:, None] - py[None, :]) ** 2)
             kk = min(k, d.shape[1])
-            idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            # stable full sort: distance ties break by POSITIONAL index
+            # (argpartition's arbitrary tie selection would diverge
+            # from knn_join's (dist, pt_id) ordering at the k boundary)
+            order_all = np.argsort(d, axis=1, kind="stable")[:, :kk]
             rows = []
             for qi in range(len(pdf)):
-                order = idx[qi][np.argsort(d[qi, idx[qi]], kind="stable")]
-                for rank, pj in enumerate(order, start=1):
+                for rank, pj in enumerate(order_all[qi], start=1):
                     rows.append((pdf[query_id].iloc[qi], str(pid[pj]),
                                  float(d[qi, pj]), float(pz[pj]), rank))
             yield pd.DataFrame(rows, columns=[query_id, "pt_id", "dist", "z", "rank"])
@@ -194,9 +207,14 @@ def idw(values: np.ndarray, dists: np.ndarray, power: float = 2.0) -> np.ndarray
     """Inverse-distance weighting along the last axis; an exact hit
     (dist == 0) returns that value. For the default power the weight is
     computed as 1/(d*d) — the same IEEE ops the SQL oracle writes."""
+    if dists.shape[-1] == 0:
+        raise ValueError("idw needs at least one neighbor per sample")
     with np.errstate(divide="ignore"):
         w = 1.0 / (dists * dists) if power == 2.0 else 1.0 / np.power(dists, power)
-    exact = dists == 0.0
+    # an INF weight means d**power underflowed to 0 for a tiny nonzero
+    # distance — treat it as an exact hit too, otherwise zeroing the
+    # weight would hand the estimate to FAR points (or produce 0/0)
+    exact = (dists == 0.0) | np.isinf(w)
     has_exact = exact.any(axis=-1)
     w = np.where(np.isinf(w), 0.0, w)
     # strict left-fold in the given neighbor order: bit-reproducible,
@@ -206,7 +224,8 @@ def idw(values: np.ndarray, dists: np.ndarray, power: float = 2.0) -> np.ndarray
     for c in range(1, w.shape[-1]):
         num = num + w[..., c] * values[..., c]
         den = den + w[..., c]
-    est = num / den
+    with np.errstate(invalid="ignore"):   # 0/0 rows are exact-hit rows,
+        est = num / den                    # overridden just below
     if has_exact.any():
         first_exact = np.argmax(exact, axis=-1)
         est = np.where(has_exact, np.take_along_axis(
@@ -234,6 +253,8 @@ def fill_idw(images: DataFrame, points: pd.DataFrame, k: int = 8,
                 if fill_nan:
                     holes |= np.isnan(block)
                 n = int(holes.sum())
+                if n and len(px) == 0:
+                    n = 0          # nothing to interpolate from
                 if n:
                     ii, jj = np.nonzero(holes)
                     t = geom.transform_from_gdal(row.gt)
@@ -242,13 +263,14 @@ def fill_idw(images: DataFrame, points: pd.DataFrame, k: int = 8,
                     ddy = wy[:, None] - py[None, :]
                     d = np.sqrt(ddx * ddx + ddy * ddy)
                     kk = min(k, d.shape[1])
-                    idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                    # stable full sort: the k-set AND its accumulation
+                    # order are (dist, positional idx) ascending — the
+                    # exact ordering knn_join's (dist, pt_id) rank and
+                    # the SQL oracle's ranked fold use (argpartition
+                    # would pick an arbitrary member of a tie at the
+                    # k boundary)
+                    idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
                     dk = np.take_along_axis(d, idx, axis=1)
-                    # deterministic accumulation order: (dist, point idx)
-                    # ascending — the order the SQL oracle's ranked fold uses
-                    order = np.lexsort((idx, dk), axis=1)
-                    idx = np.take_along_axis(idx, order, axis=1)
-                    dk = np.take_along_axis(dk, order, axis=1)
                     vk = pz[idx]
                     block[ii, jj] = idw(vk, dk, power)
                 out.append((row.image_id, codecs.encode_block(block, row.fmt),
@@ -333,18 +355,20 @@ def fill_idw_distributed_chunked(chunks: DataFrame, points: DataFrame,
             ds, de = int(row.data_start), int(row.data_end)
             strip = codecs.decode_block(row.bytes, le - ls, row.w, row.fmt)
             if len(nn_sorted):
+                # invariant: hole_pixels_chunked only emits data-range
+                # holes and the cogroup key is (image_id, chunk_idx),
+                # so every neighbor row belongs to THIS strip's data rows
                 g = nn_sorted
-                if len(g):
-                    counts = g.groupby(["pi", "pj"], sort=True).size()
-                    kk = int(counts.iloc[0])
-                    assert (counts == kk).all(), "ragged kNN result"
-                    gi = counts.index.get_level_values(0).to_numpy()
-                    jj = counts.index.get_level_values(1).to_numpy()
-                    dk = g["dist"].to_numpy().reshape(len(counts), kk)
-                    vk = g["z"].to_numpy().reshape(len(counts), kk)
-                    est = idw(vk, dk, power)
-                    inside = (gi >= ds) & (gi < de)
-                    strip[gi[inside] - ls, jj[inside]] = est[inside]
+                counts = g.groupby(["pi", "pj"], sort=True).size()
+                kk = int(counts.iloc[0])
+                assert (counts == kk).all(), "ragged kNN result"
+                gi = counts.index.get_level_values(0).to_numpy()
+                assert ((gi >= ds) & (gi < de)).all(), \
+                    "neighbor rows outside the strip's data range"
+                jj = counts.index.get_level_values(1).to_numpy()
+                dk = g["dist"].to_numpy().reshape(len(counts), kk)
+                vk = g["z"].to_numpy().reshape(len(counts), kk)
+                strip[gi - ls, jj] = idw(vk, dk, power)
             out.append((row.image_id, int(row.chunk_idx), ds, de, ls, le,
                         codecs.encode_block(strip, row.fmt), row.w, row.h,
                         row.fmt, list(row.gt), row.crs, row.no_val))

@@ -339,8 +339,28 @@ def tile_pyramid(images: DataFrame, tile_size: int = 256,
     if mode == "local":
         return images.mapInPandas(base_gen(True), schema=TILE_SCHEMA)
 
-    base = images.mapInPandas(base_gen(False), schema=TILE_SCHEMA)
-    base = base.persist()
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        kids = [
+            (int(r.x), int(r.y),
+             codecs.decode_raw(r.data, ts, ts))
+            for r in pdf.itertuples(index=False)
+        ]
+        parr, vmin, vmax = scale_children(kids, ts)
+        first = pdf.iloc[0]
+        return pd.DataFrame([{
+            "image_id": first["image_id"], "z": int(first["z"]) - 1,
+            "x": int(first["x"]) // 2, "y": int(first["y"]) // 2,
+            "data": codecs.encode_raw(parr), "vmin": vmin, "vmax": vmax,
+            "min_zoom": int(first["min_zoom"]),
+        }])
+
+    # eager localCheckpoint per level: materializes AND cuts lineage
+    # (without it level k's plan nests every level below it), and the
+    # blocks are reclaimed when the DataFrames are GC'd — a plain
+    # persist would pin every level in executor storage for the
+    # application lifetime with no caller-visible handle to release
+    base = images.mapInPandas(base_gen(False), schema=TILE_SCHEMA) \
+        .localCheckpoint(eager=True)
     levels = [base]
     cur = base
     # driver loop over zoom levels; each step is one shuffle (A7)
@@ -348,27 +368,11 @@ def tile_pyramid(images: DataFrame, tile_size: int = 256,
         children = cur.where(F.col("z") > F.col("min_zoom"))
         if children.isEmpty():
             break
-
-        def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            kids = [
-                (int(r.x), int(r.y),
-                 codecs.decode_raw(r.data, ts, ts))
-                for r in pdf.itertuples(index=False)
-            ]
-            parr, vmin, vmax = scale_children(kids, ts)
-            first = pdf.iloc[0]
-            return pd.DataFrame([{
-                "image_id": first["image_id"], "z": int(first["z"]) - 1,
-                "x": int(first["x"]) // 2, "y": int(first["y"]) // 2,
-                "data": codecs.encode_raw(parr), "vmin": vmin, "vmax": vmax,
-                "min_zoom": int(first["min_zoom"]),
-            }])
-
         parents = (
             children.groupBy("image_id", F.expr("x div 2").alias("px"),
                              F.expr("y div 2").alias("py"), "z")
             .applyInPandas(lambda key, pdf: reduce_group(pdf), schema=TILE_SCHEMA)
-            .persist()
+            .localCheckpoint(eager=True)
         )
         levels.append(parents)
         cur = parents
@@ -436,7 +440,16 @@ def index_json(encoded: DataFrame, image_id: str | None = None) -> dict:
     df = encoded
     if image_id is not None:
         df = df.where(F.col("image_id") == image_id)
-    rows = df.select("z", "y", "x", "min", "max", "bins", "err").collect()
+    rows = df.select("image_id", "z", "y", "x", "min", "max", "bins",
+                     "err").collect()
+    distinct_ids = {r["image_id"] for r in rows}
+    if len(distinct_ids) > 1:
+        # tiles from different images share (z, y, x) keys — a merged
+        # dict would silently drop all but one; force an explicit choice
+        raise ValueError(
+            f"index_json covers one raster; the tile table holds "
+            f"{len(distinct_ids)} images — pass image_id=... (one "
+            f"manifest per image)")
     idx: dict = {}
     for r in rows:
         zd = idx.setdefault(str(r["z"]), {})
@@ -504,5 +517,17 @@ def tile_index_manifest(images: DataFrame, tile_size: int = 256,
 
 
 def dump_index_json(encoded: DataFrame, path: str, image_id: str | None = None):
+    """Write the manifest. With ``image_id`` (or a single-image table):
+    the reference-shaped nested dict. A multi-image table without an
+    explicit id writes one manifest PER image keyed by image_id —
+    merging them would silently drop colliding (z, y, x) entries."""
+    if image_id is None:
+        ids = [r["image_id"] for r in
+               encoded.select("image_id").distinct().collect()]
+        if len(ids) > 1:
+            out = {i: index_json(encoded, i) for i in sorted(ids)}
+            with open(path, "w") as f:
+                json.dump(out, f)
+            return
     with open(path, "w") as f:
         json.dump(index_json(encoded, image_id), f)

@@ -307,3 +307,63 @@ def test_fill_idw_distributed_chunked_equals_broadcast(spark, padding):
             assert np.array_equal(g[padding:32 - padding],
                                   b[padding:32 - padding])
             assert np.isnan(g[:padding]).all()
+
+
+def test_fill_idw_tie_break_matches_distributed(spark):
+    """Distance TIES at the k boundary: fill_idw must pick the same
+    neighbor set as knn_join's (dist, pt_id) ordering — four points
+    exactly equidistant from the hole, k=2 keeps the two with the
+    smallest positional ids on BOTH paths (argpartition's arbitrary
+    tie selection would break byte parity)."""
+    block = np.full((4, 4), 1.0)
+    block[1, 1] = -999.0   # hole at world (1.5, 2.5)
+    pdf = pd.DataFrame([{
+        "image_id": "t0", "bytes": codecs.encode_raw(block),
+        "w": 4, "h": 4, "fmt": "raw",
+        "gt": [0.0, 1.0, 0.0, 4.0, 0.0, -1.0],
+        "crs": "IDENTITY", "no_val": -999.0}])
+    # 4 points at Chebyshev-symmetric offsets: all at distance 1.0
+    pts = pd.DataFrame({
+        "pt_id": [f"pt_{i:07d}" for i in range(4)],
+        "x": [0.5, 2.5, 1.5, 1.5],
+        "y": [2.5, 2.5, 1.5, 3.5],
+        "z": [10.0, 20.0, 40.0, 80.0],
+    })
+    images = spark.createDataFrame(pdf)
+    a = K.fill_idw(images, pts, k=2).collect()[0]
+    b = K.fill_idw_distributed(images, spark.createDataFrame(pts), k=2,
+                               cell_size=2.0, fast_path_points=0) \
+         .collect()[0]
+    assert bytes(a["bytes"]) == bytes(b["bytes"])
+    got = codecs.decode_raw(bytes(a["bytes"]), 4, 4)[1, 1]
+    assert got == 15.0     # mean of the two smallest-id points (10, 20)
+
+
+def test_fill_idw_empty_points_passthrough(spark):
+    """An empty point table cannot fill anything: both fill paths pass
+    images through with filled=0 instead of crashing."""
+    block = np.full((4, 4), 1.0)
+    block[2, 2] = -999.0
+    pdf = pd.DataFrame([{
+        "image_id": "e0", "bytes": codecs.encode_raw(block),
+        "w": 4, "h": 4, "fmt": "raw",
+        "gt": [0.0, 1.0, 0.0, 4.0, 0.0, -1.0],
+        "crs": "IDENTITY", "no_val": -999.0}])
+    empty = pd.DataFrame({"pt_id": pd.Series(dtype=str),
+                          "x": pd.Series(dtype=float),
+                          "y": pd.Series(dtype=float),
+                          "z": pd.Series(dtype=float)})
+    out = K.fill_idw(spark.createDataFrame(pdf), empty, k=3).collect()[0]
+    assert out["filled"] == 0
+    assert bytes(out["bytes"]) == bytes(pdf.iloc[0]["bytes"])
+
+
+def test_idw_underflow_treated_as_exact_hit():
+    """A distance tiny enough that d*d underflows to 0 must behave as
+    an exact hit (the nearest point's value), not hand the estimate to
+    the far point or produce 0/0 NaN."""
+    vals = np.array([[100.0, 1.0]])
+    est = K.idw(vals, np.array([[1e-200, 2.0]]))[0]
+    assert est == 100.0
+    est2 = K.idw(np.array([[7.0, 9.0]]), np.array([[1e-200, 1e-200]]))[0]
+    assert est2 == 7.0     # first exact column wins; no NaN
