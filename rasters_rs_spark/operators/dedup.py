@@ -91,7 +91,9 @@ def minhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     aggregates — all whole-stage codegen with map-side partial mins
     (one shuffle), the 100 TB plan as well as the fast local one.
     Exactly reproducible in DuckDB (the contract oracle)."""
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes ({num_hashes}) must divide evenly "
+                         f"into bands ({bands})")
     r = num_hashes // bands
     view = _temp_view(docs)
     k = shingle_k
@@ -194,16 +196,34 @@ def lsh_candidate_pairs(band_rows: DataFrame,
     )
 
 
+def _verify_jaccard(cand: DataFrame, shingles: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact-jaccard verification of candidate pairs against
+    pre-shingled texts (id, _sh): JVM-side array_intersect/union."""
+    pairs = (cand.join(shingles.withColumnRenamed("id", "id_a")
+                               .withColumnRenamed("_sh", "_sha"), "id_a")
+                 .join(shingles.withColumnRenamed("id", "id_b")
+                               .withColumnRenamed("_sh", "_shb"), "id_b"))
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    return pairs.withColumn("jaccard", inter / union) \
+                .where(F.col("jaccard") >= threshold) \
+                .select("id_a", "id_b", "jaccard")
+
+
 def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   num_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
                   threshold: float = 0.8) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates refined by exact
     n-gram Jaccard >= threshold (array_intersect/array_union, JVM-side).
     Returns (id_a, id_b, jaccard). Zero Python in the pipeline."""
+    # eager localCheckpoint: the self-join's two sides (and the hot-
+    # bucket count) read the materialized blocks instead of re-running
+    # the signature aggregation, and the blocks are reclaimed when the
+    # DataFrame is GC'd — a bare persist would stay pinned for the
+    # session lifetime with no caller-visible handle
     band_rows = minhash_bands(docs, text_col, id_col, num_hashes, bands,
-                              shingle_k).persist()
-    # eager count: the self-join's two sides read the cache, and the
-    # size decides broadcast vs shuffle for the bucket join
+                              shingle_k).localCheckpoint(eager=True)
     n_band_rows = band_rows.count()
     cand = lsh_candidate_pairs(band_rows,
                                broadcast_right=n_band_rows <= 1_000_000)
@@ -211,17 +231,7 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
                         F.split(F.col(text_col), " ").alias("_toks")) \
                 .select("id", shingle_expr("_toks", shingle_k,
                                            tokens=True).alias("_sh"))
-    pairs = (
-        cand.join(texts.withColumnRenamed("id", "id_a")
-                       .withColumnRenamed("_sh", "_sha"), "id_a")
-            .join(texts.withColumnRenamed("id", "id_b")
-                       .withColumnRenamed("_sh", "_shb"), "id_b")
-    )
-    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
-    union = F.size(F.array_union("_sha", "_shb")).cast("double")
-    verified = pairs.withColumn("jaccard", inter / union)
-    return verified.where(F.col("jaccard") >= threshold) \
-                   .select("id_a", "id_b", "jaccard")
+    return _verify_jaccard(cand, texts, threshold)
 
 
 def minhash_dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
@@ -249,10 +259,18 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
     corpus is re-banded for convenience. Corpus shingle arrays are only
     computed for VERIFICATION and only for candidate ids (the join
     below prunes them), so the probe-side cost scales with the batch."""
+    # the batch's band rows feed the join's left side, the union, and
+    # the replay filter — checkpoint so the batch is hashed once
     nb = minhash_bands(new_docs, text_col, id_col, num_hashes, bands,
-                       shingle_k)
+                       shingle_k).localCheckpoint(eager=True)
     cb = corpus_bands if corpus_bands is not None else minhash_bands(
         corpus, text_col, id_col, num_hashes, bands, shingle_k)
+    # a replayed id (already in the corpus) is SUPERSEDED by the batch
+    # version: drop its corpus band rows, otherwise every pair touching
+    # it would emit in both orientations (corpus rule AND id_a < id_b)
+    # and verify against the stale corpus text
+    new_ids = nb.select("id").distinct()
+    cb = cb.join(new_ids, on="id", how="left_anti")
     all_b = nb.withColumn("_corp", F.lit(False)) \
         .unionByName(cb.withColumn("_corp", F.lit(True)))
     left = nb.select(F.col("id").alias("id_a"), "band", "band_key")
@@ -270,16 +288,11 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
                    .select("id", shingle_expr("_toks", shingle_k,
                                               tokens=True).alias("_sh"))
 
-    texts = _shingles(new_docs).unionByName(_shingles(corpus))
-    pairs = (cand.join(texts.withColumnRenamed("id", "id_a")
-                            .withColumnRenamed("_sh", "_sha"), "id_a")
-                 .join(texts.withColumnRenamed("id", "id_b")
-                            .withColumnRenamed("_sh", "_shb"), "id_b"))
-    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
-    union = F.size(F.array_union("_sha", "_shb")).cast("double")
-    return pairs.withColumn("jaccard", inter / union) \
-                .where(F.col("jaccard") >= threshold) \
-                .select("id_a", "id_b", "jaccard")
+    # verification texts: the batch version wins for replayed ids (two
+    # rows per id would duplicate every pair touching it)
+    corpus_sh = _shingles(corpus).join(new_ids, on="id", how="left_anti")
+    texts = _shingles(new_docs).unionByName(corpus_sh)
+    return _verify_jaccard(cand, texts, threshold)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
@@ -429,10 +442,14 @@ def _blocked_hamming_pairs(keyed: DataFrame, hash_col: str,
                    .bitwiseAND(F.lit((1 << w) - 1))).alias("bv"))
         for (i, s, w) in plan
     ])
+    # the exploded block rows feed the join's left side, right side,
+    # AND the hot-bucket count — checkpoint so the upstream signature
+    # aggregation (simhash's 64-wide agg) runs once, not three times
     ex = keyed.select("id", F.col(hash_col).alias("hv"),
                       F.explode(entries).alias("e")) \
               .select("id", "hv", F.col("e.bi").alias("bi"),
-                      F.col("e.bv").alias("bv"))
+                      F.col("e.bv").alias("bv")) \
+              .localCheckpoint(eager=True)
     left = ex.select(F.col("id").alias("id_a"), F.col("hv").alias("hv_a"),
                      "bi", "bv")
     right = ex.select(F.col("id").alias("id_b"), F.col("hv").alias("hv_b"),
@@ -582,8 +599,11 @@ def embedding_neardup(embs: DataFrame, id_col: str = "vec_id",
     (id_a, id_b, cosine)."""
     from .similarity import cosine_expr
 
+    # the band rows feed the join's left side, right side, and the
+    # hot-bucket count — checkpoint so the hyperplane UDF (the
+    # expensive stage) runs once over the corpus, not three times
     band_rows = embedding_bands(embs, id_col, vec_col, bands, band_planes,
-                                seed)
+                                seed).localCheckpoint(eager=True)
     left = band_rows.select(F.col("id").alias("id_a"), "band", "bucket")
     right = band_rows.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = _salted_bucket_join(left, right, ["band", "bucket"],

@@ -40,9 +40,28 @@ def _norm_expr(col: str):
 
 
 def cosine_expr(a: str, b: str):
+    """Cosine similarity, NULL for zero-norm vectors: under Spark 4's
+    default ANSI mode a plain division would THROW DIVIDE_BY_ZERO and
+    kill the whole job on one all-zeros embedding; NULL rows drop out
+    of thresholds/ranks instead (and match the streaming operators,
+    which skip zero-norm vectors explicitly)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
                       lambda acc, x: acc + x)
-    return dot / (_norm_expr(a) * _norm_expr(b))
+    denom = _norm_expr(a) * _norm_expr(b)
+    return F.when(denom != 0.0, dot / denom)
+
+
+def _rerank_topk(cand: DataFrame, k: int, q_id: str, c_id: str,
+                 q_vec: str, c_vec: str) -> DataFrame:
+    """Shared exact-rerank tail of every ANN variant: dedupe candidate
+    pairs, score with the exact cosine, keep each query's top k
+    (ties to the lower corpus id)."""
+    scored = cand.dropDuplicates([q_id, c_id]) \
+        .withColumn("cosine", cosine_expr(q_vec, c_vec))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id, c_id, "cosine", "rank"))
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
@@ -51,11 +70,7 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     """Exact top-k by cosine: returns (q_id, vec_id, cosine, rank).
     Ties broken by corpus id for determinism."""
     cand = corpus.crossJoin(F.broadcast(queries))
-    scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(q_id, c_id, "cosine", "rank"))
+    return _rerank_topk(cand, k, q_id, c_id, q_vec, c_vec)
 
 
 def lcg_planes(n_planes: int, dim: int) -> list[list[float]]:
@@ -123,12 +138,8 @@ def lsh_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
         "bucket", F.col("bucket").bitwiseXOR(F.col("flip"))).drop("flip")
     qprobe = _maybe_broadcast_queries(queries, qprobe, broadcast_queries,
                                       max_broadcast_queries)
-    cand = ck.join(qprobe, on="bucket").dropDuplicates([q_id, c_id])
-    scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(q_id, c_id, "cosine", "rank"))
+    cand = ck.join(qprobe, on="bucket")
+    return _rerank_topk(cand, k, q_id, c_id, q_vec, c_vec)
 
 
 def lcg_centroids(n_lists: int, dim: int) -> list[list[float]]:
@@ -194,12 +205,8 @@ def ivf_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
                 .withColumn("list_id", F.explode("lists")).drop("lists")
     qk = _maybe_broadcast_queries(queries, qk, broadcast_queries,
                                   max_broadcast_queries)
-    cand = ck.join(qk, on="list_id").dropDuplicates([q_id, c_id])
-    scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(q_id, c_id, "cosine", "rank"))
+    cand = ck.join(qk, on="list_id")
+    return _rerank_topk(cand, k, q_id, c_id, q_vec, c_vec)
 
 
 def _bucket_udf(vec_col: str, dim: int, n_planes: int, seed: int):
@@ -261,10 +268,16 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     assigned to their nearest list, queries probe their ``nprobe``
     nearest lists, exact cosine rerank inside the probed lists.
     Same output schema as cosine_topk."""
-    sample = np.stack([
-        np.asarray(r[c_vec], dtype=np.float64)
-        for r in corpus.limit(train_sample).collect()
-    ])
+    sampled = [np.asarray(r[c_vec], dtype=np.float64)
+               for r in corpus.limit(train_sample).collect()]
+    if not sampled:
+        raise ValueError("ivf_topk: the corpus is empty (nothing to train "
+                         "the coarse quantizer on)")
+    sample = np.stack(sampled)
+    if len(sample) < n_lists:
+        # fewer rows than lists: clamp (k-means with replace=False would
+        # raise an opaque numpy error)
+        n_lists = len(sample)
     cents = train_ivf_centroids(sample, n_lists)
 
     c_schema = ", ".join(f"{n} {t}" for n, t in corpus.dtypes) + ", lists array<int>"
@@ -276,12 +289,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
 
     qk = _maybe_broadcast_queries(queries, qk, broadcast_queries,
                                   max_broadcast_queries)
-    cand = ck.join(qk, on="list_id").dropDuplicates([q_id, c_id])
-    scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(q_id, c_id, "cosine", "rank"))
+    cand = ck.join(qk, on="list_id")
+    return _rerank_topk(cand, k, q_id, c_id, q_vec, c_vec)
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
@@ -306,9 +315,5 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
 
     qprobe = _maybe_broadcast_queries(queries, qprobe, broadcast_queries,
                                       max_broadcast_queries)
-    cand = ck.join(qprobe, on="bucket").dropDuplicates([q_id, c_id])
-    scored = cand.withColumn("cosine", cosine_expr(q_vec, c_vec))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(q_id, c_id, "cosine", "rank"))
+    cand = ck.join(qprobe, on="bucket")
+    return _rerank_topk(cand, k, q_id, c_id, q_vec, c_vec)

@@ -56,12 +56,16 @@ def with_quality(docs: DataFrame, text_col: str = "text",
     n_punct = n_chars - F.length(F.regexp_replace(t, "[.,;:!?]", ""))
     n_upper = n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))
     n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    # n_chars can be 0 (empty document) and Spark 4's default ANSI mode
+    # makes x/0 THROW, not NULL — guard the char ratios (n_tokens >= 1
+    # always: split('') is [''])
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
     return (
         docs.withColumn("n_tokens", n_tokens)
         .withColumn("n_chars_q", n_chars)
         .withColumn("mean_token_len", n_nospace / n_tokens)
-        .withColumn("punct_ratio", n_punct / n_chars)
-        .withColumn("upper_ratio", n_upper / n_chars)
+        .withColumn("punct_ratio", n_punct / safe_chars)
+        .withColumn("upper_ratio", n_upper / safe_chars)
         .withColumn("stopword_ratio", n_stop / n_tokens)
     )
 
@@ -157,7 +161,9 @@ def repetition_stats(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
     (doc_id, n_ngrams, top_count, rep_ratio). SQL-oracled."""
     toks = (F.col(tokens_col) if tokens_col
             else F.split(F.col(text_col), " "))
-    g = docs.select(F.col(id_col).cast("bigint").alias("doc_id"),
+    # keep the input id type: force-casting to bigint crashes on string
+    # ids under ANSI (and silently null-merges all docs with ANSI off)
+    g = docs.select(F.col(id_col).alias("doc_id"),
                     toks.alias("_toks")) \
             .select("doc_id",
                     F.explode(F.transform(
@@ -193,7 +199,7 @@ def filter_corpus(docs: DataFrame, min_tokens: int = 30,
                         F.split(F.col(text_col), " ").alias("_toks"))
     q = with_lang_id(with_quality(toked, text_col, tokens_col="_toks"),
                      text_col, tokens_col="_toks").select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"), "lang_id")
     rep = repetition_stats(toked, n=2, id_col=id_col, text_col=text_col,
                            tokens_col="_toks") \
@@ -215,7 +221,9 @@ def deterministic_split(df: DataFrame, id_col: str = "doc_id",
     splits lack). u = first 60 bits of md5(id || ':' || salt) / 2^60;
     cumulative weight thresholds pick the split. Row-local Catalyst
     exprs; SQL-oracled."""
-    assert len(weights) == len(names) and abs(sum(weights) - 1.0) < 1e-9
+    if len(weights) != len(names) or abs(sum(weights) - 1.0) >= 1e-9:
+        raise ValueError("weights and names must align and weights must "
+                         "sum to 1.0")
     u = (F.expr(f"cast(conv(substring(md5(concat(cast({id_col} as string), "
                 f"':{salt}')), 1, 15), 16, 10) as bigint)")
          / F.lit(float(1 << 60)))

@@ -268,3 +268,54 @@ def test_minhash_incremental_reingest_no_self_pairs(spark, docs_pdf):
     inc2 = D.minhash_dedup_incremental(new, corpus, threshold=0.5,
                                        shingle_k=3, corpus_bands=cb)
     assert sorted(map(tuple, inc)) == sorted(map(tuple, inc2.collect()))
+
+
+def test_minhash_incremental_replay_single_orientation(spark, docs_pdf):
+    """A replayed id is SUPERSEDED by the batch version: every pair
+    touching it appears exactly once (no double orientation, no
+    duplicate rows from double text rows), and its jaccard is computed
+    against the batch text."""
+    corpus = spark.createDataFrame(docs_pdf.iloc[:30])
+    # replay d001 with a MODIFIED text (near-dup of the corpus version)
+    mod = docs_pdf.iloc[1]["text"].split()
+    mod[3] = "changed"
+    replay = pd.concat([docs_pdf.iloc[30:],
+                        pd.DataFrame([("d001", " ".join(mod))],
+                                     columns=["doc_id", "text"])])
+    inc = D.minhash_dedup_incremental(spark.createDataFrame(replay),
+                                      corpus, threshold=0.5,
+                                      shingle_k=3).collect()
+    rows = [(r["id_a"], r["id_b"]) for r in inc]
+    assert len(rows) == len(set(rows)), "duplicate pair rows"
+    keys = [frozenset(p) for p in rows]
+    assert len(keys) == len(set(map(tuple, map(sorted, rows)))), \
+        "pair emitted in both orientations"
+    # the replayed d001's jaccard vs d101 reflects the BATCH text
+    jmap = {frozenset((r["id_a"], r["id_b"])): r["jaccard"] for r in inc}
+    expect = D.jaccard(" ".join(mod),
+                       docs_pdf.set_index("doc_id")["text"]["d101"], 3)
+    assert jmap[frozenset(("d001", "d101"))] == pytest.approx(expect,
+                                                              abs=1e-12)
+
+
+def test_cosine_zero_norm_vectors_dropped(spark):
+    """ANSI-mode regression: a zero-norm embedding must not crash the
+    batch operators (DIVIDE_BY_ZERO) — cosine is NULL and the vector
+    simply never pairs."""
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(10, 8))
+    pdf = pd.DataFrame({
+        "vec_id": [f"z{i}" for i in range(10)] + ["z_zero"],
+        "embedding": [v.tolist() for v in vecs] + [[0.0] * 8],
+    })
+    out = D.embedding_neardup(spark.createDataFrame(pdf),
+                              threshold=0.5, seed=1).collect()
+    assert all("z_zero" not in (r["id_a"], r["id_b"]) for r in out)
+
+    from rasters_rs_spark.operators import similarity as S
+    q = spark.createDataFrame(pd.DataFrame({
+        "q_id": ["q0"], "q_vec": [vecs[0].tolist()]}))
+    corpus = spark.createDataFrame(pdf)
+    top = S.cosine_topk(q, corpus, k=11).collect()   # includes z_zero row
+    zz = [r for r in top if r["vec_id"] == "z_zero"]
+    assert all(r["cosine"] is None for r in zz)      # NULL, not a crash

@@ -298,3 +298,34 @@ def test_fingerprint_batch_matches_scalar():
     uni = ["héllo wörld " * 3, "日本語テキスト"]
     assert TX.fingerprint_batch(uni).tolist() == \
         [TX.fingerprint_minhash(t) for t in uni]
+
+
+def test_with_quality_empty_doc_no_crash(spark):
+    """ANSI-mode regression: an empty document (n_chars = 0) must not
+    blow up the quality projection with DIVIDE_BY_ZERO; its char ratios
+    are NULL."""
+    import pandas as pd
+    from rasters_rs_spark.operators import text as TX
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["hello world", ""]}))
+    rows = {r["doc_id"]: r for r in TX.with_quality(df).collect()}
+    assert rows[1]["punct_ratio"] is not None
+    assert rows[2]["punct_ratio"] is None and rows[2]["upper_ratio"] is None
+    assert rows[2]["n_tokens"] == 1          # split('') == ['']
+
+
+def test_repetition_and_filter_accept_string_ids(spark):
+    """String doc ids (the style the dedup family uses) must work in
+    repetition_stats and filter_corpus — the old bigint cast threw
+    CAST_INVALID_INPUT under ANSI."""
+    import pandas as pd
+    from rasters_rs_spark.operators import text as TX
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a1", "b2"],
+        "text": ["the cat sat on the mat " * 5,
+                 "one two three four five six " * 5]}))
+    rep = {r["doc_id"]: r["rep_ratio"]
+           for r in TX.repetition_stats(df).collect()}
+    assert set(rep) == {"a1", "b2"} and all(v > 0 for v in rep.values())
+    kept = TX.filter_corpus(df, min_tokens=5, max_rep=1.0).collect()
+    assert {r["doc_id"] for r in kept} <= {"a1", "b2"}
