@@ -87,11 +87,16 @@ def decode_q16(data: bytes, h: int, w: int) -> np.ndarray:
 
 
 def decode_block(data: bytes, h: int, w: int, fmt: str) -> np.ndarray:
-    """Dispatch on the image table's ``fmt`` column."""
+    """Dispatch on the image table's ``fmt`` column. ``i32`` (the
+    discretized-diff sink format) decodes to float64 like the others so
+    every block consumer can read it."""
     if fmt == "raw":
         return decode_raw(data, h, w)
     if fmt == "q16":
         return decode_q16(data, h, w)
+    if fmt == "i32":
+        return np.frombuffer(data, dtype="<i4").reshape(h, w) \
+            .astype(np.float64)
     raise ValueError(f"unknown block format: {fmt}")
 
 
@@ -100,6 +105,8 @@ def encode_block(block: np.ndarray, fmt: str) -> bytes:
         return encode_raw(block)
     if fmt == "q16":
         return encode_q16(block)
+    if fmt == "i32":
+        return np.ascontiguousarray(block, dtype="<i4").tobytes()
     raise ValueError(f"unknown block format: {fmt}")
 
 

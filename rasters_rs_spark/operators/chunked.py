@@ -33,24 +33,40 @@ CHUNK_SCHEMA = (
 )
 
 
+def _slice_strip_bytes(data: bytes, ls: int, le: int, w: int,
+                       fmt: str) -> bytes:
+    """Row-range slice of an encoded block WITHOUT decode/re-encode.
+    Critical for q16: re-encoding a strip would re-quantize it onto a
+    strip-local min/max grid, so decoded strip values would differ from
+    the whole-image decode by up to one quantization step — slicing the
+    stored codes (and keeping the image-global header) is byte-exact."""
+    if fmt == "raw":
+        return data[ls * w * 8: le * w * 8]
+    if fmt == "q16":
+        return data[:16] + data[16 + ls * w * 2: 16 + le * w * 2]
+    raise ValueError(f"unknown block format: {fmt}")
+
+
 def chunk_images(images: DataFrame, min_data_size: int = 0x10000,
                  padding: int = 0, block_size: int = 1) -> DataFrame:
-    """Explode an image table into padded chunk-strip rows. The strip
-    bytes are re-encoded with the image's own codec; `h` stays the FULL
-    image height (strip row range is load_start..load_end)."""
+    """Explode an image table into padded chunk-strip rows. Strip bytes
+    are row-slices of the stored encoding (no decode/re-encode — q16
+    strips keep the image-global quantization grid, so chunked readers
+    see bit-identical values); `h` stays the FULL image height (strip
+    row range is load_start..load_end)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
                 plan = (ChunkPlan(row.w, row.h)
                         .add_block_size(block_size)
                         .with_min_data_size(min_data_size)
                         .with_padding(padding))
                 for (i, ds, de, ls, le) in plan.chunks():
                     out.append((row.image_id, i, ds, de, ls, le,
-                                codecs.encode_block(block[ls:le], row.fmt),
+                                _slice_strip_bytes(row.bytes, ls, le,
+                                                   row.w, row.fmt),
                                 row.w, row.h, row.fmt, list(row.gt),
                                 row.crs, row.no_val))
             yield pd.DataFrame(out, columns=[
@@ -89,7 +105,9 @@ def assemble_images(chunks: DataFrame) -> DataFrame:
 
 
 def diff_stats_chunked(a_chunks: DataFrame, b: DataFrame,
-                       pair_col: str = "image_id") -> DataFrame:
+                       pair_col: str = "image_id", adjust: float = 0.0,
+                       negate: bool = False,
+                       per_pair: bool = False) -> DataFrame:
     """Chunk-granular alignment diff (J1, distributed form): every
     A-chunk row processes independently against its pair's B image; the
     partial-stat rows merge in one aggregation. With A chunked, the
@@ -143,7 +161,9 @@ def diff_stats_chunked(a_chunks: DataFrame, b: DataFrame,
                             ok &= vb != row.b_no_val
                         va = data[ii[ok], jj[ok]]
                         vb = vb[ok]
-                        d = vb - va
+                        d = vb - va + adjust
+                        if negate:
+                            d = -d
                         vals["count"] = float(va.size)
                         _acc(vals, "first", va)
                         _acc(vals, "second", vb)
@@ -153,16 +173,11 @@ def diff_stats_chunked(a_chunks: DataFrame, b: DataFrame,
             cols = [c.split(" ")[0] for c in DIFF_PARTIAL_SCHEMA.split(", ")]
             yield pd.DataFrame(out, columns=cols)
 
+    from .diff import diff_merge_exprs
     partials = pairs.mapInPandas(gen, schema=DIFF_PARTIAL_SCHEMA)
-    merged = [F.sum("count").alias("count")]
-    for k in ("first", "second", "diff", "abs_diff"):
-        merged += [
-            F.min(f"{k}_min").alias(f"{k}_min"),
-            F.max(f"{k}_max").alias(f"{k}_max"),
-            F.sum(f"{k}_sum").alias(f"{k}_sum"),
-            F.sum(f"{k}_sum_2").alias(f"{k}_sum_2"),
-        ]
-    return partials.agg(*merged) \
+    out = (partials.groupBy("pair_id").agg(*diff_merge_exprs()) if per_pair
+           else partials.agg(*diff_merge_exprs()))
+    return out \
         .withColumn("diff_mean", F.col("diff_sum") / F.col("count")) \
         .withColumn("diff_std", F.sqrt(F.col("diff_sum_2") / F.col("count")))
 
@@ -249,17 +264,10 @@ def diff_stats_chunked_both(a_chunks: DataFrame, b_chunks: DataFrame,
             cols = [c.split(" ")[0] for c in DIFF_PARTIAL_SCHEMA.split(", ")]
             yield pd.DataFrame(out, columns=cols)
 
+    from .diff import diff_merge_exprs
     partials = pairs.mapInPandas(gen, schema=DIFF_PARTIAL_SCHEMA)
-    merged = [F.sum("count").alias("count")]
-    for k in ("first", "second", "diff", "abs_diff"):
-        merged += [
-            F.min(f"{k}_min").alias(f"{k}_min"),
-            F.max(f"{k}_max").alias(f"{k}_max"),
-            F.sum(f"{k}_sum").alias(f"{k}_sum"),
-            F.sum(f"{k}_sum_2").alias(f"{k}_sum_2"),
-        ]
-    out = (partials.groupBy("pair_id").agg(*merged) if per_pair
-           else partials.agg(*merged))
+    out = (partials.groupBy("pair_id").agg(*diff_merge_exprs()) if per_pair
+           else partials.agg(*diff_merge_exprs()))
     return out \
         .withColumn("diff_mean", F.col("diff_sum") / F.col("count")) \
         .withColumn("diff_std", F.sqrt(F.col("diff_sum_2") / F.col("count")))
@@ -366,11 +374,25 @@ def chunked_zonal_stats(chunks: DataFrame, aois: pd.DataFrame) -> DataFrame:
                 # pixel centers in world coords: strip rows are global
                 # rows ds..data_end, so shift i by the data offset
                 wx, wy = geom.transform_points(t, jj + 0.5, ii + ds + 0.5)
-                box = (wx.min(), wy.min(), wx.max(), wy.max())
+                # half-pixel padding: 1-row strips (common with default
+                # chunk sizing on wide rasters) have a DEGENERATE
+                # pixel-center bbox and the strict bounds_intersect
+                # would silently skip every AOI for them
+                hpx = abs(float(row.gt[1])) / 2.0
+                hpy = abs(float(row.gt[5])) / 2.0
+                box = (wx.min() - hpx, wy.min() - hpy,
+                       wx.max() + hpx, wy.max() + hpy)
                 for (aoi_id, ro, xs, ys), abox in zip(aoi_rows, aoi_boxes):
                     if geom.bounds_intersect(box, abox) is None:
                         continue
-                    inside = geom.points_in_rings(wx, wy, ro, xs, ys)
+                    cand = ((wx >= abox[0]) & (wx <= abox[2])
+                            & (wy >= abox[1]) & (wy <= abox[3]))
+                    if not cand.any():
+                        continue
+                    ci = np.nonzero(cand)[0]
+                    inside = np.zeros(len(wx), dtype=bool)
+                    inside[ci] = geom.points_in_rings(
+                        wx[ci], wy[ci], ro, xs, ys)
                     if not inside.any():
                         continue
                     v = vals[inside]

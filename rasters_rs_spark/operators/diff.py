@@ -28,9 +28,24 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions import codecs, geom
 from ..plans.chunking import ChunkPlan
-from .stats import with_derived_stats
-
 _STAT_KEYS = ("first", "second", "diff", "abs_diff")
+
+
+def diff_merge_exprs():
+    """The partial->final merge expressions of the diff-stats monoid —
+    shared by diff_stats and both chunked variants so the aggregation
+    can never silently diverge between the whole-image and chunked
+    paths."""
+    from pyspark.sql import functions as F
+    merged = [F.sum("count").alias("count")]
+    for k in _STAT_KEYS:
+        merged += [
+            F.min(f"{k}_min").alias(f"{k}_min"),
+            F.max(f"{k}_max").alias(f"{k}_max"),
+            F.sum(f"{k}_sum").alias(f"{k}_sum"),
+            F.sum(f"{k}_sum_2").alias(f"{k}_sum_2"),
+        ]
+    return merged
 
 DIFF_PARTIAL_SCHEMA = "pair_id string, count double, " + ", ".join(
     f"{k}_{f} double" for k in _STAT_KEYS for f in ("min", "max", "sum", "sum_2")
@@ -169,14 +184,7 @@ def diff_stats(a: DataFrame, b: DataFrame, pair_col: str = "image_id",
             yield pd.DataFrame(out, columns=cols)
 
     partials = pairs.mapInPandas(gen, schema=DIFF_PARTIAL_SCHEMA)
-    merged = [F.sum("count").alias("count")]
-    for k in _STAT_KEYS:
-        merged += [
-            F.min(f"{k}_min").alias(f"{k}_min"),
-            F.max(f"{k}_max").alias(f"{k}_max"),
-            F.sum(f"{k}_sum").alias(f"{k}_sum"),
-            F.sum(f"{k}_sum_2").alias(f"{k}_sum_2"),
-        ]
+    merged = diff_merge_exprs()
     if per_pair:
         out = partials.groupBy("pair_id").agg(*merged)
     else:
@@ -255,10 +263,11 @@ def diff_raster(a: DataFrame, b: DataFrame, pair_col: str = "image_id",
                 out.append((row.pair_id, res.astype(dtype).tobytes(),
                             row.w, row.h,
                             "raw" if discretize is None else "i32",
-                            list(row.gt), row.crs))
+                            list(row.gt), row.crs,
+                            float("nan") if discretize is None else -128.0))
             yield pd.DataFrame(out, columns=["pair_id", "bytes", "w", "h",
-                                             "fmt", "gt", "crs"])
+                                             "fmt", "gt", "crs", "no_val"])
 
     schema = ("pair_id string, bytes binary, w int, h int, fmt string, "
-              "gt array<double>, crs string")
+              "gt array<double>, crs string, no_val double")
     return pairs.mapInPandas(gen, schema=schema)

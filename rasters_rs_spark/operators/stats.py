@@ -179,7 +179,13 @@ def zonal_stats(images: DataFrame, aois: pd.DataFrame,
                 vals = block[ii, jj]
                 # pixel centers in world coords
                 wx, wy = geom.transform_points(t, jj + 0.5, ii + 0.5)
-                img_box = (wx.min(), wy.min(), wx.max(), wy.max())
+                # bbox padded by half a pixel: a PIXEL-CENTER box can be
+                # degenerate (1-row/1-col/1-pixel images) and the strict
+                # bounds_intersect would then skip every AOI
+                hpx = abs(float(row.gt[1])) / 2.0
+                hpy = abs(float(row.gt[5])) / 2.0
+                img_box = (wx.min() - hpx, wy.min() - hpy,
+                           wx.max() + hpx, wy.max() + hpy)
                 if include_whole:
                     out.append((row.image_id, "__all__", float(vals.size),
                                 float(vals.min()), float(vals.max()),
@@ -187,7 +193,17 @@ def zonal_stats(images: DataFrame, aois: pd.DataFrame,
                 for (aoi_id, ro, xs, ys), box in zip(aoi_rows, aoi_boxes):
                     if geom.bounds_intersect(img_box, box) is None:
                         continue
-                    inside = geom.points_in_rings(wx, wy, ro, xs, ys)
+                    # pre-mask to the AOI bbox: the winding test is
+                    # O(pixels x edges) — a center outside the AOI's own
+                    # bbox can never be inside the polygon
+                    cand = ((wx >= box[0]) & (wx <= box[2])
+                            & (wy >= box[1]) & (wy <= box[3]))
+                    if not cand.any():
+                        continue
+                    ci = np.nonzero(cand)[0]
+                    inside = np.zeros(len(wx), dtype=bool)
+                    inside[ci] = geom.points_in_rings(
+                        wx[ci], wy[ci], ro, xs, ys)
                     if not inside.any():
                         continue
                     v = vals[inside]

@@ -107,16 +107,21 @@ def stream_sessionize(spark: SparkSession, source_dir: str, schema: str,
         else:
             sid, start_us, last_us, n = 0, None, None, 0
         touched = {}
+        # sort across the WHOLE micro-batch: pdfs yields Arrow chunks,
+        # and per-chunk sorting regresses last_us when a user's rows
+        # span chunks (or arrive chunk-reordered by the shuffle)
+        ts_all = []
         for pdf in pdfs:
-            for t in sorted(pdf[ts_col]):
-                t_us = int(pd.Timestamp(t).value // 1000)
-                if last_us is None or (t_us - last_us) > gap_seconds * 1_000_000:
-                    if sid > 0:
-                        touched[sid] = (start_us, last_us, n)  # closed
-                    sid += 1
-                    start_us, n = t_us, 0
-                n += 1
-                last_us = t_us
+            ts_all.extend(pdf[ts_col])
+        for t in sorted(ts_all):
+            t_us = int(pd.Timestamp(t).value // 1000)
+            if last_us is None or (t_us - last_us) > gap_seconds * 1_000_000:
+                if sid > 0:
+                    touched[sid] = (start_us, last_us, n)  # closed
+                sid += 1
+                start_us, n = t_us, 0
+            n += 1
+            last_us = t_us
         touched[sid] = (start_us, last_us, n)  # open session update
         state.update((sid, start_us, last_us, n))
         yield pd.DataFrame([
@@ -411,23 +416,32 @@ def stream_minhash_dedup(spark: SparkSession, source_dir: str, schema: str,
                 new.append((row.id, [int(v) for v in row.hashes]))
         new.sort(key=lambda t: t[0])
         seen = set(ids)
+        esets = [set(h) for h in hash_lists]   # hoisted: one per member
         pairs = []
+        changed = False
         for nid, nh in new:
             if nid in seen:
                 continue          # micro-batch replay: already ingested
+            if len(ids) >= max_bucket_state:
+                # full bucket: neither store NOR pair — pairing without
+                # storing would re-emit on redelivery (the id can't be
+                # remembered), breaking replay idempotence; recall in a
+                # flooded bucket degrades uniformly instead
+                continue
             nset = set(nh)
-            for eid, eh in zip(ids, hash_lists):
-                eset = set(eh)
+            for eid, eset in zip(ids, esets):
                 union = len(nset | eset)
                 jac = (len(nset & eset) / union) if union else 1.0
                 if jac >= threshold:
                     a, b = (nid, eid) if nid < eid else (eid, nid)
                     pairs.append((a, b, jac))
-            if len(ids) < max_bucket_state:
-                ids.append(nid)
-                hash_lists.append(nh)
-                seen.add(nid)
-        state.update((ids, hash_lists))
+            ids.append(nid)
+            hash_lists.append(nh)
+            esets.append(nset)
+            seen.add(nid)
+            changed = True
+        if changed:
+            state.update((ids, hash_lists))
         yield pd.DataFrame(pairs, columns=["id_a", "id_b", "jaccard"])
 
     return band_rows.groupBy("band", "band_key").applyInPandasWithState(
@@ -501,26 +515,34 @@ def stream_embedding_neardup(spark: SparkSession, source_dir: str,
                 new.append((row.id, np.asarray(row.vec, dtype=np.float64)))
         new.sort(key=lambda t: t[0])
         seen = set(ids)
+        norms = [float(np.linalg.norm(v)) for v in vecs]   # hoisted
         pairs = []
+        changed = False
         for nid, nv in new:
             if nid in seen:
                 continue
+            if len(ids) >= max_bucket_state:
+                # full bucket: skip entirely (see stream_minhash_dedup —
+                # pairing without storing breaks replay idempotence)
+                continue
             nn = float(np.linalg.norm(nv))
-            for eid, ev in zip(ids, vecs):
-                denom = nn * float(np.linalg.norm(ev))
+            for eid, ev, en in zip(ids, vecs, norms):
+                denom = nn * en
                 if denom == 0.0:
-                    # batch parity: cosine_expr divides by zero -> NULL
-                    # -> the pair is dropped, so drop it here too
+                    # batch parity: cosine_expr yields NULL for
+                    # zero-norm vectors -> the pair is dropped
                     continue
                 cos = float(nv @ ev) / denom
                 if cos >= threshold:
                     a, b = (nid, eid) if nid < eid else (eid, nid)
                     pairs.append((a, b, cos))
-            if len(ids) < max_bucket_state:
-                ids.append(nid)
-                vecs.append(nv)
-                seen.add(nid)
-        state.update((ids, [[float(x) for x in v] for v in vecs]))
+            ids.append(nid)
+            vecs.append(nv)
+            norms.append(nn)
+            seen.add(nid)
+            changed = True
+        if changed:
+            state.update((ids, [[float(x) for x in v] for v in vecs]))
         yield pd.DataFrame(pairs, columns=["id_a", "id_b", "cosine"])
 
     return band_rows.groupBy("band", "bucket").applyInPandasWithState(

@@ -192,3 +192,62 @@ def test_chunked_diff_with_padding_equals_unpadded_range(spark):
     assert chunked["diff_min"] == pytest.approx(d.min(), rel=1e-12)
     assert chunked["diff_max"] == pytest.approx(d.max(), rel=1e-12)
     assert chunked["abs_diff_sum"] == pytest.approx(np.abs(d).sum(), rel=1e-12)
+
+
+def test_one_row_strips_zonal_not_skipped(spark):
+    """Regression: 1-row strips have a DEGENERATE pixel-center bbox and
+    the strict bounds_intersect used to skip every AOI for them —
+    chunked zonal stats must equal the whole-image zonal stats even
+    when every strip is a single data row."""
+    from rasters_rs_spark.operators import stats as S
+    from rasters_rs_spark.operators.chunked import (chunk_images,
+                                                    chunked_zonal_stats)
+    from rasters_rs_spark.sources import synth
+    images = spark.createDataFrame(synth.lcg_image_table(16, 32, 32, 2.0))
+    aois = synth.aoi_table(6, seed=43,
+                           extent=(-1050.0, 550.0, -50.0, 1050.0))
+    whole = {r["aoi_id"]: (r["count"], r["sum"])
+             for r in S.zonal_stats(images, aois).collect()}
+    strips = chunk_images(images, min_data_size=1)   # 1-row strips
+    per_img = strips.groupBy("image_id").count().collect()
+    assert all(r["count"] == 32 for r in per_img)
+    got = {r["aoi_id"]: (r["count"], r["sum"])
+           for r in chunked_zonal_stats(strips, aois).collect()}
+    assert got == whole and len(got) > 0
+
+
+def test_q16_chunks_keep_global_quantization_grid(spark):
+    """Regression: chunk strips of a q16 image must decode to EXACTLY
+    the whole-image decode (strip slicing keeps the image-global
+    min/max header; re-encoding would re-quantize per strip)."""
+    import numpy as np
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.operators.chunked import chunk_images
+    from rasters_rs_spark.sources import synth
+    images = spark.createDataFrame(
+        synth.lcg_image_table(2, 32, 32, 2.0, fmt="q16"))
+    whole = {r["image_id"]: codecs.decode_block(bytes(r["bytes"]), 32, 32,
+                                                "q16")
+             for r in images.collect()}
+    chunks = chunk_images(images, min_data_size=32 * 8, padding=2)
+    for r in chunks.collect():
+        ls, le = int(r["load_start"]), int(r["load_end"])
+        strip = codecs.decode_block(bytes(r["bytes"]), le - ls, 32, "q16")
+        assert np.array_equal(strip, whole[r["image_id"]][ls:le])
+
+
+def test_diff_stats_chunked_adjust_negate_matches_whole(spark):
+    """diff_stats_chunked must honor adjust/negate exactly like
+    diff_stats (it silently ignored them before)."""
+    from rasters_rs_spark.operators import diff as DF
+    from rasters_rs_spark.operators.chunked import (chunk_images,
+                                                    diff_stats_chunked)
+    from rasters_rs_spark.sources import synth
+    a = spark.createDataFrame(synth.lcg_image_table(4, 32, 32, 2.0))
+    b = spark.createDataFrame(
+        synth.lcg_image_table(4, 16, 16, 4.0, k_offset=7_000_000))
+    whole = DF.diff_stats(a, b, adjust=1.5, negate=True).collect()[0]
+    chunked = diff_stats_chunked(chunk_images(a, min_data_size=32 * 8), b,
+                                 adjust=1.5, negate=True).collect()[0]
+    for c in ("count", "diff_min", "diff_max", "diff_sum", "diff_sum_2"):
+        assert chunked[c] == whole[c], c

@@ -139,3 +139,20 @@ def test_mask_three_band_rule(spark):
     blk = np.array([[1.0, np.nan], [0.0, 2.0]])
     m = mask_block(blk, 1, 0.0)
     assert m.tolist() == [[255, 0], [0, 255]]
+
+
+def test_diff_raster_discretized_is_consumable(spark):
+    """Regression: the discretized diff raster declares fmt 'i32' and
+    must be decodable by the shared codec registry (and carry no_val)
+    so downstream block consumers can read it."""
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.operators import diff as DF
+    from rasters_rs_spark.sources import synth
+    a = spark.createDataFrame(synth.lcg_image_table(2, 16, 16, 2.0))
+    b = spark.createDataFrame(
+        synth.lcg_image_table(2, 16, 16, 2.0, k_offset=3_000_000))
+    out = DF.diff_raster(a, b, discretize=(-1.0, 1.0, 8)).collect()[0]
+    assert out["fmt"] == "i32" and out["no_val"] == -128.0
+    block = codecs.decode_block(bytes(out["bytes"]), 16, 16, "i32")
+    valid = block[block != -128.0]
+    assert valid.size > 0 and valid.min() >= -1 and valid.max() <= 8
