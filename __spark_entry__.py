@@ -1008,10 +1008,10 @@ def _mosaic_mean_sql() -> str:
 def _q_resample_bilinear(spark, sf_dir):
     """Bilinear resample through the real kernel: one LCG image onto
     the same-resolution grid shifted by exactly half a pixel in x and
-    y, so every interior target pixel blends its 4 source neighbors
-    with weights exactly 0.25 (dyadic — bit-exact in SQL); border
-    pixels (incomplete neighborhoods) are NaN and filtered on both
-    sides."""
+    y — interior pixels blend their 4 source neighbors with weights
+    exactly 0.25, edge pixels renormalize over their 2 in-bounds
+    neighbors (0.25/0.5 = exact halves), and the corner passes its
+    single neighbor through. All weights dyadic — bit-exact in SQL."""
     from rasters_rs_spark.operators import resample as R
     pdf = synth.lcg_image_table(1, 32, 32, pixel_size=2.0)
     images = spark.createDataFrame(pdf)
@@ -1034,9 +1034,17 @@ def _resample_bilinear_sql() -> str:
                  CAST(idx % 32 AS BIGINT) AS j
           FROM (SELECT unnest(range(0, 32 * 32)) AS idx))
         SELECT i, j,
-               round(0.25 * ({v00}) + 0.25 * ({v01})
-                     + 0.25 * ({v10}) + 0.25 * ({v11}), 9) AS v
-        FROM px WHERE i < 31 AND j < 31
+               round(CASE
+                 WHEN i < 31 AND j < 31 THEN
+                   0.25 * ({v00}) + 0.25 * ({v01})
+                   + 0.25 * ({v10}) + 0.25 * ({v11})
+                 WHEN i = 31 AND j < 31 THEN
+                   (0.25 * ({v00}) + 0.25 * ({v01})) / 0.5
+                 WHEN j = 31 AND i < 31 THEN
+                   (0.25 * ({v00}) + 0.25 * ({v10})) / 0.5
+                 ELSE (0.25 * ({v00})) / 0.25
+               END, 9) AS v
+        FROM px
     """
 
 

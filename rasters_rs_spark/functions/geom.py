@@ -124,9 +124,17 @@ def transform_window(win, t: np.ndarray, dims):
     Reference src/align.rs:33-44.
     """
     (ox, oy), (sx, sy) = win
-    x0, y0 = transform_points(t, [float(ox)], [float(oy)])
-    x1, y1 = transform_points(t, [float(ox) + float(sx)], [float(oy) + float(sy)])
-    return window_from_bounds(bounds_new(x0[0], y0[0], x1[0], y1[0]), dims)
+    # map ALL FOUR corners: for a rotated affine the bbox of the two
+    # diagonal corners under-covers the window (most of a 45-degree
+    # image would silently fall outside it); for axis-aligned
+    # transforms the 4-corner bbox equals the reference's 2-corner one
+    # (src/align.rs:33-44, which gates on north-aligned inputs)
+    cx = [float(ox), float(ox) + float(sx), float(ox), float(ox) + float(sx)]
+    cy = [float(oy), float(oy), float(oy) + float(sy), float(oy) + float(sy)]
+    xs, ys = transform_points(t, cx, cy)
+    return window_from_bounds(
+        bounds_new(float(xs.min()), float(ys.min()),
+                   float(xs.max()), float(ys.max())), dims)
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +197,12 @@ def bilinear_weights_grid(chunk_t: np.ndarray, rows: int, cols: int, dims):
     wx = xc - j0
     wy = yc - i0
     cols2, rows2 = dims
-    valid = (j0 >= 0) & (i0 >= 0) & (j0 + 1 < cols2) & (i0 + 1 < rows2)
+    # valid = the 2x2 neighborhood overlaps the source AT ALL: callers
+    # mask the out-of-bounds members per neighbor (a pixel whose only
+    # missing neighbors carry zero or renormalizable weight must not be
+    # discarded — requiring all 4 in-bounds NaN'd the source's entire
+    # last row/column on identity resampling)
+    valid = (j0 >= -1) & (i0 >= -1) & (j0 < cols2) & (i0 < rows2)
     return valid, i0, j0, wx, wy
 
 
@@ -280,7 +293,11 @@ def points_in_rings_winding(px, py, ring_offsets, xs, ys) -> np.ndarray:
 
 
 def polygon_bbox(ring_offsets, xs, ys):
-    """Bounding box of the exterior ring(s): (minx, miny, maxx, maxy)."""
+    """Bounding box of ALL ring coordinates (exterior and holes —
+    identical for validly nested polygons, where holes lie inside the
+    exterior): (minx, miny, maxx, maxy). ``ring_offsets`` is accepted
+    for signature symmetry with the PIP kernels but does not affect
+    the result."""
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     return (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))

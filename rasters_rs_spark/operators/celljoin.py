@@ -96,8 +96,15 @@ def rasterize(spark: SparkSession, aois: pd.DataFrame, gt, w: int, h: int,
                 jj, ii = np.meshgrid(np.arange(w), np.arange(r0, r1))
                 wx, wy = G.transform_points(t, jj.ravel() + 0.5,
                                             ii.ravel() + 0.5)
+                sx0, sx1 = float(wx.min()), float(wx.max())
+                sy0, sy1 = float(wy.min()), float(wy.max())
                 block = np.full(wx.shape, np.nan)
                 for (k, ro, xs, ys, (bx0, by0, bx1, by1)) in polys:
+                    # O(1) strip-vs-AOI bbox rejection before any
+                    # per-pixel mask work (the per-strip prefilter the
+                    # docstring promises)
+                    if bx1 < sx0 or bx0 > sx1 or by1 < sy0 or by0 > sy1:
+                        continue
                     cand = ((wx >= bx0) & (wx <= bx1)
                             & (wy >= by0) & (wy <= by1) & np.isnan(block))
                     if not cand.any():
@@ -189,7 +196,7 @@ def aoi_cells_df(spark: SparkSession, aois: pd.DataFrame, zoom: int) -> DataFram
     AOI table is the small dimension side."""
     ts = 2.0 * MAX_COORD / float(1 << zoom)
     rows = []
-    for r in aois.itertuples(index=False):
+    for part, r in enumerate(aois.itertuples(index=False)):
         minx, miny, maxx, maxy = geom.polygon_bbox(r.ring_offsets, r.xs, r.ys)
         x0 = int(np.floor((minx + MAX_COORD) / ts))
         x1 = int(np.floor((maxx + MAX_COORD) / ts))
@@ -198,12 +205,13 @@ def aoi_cells_df(spark: SparkSession, aois: pd.DataFrame, zoom: int) -> DataFram
         for cx in range(x0, x1 + 1):
             for cy in range(y0, y1 + 1):
                 rows.append(
-                    (r.aoi_id, (cx << 32) + cy, list(r.ring_offsets),
+                    (r.aoi_id, part, (cx << 32) + cy, list(r.ring_offsets),
                      [float(v) for v in r.xs], [float(v) for v in r.ys])
                 )
     return spark.createDataFrame(
-        pd.DataFrame(rows, columns=["aoi_id", "cell", "ring_offsets", "xs", "ys"]),
-        schema=f"aoi_id string, cell long, ring_offsets array<int>, "
+        pd.DataFrame(rows, columns=["aoi_id", "part", "cell",
+                                    "ring_offsets", "xs", "ys"]),
+        schema=f"aoi_id string, part int, cell long, ring_offsets array<int>, "
                f"xs array<double>, ys array<double>",
     )
 
@@ -225,9 +233,10 @@ def _refine(df: DataFrame, keep_cols: list[str],
                 yield pdf[[c.split(" ")[0] for c in keep_cols]][0:0]
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
-            # group candidates by aoi so each polygon tests all its
-            # points in one vectorized call
-            for _, sub in pdf.groupby("aoi_id", sort=False):
+            # group candidates by AOI ROW (part index), not aoi_id: an
+            # aoi_id spanning multiple rows (multipolygon-as-rows) must
+            # test each candidate against ITS OWN part's rings
+            for _, sub in pdf.groupby("part", sort=False):
                 first = sub.iloc[0]
                 inside = pip(
                     sub["px"].to_numpy(), sub["py"].to_numpy(),
@@ -256,18 +265,33 @@ def cell_pip_join(points: DataFrame, aois: pd.DataFrame, zoom: int = 12,
                   pip_rule: str = "evenodd") -> DataFrame:
     """Join points to every AOI that exactly contains them.
 
-    ``points`` needs (id..., x_col, y_col) in WM/world coords. Returns the
-    point columns + ``aoi_id``. One equi-join (broadcast by default; set
-    ``salt`` > 1 to spread a hot cell across ``salt`` shuffle keys when
-    the AOI side is too big to broadcast and a cell is skewed).
+    ``points`` needs (id..., x_col, y_col) in WM/world coords — column
+    names ``cell``/``px``/``py``/``part`` and the AOI column names are
+    reserved (rejected, they would be silently clobbered). An aoi_id
+    may span multiple rows (multipolygon parts); a point matching any
+    part yields one output row. Returns the point columns + ``aoi_id``.
+    One equi-join (broadcast by default; set ``salt`` > 1 to spread a
+    hot cell across ``salt`` shuffle keys when the AOI side is too big
+    to broadcast and a cell is skewed).
     """
+    reserved = {"cell", "px", "py", "part", "aoi_id", "ring_offsets",
+                "xs", "ys"} & set(points.columns)
+    if reserved:
+        raise ValueError(
+            f"cell_pip_join: point columns {sorted(reserved)} collide "
+            f"with internal/AOI columns — rename them first")
     spark = points.sparkSession
     cells = aoi_cells_df(spark, aois, zoom)
     pts = points.withColumn("cell", cell_expr(x_col, y_col, zoom))
     pts = pts.withColumn("px", F.col(x_col)).withColumn("py", F.col(y_col))
 
     if salt > 1:
-        pts = pts.withColumn("_salt", F.pmod(F.xxhash64(*points.columns), F.lit(salt)))
+        # salt on a per-ROW id, not a hash of the point columns:
+        # duplicate rows (the common cause of a hot cell) would all
+        # hash to one salt and stay on one task
+        pts = pts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                            F.lit(salt)))
         cells = cells.withColumn("_salt", F.explode(F.lit(list(range(salt)))))
         join_keys = ["cell", "_salt"]
     else:
@@ -277,4 +301,9 @@ def cell_pip_join(points: DataFrame, aois: pd.DataFrame, zoom: int = 12,
     cand = pts.join(right, on=join_keys, how="inner")
 
     keep = [f"{c} {t}" for c, t in points.dtypes] + ["aoi_id string"]
-    return _refine(cand, keep, pip_rule)
+    out = _refine(cand, keep, pip_rule)
+    if len(aois) != aois["aoi_id"].nunique():
+        # multipart AOIs: a point inside several parts of one aoi_id
+        # must still produce ONE row
+        out = out.dropDuplicates(list(points.columns) + ["aoi_id"])
+    return out

@@ -54,8 +54,17 @@ def resample_block(block: np.ndarray, src_gt, dst_gt, dst_w: int, dst_h: int,
             (1, 0, wyv * (1 - wxv)),
             (1, 1, wyv * wxv),
         ):
-            v = block[i0v + di, j0v + dj]
-            m = valid_in[i0v + di, j0v + dj]
+            # out-of-bounds neighbors are masked like no-data ones and
+            # the weights renormalize below — discarding the pixel
+            # entirely would NaN the source's last row/column even on
+            # an identity resample
+            ni = i0v + di
+            nj = j0v + dj
+            inb = (ni >= 0) & (ni < h) & (nj >= 0) & (nj < w)
+            nic = np.clip(ni, 0, h - 1)
+            njc = np.clip(nj, 0, w - 1)
+            v = block[nic, njc]
+            m = inb & valid_in[nic, njc]
             vals += np.where(m, v * wgt, 0.0)
             wsum += np.where(m, wgt, 0.0)
         with np.errstate(invalid="ignore", divide="ignore"):

@@ -246,3 +246,40 @@ def test_rasterize_roundtrip_with_zonal(spark):
     expect[in_b] = 1.0
     expect[in_a] = 0.0          # smallest id wins on the overlap
     assert np.array_equal(block, expect, equal_nan=True)
+
+
+def test_cell_pip_join_multipart_aoi(spark):
+    """An aoi_id spanning multiple rows (multipolygon parts): points in
+    EITHER part match, each point yields exactly one output row — the
+    old code tested every candidate against the first part's rings."""
+    import numpy as np
+    import pandas as pd
+    from rasters_rs_spark.operators.celljoin import cell_pip_join
+    aois = pd.DataFrame([
+        {"aoi_id": "m", "ring_offsets": [0],
+         "xs": [0.0, 100.0, 100.0, 0.0], "ys": [0.0, 0.0, 100.0, 100.0]},
+        {"aoi_id": "m", "ring_offsets": [0],      # disjoint second part
+         "xs": [5000.0, 5100.0, 5100.0, 5000.0],
+         "ys": [5000.0, 5000.0, 5100.0, 5100.0]},
+    ])
+    pts = pd.DataFrame({
+        "pid": ["in1", "in2", "out"],
+        "x": [50.0, 5050.0, 2500.0],
+        "y": [50.0, 5050.0, 2500.0],
+    })
+    got = [(r["pid"], r["aoi_id"]) for r in
+           cell_pip_join(spark.createDataFrame(pts), aois, zoom=10).collect()]
+    assert sorted(got) == [("in1", "m"), ("in2", "m")]
+
+
+def test_cell_pip_join_rejects_reserved_columns(spark):
+    import pandas as pd
+    import pytest as _pt
+    from rasters_rs_spark.operators.celljoin import cell_pip_join
+    pts = pd.DataFrame({"pid": ["a"], "x": [1.0], "y": [1.0],
+                        "cell": [9]})
+    aois = pd.DataFrame([{"aoi_id": "r", "ring_offsets": [0],
+                          "xs": [0.0, 2.0, 2.0, 0.0],
+                          "ys": [0.0, 0.0, 2.0, 2.0]}])
+    with _pt.raises(ValueError, match="collide"):
+        cell_pip_join(spark.createDataFrame(pts), aois, zoom=10)

@@ -141,3 +141,46 @@ def test_resample_dataframe(spark):
     out = resample(spark.createDataFrame(pdf), dst_gt, 64, 32, "nearest").collect()[0]
     got = codecs.decode_raw(out["bytes"], 32, 64)
     assert np.array_equal(got, src.repeat(4, axis=0).repeat(4, axis=1))
+
+
+def test_bilinear_identity_keeps_border(spark):
+    """Regression: identity bilinear resampling used to NaN the whole
+    last row/column (any OOB neighbor discarded the pixel). Zero-weight
+    OOB neighbors now renormalize away — identity resample is exact
+    everywhere."""
+    rng = np.random.default_rng(44)
+    src = rng.normal(size=(6, 7))
+    gt = [0.0, 1.0, 0.0, 6.0, 0.0, -1.0]
+    from rasters_rs_spark.operators.resample import resample_block
+    out = resample_block(src, gt, gt, 7, 6, "bilinear")
+    assert np.allclose(out, src)          # no NaN border
+
+
+def test_mosaic_covers_rotated_image(spark):
+    """Regression: transform_window mapped only 2 corners, so a
+    rotated image's mosaic window under-covered its footprint and most
+    pixels were silently dropped — mosaic must now place at least as
+    many pixels as the full-plane resample of the same image."""
+    from rasters_rs_spark.operators.resample import mosaic, resample
+    blk = np.full((4, 4), 5.0)
+    c, s = np.cos(np.pi / 4), np.sin(np.pi / 4)
+    rows = [{"image_id": "rot", "bytes": codecs.encode_raw(blk),
+             "w": 4, "h": 4, "fmt": "raw",
+             # 45-degree rotation; origin off .5 alignments so no
+             # target center lands exactly on the half-open source edge
+             "gt": [8.3, c, s, 8.3, s, -c],
+             "crs": "IDENTITY", "no_val": float("nan")}]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    dst_gt = [0.0, 1.0, 0.0, 16.0, 0.0, -1.0]
+    full = resample(df, dst_gt, 16, 16).collect()[0]
+    n_full = np.count_nonzero(
+        ~np.isnan(codecs.decode_raw(bytes(full["bytes"]), 16, 16)))
+    mos = mosaic(df, dst_gt, 16, 16).collect()[0]
+    got = codecs.decode_raw(bytes(mos["bytes"]), 16, 16)
+    n_mos = np.count_nonzero(~np.isnan(got))
+    # folding the window offset into the affine shifts boundary pixels
+    # by 1 ulp for irrational (rotated) transforms, so allow a couple
+    # of half-open edge pixels to differ — the old 2-corner bug lost
+    # ~70-85% of the footprint, not <=2 pixels
+    assert n_full >= 16 and n_mos >= n_full - 2
+    assert np.allclose(got[~np.isnan(got)], 5.0)
