@@ -533,10 +533,20 @@ def _q_ann_lsh(spark, sf_dir):
                 F.col("rank").cast("bigint").alias("rank"))
 
 
+# planted (dst, src) near-dup pairs for the phash fixture: 48 random
+# images alone contain NO pair within hamming 12, which made the oracle
+# row set empty (a vacuous green — a broken operator would also return
+# 0 rows). Spark query and SQL oracle share this constant.
+_PHASH_PLANT = ((46, 3), (47, 0))
+
+
 def _q_phash_neardup(spark, sf_dir):
     # blocks derive from max_hamming (13 blocks): pigeonhole-complete
     # recall, verified row-for-row against the all-pairs SQL oracle
-    images = _synth_images(spark, 48)
+    # (non-vacuous: fixture plants two near-dup pairs)
+    images = spark.createDataFrame(synth.image_table(
+        48, seed=42, h=64, w=64, pixel_size=2.0,
+        plant_neardups=_PHASH_PLANT))
     return dedup.phash_neardup(images, max_hamming=12) \
                 .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
@@ -2165,7 +2175,8 @@ def _phash_neardup_sql() -> str:
     """All-pairs hamming oracle over the deterministic synth phashes
     (inlined VALUES): the Spark side must reach exact recall through
     its blocked LSH, so the candidate pruning is what's under test."""
-    pdf = synth.image_table(48, seed=42, h=64, w=64, pixel_size=2.0)
+    pdf = synth.image_table(48, seed=42, h=64, w=64, pixel_size=2.0,
+                            plant_neardups=_PHASH_PLANT)
     vals = ", ".join(f"('{r.image_id}', CAST({int(r.phash)} AS BIGINT))"
                      for r in pdf.itertuples(index=False))
     return f"""

@@ -110,6 +110,36 @@ def encode_block(block: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown block format: {fmt}")
 
 
+def patch_block_bytes(original: bytes, ii: np.ndarray, jj: np.ndarray,
+                      values: np.ndarray, h: int, w: int, fmt: str) -> bytes:
+    """Write ``values`` at pixel positions (ii, jj) INTO the original
+    encoded buffer, leaving every other byte untouched. In-place patch
+    paths (the IDW fills) must use this instead of decode -> modify ->
+    encode_block: a q16 re-encode recomputes the min/max grid (shifting
+    EVERY code), and even re-quantizing onto the original header's grid
+    drifts unpatched codes by a step (floor of a ~1-ulp-under-integer
+    ratio is not idempotent). Patched q16 values are quantized onto the
+    ORIGINAL image-global (vmin, vmax) header — the invariant
+    chunked._slice_strip_bytes preserves — clamping to the grid if out
+    of range (the quantizer's established rule)."""
+    buf = bytearray(original)
+    vals = np.asarray(values, dtype=np.float64)
+    if fmt == "raw":
+        arr = np.frombuffer(buf, dtype="<f8").reshape(h, w)
+        arr[ii, jj] = vals
+    elif fmt == "q16":
+        vmin, vmax = struct.unpack_from("<dd", buf, 0)
+        codes, _err = q16_quantize(vals, vmin, vmax)
+        arr = np.frombuffer(buf, dtype=">u2", offset=16).reshape(h, w)
+        arr[ii, jj] = codes
+    elif fmt == "i32":
+        arr = np.frombuffer(buf, dtype="<i4").reshape(h, w)
+        arr[ii, jj] = vals.astype(np.int32)
+    else:
+        raise ValueError(f"unknown block format: {fmt}")
+    return bytes(buf)
+
+
 def psnr(original: np.ndarray, decoded: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB over valid (non-NaN) pixels."""
     mask = ~(np.isnan(original) | np.isnan(decoded))

@@ -197,12 +197,18 @@ def bilinear_weights_grid(chunk_t: np.ndarray, rows: int, cols: int, dims):
     wx = xc - j0
     wy = yc - i0
     cols2, rows2 = dims
-    # valid = the 2x2 neighborhood overlaps the source AT ALL: callers
-    # mask the out-of-bounds members per neighbor (a pixel whose only
-    # missing neighbors carry zero or renormalizable weight must not be
-    # discarded — requiring all 4 in-bounds NaN'd the source's entire
-    # last row/column on identity resampling)
-    valid = (j0 >= -1) & (i0 >= -1) & (j0 < cols2) & (i0 < rows2)
+    # valid = the SAMPLE POINT lies inside the source's geographic
+    # extent (center within half a pixel of the border, inclusive).
+    # Border convention: edge samples renormalize over their in-bounds
+    # neighbors (callers mask the out-of-bounds members per neighbor —
+    # requiring all 4 in-bounds NaN'd the source's entire last
+    # row/column on identity resampling), but a sample point BEYOND the
+    # extent is invalid even when its 2x2 neighborhood still overlaps
+    # the source: renormalizing there would EXTRAPOLATE edge values up
+    # to half a pixel outside the image, inflating footprints and
+    # bleeding neighbors' edges into mosaic overlap means.
+    valid = (xc >= -0.5) & (yc >= -0.5) \
+        & (xc <= cols2 - 0.5) & (yc <= rows2 - 0.5)
     return valid, i0, j0, wx, wy
 
 

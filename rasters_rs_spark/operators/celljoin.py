@@ -275,7 +275,7 @@ def cell_pip_join(points: DataFrame, aois: pd.DataFrame, zoom: int = 12,
     to broadcast and a cell is skewed).
     """
     reserved = {"cell", "px", "py", "part", "aoi_id", "ring_offsets",
-                "xs", "ys"} & set(points.columns)
+                "xs", "ys", "_rowid"} & set(points.columns)
     if reserved:
         raise ValueError(
             f"cell_pip_join: point columns {sorted(reserved)} collide "
@@ -285,13 +285,19 @@ def cell_pip_join(points: DataFrame, aois: pd.DataFrame, zoom: int = 12,
     pts = points.withColumn("cell", cell_expr(x_col, y_col, zoom))
     pts = pts.withColumn("px", F.col(x_col)).withColumn("py", F.col(y_col))
 
+    multipart = len(aois) != aois["aoi_id"].nunique()
+    if multipart or salt > 1:
+        # per-ROW identity, captured BEFORE the join: the multipart
+        # dedup must collapse (one input row x several parts of one
+        # aoi_id) without also collapsing genuinely duplicated input
+        # point rows (dedup on the point VALUES would), and the salt
+        # must spread duplicate rows (the common cause of a hot cell)
+        # across tasks instead of hashing them to one key
+        pts = pts.withColumn("_rowid", F.monotonically_increasing_id())
+
     if salt > 1:
-        # salt on a per-ROW id, not a hash of the point columns:
-        # duplicate rows (the common cause of a hot cell) would all
-        # hash to one salt and stay on one task
         pts = pts.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
-                            F.lit(salt)))
+            "_salt", F.pmod(F.xxhash64(F.col("_rowid")), F.lit(salt)))
         cells = cells.withColumn("_salt", F.explode(F.lit(list(range(salt)))))
         join_keys = ["cell", "_salt"]
     else:
@@ -300,10 +306,12 @@ def cell_pip_join(points: DataFrame, aois: pd.DataFrame, zoom: int = 12,
     right = F.broadcast(cells) if broadcast_aois else cells
     cand = pts.join(right, on=join_keys, how="inner")
 
-    keep = [f"{c} {t}" for c, t in points.dtypes] + ["aoi_id string"]
+    keep = [f"{c} {t}" for c, t in points.dtypes] \
+        + (["_rowid long"] if multipart else []) + ["aoi_id string"]
     out = _refine(cand, keep, pip_rule)
-    if len(aois) != aois["aoi_id"].nunique():
-        # multipart AOIs: a point inside several parts of one aoi_id
-        # must still produce ONE row
-        out = out.dropDuplicates(list(points.columns) + ["aoi_id"])
+    if multipart:
+        # multipart AOIs: a point row inside several parts of one
+        # aoi_id must still produce ONE row — keyed on row identity,
+        # so duplicate input rows each keep their own output row
+        out = out.dropDuplicates(["_rowid", "aoi_id"]).drop("_rowid")
     return out

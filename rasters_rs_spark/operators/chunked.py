@@ -79,22 +79,43 @@ def chunk_images(images: DataFrame, min_data_size: int = 0x10000,
 
 def assemble_images(chunks: DataFrame) -> DataFrame:
     """Inverse of chunk_images: groupBy image, stitch data ranges back
-    into one block (padding rows are redundant and dropped)."""
+    into one block (padding rows are redundant and dropped).
+
+    Stitches the STORED row bytes (the _slice_strip_bytes inverse) —
+    never decode/re-encode: a q16 re-encode would re-quantize onto a
+    recomputed min/max grid, and even a same-grid decode->encode round
+    trip can drift codes by one step (floor of a ~1-ulp-under-integer
+    ratio), so chunk_images -> assemble_images is byte-identical to the
+    input image, and rows never covered by a data range (the clamped
+    borders under padding > 0) come out as NaN (q16 code 0)."""
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("chunk_idx")
         first = pdf.iloc[0]
         h, w = int(first["h"]), int(first["w"])
-        block = np.full((h, w), np.nan)
+        fmt = first["fmt"]
+        if fmt == "raw":
+            head, row_nb = 0, w * 8
+            nan_row = np.full(w, np.nan).tobytes()
+            header = b""
+        elif fmt == "q16":
+            head, row_nb = 16, w * 2
+            nan_row = b"\x00" * row_nb
+            header = bytes(first["bytes"])[:16]
+        else:
+            raise ValueError(f"assemble_images: unknown chunk format {fmt}")
+        rows = [nan_row] * h
         for row in pdf.itertuples(index=False):
-            strip = codecs.decode_block(row.bytes, row.load_end - row.load_start,
-                                        w, row.fmt)
-            ds, de = int(row.data_start), int(row.data_end)
-            block[ds:de] = strip[ds - row.load_start: de - row.load_start]
+            data = bytes(row.bytes)
+            ds, de, ls = (int(row.data_start), int(row.data_end),
+                          int(row.load_start))
+            for r in range(ds, de):
+                off = head + (r - ls) * row_nb
+                rows[r] = data[off: off + row_nb]
         return pd.DataFrame([{
             "image_id": first["image_id"],
-            "bytes": codecs.encode_block(block, first["fmt"]),
-            "w": w, "h": h, "fmt": first["fmt"], "gt": list(first["gt"]),
+            "bytes": header + b"".join(rows),
+            "w": w, "h": h, "fmt": fmt, "gt": list(first["gt"]),
             "crs": first["crs"], "no_val": float(first["no_val"]),
         }])
 

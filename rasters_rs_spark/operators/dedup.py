@@ -217,16 +217,25 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """Verified near-duplicate pairs: LSH candidates refined by exact
     n-gram Jaccard >= threshold (array_intersect/array_union, JVM-side).
     Returns (id_a, id_b, jaccard). Zero Python in the pipeline."""
-    # eager localCheckpoint: the self-join's two sides (and the hot-
-    # bucket count) read the materialized blocks instead of re-running
-    # the signature aggregation, and the blocks are reclaimed when the
-    # DataFrame is GC'd — a bare persist would stay pinned for the
-    # session lifetime with no caller-visible handle
+    # strategy probe: n_band_rows == n_docs * bands exactly, so a
+    # limit-capped scan of the id column (O(cap), column-pruned — never
+    # a full count) decides broadcast-vs-salted up front. The SMALL
+    # path skips the eager checkpoint too: materializing the band rows
+    # just to broadcast them cost +25% at sf0.1 (the round-3
+    # regression) — one plan with a broadcast right side lets Catalyst
+    # reuse the signature exchange instead. The BIG path checkpoints so
+    # the salted join's two sides and the hot-bucket count read
+    # materialized blocks (reclaimed on GC, unlike a bare persist)
+    # rather than re-running the signature aggregation three times.
+    cap_docs = 1_000_000 // bands
+    n_docs = docs.select(F.col(id_col)).limit(cap_docs + 1).count()
     band_rows = minhash_bands(docs, text_col, id_col, num_hashes, bands,
-                              shingle_k).localCheckpoint(eager=True)
-    n_band_rows = band_rows.count()
-    cand = lsh_candidate_pairs(band_rows,
-                               broadcast_right=n_band_rows <= 1_000_000)
+                              shingle_k)
+    if n_docs <= cap_docs:
+        cand = lsh_candidate_pairs(band_rows, broadcast_right=True)
+    else:
+        band_rows = band_rows.localCheckpoint(eager=True)
+        cand = lsh_candidate_pairs(band_rows, broadcast_right=False)
     texts = docs.select(F.col(id_col).cast("string").alias("id"),
                         F.split(F.col(text_col), " ").alias("_toks")) \
                 .select("id", shingle_expr("_toks", shingle_k,
@@ -524,10 +533,26 @@ def _embedding_planes(dim: int, bands: int, band_planes: int,
 
 
 def _embedding_band_keys(mat: np.ndarray, planes, bands: int,
-                         band_planes: int) -> np.ndarray:
-    """(rows, bands) int64 band bucket keys: sign bits of the fold-order
-    plane dots — the single source of truth for bucket identity across
-    embedding_bands (batch) and stream_embedding_neardup."""
+                         band_planes: int,
+                         fold_order: bool = True) -> np.ndarray:
+    """(rows, bands) int64 band bucket keys: sign bits of the plane
+    dots — the single source of truth for bucket identity across
+    embedding_bands (batch) and stream_embedding_neardup.
+
+    ``fold_order=True`` computes each dot as a strict left fold
+    (_fold_dot_rows) so signs are bit-identical to the SQL oracle's
+    list_reduce — required for the LCG (seed=None) contract path.
+    ``fold_order=False`` is one ``mat @ planes.T`` matmul: numpy's
+    pairwise summation differs from the fold by fp association only,
+    which can flip a sign exactly on a dot at 0.0 — impossible for
+    gaussian planes (measure-zero) — so the seeded production path
+    takes the fast kernel."""
+    if not fold_order:
+        pm = np.stack([np.asarray(p, dtype=np.float64) for p in planes])
+        signs = (mat @ pm.T) > 0                      # (rows, bands*planes)
+        weights = (1 << np.arange(band_planes, dtype=np.int64))
+        return (signs.reshape(mat.shape[0], bands, band_planes)
+                * weights).sum(axis=2, dtype=np.int64)
     from .similarity import _fold_dot_rows
     keys = np.zeros((mat.shape[0], bands), dtype=np.int64)
     for b in range(bands):
@@ -570,7 +595,8 @@ def embedding_bands(embs: DataFrame, id_col: str = "vec_id",
             if planes is None:
                 planes = _embedding_planes(mat.shape[1], bands, band_planes,
                                            seed)
-            keys = _embedding_band_keys(mat, planes, bands, band_planes)
+            keys = _embedding_band_keys(mat, planes, bands, band_planes,
+                                        fold_order=seed is None)
             cols = {"id": pdf[id_col].astype(str)}
             for b in range(bands):
                 cols[band_cols[b]] = keys[:, b]

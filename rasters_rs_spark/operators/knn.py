@@ -255,6 +255,7 @@ def fill_idw(images: DataFrame, points: pd.DataFrame, k: int = 8,
                 n = int(holes.sum())
                 if n and len(px) == 0:
                     n = 0          # nothing to interpolate from
+                data = row.bytes
                 if n:
                     ii, jj = np.nonzero(holes)
                     t = geom.transform_from_gdal(row.gt)
@@ -272,8 +273,10 @@ def fill_idw(images: DataFrame, points: pd.DataFrame, k: int = 8,
                     idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
                     dk = np.take_along_axis(d, idx, axis=1)
                     vk = pz[idx]
-                    block[ii, jj] = idw(vk, dk, power)
-                out.append((row.image_id, codecs.encode_block(block, row.fmt),
+                    data = codecs.patch_block_bytes(
+                        row.bytes, ii, jj, idw(vk, dk, power),
+                        row.h, row.w, row.fmt)
+                out.append((row.image_id, data,
                             row.w, row.h, row.fmt, list(row.gt), row.crs,
                             row.no_val, n))
             yield pd.DataFrame(out, columns=[
@@ -334,10 +337,13 @@ def fill_idw_distributed_chunked(chunks: DataFrame, points: DataFrame,
     fast_path_points). Composes hole_pixels_chunked -> knn_join ->
     per-STRIP cogroup patching; returns patched chunk rows (same
     schema), assemble with chunked.assemble_images if the final image
-    fits a task. Fill values are identical to fill_idw /
-    fill_idw_distributed (same strict-fold IDW kernel and tie-breaks):
-    holes fall in exactly one strip's data range, and padding rows are
-    re-duplicated from the patched data by the caller's assembly."""
+    fits a task. Output is BYTE-identical to fill_idw /
+    fill_idw_distributed for raw AND q16 (same strict-fold IDW kernel
+    and tie-breaks; filled codes are patched into the stored strip
+    bytes on the image-global q16 grid, never a strip-local
+    re-quantize): holes fall in exactly one strip's data range, and
+    padding rows are re-duplicated from the patched data by the
+    caller's assembly."""
     q = hole_pixels_chunked(chunks, fill_nan).withColumn(
         "qid", F.concat_ws(":", "image_id", "pi", "pj"))
     nn = knn_join(q, points, k=k, cell_size=cell_size, query_id="qid",
@@ -353,7 +359,7 @@ def fill_idw_distributed_chunked(chunks: DataFrame, points: DataFrame,
         for row in chunk_pdf.itertuples(index=False):
             ls, le = int(row.load_start), int(row.load_end)
             ds, de = int(row.data_start), int(row.data_end)
-            strip = codecs.decode_block(row.bytes, le - ls, row.w, row.fmt)
+            data = row.bytes
             if len(nn_sorted):
                 # invariant: hole_pixels_chunked only emits data-range
                 # holes and the cogroup key is (image_id, chunk_idx),
@@ -368,9 +374,14 @@ def fill_idw_distributed_chunked(chunks: DataFrame, points: DataFrame,
                 jj = counts.index.get_level_values(1).to_numpy()
                 dk = g["dist"].to_numpy().reshape(len(counts), kk)
                 vk = g["z"].to_numpy().reshape(len(counts), kk)
-                strip[gi - ls, jj] = idw(vk, dk, power)
+                # patch codes into the stored strip bytes: unfilled
+                # pixels stay byte-identical and q16 fills land on the
+                # image-global grid (never a strip-local re-quantize)
+                data = codecs.patch_block_bytes(
+                    row.bytes, gi - ls, jj, idw(vk, dk, power),
+                    le - ls, row.w, row.fmt)
             out.append((row.image_id, int(row.chunk_idx), ds, de, ls, le,
-                        codecs.encode_block(strip, row.fmt), row.w, row.h,
+                        data, row.w, row.h,
                         row.fmt, list(row.gt), row.crs, row.no_val))
         return pd.DataFrame(out, columns=[
             "image_id", "chunk_idx", "data_start", "data_end",
@@ -445,8 +456,8 @@ def fill_idw_distributed(images: DataFrame, points: DataFrame, k: int = 8,
         nn_by_img = (nn_pdf.sort_values(["pi", "pj", "dist", "pt_id"])
                      if len(nn_pdf) else nn_pdf)
         for row in img_pdf.itertuples(index=False):
-            block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
             n = 0
+            data = row.bytes
             if len(nn_by_img):
                 g = nn_by_img[nn_by_img["image_id"] == row.image_id]
                 if len(g):
@@ -459,8 +470,10 @@ def fill_idw_distributed(images: DataFrame, points: DataFrame, k: int = 8,
                     jj = counts.index.get_level_values(1).to_numpy()
                     dk = g["dist"].to_numpy().reshape(n, kk)
                     vk = g["z"].to_numpy().reshape(n, kk)
-                    block[ii, jj] = idw(vk, dk, power)
-            out.append((row.image_id, codecs.encode_block(block, row.fmt),
+                    data = codecs.patch_block_bytes(
+                        row.bytes, ii, jj, idw(vk, dk, power),
+                        row.h, row.w, row.fmt)
+            out.append((row.image_id, data,
                         row.w, row.h, row.fmt, list(row.gt), row.crs,
                         row.no_val, n))
         return pd.DataFrame(out, columns=[

@@ -18,19 +18,37 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+#: Executor-memory budget for a broadcast probe table. The probe table
+#: is queries x multi-probe flips and each row CARRIES the full q_vec
+#: array, so the row-count threshold must be derived from bytes, not a
+#: fixed count — 1e6 64-dim queries x 4 probes is multi-GB.
+MAX_BROADCAST_PROBE_BYTES = 64 << 20
+
+
 def _maybe_broadcast_queries(queries: DataFrame, qprobe: DataFrame,
                              broadcast_queries: bool | None,
-                             max_broadcast_queries: int) -> DataFrame:
+                             max_broadcast_queries: int,
+                             dim: int = 64, multiplier: int = 1,
+                             max_bytes: int = MAX_BROADCAST_PROBE_BYTES) -> DataFrame:
     """Adaptive query-side plan for the bucket/list candidate join
     (knn_join's stats-based fast-path pattern): broadcast the probe
     table when the query side is small — the common ANN shape, no
     shuffle of the corpus — but fall back to a plain equi-join (Catalyst
     picks sort-merge/shuffled-hash) when a caller feeds a LARGE query
     table, where an unconditional broadcast would OOM the executors.
-    The decision counts the RAW query input (a cheap scan), not the
-    bucketed probe table, so the pandas bucketing UDF runs once."""
+
+    The auto decision sizes the POST-explode probe table: raw query
+    rows x ``multiplier`` (multi-probe flips / nprobe lists), each
+    carrying a ``dim``-wide float64 vector, against ``max_bytes``.
+    The row probe is a ``limit(cap + 1)`` scan of the RAW query input —
+    O(cap) whatever the corpus size (never a full count), column-pruned,
+    and it runs before the bucketing UDF so that still executes once."""
     if broadcast_queries is None:
-        broadcast_queries = queries.count() <= max_broadcast_queries
+        row_bytes = (dim * 8 + 64) * max(multiplier, 1)
+        cap = min(max_broadcast_queries, max(1, max_bytes // row_bytes))
+        first_col = queries.columns[0]
+        n = queries.select(first_col).limit(cap + 1).count()
+        broadcast_queries = n <= cap
     return F.broadcast(qprobe) if broadcast_queries else qprobe
 
 
@@ -96,25 +114,23 @@ def _fold_dot_rows(mat, plane) -> "np.ndarray":
     return acc
 
 
-def _lsh_bucket_udf(vec_col: str, planes: list[list[float]]):
-    """Bucket id = hyperplane sign bits (bit j set when dot_j > 0),
-    computed in an Arrow-batched pandas UDF with fold-order dots."""
-    import numpy as np
-    pl = [np.asarray(p, dtype=np.float64) for p in planes]
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.stack([np.asarray(v, dtype=np.float64)
-                            for v in pdf[vec_col]])
-            bucket = np.zeros(len(pdf), dtype=np.int64)
-            for j, p in enumerate(pl):
-                bucket |= (_fold_dot_rows(mat, p) > 0).astype(np.int64) << j
-            res = pdf.copy()
-            res["bucket"] = bucket
-            yield res
-    return gen
+def _lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Bucket id = hyperplane sign bits (bit j set when dot_j > 0) as a
+    pure Catalyst expression: each dot is a zip_with + left-fold
+    aggregate over the plane emitted as array LITERALS — the plan stays
+    inside whole-stage codegen (no Arrow round-trip, no Python pass),
+    and F.aggregate's strict left fold is the exact per-element op
+    order the SQL oracle's list_reduce uses, so bucket bits stay
+    bit-identical across engines (same reason _fold_dot_rows exists)."""
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(v)) for v in p])
+        dot = F.aggregate(F.zip_with(F.col(vec_col), plane_lit,
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket.bitwiseOR(
+            F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long"))
+    return bucket
 
 
 def lsh_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
@@ -126,18 +142,19 @@ def lsh_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     """lsh_topk with deterministic LCG hyperplanes and JVM-side fold
     dot products: same plan shape (bucket equi-join + multi-probe +
     exact rerank), but every intermediate is reproducible in ANSI SQL —
-    this is the contract-oracled variant."""
+    this is the contract-oracled variant. Bucketing is a pure Catalyst
+    expression (plane literals + fold dots, _lsh_bucket_expr) — the
+    whole candidate step runs JVM-side with zero Python passes."""
     planes = lcg_planes(n_planes, dim)
-    c_schema = ", ".join(f"{n} {t}" for n, t in corpus.dtypes) + ", bucket long"
-    q_schema = ", ".join(f"{n} {t}" for n, t in queries.dtypes) + ", bucket long"
-    ck = corpus.mapInPandas(_lsh_bucket_udf(c_vec, planes), schema=c_schema)
-    qk = queries.mapInPandas(_lsh_bucket_udf(q_vec, planes), schema=q_schema)
+    ck = corpus.withColumn("bucket", _lsh_bucket_expr(c_vec, planes))
+    qk = queries.withColumn("bucket", _lsh_bucket_expr(q_vec, planes))
     flips = [0] + [1 << b for b in range(min(probes, n_planes))]
     probe_df = qk.sparkSession.createDataFrame([(f,) for f in flips], "flip long")
     qprobe = qk.crossJoin(F.broadcast(probe_df)).withColumn(
         "bucket", F.col("bucket").bitwiseXOR(F.col("flip"))).drop("flip")
     qprobe = _maybe_broadcast_queries(queries, qprobe, broadcast_queries,
-                                      max_broadcast_queries)
+                                      max_broadcast_queries, dim=dim,
+                                      multiplier=len(flips))
     cand = ck.join(qprobe, on="bucket")
     return _rerank_topk(cand, k, q_id, c_id, q_vec, c_vec)
 
@@ -204,7 +221,8 @@ def ivf_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
                              schema=q_schema) \
                 .withColumn("list_id", F.explode("lists")).drop("lists")
     qk = _maybe_broadcast_queries(queries, qk, broadcast_queries,
-                                  max_broadcast_queries)
+                                  max_broadcast_queries, dim=dim,
+                                  multiplier=nprobe)
     cand = ck.join(qk, on="list_id")
     return _rerank_topk(cand, k, q_id, c_id, q_vec, c_vec)
 
@@ -288,7 +306,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
                 .withColumn("list_id", F.explode("lists")).drop("lists")
 
     qk = _maybe_broadcast_queries(queries, qk, broadcast_queries,
-                                  max_broadcast_queries)
+                                  max_broadcast_queries, dim=dim,
+                                  multiplier=nprobe)
     cand = ck.join(qk, on="list_id")
     return _rerank_topk(cand, k, q_id, c_id, q_vec, c_vec)
 
@@ -314,6 +333,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
         "bucket", F.col("bucket").bitwiseXOR(F.col("flip"))).drop("flip")
 
     qprobe = _maybe_broadcast_queries(queries, qprobe, broadcast_queries,
-                                      max_broadcast_queries)
+                                      max_broadcast_queries, dim=dim,
+                                      multiplier=len(flips))
     cand = ck.join(qprobe, on="bucket")
     return _rerank_topk(cand, k, q_id, c_id, q_vec, c_vec)

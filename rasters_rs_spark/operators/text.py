@@ -127,10 +127,12 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     corpus scale); use ``dedup.minhash_dedup`` as the LSH-pruned scale
     path. Returns (id_a, id_b, jaccard).
 
-    Note: the guard runs one eager Spark job, but over the id column
-    ONLY (column pruning keeps text parsing out of it), and nothing is
-    left persisted behind the caller's back."""
-    n = docs.select(F.col(id_col)).count()
+    Note: the guard runs one eager Spark job, but CAPPED at
+    ``max_rows + 1`` rows (limit + column pruning keep it O(max_rows)
+    regardless of corpus size — the refuse-fast check must not itself
+    be a full scan), and nothing is left persisted behind the caller's
+    back."""
+    n = docs.select(F.col(id_col)).limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
             f"ngram_jaccard_pairs is the exact all-pairs (O(N^2)) surface; "

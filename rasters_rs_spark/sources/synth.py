@@ -59,15 +59,28 @@ def make_image_block(seed: int, idx: int, h: int, w: int) -> np.ndarray:
 def image_table(n: int, seed: int = 42, h: int = 64, w: int = 64,
                 fmt_cycle=("raw", "q16"), extent=DEFAULT_EXTENT,
                 pixel_size: float = 1.0, crs: str = "EPSG:3857",
-                nan_frac: float = 0.0) -> pd.DataFrame:
+                nan_frac: float = 0.0,
+                plant_neardups=()) -> pd.DataFrame:
     """Image+caption table; images are placed on a deterministic grid of
-    top-left corners inside ``extent`` so centroids spread across cells."""
+    top-left corners inside ``extent`` so centroids spread across cells.
+
+    ``plant_neardups``: (dst_idx, src_idx) pairs — dst's block becomes a
+    copy of src's with one pooled phash cell bumped, so the pair's REAL
+    phashes (still phash64(bytes): the column/content invariant holds)
+    sit a few hamming bits apart. Keeps near-dup fixtures non-vacuous:
+    48 independent gaussian images contain no pair within hamming 12,
+    so an oracle over them would also pass a broken operator."""
     rows = []
+    planted = dict(plant_neardups)
     ncols = max(int(np.ceil(np.sqrt(n))), 1)
     span_x = extent[2] - extent[0] - w * pixel_size
     span_y = extent[3] - extent[1] - h * pixel_size
     for i in range(n):
-        block = make_image_block(seed, i, h, w)
+        if i in planted:
+            block = make_image_block(seed, planted[i], h, w)
+            block[: max(h // 8, 1), : max(w // 8, 1)] += 1.0
+        else:
+            block = make_image_block(seed, i, h, w)
         if nan_frac > 0.0:
             hole = np.random.default_rng(seed * 7 + i).random(block.shape) < nan_frac
             block[hole] = np.nan

@@ -489,7 +489,8 @@ def stream_embedding_neardup(spark: SparkSession, source_dir: str,
             if planes is None:
                 planes = _embedding_planes(mat.shape[1], bands,
                                            band_planes, seed)
-            keys = _embedding_band_keys(mat, planes, bands, band_planes)
+            keys = _embedding_band_keys(mat, planes, bands, band_planes,
+                                        fold_order=seed is None)
             out = []
             ids = pdf[id_col].astype(str)
             for i in range(len(pdf)):

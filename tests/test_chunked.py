@@ -251,3 +251,19 @@ def test_diff_stats_chunked_adjust_negate_matches_whole(spark):
                                  adjust=1.5, negate=True).collect()[0]
     for c in ("count", "diff_min", "diff_max", "diff_sum", "diff_sum_2"):
         assert chunked[c] == whole[c], c
+
+
+def test_chunk_assemble_roundtrip_byte_identical(spark):
+    """chunk_images -> assemble_images must return the EXACT stored
+    bytes for both raw and q16 (assembly stitches stored row bytes; a
+    decode/re-encode would drift q16 codes by up to a step)."""
+    from rasters_rs_spark.operators.chunked import (assemble_images,
+                                                    chunk_images)
+    from rasters_rs_spark.sources import synth
+    for fmt in ("raw", "q16"):
+        images = spark.createDataFrame(
+            synth.lcg_image_table(2, 32, 32, 2.0, fmt=fmt))
+        orig = {r["image_id"]: bytes(r["bytes"]) for r in images.collect()}
+        back = assemble_images(chunk_images(images, min_data_size=32 * 8))
+        got = {r["image_id"]: bytes(r["bytes"]) for r in back.collect()}
+        assert got == orig, fmt

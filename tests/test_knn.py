@@ -367,3 +367,40 @@ def test_idw_underflow_treated_as_exact_hit():
     assert est == 100.0
     est2 = K.idw(np.array([[7.0, 9.0]]), np.array([[1e-200, 1e-200]]))[0]
     assert est2 == 7.0     # first exact column wins; no NaN
+
+
+def test_fill_idw_q16_preserves_global_grid(spark):
+    """q16 fills must re-quantize onto the ORIGINAL image-global
+    (vmin, vmax) header — a strip/image-local re-encode shifts every
+    code (including unfilled pixels) by up to a quantization step. Two
+    invariants: (1) the output header equals the input header and all
+    unfilled pixels decode identically; (2) the both-sides-chunked fill
+    is byte-identical to the broadcast fill after assembly."""
+    from rasters_rs_spark.operators.chunked import (assemble_images,
+                                                    chunk_images)
+    pdf = synth.lcg_image_table(4, 32, 32, pixel_size=2.0,
+                                holes_below=0.125, hole_val=float("nan"),
+                                fmt="q16")
+    images = spark.createDataFrame(pdf)
+    pts = synth.points_table(200, seed=51,
+                             extent=(-1000.0, 900.0, -100.0, 1010.0))
+
+    orig = {r["image_id"]: bytes(r["bytes"]) for r in images.collect()}
+    base_rows = K.fill_idw(images, pts, k=4, fill_nan=True).collect()
+    base = {r["image_id"]: bytes(r["bytes"]) for r in base_rows}
+    for iid, b in base.items():
+        assert b[:16] == orig[iid][:16], "q16 header must be preserved"
+        ob = codecs.decode_block(orig[iid], 32, 32, "q16")
+        nb = codecs.decode_block(b, 32, 32, "q16")
+        untouched = ~np.isnan(ob)
+        assert np.array_equal(ob[untouched], nb[untouched]), \
+            "unfilled q16 pixels must decode identically"
+        assert np.isnan(ob).any() and not np.isnan(nb).any()
+
+    chunks = chunk_images(images, min_data_size=32 * 8)  # 8-row strips
+    patched = K.fill_idw_distributed_chunked(
+        chunks, spark.createDataFrame(pts), k=4, fill_nan=True,
+        cell_size=256.0, fast_path_points=0)
+    got = {r["image_id"]: bytes(r["bytes"])
+           for r in assemble_images(patched).collect()}
+    assert got == base

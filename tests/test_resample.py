@@ -184,3 +184,27 @@ def test_mosaic_covers_rotated_image(spark):
     # ~70-85% of the footprint, not <=2 pixels
     assert n_full >= 16 and n_mos >= n_full - 2
     assert np.allclose(got[~np.isnan(got)], 5.0)
+
+
+def test_bilinear_no_extrapolation_beyond_extent():
+    """Border convention: a sample point more than half a pixel past
+    the border pixel centers (outside the source's geographic extent)
+    is NaN — renormalizing its partial neighborhood would EXTRAPOLATE
+    edge values outside the image. Points exactly ON the extent edge
+    (xc == cols - 0.5) remain valid and renormalize."""
+    from rasters_rs_spark.operators.resample import resample_block
+    rng = np.random.default_rng(45)
+    src = rng.normal(size=(8, 8))
+    gt = [0.0, 1.0, 0.0, 8.0, 0.0, -1.0]
+    # +0.75-pixel x shift: last column samples at xc = 7.75 > 7.5
+    dst_gt = [0.75, 1.0, 0.0, 8.0, 0.0, -1.0]
+    out = resample_block(src, gt, dst_gt, 8, 8, "bilinear")
+    assert np.isnan(out[:, 7]).all()
+    assert not np.isnan(out[:, :7]).any()
+    # exactly on the edge (half-pixel shift): still valid, renormalized
+    dst_gt = [0.5, 1.0, 0.0, 8.0, 0.0, -1.0]
+    out = resample_block(src, gt, dst_gt, 8, 8, "bilinear")
+    assert not np.isnan(out).any()
+    # last column: the two right neighbors are OOB and wy = 0 on this
+    # fixture, so renormalization passes the border column through
+    assert np.allclose(out[:, 7], src[:, 7])

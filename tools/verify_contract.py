@@ -2,7 +2,8 @@
 queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01,
 compare row count, column names, and order-insensitive values.
 
-Usage: python tools/verify_contract.py [sf_dir]
+Usage: python tools/verify_contract.py [sf_dir] [query ...]
+(extra args restrict the run to the named queries() entries)
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ def frame_sig(cols, rows):
     return lines
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only=None):
     spark = get_spark("verify-contract", cores=16, shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -45,12 +46,16 @@ def main(sf_dir: str):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
-
-    print(f"== entry() smoke ==", flush=True)
-    t0 = time.time()
-    edf = entrymod.entry(spark)
-    n = len(edf.collect())
-    print(f"entry: {n} rows, schema {edf.columns} [{time.time()-t0:.1f}s]")
+    if only:
+        missing = [n for n in only if n not in qs]
+        assert not missing, f"unknown queries: {missing}"
+        qs = {n: qs[n] for n in only}
+    else:
+        print(f"== entry() smoke ==", flush=True)
+        t0 = time.time()
+        edf = entrymod.entry(spark)
+        n = len(edf.collect())
+        print(f"entry: {n} rows, schema {edf.columns} [{time.time()-t0:.1f}s]")
 
     for name, fn in qs.items():
         t0 = time.time()
@@ -102,4 +107,5 @@ def main(sf_dir: str):
 
 if __name__ == "__main__":
     sys.exit(1 if main(sys.argv[1] if len(sys.argv) > 1 else
-                       "/root/testdata/sf0.01") else 0)
+                       "/root/testdata/sf0.01",
+                       only=sys.argv[2:] or None) else 0)
