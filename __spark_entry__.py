@@ -147,6 +147,22 @@ def _q_zonal_rect(spark, sf_dir):
     )
 
 
+def _q_zonal_rect_dist(spark, sf_dir):
+    """zonal_rect_events through the DISTRIBUTED AOI side: the rect
+    catalog enters as an AOI DataFrame, covering cells are Catalyst
+    exprs (aoi_cells_dist — nothing driver-side), and the result must
+    match the same SQL oracle as the broadcast-pandas path."""
+    pts = _event_points(spark, sf_dir)
+    aois = spark.createDataFrame(
+        _rect_aois()[["aoi_id", "ring_offsets", "xs", "ys"]],
+        schema=celljoin.AOI_SCHEMA)
+    joined = celljoin.cell_pip_join(pts, aois, zoom=12, multipart=False)
+    return joined.groupBy("aoi_id").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
 def _q_knn_topk(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings")
     corpus = emb.selectExpr("cast(vec_id as bigint) vec_id",
@@ -365,6 +381,18 @@ def _q_zonal_stats_images(spark, sf_dir):
     images = spark.createDataFrame(synth.lcg_image_table(32))
     aois = synth.aoi_table(8, seed=43, extent=_ZONAL_AOI_EXTENT)
     return stats.zonal_stats(images, aois)
+
+
+def _q_zonal_stats_dist(spark, sf_dir):
+    """zonal_stats_dist: the cell-join-pruned DataFrame AOI side
+    (image bbox cells x AOI covering cells -> cogrouped kernel) against
+    the SAME edge-for-edge SQL PIP oracle as zonal_stats_synth."""
+    images = spark.createDataFrame(synth.lcg_image_table(32))
+    aois = synth.aoi_table(8, seed=43, extent=_ZONAL_AOI_EXTENT)
+    adf = spark.createDataFrame(
+        aois[["aoi_id", "ring_offsets", "xs", "ys"]],
+        schema=celljoin.AOI_SCHEMA)
+    return stats.zonal_stats_dist(images, adf, zoom=12)
 
 
 def _q_image_stats(spark, sf_dir):
@@ -793,6 +821,23 @@ def _q_rasterize(spark, sf_dir):
     aois = synth.aoi_table(8, seed=43, extent=_ZONAL_AOI_EXTENT)
     chunks = celljoin.rasterize(spark, aois, _RZ_GT, 64, 64,
                                 strip_height=16)
+    out = assemble_images(chunks)
+    return _explode_pixels(out) \
+        .where(F.col("v").isNotNull() & ~F.isnan("v")) \
+        .select("i", "j", F.col("v").cast("bigint").alias("aoi_ord"))
+
+
+def _q_rasterize_dist(spark, sf_dir):
+    """rasterize_dist: strip bbox cells x AOI covering cells -> the
+    shared burn kernel over each strip's pruned subset — byte-level
+    semantics of rasterize, same min-ordinal SQL oracle."""
+    from rasters_rs_spark.operators.chunked import assemble_images
+    aois = synth.aoi_table(8, seed=43, extent=_ZONAL_AOI_EXTENT)
+    adf = spark.createDataFrame(
+        aois[["aoi_id", "ring_offsets", "xs", "ys"]],
+        schema=celljoin.AOI_SCHEMA)
+    chunks = celljoin.rasterize_dist(adf, _RZ_GT, 64, 64,
+                                     strip_height=16, zoom=12)
     out = assemble_images(chunks)
     return _explode_pixels(out) \
         .where(F.col("v").isNotNull() & ~F.isnan("v")) \
@@ -1385,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantity": _q_histogram,
         "diff_stats_parts": _q_diff_stats,
         "zonal_rect_events": _q_zonal_rect,
+        "zonal_rect_events_dist": _q_zonal_rect_dist,
         "knn_topk_embeddings": _q_knn_topk,
         "dedup_groups_docs": _q_dedup_groups,
         "text_quality": _q_text_quality,
@@ -1398,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (exact numpy oracles live in tests/)
         "tile_pyramid_synth": _q_tile_pyramid,
         "zonal_stats_synth": _q_zonal_stats_images,
+        "zonal_stats_dist_synth": _q_zonal_stats_dist,
         "image_stats_synth": _q_image_stats,
         "diff_stats_synth": _q_diff_synth,
         "knn_ring_synth": _q_knn_ring,
@@ -1423,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean_synth": _q_focal_mean,
         "focal_grad_synth": _q_focal_grad,
         "rasterize_synth": _q_rasterize,
+        "rasterize_dist_synth": _q_rasterize_dist,
         "lcg_mask_counts": _q_lcg_mask_counts,
         "asof_purchase_before_error": _q_asof_join,
         "supplier_region_agg": _q_supplier_region,
@@ -2210,6 +2258,14 @@ def oracle_sql() -> dict[str, str]:
     ts12 = 2.0 * 20037508.0 / float(1 << 12)
     rect_values = ", ".join(f"('{a}', {x0}, {y0}, {x1}, {y1})"
                             for (a, x0, y0, x1, y1) in _RECTS)
+    d = _oracle_sql_dict(ts12, rect_values)
+    # the distributed-AOI variants answer the SAME questions — one
+    # oracle text each, two independent Spark plans under test
+    d["zonal_rect_events_dist"] = d["zonal_rect_events"]
+    return d
+
+
+def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
     return {
         "pixel_stats": """
             SELECT CAST(count(l_extendedprice) AS BIGINT) AS count,
@@ -2359,6 +2415,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_neardup_synth": _phash_neardup_sql(),
         "image_stats_synth": _lcg_q16_stats_sql(),
         "zonal_stats_synth": _lcg_zonal_poly_sql(),
+        "zonal_stats_dist_synth": _lcg_zonal_poly_sql(),
         "diff_stats_synth": _lcg_diff_partial_sql(),
         "knn_ring_synth": _knn_ring_sql(),
         "fill_idw_synth": _fill_idw_sql(),
@@ -2380,6 +2437,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_mean_synth": _focal_sql("mean3"),
         "focal_grad_synth": _focal_sql("grad_mag"),
         "rasterize_synth": _rasterize_sql(),
+        "rasterize_dist_synth": _rasterize_sql(),
         "lcg_mask_counts": _lcg_mask_sql(),
         "asof_purchase_before_error": """
             WITH l AS (SELECT user_id, ts, event_id FROM events

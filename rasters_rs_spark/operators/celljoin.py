@@ -91,38 +91,130 @@ def rasterize(spark: SparkSession, aois: pd.DataFrame, gt, w: int, h: int,
             out = []
             for row in pdf.itertuples(index=False):
                 sy = int(row.id)
-                r0 = sy * strip_height
-                r1 = min(r0 + strip_height, h)
-                jj, ii = np.meshgrid(np.arange(w), np.arange(r0, r1))
-                wx, wy = G.transform_points(t, jj.ravel() + 0.5,
-                                            ii.ravel() + 0.5)
-                sx0, sx1 = float(wx.min()), float(wx.max())
-                sy0, sy1 = float(wy.min()), float(wy.max())
-                block = np.full(wx.shape, np.nan)
-                for (k, ro, xs, ys, (bx0, by0, bx1, by1)) in polys:
-                    # O(1) strip-vs-AOI bbox rejection before any
-                    # per-pixel mask work (the per-strip prefilter the
-                    # docstring promises)
-                    if bx1 < sx0 or bx0 > sx1 or by1 < sy0 or by0 > sy1:
-                        continue
-                    cand = ((wx >= bx0) & (wx <= bx1)
-                            & (wy >= by0) & (wy <= by1) & np.isnan(block))
-                    if not cand.any():
-                        continue
-                    idx = np.nonzero(cand)[0]
-                    inside = pip(wx[idx], wy[idx], ro, xs, ys)
-                    block[idx[inside]] = float(k)
-                out.append((
-                    "rasterized", sy, r0, r1, r0, r1,
-                    codecs.encode_raw(block.reshape(r1 - r0, w)),
-                    w, h, "raw", gt, "EPSG:3857", float("nan")))
-            yield pd.DataFrame(out, columns=[
-                "image_id", "chunk_idx", "data_start", "data_end",
-                "load_start", "load_end", "bytes", "w", "h", "fmt",
-                "gt", "crs", "no_val"])
+                out.append(_burn_strip_row(sy, strip_height, w, h, gt, t,
+                                           polys, pip))
+            yield pd.DataFrame(out, columns=_CHUNK_COLS)
 
     from .chunked import CHUNK_SCHEMA
     return spark.range(n_strips).mapInPandas(gen, schema=CHUNK_SCHEMA)
+
+
+_CHUNK_COLS = ["image_id", "chunk_idx", "data_start", "data_end",
+               "load_start", "load_end", "bytes", "w", "h", "fmt",
+               "gt", "crs", "no_val"]
+
+
+def _burn_strip_row(sy: int, strip_height: int, w: int, h: int, gt, t,
+                    polys, pip):
+    """Burn one target-grid row strip against (ordinal, rings, bbox)
+    polys — the kernel shared by rasterize (broadcast AOI closure) and
+    rasterize_dist (cell-join-pruned AOI subset). Ascending-ordinal
+    iteration + the isnan guard make the smallest ordinal win
+    overlaps."""
+    G = geom
+    r0 = sy * strip_height
+    r1 = min(r0 + strip_height, h)
+    jj, ii = np.meshgrid(np.arange(w), np.arange(r0, r1))
+    wx, wy = G.transform_points(t, jj.ravel() + 0.5, ii.ravel() + 0.5)
+    sx0, sx1 = float(wx.min()), float(wx.max())
+    sy0, sy1 = float(wy.min()), float(wy.max())
+    block = np.full(wx.shape, np.nan)
+    for (k, ro, xs, ys, (bx0, by0, bx1, by1)) in polys:
+        # O(1) strip-vs-AOI bbox rejection before any per-pixel mask
+        # work (the per-strip prefilter the docstring promises)
+        if bx1 < sx0 or bx0 > sx1 or by1 < sy0 or by0 > sy1:
+            continue
+        cand = ((wx >= bx0) & (wx <= bx1)
+                & (wy >= by0) & (wy <= by1) & np.isnan(block))
+        if not cand.any():
+            continue
+        idx = np.nonzero(cand)[0]
+        inside = pip(wx[idx], wy[idx], ro, xs, ys)
+        block[idx[inside]] = float(k)
+    return ("rasterized", sy, r0, r1, r0, r1,
+            codecs.encode_raw(block.reshape(r1 - r0, w)),
+            w, h, "raw", gt, "EPSG:3857", float("nan"))
+
+
+def rasterize_dist(aois: DataFrame, gt, w: int, h: int,
+                   strip_height: int = 256, zoom: int = 12,
+                   pip_rule: str = "evenodd") -> DataFrame:
+    """rasterize with a DISTRIBUTED AOI side (celljoin.AOI_SCHEMA
+    DataFrame) — the path for AOI catalogs too large for a task
+    closure. Burn values are ordinals of the aoi_id sort order, exactly
+    like rasterize; pass a precomputed ``ordinal`` column to skip the
+    one-off global row_number (a single-partition window — fine as a
+    metadata step, precompute it for repeated rasterizations).
+
+    Shape: strip bboxes (Catalyst exprs of the strip index over gt
+    LITERALS) -> covering cells -> equi-join aoi_cells_dist -> distinct
+    (strip, aoi-part) -> cogroup with the strip index -> the shared
+    burn kernel over each strip's pruned AOI subset. Per-task memory is
+    strip_height x w doubles + candidate rings; the catalog never
+    lands on the driver."""
+    from pyspark.sql import Window
+
+    spark = aois.sparkSession
+    G = geom
+    gt = [float(v) for v in gt]
+    strip_height = max(1, min(strip_height, h))
+    n_strips = (h + strip_height - 1) // strip_height
+    t = G.transform_from_gdal(gt)
+    pip = {"evenodd": G.points_in_rings,
+           "nonzero": G.points_in_rings_winding}[pip_rule]
+
+    if "ordinal" not in aois.columns:
+        aois = aois.withColumn(
+            "ordinal", F.row_number().over(Window.orderBy("aoi_id")) - 1)
+    acells = aoi_cells_dist(aois, zoom, extra_cols=("ordinal",))
+
+    ts = 2.0 * MAX_COORD / float(1 << zoom)
+    strips = spark.range(n_strips).select(F.col("id").cast("int").alias("sy"))
+    r0 = F.col("sy").cast("double") * strip_height
+    r1 = F.least(r0 + strip_height, F.lit(float(h)))
+    zero, ww = F.lit(0.0), F.lit(float(w))
+    cxs = [gt[0] + j * gt[1] + i * gt[2]
+           for (j, i) in ((zero, r0), (ww, r0), (zero, r1), (ww, r1))]
+    cys = [gt[3] + j * gt[4] + i * gt[5]
+           for (j, i) in ((zero, r0), (ww, r0), (zero, r1), (ww, r1))]
+    b = strips.select(
+        "sy",
+        F.floor((F.least(*cxs) + F.lit(MAX_COORD)) / F.lit(ts))
+         .cast("long").alias("_x0"),
+        F.floor((F.greatest(*cxs) + F.lit(MAX_COORD)) / F.lit(ts))
+         .cast("long").alias("_x1"),
+        F.floor((F.least(*cys) + F.lit(MAX_COORD)) / F.lit(ts))
+         .cast("long").alias("_y0"),
+        F.floor((F.greatest(*cys) + F.lit(MAX_COORD)) / F.lit(ts))
+         .cast("long").alias("_y1"))
+    b = b.withColumn("_cx", F.explode(F.sequence("_x0", "_x1")))
+    b = b.withColumn("_cy", F.explode(F.sequence("_y0", "_y1")))
+    scells = b.select(
+        "sy", (F.shiftleft(F.col("_cx"), 32) + F.col("_cy")).alias("cell"))
+
+    # _sy alias: the candidate side derives from `strips` (ambiguous
+    # self-join otherwise, same fix as zonal_stats_dist)
+    cand = (scells.join(acells, on="cell")
+            .dropDuplicates(["sy", "part"])
+            .select(F.col("sy").alias("_sy"), "ordinal",
+                    "ring_offsets", "xs", "ys"))
+
+    def kernel(strip_pdf: pd.DataFrame, aoi_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        polys = [(int(r.ordinal), list(r.ring_offsets),
+                  np.asarray(r.xs, dtype=np.float64),
+                  np.asarray(r.ys, dtype=np.float64),
+                  G.polygon_bbox(r.ring_offsets, r.xs, r.ys))
+                 for r in aoi_pdf.sort_values("ordinal")
+                                 .itertuples(index=False)]
+        for row in strip_pdf.itertuples(index=False):
+            out.append(_burn_strip_row(int(row.sy), strip_height, w, h,
+                                       gt, t, polys, pip))
+        return pd.DataFrame(out, columns=_CHUNK_COLS)
+
+    from .chunked import CHUNK_SCHEMA
+    return strips.groupBy("sy").cogroup(cand.groupBy("_sy")) \
+        .applyInPandas(lambda key, a, b_: kernel(a, b_), schema=CHUNK_SCHEMA)
 
 
 def with_hilbert(df: DataFrame, cx_col: str = "cx", cy_col: str = "cy",
@@ -190,10 +282,78 @@ def hilbert_xy2d(x: int, y: int, bits: int = 8) -> int:
     return d
 
 
+def aoi_cells_dist(aois: DataFrame, zoom: int, extra_cols=()) -> DataFrame:
+    """Covering cells of an AOI DataFrame (AOI_SCHEMA) as PURE Catalyst
+    expressions — the corpus-scale counterpart of aoi_cells_df for AOI
+    catalogs too large for the driver: bbox from array_min/array_max
+    (all-ring bbox, the polygon_bbox convention), tile range floors,
+    sequence() x sequence() double explode. The plan is scan ->
+    project -> generate -> generate — no driver materialization, no
+    Python. ``part`` (the per-AOI-ROW identity _refine groups by) is a
+    monotonically_increasing_id captured before the explode; each cell
+    row carries its own ring buffers, so refine stays row-local."""
+    ts = 2.0 * MAX_COORD / float(1 << zoom)
+    b = (aois
+         .withColumn("part", F.monotonically_increasing_id())
+         .withColumn("_x0", F.floor((F.array_min("xs") + F.lit(MAX_COORD))
+                                    / F.lit(ts)).cast("long"))
+         .withColumn("_x1", F.floor((F.array_max("xs") + F.lit(MAX_COORD))
+                                    / F.lit(ts)).cast("long"))
+         .withColumn("_y0", F.floor((F.array_min("ys") + F.lit(MAX_COORD))
+                                    / F.lit(ts)).cast("long"))
+         .withColumn("_y1", F.floor((F.array_max("ys") + F.lit(MAX_COORD))
+                                    / F.lit(ts)).cast("long")))
+    b = b.withColumn("_cx", F.explode(F.sequence("_x0", "_x1")))
+    b = b.withColumn("_cy", F.explode(F.sequence("_y0", "_y1")))
+    # part stays long: monotonically_increasing_id carries the
+    # partition id in high bits (an int cast would overflow under ANSI)
+    return b.select(
+        "aoi_id", "part",
+        (F.shiftleft(F.col("_cx"), 32) + F.col("_cy")).alias("cell"),
+        "ring_offsets", "xs", "ys", *extra_cols)
+
+
+def image_cells_dist(images: DataFrame, zoom: int) -> DataFrame:
+    """(image_id, cell) covering cells of each image's world-space
+    bbox, as pure Catalyst expressions over (gt, w, h) — the image side
+    of the distributed zonal/rasterize candidate join. The bbox maps
+    all four corners (rotated-gt safe, the G6 lesson) and pads by half
+    a pixel along each gt axis so it is always a superset of the
+    padded pixel-CENTER bbox the zonal kernel prefilters with. Only
+    (image_id, cell) survives the explode — bytes never enter it."""
+    ts = 2.0 * MAX_COORD / float(1 << zoom)
+    g = [F.col("gt")[i] for i in range(6)]
+    w = F.col("w").cast("double")
+    h = F.col("h").cast("double")
+    zero = F.lit(0.0)
+    cxs = [g[0] + j * g[1] + i * g[2]
+           for (j, i) in ((zero, zero), (w, zero), (zero, h), (w, h))]
+    cys = [g[3] + j * g[4] + i * g[5]
+           for (j, i) in ((zero, zero), (w, zero), (zero, h), (w, h))]
+    hx = (F.abs(g[1]) + F.abs(g[2])) / 2.0
+    hy = (F.abs(g[4]) + F.abs(g[5])) / 2.0
+    b = (images.select(
+            "image_id",
+            F.floor((F.least(*cxs) - hx + F.lit(MAX_COORD)) / F.lit(ts))
+             .cast("long").alias("_x0"),
+            F.floor((F.greatest(*cxs) + hx + F.lit(MAX_COORD)) / F.lit(ts))
+             .cast("long").alias("_x1"),
+            F.floor((F.least(*cys) - hy + F.lit(MAX_COORD)) / F.lit(ts))
+             .cast("long").alias("_y0"),
+            F.floor((F.greatest(*cys) + hy + F.lit(MAX_COORD)) / F.lit(ts))
+             .cast("long").alias("_y1")))
+    b = b.withColumn("_cx", F.explode(F.sequence("_x0", "_x1")))
+    b = b.withColumn("_cy", F.explode(F.sequence("_y0", "_y1")))
+    return b.select(
+        "image_id",
+        (F.shiftleft(F.col("_cx"), 32) + F.col("_cy")).alias("cell"))
+
+
 def aoi_cells_df(spark: SparkSession, aois: pd.DataFrame, zoom: int) -> DataFrame:
     """Explode each AOI into its covering cells at ``zoom`` (bbox cover;
     the exact test happens after the join). Computed driver-side: the
-    AOI table is the small dimension side."""
+    AOI table is the small dimension side — aoi_cells_dist is the
+    corpus-scale sibling over an AOI DataFrame."""
     ts = 2.0 * MAX_COORD / float(1 << zoom)
     rows = []
     for part, r in enumerate(aois.itertuples(index=False)):
@@ -259,21 +419,33 @@ def _reindexed(batches):
         yield pdf.reset_index(drop=True)
 
 
-def cell_pip_join(points: DataFrame, aois: pd.DataFrame, zoom: int = 12,
+#: Max probe-side cell rows an auto decision will broadcast (each row
+#: carries its AOI's full ring buffers — keep the table executor-safe).
+MAX_BROADCAST_AOI_CELLS = 200_000
+
+
+def cell_pip_join(points: DataFrame, aois, zoom: int = 12,
                   x_col: str = "x", y_col: str = "y",
-                  broadcast_aois: bool = True, salt: int = 1,
-                  pip_rule: str = "evenodd") -> DataFrame:
+                  broadcast_aois: bool | None = None, salt: int = 1,
+                  pip_rule: str = "evenodd",
+                  multipart: bool | None = None) -> DataFrame:
     """Join points to every AOI that exactly contains them.
 
     ``points`` needs (id..., x_col, y_col) in WM/world coords — column
     names ``cell``/``px``/``py``/``part`` and the AOI column names are
-    reserved (rejected, they would be silently clobbered). An aoi_id
-    may span multiple rows (multipolygon parts); a point matching any
-    part yields one output row. Returns the point columns + ``aoi_id``.
-    One equi-join (broadcast by default; set ``salt`` > 1 to spread a
-    hot cell across ``salt`` shuffle keys when the AOI side is too big
-    to broadcast and a cell is skewed).
-    """
+    reserved (rejected, they would be silently clobbered). ``aois`` is
+    either a small pandas AOI table (driver-exploded covering cells,
+    broadcast fast path) or an AOI **DataFrame** in AOI_SCHEMA — the
+    corpus-scale path: covering cells are Catalyst exprs
+    (aoi_cells_dist), nothing lands on the driver, and the join
+    broadcasts only when a capped probe says the cell table is small.
+    An aoi_id may span multiple rows (multipolygon parts); a point
+    matching any part yields one output row. Returns the point columns
+    + ``aoi_id``. One equi-join (set ``salt`` > 1 to spread a hot cell
+    across ``salt`` shuffle keys when the AOI side is shuffled and a
+    cell is skewed). ``multipart=None`` auto-detects duplicate aoi_ids
+    (exact for pandas; a tiny agg-probe for DataFrames — pass
+    False/True to skip the probe when the catalog shape is known)."""
     reserved = {"cell", "px", "py", "part", "aoi_id", "ring_offsets",
                 "xs", "ys", "_rowid"} & set(points.columns)
     if reserved:
@@ -281,11 +453,24 @@ def cell_pip_join(points: DataFrame, aois: pd.DataFrame, zoom: int = 12,
             f"cell_pip_join: point columns {sorted(reserved)} collide "
             f"with internal/AOI columns — rename them first")
     spark = points.sparkSession
-    cells = aoi_cells_df(spark, aois, zoom)
+    if isinstance(aois, DataFrame):
+        cells = aoi_cells_dist(aois, zoom)
+        if multipart is None:
+            multipart = (aois.groupBy("aoi_id").count()
+                         .where(F.col("count") > 1).limit(1).count() > 0)
+        if broadcast_aois is None:
+            cap = MAX_BROADCAST_AOI_CELLS
+            broadcast_aois = \
+                cells.select("cell").limit(cap + 1).count() <= cap
+    else:
+        cells = aoi_cells_df(spark, aois, zoom)
+        if multipart is None:
+            multipart = len(aois) != aois["aoi_id"].nunique()
+        if broadcast_aois is None:
+            broadcast_aois = True
     pts = points.withColumn("cell", cell_expr(x_col, y_col, zoom))
     pts = pts.withColumn("px", F.col(x_col)).withColumn("py", F.col(y_col))
 
-    multipart = len(aois) != aois["aoi_id"].nunique()
     if multipart or salt > 1:
         # per-ROW identity, captured BEFORE the join: the multipart
         # dedup must collapse (one input row x several parts of one

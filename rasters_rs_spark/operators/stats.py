@@ -157,61 +157,122 @@ def zonal_stats(images: DataFrame, aois: pd.DataFrame,
     ``include_whole`` is set an ``__all__`` zone receives every valid
     pixel (the reference's `None` polygon, raster-stats/main.rs:50).
     """
-    aoi_rows = [
-        (r.aoi_id, np.asarray(r.ring_offsets), np.asarray(r.xs, dtype=np.float64),
-         np.asarray(r.ys, dtype=np.float64))
-        for r in aois.itertuples(index=False)
-    ]
-    aoi_boxes = [geom.polygon_bbox(ro, xs, ys) for (_, ro, xs, ys) in aoi_rows]
+    aoi_rows = _packed_aoi_rows(aois)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["image_id", "aoi_id", "count", "min", "max", "sum", "sum_2"]
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
-                t = geom.transform_from_gdal(row.gt)
-                valid = ~np.isnan(block)
-                if not np.isnan(row.no_val):
-                    valid &= block != row.no_val
-                if not valid.any():
-                    continue
-                ii, jj = np.nonzero(valid)
-                vals = block[ii, jj]
-                # pixel centers in world coords
-                wx, wy = geom.transform_points(t, jj + 0.5, ii + 0.5)
-                # bbox padded by half a pixel: a PIXEL-CENTER box can be
-                # degenerate (1-row/1-col/1-pixel images) and the strict
-                # bounds_intersect would then skip every AOI
-                hpx = abs(float(row.gt[1])) / 2.0
-                hpy = abs(float(row.gt[5])) / 2.0
-                img_box = (wx.min() - hpx, wy.min() - hpy,
-                           wx.max() + hpx, wy.max() + hpy)
-                if include_whole:
-                    out.append((row.image_id, "__all__", float(vals.size),
-                                float(vals.min()), float(vals.max()),
-                                float(vals.sum()), float((vals * vals).sum())))
-                for (aoi_id, ro, xs, ys), box in zip(aoi_rows, aoi_boxes):
-                    if geom.bounds_intersect(img_box, box) is None:
-                        continue
-                    # pre-mask to the AOI bbox: the winding test is
-                    # O(pixels x edges) — a center outside the AOI's own
-                    # bbox can never be inside the polygon
-                    cand = ((wx >= box[0]) & (wx <= box[2])
-                            & (wy >= box[1]) & (wy <= box[3]))
-                    if not cand.any():
-                        continue
-                    ci = np.nonzero(cand)[0]
-                    inside = np.zeros(len(wx), dtype=bool)
-                    inside[ci] = geom.points_in_rings(
-                        wx[ci], wy[ci], ro, xs, ys)
-                    if not inside.any():
-                        continue
-                    v = vals[inside]
-                    out.append((row.image_id, aoi_id, float(v.size),
-                                float(v.min()), float(v.max()),
-                                float(v.sum()), float((v * v).sum())))
-            cols = ["image_id", "aoi_id", "count", "min", "max", "sum", "sum_2"]
+                out.extend(_zonal_image_partials(row, aoi_rows, include_whole))
             yield pd.DataFrame(out, columns=cols)
 
     partials = images.mapInPandas(gen, schema=ZONAL_PARTIAL_SCHEMA)
     return with_derived_stats(partials.groupBy("aoi_id").agg(*merge_partials_exprs()))
+
+
+def _packed_aoi_rows(aois: pd.DataFrame) -> list:
+    """(aoi_id, ring_offsets, xs, ys, bbox) tuples from an AOI table —
+    bboxes precomputed once so the per-image loop stays cheap."""
+    out = []
+    for r in aois.itertuples(index=False):
+        ro = np.asarray(r.ring_offsets)
+        xs = np.asarray(r.xs, dtype=np.float64)
+        ys = np.asarray(r.ys, dtype=np.float64)
+        out.append((r.aoi_id, ro, xs, ys, geom.polygon_bbox(ro, xs, ys)))
+    return out
+
+
+def _zonal_image_partials(row, aoi_rows, include_whole: bool) -> list:
+    """Per-(image, aoi) PixelStats partial tuples for ONE image row
+    against (aoi_id, ring_offsets, xs, ys, bbox) buffers — the kernel
+    shared by zonal_stats (broadcast AOIs) and zonal_stats_dist
+    (cell-join-pruned AOI subset)."""
+    out = []
+    block = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+    t = geom.transform_from_gdal(row.gt)
+    valid = ~np.isnan(block)
+    if not np.isnan(row.no_val):
+        valid &= block != row.no_val
+    if not valid.any():
+        return out
+    ii, jj = np.nonzero(valid)
+    vals = block[ii, jj]
+    # pixel centers in world coords
+    wx, wy = geom.transform_points(t, jj + 0.5, ii + 0.5)
+    # bbox padded by half a pixel: a PIXEL-CENTER box can be
+    # degenerate (1-row/1-col/1-pixel images) and the strict
+    # bounds_intersect would then skip every AOI
+    hpx = abs(float(row.gt[1])) / 2.0
+    hpy = abs(float(row.gt[5])) / 2.0
+    img_box = (wx.min() - hpx, wy.min() - hpy,
+               wx.max() + hpx, wy.max() + hpy)
+    if include_whole:
+        out.append((row.image_id, "__all__", float(vals.size),
+                    float(vals.min()), float(vals.max()),
+                    float(vals.sum()), float((vals * vals).sum())))
+    for (aoi_id, ro, xs, ys, box) in aoi_rows:
+        if geom.bounds_intersect(img_box, box) is None:
+            continue
+        # pre-mask to the AOI bbox: the winding test is
+        # O(pixels x edges) — a center outside the AOI's own
+        # bbox can never be inside the polygon
+        cand = ((wx >= box[0]) & (wx <= box[2])
+                & (wy >= box[1]) & (wy <= box[3]))
+        if not cand.any():
+            continue
+        ci = np.nonzero(cand)[0]
+        inside = np.zeros(len(wx), dtype=bool)
+        inside[ci] = geom.points_in_rings(
+            wx[ci], wy[ci], ro, xs, ys)
+        if not inside.any():
+            continue
+        v = vals[inside]
+        out.append((row.image_id, aoi_id, float(v.size),
+                    float(v.min()), float(v.max()),
+                    float(v.sum()), float((v * v).sum())))
+    return out
+
+
+def zonal_stats_dist(images: DataFrame, aois: DataFrame, zoom: int = 12,
+                     include_whole: bool = False) -> DataFrame:
+    """zonal_stats with a DISTRIBUTED AOI side: ``aois`` is an AOI
+    DataFrame (celljoin.AOI_SCHEMA) — the path for AOI catalogs too
+    large to broadcast in a task closure.
+
+    Shape: image bbox covering cells (pure Catalyst over gt/w/h,
+    image_cells_dist) equi-join AOI covering cells (aoi_cells_dist) ->
+    distinct (image, aoi-part) candidates -> cogroup with the image
+    rows -> the SAME per-image kernel as zonal_stats over each image's
+    pruned AOI subset -> one partial merge. Two covering cells
+    intersect whenever the bboxes do, so the candidate set is a
+    superset of zonal_stats' bbox prefilter and results are identical.
+    Per-task memory is one image block + its candidate AOIs; the AOI
+    catalog never lands on the driver or in a closure."""
+    from .celljoin import aoi_cells_dist, image_cells_dist
+
+    icells = image_cells_dist(images, zoom)
+    acells = aoi_cells_dist(aois, zoom)
+    # img_id alias: the candidate side derives from `images`, so a
+    # same-name cogroup key would be an ambiguous self-join — the alias
+    # mints a fresh attribute
+    cand = (icells.join(acells, on="cell")
+            .dropDuplicates(["image_id", "part"])
+            .select(F.col("image_id").alias("img_id"),
+                    "aoi_id", "ring_offsets", "xs", "ys"))
+
+    def kernel(img_pdf: pd.DataFrame, aoi_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["image_id", "aoi_id", "count", "min", "max", "sum", "sum_2"]
+        # deterministic kernel order (output is merge-order-free anyway)
+        aoi_rows = _packed_aoi_rows(aoi_pdf.sort_values("aoi_id"))
+        out = []
+        for row in img_pdf.itertuples(index=False):
+            out.extend(_zonal_image_partials(row, aoi_rows, include_whole))
+        return pd.DataFrame(out, columns=cols)
+
+    partials = images.groupBy("image_id").cogroup(
+        cand.groupBy("img_id")) \
+        .applyInPandas(lambda key, a, b: kernel(a, b),
+                       schema=ZONAL_PARTIAL_SCHEMA)
+    return with_derived_stats(
+        partials.groupBy("aoi_id").agg(*merge_partials_exprs()))
