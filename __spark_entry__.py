@@ -479,6 +479,74 @@ def _q_fill_idw_dist(spark, sf_dir):
     return _explode_pixels(filled)
 
 
+# barycentric fill fixture: regular point grid (spacing 2^3 — every
+# barycentric intermediate is exact dyadic, so Spark and DuckDB agree
+# bitwise), z from the LCG closed form at k-offset 3e6
+_BARY_NX, _BARY_NY = 60, 11
+_BARY_GX0, _BARY_GY0, _BARY_SP = -1016.0, 928.0, 8.0
+
+
+def _q_fill_barycentric(spark, sf_dir):
+    """Barycentric (linear natural-neighbor) hole fill over a
+    precomputed grid triangulation — the reference's own documented
+    alternative to its Sibson kernel (interpolation.rs:36-39). The
+    oracle recomputes the interpolation in closed form (cell locate +
+    corner blend); the grid spacing is a power of two so both
+    formulations are exact and match bitwise."""
+    import numpy as np
+    pdf = synth.lcg_image_table(4, 32, 32, pixel_size=2.0,
+                                holes_below=0.125)
+    images = spark.createDataFrame(pdf)
+    idx = np.arange(_BARY_NX * _BARY_NY, dtype=np.int64)
+    z = synth.lcg_values(3_000_000 + idx)
+    pts = pd.DataFrame({
+        "pt_id": [f"pt_{i:07d}" for i in idx],
+        "x": _BARY_GX0 + _BARY_SP * (idx % _BARY_NX).astype(np.float64),
+        "y": _BARY_GY0 + _BARY_SP * (idx // _BARY_NX).astype(np.float64),
+        "z": z,
+    })
+    tris = knn.grid_triangles(_BARY_NX, _BARY_NY)
+    return _explode_pixels(knn.fill_barycentric(images, pts, tris))
+
+
+def _fill_barycentric_sql() -> str:
+    nx, sp = _BARY_NX, _dbl17(_BARY_SP)
+    gx0, gy0 = _dbl17(_BARY_GX0), _dbl17(_BARY_GY0)
+
+    def node(fy, fx):
+        k = f"(3000000 + ({fy}) * {nx} + ({fx}))"
+        return (f"(CAST(((1103515245 * {k} + 12345) % 2147483648) "
+                f"% 1048576 AS DOUBLE) / 1048576.0)")
+
+    return f"""
+        WITH px AS ({_lcg_px_cte(4)}),
+        loc AS (
+          SELECT m, i, j,
+                 CAST(floor((wx - {gx0}) / {sp}) AS BIGINT) AS fx,
+                 CAST(floor((wy - {gy0}) / {sp}) AS BIGINT) AS fy,
+                 (wx - {gx0}) / {sp} - floor((wx - {gx0}) / {sp}) AS u,
+                 (wy - {gy0}) / {sp} - floor((wy - {gy0}) / {sp}) AS vv
+          FROM px WHERE rawv < 131072),
+        fills AS (
+          SELECT m, i, j,
+                 CASE WHEN u + vv < 1.0 THEN
+                   {node('fy', 'fx')}
+                   + u * ({node('fy', 'fx + 1')} - {node('fy', 'fx')})
+                   + vv * ({node('fy + 1', 'fx')} - {node('fy', 'fx')})
+                 ELSE
+                   {node('fy + 1', 'fx + 1')}
+                   + (1.0 - u) * ({node('fy + 1', 'fx')}
+                                  - {node('fy + 1', 'fx + 1')})
+                   + (1.0 - vv) * ({node('fy', 'fx + 1')}
+                                   - {node('fy + 1', 'fx + 1')})
+                 END AS fv
+          FROM loc)
+        SELECT printf('img_%08d', p.m) AS image_id, p.i AS i, p.j AS j,
+               round(CASE WHEN p.rawv < 131072 THEN f.fv ELSE p.v END, 9) AS v
+        FROM px p LEFT JOIN fills f ON p.m = f.m AND p.i = f.i AND p.j = f.j
+    """
+
+
 def _q_minhash_pairs(spark, sf_dir):
     # deterministic subset (limit() is order-dependent); full table at sf0.01
     docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
@@ -1449,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_stats_synth": _q_diff_synth,
         "knn_ring_synth": _q_knn_ring,
         "fill_idw_synth": _q_fill_idw,
+        "fill_barycentric_synth": _q_fill_barycentric,
         "fill_idw_dist_synth": _q_fill_idw_dist,
         "mosaic_mean_synth": _q_mosaic_mean,
         "resample_bilinear_synth": _q_resample_bilinear,
@@ -2419,6 +2488,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "diff_stats_synth": _lcg_diff_partial_sql(),
         "knn_ring_synth": _knn_ring_sql(),
         "fill_idw_synth": _fill_idw_sql(),
+        "fill_barycentric_synth": _fill_barycentric_sql(),
         "fill_idw_dist_synth": _fill_idw_sql(),
         "mosaic_mean_synth": _mosaic_mean_sql(),
         "resample_bilinear_synth": _resample_bilinear_sql(),

@@ -77,9 +77,19 @@ def chunk_images(images: DataFrame, min_data_size: int = 0x10000,
     return images.mapInPandas(gen, schema=CHUNK_SCHEMA)
 
 
-def assemble_images(chunks: DataFrame) -> DataFrame:
+#: Largest single image assemble_images will stitch inside one task.
+MAX_ASSEMBLE_BYTES = 1 << 30
+
+
+def assemble_images(chunks: DataFrame,
+                    max_image_bytes: int = MAX_ASSEMBLE_BYTES) -> DataFrame:
     """Inverse of chunk_images: groupBy image, stitch data ranges back
-    into one block (padding rows are redundant and dropped).
+    into one block (padding rows are redundant and dropped). REFUSES an
+    image whose stitched bytes exceed ``max_image_bytes`` — a raster
+    chunked because it doesn't fit task memory must not be silently
+    re-stitched into one task; keep operating on the chunk rows (every
+    chunked operator consumes them directly), or raise the bound
+    explicitly for a known-small assembly.
 
     Stitches the STORED row bytes (the _slice_strip_bytes inverse) —
     never decode/re-encode: a q16 re-encode would re-quantize onto a
@@ -94,6 +104,12 @@ def assemble_images(chunks: DataFrame) -> DataFrame:
         first = pdf.iloc[0]
         h, w = int(first["h"]), int(first["w"])
         fmt = first["fmt"]
+        if h * w * 8 > max_image_bytes:
+            raise ValueError(
+                f"assemble_images: image {first['image_id']} is "
+                f"{w}x{h} ({h * w * 8 >> 20} MiB stitched) — over "
+                f"max_image_bytes={max_image_bytes}. Operate on the "
+                f"chunk rows instead, or raise the bound explicitly.")
         if fmt == "raw":
             head, row_nb = 0, w * 8
             nan_row = np.full(w, np.nan).tobytes()

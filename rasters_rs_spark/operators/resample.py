@@ -189,16 +189,33 @@ def mosaic_tiles(images: DataFrame, dst_gt, dst_w: int, dst_h: int,
         lambda key, pdf: merge(pdf), schema=MOSAIC_TILE_SCHEMA)
 
 
+#: Largest raster mosaic(assemble=True) will stitch into one task
+#: (dst_h x dst_w float64).
+MAX_ASSEMBLE_BYTES = 1 << 30
+
+
 def mosaic(images: DataFrame, dst_gt, dst_w: int, dst_h: int,
            method: str = "nearest", strip_height: int = 256,
-           tile_width: int = 1024, assemble: bool = True) -> DataFrame:
+           tile_width: int = 1024, assemble: bool = True,
+           max_assemble_bytes: int = MAX_ASSEMBLE_BYTES) -> DataFrame:
     """Composite many images onto one target grid: windowed resample,
     NaN-aware per-pixel mean across overlaps, (sy, sx)-tiled merge
     (see mosaic_tiles — that is the scale surface). With
     ``assemble=False`` the merged tiles are returned as-is; otherwise
     they are stitched into ONE full image row — a driver-sized
-    convenience for mosaics that fit in a single task's memory."""
+    convenience that REFUSES targets over ``max_assemble_bytes``
+    (the ngram_jaccard_pairs pattern: the single-task surface must not
+    silently absorb a planet-scale grid — use assemble=False /
+    mosaic_tiles and keep the (sy, sx) tiles distributed)."""
     dst_gt = [float(v) for v in dst_gt]
+    if assemble and dst_w * dst_h * 8 > max_assemble_bytes:
+        raise ValueError(
+            f"mosaic(assemble=True) stitches the whole {dst_w}x{dst_h} "
+            f"target ({dst_w * dst_h * 8 >> 20} MiB) inside ONE task; "
+            f"that exceeds max_assemble_bytes={max_assemble_bytes}. Use "
+            f"assemble=False (or mosaic_tiles) to keep the merged "
+            f"(sy, sx) tiles distributed, or raise max_assemble_bytes "
+            f"explicitly.")
     tiles = mosaic_tiles(images, dst_gt, dst_w, dst_h, method,
                          strip_height, tile_width)
     if not assemble:

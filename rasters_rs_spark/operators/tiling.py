@@ -434,14 +434,29 @@ def encode_tiles(tiles: DataFrame, tile_size: int = 256) -> DataFrame:
     return tiles.mapInPandas(gen, schema=ENCODED_SCHEMA)
 
 
-def index_json(encoded: DataFrame, image_id: str | None = None) -> dict:
+#: Largest tile count index_json will collect into one driver dict.
+MAX_INDEX_TILES = 2_000_000
+
+
+def index_json(encoded: DataFrame, image_id: str | None = None,
+               max_tiles: int = MAX_INDEX_TILES) -> dict:
     """Nested tile-index manifest, fixture-compatible (dem.rs:303-367):
-    {"<z>": {"<y>": {"y": y, "index": {"<x>": {min,max,bins,err}}}}}."""
+    {"<z>": {"<y>": {"y": y, "index": {"<x>": {min,max,bins,err}}}}}.
+    A driver-sized manifest convenience: REFUSES (via a limit-capped
+    collect, never an unbounded one) tile tables above ``max_tiles`` —
+    write the tile rows themselves (write_tiles / the parquet sink)
+    for pyramids that big."""
     df = encoded
     if image_id is not None:
         df = df.where(F.col("image_id") == image_id)
     rows = df.select("image_id", "z", "y", "x", "min", "max", "bins",
-                     "err").collect()
+                     "err").limit(max_tiles + 1).collect()
+    if len(rows) > max_tiles:
+        raise ValueError(
+            f"index_json collects the tile index onto the driver; the "
+            f"table exceeds max_tiles={max_tiles}. Keep the tile rows "
+            f"distributed (parquet tile sink) or raise max_tiles "
+            f"explicitly.")
     distinct_ids = {r["image_id"] for r in rows}
     if len(distinct_ids) > 1:
         # tiles from different images share (z, y, x) keys — a merged

@@ -267,3 +267,13 @@ def test_chunk_assemble_roundtrip_byte_identical(spark):
         back = assemble_images(chunk_images(images, min_data_size=32 * 8))
         got = {r["image_id"]: bytes(r["bytes"]) for r in back.collect()}
         assert got == orig, fmt
+
+
+def test_assemble_images_refuses_huge_image(spark):
+    import pytest
+    from rasters_rs_spark.operators.chunked import assemble_images, chunk_images
+    from rasters_rs_spark.sources import synth
+    images = spark.createDataFrame(synth.lcg_image_table(1, 32, 32, 2.0))
+    chunks = chunk_images(images, min_data_size=32 * 8)
+    with pytest.raises(Exception, match="max_image_bytes"):
+        assemble_images(chunks, max_image_bytes=100).collect()

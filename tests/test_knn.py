@@ -404,3 +404,68 @@ def test_fill_idw_q16_preserves_global_grid(spark):
     got = {r["image_id"]: bytes(r["bytes"])
            for r in assemble_images(patched).collect()}
     assert got == base
+
+
+def test_fill_barycentric_exact_on_triangulated_fields(spark):
+    """fill_barycentric (precomputed grid triangulation — the
+    reference's documented Sibson alternative,
+    raster-fill-nn/interpolation.rs:36-39) reproduces the barycentric
+    reference answer to fp noise on BOTH the linear and the curved
+    field — closing the divergence fill_idw is allowed to keep
+    (test_idw_divergence_from_barycentric_bounded: 0.10% of range)."""
+    gx = np.arange(0.0, 17.0)
+    gy = np.arange(0.0, 17.0)
+    gxx, gyy = np.meshgrid(gx, gy)
+    tris = K.grid_triangles(17, 17)
+
+    for field in (lambda x, y: 2.0 + 0.3 * x + 0.7 * y,
+                  lambda x, y: 0.05 * x * y):
+        gz = field(gxx, gyy)
+        pts = pd.DataFrame({
+            "pt_id": [f"pt_{i:07d}" for i in range(gz.size)],
+            "x": gxx.ravel(), "y": gyy.ravel(), "z": gz.ravel(),
+        })
+        block = field(np.arange(16) + 0.5,
+                      (16.0 - np.arange(16) - 0.5)[:, None])
+        block = np.ascontiguousarray(block)
+        holes = np.zeros((16, 16), dtype=bool)
+        holes[5:9, 4:10] = True
+        block[holes] = -999.0
+        pdf = pd.DataFrame([{
+            "image_id": "nn0", "bytes": codecs.encode_raw(block),
+            "w": 16, "h": 16, "fmt": "raw",
+            "gt": [0.0, 1.0, 0.0, 16.0, 0.0, -1.0],
+            "crs": "IDENTITY", "no_val": -999.0}])
+        out = K.fill_barycentric(spark.createDataFrame(pdf), pts,
+                                 tris).collect()[0]
+        assert out["filled"] == int(holes.sum())
+        got = codecs.decode_raw(out["bytes"], 16, 16)
+
+        ii, jj = np.nonzero(holes)
+        bary = _barycentric_grid_fill(jj + 0.5, 16.0 - ii - 0.5, gx, gy, gz)
+        assert np.abs(got[ii, jj] - bary).max() < 1e-12
+        # untouched pixels byte-identical
+        keep = ~holes
+        assert np.array_equal(got[keep], block[keep])
+
+
+def test_fill_barycentric_outside_hull_unfilled(spark):
+    """Holes outside the triangulated hull stay at no_val and are not
+    counted as filled."""
+    tris = K.grid_triangles(2, 2)
+    pts = pd.DataFrame({
+        "pt_id": [f"pt_{i:07d}" for i in range(4)],
+        "x": [10.0, 11.0, 10.0, 11.0], "y": [10.0, 10.0, 11.0, 11.0],
+        "z": [1.0, 2.0, 3.0, 4.0]})
+    block = np.full((4, 4), -999.0)
+    pdf = pd.DataFrame([{
+        "image_id": "h0", "bytes": codecs.encode_raw(block),
+        "w": 4, "h": 4, "fmt": "raw",
+        "gt": [9.5, 1.0, 0.0, 13.5, 0.0, -1.0],  # centers 10..13 x, 10..13 y
+        "crs": "IDENTITY", "no_val": -999.0}])
+    out = K.fill_barycentric(spark.createDataFrame(pdf), pts,
+                             tris).collect()[0]
+    got = codecs.decode_raw(out["bytes"], 4, 4)
+    filled_mask = got != -999.0
+    assert out["filled"] == int(filled_mask.sum())
+    assert 0 < out["filled"] < 16   # hull covers only part of the grid

@@ -208,3 +208,14 @@ def test_bilinear_no_extrapolation_beyond_extent():
     # last column: the two right neighbors are OOB and wy = 0 on this
     # fixture, so renormalization passes the border column through
     assert np.allclose(out[:, 7], src[:, 7])
+
+
+def test_mosaic_assemble_refuses_huge_target(spark):
+    """The single-task stitch must refuse a planet-scale target and
+    name the distributed alternative (assemble=False / mosaic_tiles)."""
+    import pytest
+    from rasters_rs_spark.operators.resample import mosaic
+    from rasters_rs_spark.sources import synth
+    images = spark.createDataFrame(synth.lcg_image_table(1, 8, 8, 2.0))
+    with pytest.raises(ValueError, match="assemble=False"):
+        mosaic(images, [0.0, 1.0, 0.0, 0.0, 0.0, -1.0], 2 ** 20, 2 ** 20)

@@ -204,3 +204,14 @@ def test_nan_aware_2x2_average():
     parent, vmin, vmax = T.scale_children([(0, 1, child)], ts)
     assert isclose(parent[0, 0], (1.0 + 3.0 + 5.0) / 3.0)
     assert vmin == vmax == parent[0, 0]
+
+
+def test_index_json_refuses_huge_tile_table(spark):
+    import pytest
+    from rasters_rs_spark.operators import tiling as T
+    from rasters_rs_spark.sources import synth
+    images = spark.createDataFrame(synth.lcg_image_table(1, 64, 64, 8.0))
+    enc = T.tile_index_manifest(images, mode="local")
+    with pytest.raises(ValueError, match="max_tiles"):
+        T.index_json(enc, max_tiles=0)
+    assert T.index_json(enc, max_tiles=10)  # under the bound: normal path
