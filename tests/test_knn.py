@@ -469,3 +469,81 @@ def test_fill_barycentric_outside_hull_unfilled(spark):
     filled_mask = got != -999.0
     assert out["filled"] == int(filled_mask.sum())
     assert 0 < out["filled"] < 16   # hull covers only part of the grid
+
+
+def test_delaunay_empty_circumcircle_property():
+    """Bowyer-Watson output satisfies the Delaunay criterion: no input
+    point lies strictly inside any triangle's circumcircle."""
+    from rasters_rs_spark.functions.delaunay import (_circumcircles,
+                                                     delaunay_triangles)
+    rng = np.random.default_rng(7)
+    x = rng.random(80) * 100.0
+    y = rng.random(80) * 100.0
+    tris = delaunay_triangles(x, y)
+    assert len(tris) > 100  # ~2n triangles for n points
+    pts = np.stack([x, y], axis=1)
+    centers, r2 = _circumcircles(pts, tris)
+    d2 = ((pts[None, :, :] - centers[:, None, :]) ** 2).sum(-1)
+    # strict violations only, with fp slack
+    assert not (d2 < r2[:, None] * (1.0 - 1e-9)).any()
+    # hull area check: triangle areas sum to the hull area (here just
+    # positive and bounded by the bbox)
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    area = 0.5 * np.abs((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                        - (c[:, 0] - a[:, 0]) * (b[:, 1] - a[:, 1])).sum()
+    assert 0 < area <= 100.0 * 100.0
+
+
+def test_delaunay_barycentric_linear_field_exact():
+    """Interpolating a LINEAR field over ANY valid triangulation
+    reproduces the plane exactly — ties the scattered-point Delaunay
+    table to the barycentric kernel with no oracle needed."""
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+    rng = np.random.default_rng(8)
+    x = rng.random(120) * 50.0
+    y = rng.random(120) * 50.0
+    z = 1.5 + 0.25 * x - 0.75 * y
+    tris = delaunay_triangles(x, y)
+    qx = 5.0 + rng.random(200) * 40.0   # well inside the hull
+    qy = 5.0 + rng.random(200) * 40.0
+    got = K.barycentric_interpolate(qx, qy, x, y, z, tris)
+    assert not np.isnan(got).any()
+    assert np.abs(got - (1.5 + 0.25 * qx - 0.75 * qy)).max() < 1e-9
+
+
+def test_fill_barycentric_scattered_delaunay(spark):
+    """End-to-end: scattered points -> driver Delaunay -> distributed
+    barycentric fill; linear field reproduced exactly at every hole."""
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+    rng = np.random.default_rng(9)
+    px = rng.random(150) * 20.0 - 2.0
+    py = rng.random(150) * 20.0 - 2.0
+    pz = 2.0 + 0.3 * px + 0.7 * py
+    pts = pd.DataFrame({"pt_id": [f"pt_{i:07d}" for i in range(150)],
+                        "x": px, "y": py, "z": pz})
+    tris = delaunay_triangles(px, py)
+
+    field = lambda x, y: 2.0 + 0.3 * x + 0.7 * y
+    block = field(np.arange(16) + 0.5, (16.0 - np.arange(16) - 0.5)[:, None])
+    block = np.ascontiguousarray(block)
+    holes = np.zeros((16, 16), dtype=bool)
+    holes[5:9, 4:10] = True
+    block[holes] = -999.0
+    pdf = pd.DataFrame([{
+        "image_id": "sc0", "bytes": codecs.encode_raw(block),
+        "w": 16, "h": 16, "fmt": "raw",
+        "gt": [0.0, 1.0, 0.0, 16.0, 0.0, -1.0],
+        "crs": "IDENTITY", "no_val": -999.0}])
+    out = K.fill_barycentric(spark.createDataFrame(pdf), pts,
+                             tris).collect()[0]
+    assert out["filled"] == int(holes.sum())
+    got = codecs.decode_raw(out["bytes"], 16, 16)
+    ii, jj = np.nonzero(holes)
+    expect = field(jj + 0.5, 16.0 - ii - 0.5)
+    assert np.abs(got[ii, jj] - expect).max() < 1e-9
+
+
+def test_delaunay_refuses_huge_point_set():
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+    with pytest.raises(ValueError, match="max_points"):
+        delaunay_triangles(np.zeros(100), np.zeros(100), max_points=10)
