@@ -24,27 +24,6 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .text import shingle_expr
 
 
-#: Doc-table plan-size bound under which the LSH bucket self-join
-#: broadcasts its right side (the band table derived from this much
-#: text comfortably fits executor memory).
-MAX_BROADCAST_DOC_BYTES = 64 << 20
-
-
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's sizeInBytes estimate for a DataFrame's optimized plan
-    (file bytes after pruning for scans, actual bytes for local
-    relations) — the statistic Spark's own broadcast heuristic uses.
-    Driver-side only, runs NO job. None when unavailable or when the
-    estimate is the unknown sentinel (Long.MaxValue-ish), in which case
-    callers fall back to a capped probe."""
-    try:
-        sz = int(df._jdf.queryExecution().optimizedPlan()
-                 .stats().sizeInBytes().toString())
-    except Exception:
-        return None
-    return sz if 0 <= sz < (1 << 62) else None
-
-
 def _temp_view(df: DataFrame) -> str:
     """Collision-proof temp view name (id()-based names can be reused
     after GC within one session). Callers drop the view right after
@@ -238,24 +217,22 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """Verified near-duplicate pairs: LSH candidates refined by exact
     n-gram Jaccard >= threshold (array_intersect/array_union, JVM-side).
     Returns (id_a, id_b, jaccard). Zero Python in the pipeline."""
-    # broadcast-vs-salted strategy from Catalyst's OWN plan-size
-    # statistic (parquet file bytes after pruning) — a driver-side
-    # lookup, zero Spark jobs; falls back to a limit-capped id probe
-    # when no estimate exists. The band rows are ALWAYS eagerly
-    # checkpointed — the signature aggregation (the expensive stage)
-    # runs once, and the join's two sides (three with the salted
-    # path's hot-bucket count) read materialized blocks (reclaimed on
-    # GC, unlike a bare persist). The round-3 +25% regression was the
-    # separate count() JOB over the checkpointed rows, not the
-    # checkpoint itself (A/B-measured at sf0.1: ckpt 1.49s <
-    # probe+ckpt 1.76s < no-ckpt 1.83s < ckpt+count 2.02s).
-    size = _plan_size_bytes(docs)
-    if size is not None:
-        small = size <= MAX_BROADCAST_DOC_BYTES
-    else:
-        cap_docs = 1_000_000 // bands
-        small = (docs.select(F.col(id_col)).limit(cap_docs + 1).count()
-                 <= cap_docs)
+    # broadcast-vs-salted from a limit-CAPPED id probe (O(cap) scan,
+    # column-pruned — never a full count): the band table is n_docs x
+    # bands small rows, so ROW count is the right broadcast proxy —
+    # a text-bytes proxy mis-routes long-doc corpora to the salted
+    # path (measured 64s vs 18s on the 50k-doc 10x corpus) and
+    # short-doc corpora to oversized broadcasts. The band rows are
+    # ALWAYS eagerly checkpointed — the signature aggregation (the
+    # expensive stage) runs once, and the join's two sides (three with
+    # the salted path's hot-bucket count) read materialized blocks
+    # (reclaimed on GC, unlike a bare persist). The round-3 +25%
+    # regression was the separate count() JOB over the checkpointed
+    # rows, not the checkpoint (A/B at sf0.1: ckpt 1.49s < probe+ckpt
+    # 1.76s < no-ckpt 1.83s < ckpt+count 2.02s).
+    cap_docs = 1_000_000 // bands
+    small = (docs.select(F.col(id_col)).limit(cap_docs + 1).count()
+             <= cap_docs)
     band_rows = minhash_bands(docs, text_col, id_col, num_hashes, bands,
                               shingle_k).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(band_rows, broadcast_right=small)

@@ -339,20 +339,35 @@ def tile_pyramid(images: DataFrame, tile_size: int = 256,
     if mode == "local":
         return images.mapInPandas(base_gen(True), schema=TILE_SCHEMA)
 
-    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        kids = [
-            (int(r.x), int(r.y),
-             codecs.decode_raw(r.data, ts, ts))
-            for r in pdf.itertuples(index=False)
-        ]
-        parr, vmin, vmax = scale_children(kids, ts)
-        first = pdf.iloc[0]
-        return pd.DataFrame([{
-            "image_id": first["image_id"], "z": int(first["z"]) - 1,
-            "x": int(first["x"]) // 2, "y": int(first["y"]) // 2,
-            "data": codecs.encode_raw(parr), "vmin": vmin, "vmax": vmax,
-            "min_zoom": int(first["min_zoom"]),
-        }])
+    # parents are reduced in BUCKETS of B x B parent tiles per group,
+    # not one group per parent: applyInPandas pays a Python call +
+    # Arrow round-trip per GROUP, and per-parent groups (<= 4 rows
+    # each) made the per-level shuffle ~40x slower than the fused
+    # local mode at 40k images (measured 660s -> see BENCH/SCALE10X).
+    # B bounds per-task memory at 4*B^2 decoded tiles (~64 MB at
+    # ts=256) whatever the raster size, and a huge single raster still
+    # fans out across many buckets.
+    B = 16
+
+    def reduce_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (_px, _py), sub in pdf.groupby(
+                [pdf["x"] // 2, pdf["y"] // 2], sort=True):
+            kids = [
+                (int(r.x), int(r.y),
+                 codecs.decode_raw(r.data, ts, ts))
+                for r in sub.itertuples(index=False)
+            ]
+            parr, vmin, vmax = scale_children(kids, ts)
+            first = sub.iloc[0]
+            out.append({
+                "image_id": first["image_id"], "z": int(first["z"]) - 1,
+                "x": int(first["x"]) // 2, "y": int(first["y"]) // 2,
+                "data": codecs.encode_raw(parr), "vmin": vmin,
+                "vmax": vmax, "min_zoom": int(first["min_zoom"]),
+            })
+        return pd.DataFrame(out, columns=[
+            "image_id", "z", "x", "y", "data", "vmin", "vmax", "min_zoom"])
 
     # eager localCheckpoint per level: materializes AND cuts lineage
     # (without it level k's plan nests every level below it), and the
@@ -369,9 +384,12 @@ def tile_pyramid(images: DataFrame, tile_size: int = 256,
         if children.isEmpty():
             break
         parents = (
-            children.groupBy("image_id", F.expr("x div 2").alias("px"),
-                             F.expr("y div 2").alias("py"), "z")
-            .applyInPandas(lambda key, pdf: reduce_group(pdf), schema=TILE_SCHEMA)
+            children.groupBy(
+                "image_id", "z",
+                F.expr(f"(x div 2) div {B}").alias("bx"),
+                F.expr(f"(y div 2) div {B}").alias("by"))
+            .applyInPandas(lambda key, pdf: reduce_groups(pdf),
+                           schema=TILE_SCHEMA)
             .localCheckpoint(eager=True)
         )
         levels.append(parents)
