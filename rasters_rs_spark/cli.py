@@ -39,8 +39,21 @@ def cmd_stats(args):
     spark = _spark(args)
     images = _images(spark, args.input)
     if args.polygons:
-        aois = pd.read_parquet(args.polygons)
-        out = zonal_stats(images, aois, include_whole=args.include_whole)
+        if args.distributed_aois:
+            from .operators.stats import zonal_stats_dist
+            # cast onto AOI_SCHEMA types (pandas-written parquet holds
+            # int64 ring offsets)
+            adf = spark.read.parquet(args.polygons).selectExpr(
+                "cast(aoi_id as string) aoi_id",
+                "transform(ring_offsets, v -> cast(v as int)) ring_offsets",
+                "transform(xs, v -> cast(v as double)) xs",
+                "transform(ys, v -> cast(v as double)) ys")
+            out = zonal_stats_dist(images, adf,
+                                   include_whole=args.include_whole)
+        else:
+            aois = pd.read_parquet(args.polygons)
+            out = zonal_stats(images, aois,
+                              include_whole=args.include_whole)
         rows = [r.asDict() for r in out.orderBy("aoi_id").collect()]
     else:
         rows = [r.asDict() for r in image_pixel_stats(images).collect()]
@@ -95,11 +108,17 @@ def cmd_tile(args):
 
 def cmd_fill(args):
     import pandas as pd
-    from .operators.knn import fill_idw
+    from .operators.knn import fill_barycentric, fill_idw
     spark = _spark(args)
     pts = pd.read_parquet(args.points)
-    out = fill_idw(_images(spark, args.input), pts, k=args.k,
-                   fill_nan=args.fill_nan).persist()
+    if args.method == "barycentric":
+        from .functions.delaunay import delaunay_triangles
+        tris = delaunay_triangles(pts["x"].to_numpy(), pts["y"].to_numpy())
+        out = fill_barycentric(_images(spark, args.input), pts, tris,
+                               fill_nan=args.fill_nan).persist()
+    else:
+        out = fill_idw(_images(spark, args.input), pts, k=args.k,
+                       fill_nan=args.fill_nan).persist()
     out.write.mode("overwrite").parquet(args.output)
     filled = out.agg({"filled": "sum"}).collect()[0][0]
     print(json.dumps({"filled": int(filled), "output": args.output}))
@@ -218,6 +237,10 @@ def build_parser():
     s.add_argument("input")
     s.add_argument("--polygons")
     s.add_argument("--include-whole", action="store_true")
+    s.add_argument("--distributed-aois", action="store_true",
+                   help="treat --polygons as a corpus-scale AOI "
+                        "catalog: covering cells as Catalyst exprs, "
+                        "nothing driver-side (zonal_stats_dist)")
     s.set_defaults(fn=cmd_stats)
 
     d = sub.add_parser("diff")
@@ -253,6 +276,11 @@ def build_parser():
     f.add_argument("output")
     f.add_argument("-k", type=int, default=8)
     f.add_argument("--fill-nan", action="store_true")
+    f.add_argument("--method", default="idw",
+                   choices=["idw", "barycentric"],
+                   help="barycentric = linear interpolation over a "
+                        "driver-built Delaunay triangulation (the "
+                        "reference's documented Sibson alternative)")
     f.set_defaults(fn=cmd_fill)
 
     r = sub.add_parser("resample")

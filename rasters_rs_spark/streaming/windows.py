@@ -553,3 +553,24 @@ def stream_embedding_neardup(spark: SparkSession, source_dir: str,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_cell_pip(spark: SparkSession, source_dir: str, schema: str,
+                    aois, zoom: int = 12, x_col: str = "x",
+                    y_col: str = "y", pip_rule: str = "evenodd"):
+    """Continuous spatial enrichment: point rows arriving as a stream
+    run the SAME cell-keyed PIP join the batch engine uses
+    (celljoin.cell_pip_join — a stateless cell-key projection,
+    broadcast covering-cell join and Arrow PIP refine all lift to
+    Structured Streaming unchanged). ``aois`` is the small pandas AOI
+    table (the broadcast side; a changing AOI catalog is a re-deploy,
+    like any broadcast dimension). Rows are final on arrival — no
+    watermark or state — so streamed output is row-identical to the
+    batch join (tested). Attach an append-mode sink."""
+    from ..operators.celljoin import cell_pip_join
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    # multipart=False would skip the dedup; compute it exactly from
+    # the (driver-side) pandas table like the batch path does
+    return cell_pip_join(stream, aois, zoom=zoom, x_col=x_col,
+                         y_col=y_col, pip_rule=pip_rule)

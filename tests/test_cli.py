@@ -169,3 +169,51 @@ def test_cli_rasterize(capsys, tmp_path, spark):
     block = CC.decode_raw(bytes(r["bytes"]), 8, 8)
     assert np.nansum(block == 0.0) == 64 - np.isnan(block).sum()
     assert (~np.isnan(block)).sum() > 0
+
+
+def test_cli_fill_barycentric(capsys, tmp_path, spark):
+    import numpy as np
+    import pandas as pd
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.sources import synth
+
+    field = lambda x, y: 2.0 + 0.3 * x + 0.7 * y
+    block = field(np.arange(16) + 0.5, (16.0 - np.arange(16) - 0.5)[:, None])
+    block = np.ascontiguousarray(block)
+    block[6:8, 6:8] = -999.0
+    src = str(tmp_path / "img.parquet")
+    pd.DataFrame([{
+        "image_id": "c0", "bytes": codecs.encode_raw(block),
+        "w": 16, "h": 16, "fmt": "raw",
+        "gt": [0.0, 1.0, 0.0, 16.0, 0.0, -1.0],
+        "crs": "IDENTITY", "no_val": -999.0}]).to_parquet(src)
+    rng = np.random.default_rng(3)
+    px = rng.random(120) * 20.0 - 2.0
+    py = rng.random(120) * 20.0 - 2.0
+    ptsp = str(tmp_path / "pts.parquet")
+    pd.DataFrame({"pt_id": [f"p{i}" for i in range(120)],
+                  "x": px, "y": py,
+                  "z": field(px, py)}).to_parquet(ptsp)
+    dst = str(tmp_path / "filled")
+    res = _run(capsys, ["fill", src, ptsp, dst, "--method", "barycentric"])
+    assert res["filled"] == 4
+    out = pd.read_parquet(dst)
+    got = codecs.decode_raw(out.iloc[0]["bytes"], 16, 16)
+    ii, jj = np.nonzero(block == -999.0)
+    assert np.abs(got[ii, jj] - field(jj + 0.5, 16.0 - ii - 0.5)).max() < 1e-9
+
+
+def test_cli_stats_distributed_aois(capsys, tmp_path, spark):
+    import pandas as pd
+    from rasters_rs_spark.sources import synth
+
+    src = str(tmp_path / "imgs.parquet")
+    synth.lcg_image_table(4, 32, 32, pixel_size=2.0,
+                          spacing=64.0, grid_cols=2).to_parquet(src)
+    aois = synth.aoi_table(6, seed=16,
+                           extent=(-1020.0, 850.0, -850.0, 1010.0))
+    ap = str(tmp_path / "aois.parquet")
+    aois[["aoi_id", "ring_offsets", "xs", "ys"]].to_parquet(ap)
+    a = _run(capsys, ["stats", src, "--polygons", ap])
+    b = _run(capsys, ["stats", src, "--polygons", ap, "--distributed-aois"])
+    assert a == b and len(a) >= 1

@@ -409,3 +409,30 @@ def test_stream_minhash_dedup_checkpoint_restart(spark, tmp_path):
     # never more — re-emission across restarts would exceed it
     from collections import Counter
     assert max(Counter(all_pairs).values()) <= 16
+
+
+def test_stream_cell_pip_equals_batch(spark, tmp_path):
+    """The spatial join as a stream: point rows arriving over two
+    micro-batches produce exactly the batch cell_pip_join rows
+    (stateless cell-key + broadcast PIP refine -> append rows final)."""
+    from rasters_rs_spark.operators.celljoin import cell_pip_join
+    from rasters_rs_spark.sources import synth
+    from rasters_rs_spark.streaming.windows import stream_cell_pip
+
+    pts = synth.points_table(400, seed=9)
+    aois = synth.aoi_table(8, seed=10)
+    pts_df = spark.createDataFrame(pts)
+    schema = ", ".join(f"{n} {t}" for n, t in pts_df.dtypes)
+    src = str(tmp_path / "pt_stream")
+    pts_df.where("pt_id < 'pt_0000200'").write.mode("overwrite").parquet(src)
+    pts_df.where("pt_id >= 'pt_0000200'").write.mode("append").parquet(src)
+
+    q = (stream_cell_pip(spark, src, schema, aois, zoom=12)
+         .writeStream.format("memory").queryName("pip_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["pt_id"], r["aoi_id"]) for r in
+                 spark.sql("select * from pip_stream").collect())
+    expect = sorted((r["pt_id"], r["aoi_id"]) for r in
+                    cell_pip_join(pts_df, aois, zoom=12).collect())
+    assert got == expect and len(got) > 0
