@@ -574,3 +574,18 @@ def stream_cell_pip(spark: SparkSession, source_dir: str, schema: str,
     # the (driver-side) pandas table like the batch path does
     return cell_pip_join(stream, aois, zoom=zoom, x_col=x_col,
                          y_col=y_col, pip_rule=pip_rule)
+
+
+def stream_zonal_stats(spark: SparkSession, source_dir: str, schema: str,
+                       aois, include_whole: bool = False):
+    """Continuous zonal statistics: image rows arriving as a stream run
+    the SAME per-image partial kernel as batch zonal_stats (stateless
+    mapInPandas), merged by a streaming UPDATE/COMPLETE aggregation on
+    aoi_id — each micro-batch folds its partials into the running
+    PixelStats monoid (sum/min/max are all order-free merges), so the
+    running answer after any prefix of the stream equals the batch
+    answer over the images seen so far (tested with availableNow)."""
+    from ..operators.stats import zonal_stats
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return zonal_stats(stream, aois, include_whole=include_whole)

@@ -436,3 +436,32 @@ def test_stream_cell_pip_equals_batch(spark, tmp_path):
     expect = sorted((r["pt_id"], r["aoi_id"]) for r in
                     cell_pip_join(pts_df, aois, zoom=12).collect())
     assert got == expect and len(got) > 0
+
+
+def test_stream_zonal_stats_equals_batch(spark, tmp_path):
+    """Zonal statistics as a stream: images over two micro-batches,
+    complete-mode aggregation equals the batch zonal_stats answer
+    exactly (LCG pixels -> order-free float merges)."""
+    from rasters_rs_spark.operators.stats import zonal_stats
+    from rasters_rs_spark.sources import synth
+    from rasters_rs_spark.streaming.windows import stream_zonal_stats
+
+    pdf = synth.lcg_image_table(6, 32, 32, pixel_size=2.0,
+                                spacing=64.0, grid_cols=3)
+    images = spark.createDataFrame(pdf)
+    aois = synth.aoi_table(12, seed=16,
+                           extent=(-1050.0, 840.0, -770.0, 1010.0))
+    schema = ", ".join(f"{n} {t}" for n, t in images.dtypes)
+    src = str(tmp_path / "img_stream")
+    images.where("image_id < 'img_00000003'").write.mode("overwrite").parquet(src)
+    images.where("image_id >= 'img_00000003'").write.mode("append").parquet(src)
+
+    q = (stream_zonal_stats(spark, src, schema, aois, include_whole=True)
+         .writeStream.format("memory").queryName("zonal_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["aoi_id"]: tuple(r) for r in
+           spark.sql("select * from zonal_stream").collect()}
+    expect = {r["aoi_id"]: tuple(r) for r in
+              zonal_stats(images, aois, include_whole=True).collect()}
+    assert got == expect and len(got) > 1
