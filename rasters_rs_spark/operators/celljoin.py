@@ -428,7 +428,8 @@ def cell_pip_join(points: DataFrame, aois, zoom: int = 12,
                   x_col: str = "x", y_col: str = "y",
                   broadcast_aois: bool | None = None, salt: int = 1,
                   pip_rule: str = "evenodd",
-                  multipart: bool | None = None) -> DataFrame:
+                  multipart: bool | None = None,
+                  refine_salt: int = 8) -> DataFrame:
     """Join points to every AOI that exactly contains them.
 
     ``points`` needs (id..., x_col, y_col) in WM/world coords — column
@@ -471,13 +472,15 @@ def cell_pip_join(points: DataFrame, aois, zoom: int = 12,
     pts = points.withColumn("cell", cell_expr(x_col, y_col, zoom))
     pts = pts.withColumn("px", F.col(x_col)).withColumn("py", F.col(y_col))
 
-    if multipart or salt > 1:
+    cogroup_refine = isinstance(aois, DataFrame) and not broadcast_aois
+    if multipart or salt > 1 or cogroup_refine:
         # per-ROW identity, captured BEFORE the join: the multipart
         # dedup must collapse (one input row x several parts of one
         # aoi_id) without also collapsing genuinely duplicated input
-        # point rows (dedup on the point VALUES would), and the salt
-        # must spread duplicate rows (the common cause of a hot cell)
-        # across tasks instead of hashing them to one key
+        # point rows (dedup on the point VALUES would), and the salts
+        # must spread duplicate rows (the common cause of a hot cell
+        # or hot polygon) across tasks instead of hashing them to one
+        # key
         pts = pts.withColumn("_rowid", F.monotonically_increasing_id())
 
     if salt > 1:
@@ -488,15 +491,72 @@ def cell_pip_join(points: DataFrame, aois, zoom: int = 12,
     else:
         join_keys = ["cell"]
 
-    right = F.broadcast(cells) if broadcast_aois else cells
-    cand = pts.join(right, on=join_keys, how="inner")
-
     keep = [f"{c} {t}" for c, t in points.dtypes] \
         + (["_rowid long"] if multipart else []) + ["aoi_id string"]
-    out = _refine(cand, keep, pip_rule)
+
+    if cogroup_refine:
+        # SHUFFLED-catalog plan: the candidate join must not carry the
+        # ring buffers — an equi-join duplicating each AOI's packed
+        # coordinates onto EVERY candidate row ships rings x candidate
+        # fan-out through the exchange. Join on a slim (cell, part,
+        # aoi_id) projection, then COGROUP candidates with the
+        # one-row-per-part AOI table on (part, sub-salt): rings cross
+        # the wire once per (part, salt group), and the sub-salt
+        # bounds a hot polygon's group size (its right side is a
+        # replicated single row, so salting costs nothing).
+        out = _refine_cogroup(pts, cells, aois, join_keys, keep,
+                              pip_rule, refine_salt)
+    else:
+        right = F.broadcast(cells) if broadcast_aois else cells
+        cand = pts.join(right, on=join_keys, how="inner")
+        out = _refine(cand, keep, pip_rule)
     if multipart:
         # multipart AOIs: a point row inside several parts of one
         # aoi_id must still produce ONE row — keyed on row identity,
         # so duplicate input rows each keep their own output row
         out = out.dropDuplicates(["_rowid", "aoi_id"]).drop("_rowid")
     return out
+
+
+def _refine_cogroup(pts: DataFrame, cells: DataFrame, aois: DataFrame,
+                    join_keys: list, keep_cols: list, pip_rule: str,
+                    refine_salt: int) -> DataFrame:
+    """Exact PIP refine for the shuffled AOI-catalog path (see
+    cell_pip_join): slim candidate join + per-(part, salt) cogroup
+    against the one-row-per-part ring table."""
+    pip = {"evenodd": geom.points_in_rings,
+           "nonzero": geom.points_in_rings_winding}[pip_rule]
+    names = [c.split(" ")[0] for c in keep_cols]
+    out_schema = ", ".join(keep_cols)
+
+    slim = cells.select(*join_keys, "part", "aoi_id")
+    cand = (pts.join(slim, on=join_keys, how="inner")
+            .withColumn("_gsalt",
+                        F.pmod(F.xxhash64("_rowid"), F.lit(refine_salt))))
+    # part identity must match between `cells` rows and this table:
+    # both derive from the SAME aoi_cells_dist plan (dedup to one row
+    # per part; rings are identical within a part), and the part ids —
+    # monotonically_increasing_id over the raw AOI scan — are
+    # deterministic per evaluation because they are assigned directly
+    # above the scan (partition splits fixed by the source, before any
+    # exchange). The _apart alias mints a fresh attribute: the cogroup
+    # sides otherwise share exprIds (ambiguous self-join).
+    aoi_parts = (cells.dropDuplicates(["part"])
+                 .select(F.col("part").alias("_apart"),
+                         "ring_offsets", "xs", "ys")
+                 .withColumn("_asalt",
+                             F.explode(F.lit(list(range(refine_salt))))))
+
+    def kernel(pt_pdf: pd.DataFrame, aoi_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pt_pdf) == 0 or len(aoi_pdf) == 0:
+            return pd.DataFrame(columns=names)
+        r = aoi_pdf.iloc[0]
+        inside = pip(pt_pdf["px"].to_numpy(), pt_pdf["py"].to_numpy(),
+                     list(r["ring_offsets"]),
+                     np.asarray(r["xs"], dtype=np.float64),
+                     np.asarray(r["ys"], dtype=np.float64))
+        return pt_pdf.loc[inside, names]
+
+    return cand.groupBy("part", "_gsalt").cogroup(
+        aoi_parts.groupBy("_apart", "_asalt")) \
+        .applyInPandas(lambda key, a, b: kernel(a, b), schema=out_schema)

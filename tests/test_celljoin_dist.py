@@ -165,3 +165,32 @@ def test_rasterize_dist_equals_broadcast(spark):
     burned = np.concatenate([
         np.frombuffer(b, dtype="<f8") for b in base.values()])
     assert np.isfinite(burned).sum() > 0
+
+
+def test_cell_pip_join_cogroup_refine_parquet_catalog(spark, tmp_path):
+    """The shuffled-catalog path (broadcast_aois=False -> slim
+    candidate join + per-(part, salt) cogroup refine; ring buffers
+    never ride the candidate exchange) on a PARQUET-sourced catalog —
+    pinning part-id determinism across the two evaluations of the
+    scan — with multipart ids, duplicated points, and several
+    refine_salt values. Plan must show the cogroup refine."""
+    parts = synth.aoi_table(6, seed=10)
+    parts.loc[1, "aoi_id"] = parts.loc[0, "aoi_id"]
+    path = str(tmp_path / "aois.parquet")
+    _aoi_df(spark, parts).write.mode("overwrite").parquet(path)
+    cat = spark.read.parquet(path)
+
+    pts = synth.points_table(300, seed=9)
+    dup = pd.concat([pts, pts.iloc[:40]], ignore_index=True)
+    pts_df = spark.createDataFrame(dup)
+
+    base = sorted((r["pt_id"], r["aoi_id"])
+                  for r in cell_pip_join(pts_df, parts, zoom=12).collect())
+    assert len(base) > 0
+    for rs in (1, 8):
+        out = cell_pip_join(pts_df, cat, zoom=12, broadcast_aois=False,
+                            refine_salt=rs)
+        got = sorted((r["pt_id"], r["aoi_id"]) for r in out.collect())
+        assert got == base, f"refine_salt={rs}"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
