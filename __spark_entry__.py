@@ -395,6 +395,22 @@ def _q_zonal_stats_dist(spark, sf_dir):
     return stats.zonal_stats_dist(images, adf, zoom=12)
 
 
+def _q_zonal_chunked_dist(spark, sf_dir):
+    """The BOTH-sides-huge zonal join (chunk strips x distributed AOI
+    catalog: strip-bbox cells x aoi cells -> cogrouped shared kernel)
+    against the SAME edge-for-edge PIP oracle as zonal_stats_synth —
+    LCG dyadic pixels make the strip-partial merge order-free."""
+    from rasters_rs_spark.operators.chunked import (chunk_images,
+                                                    chunked_zonal_stats_dist)
+    images = spark.createDataFrame(synth.lcg_image_table(32))
+    chunks = chunk_images(images, min_data_size=32 * 8)
+    aois = synth.aoi_table(8, seed=43, extent=_ZONAL_AOI_EXTENT)
+    adf = spark.createDataFrame(
+        aois[["aoi_id", "ring_offsets", "xs", "ys"]],
+        schema=celljoin.AOI_SCHEMA)
+    return chunked_zonal_stats_dist(chunks, adf, zoom=12)
+
+
 def _q_image_stats(spark, sf_dir):
     """PixelStats over q16-encoded LCG images: exercises the lossy
     codec round-trip; the quantize/dequantize arithmetic is mirrored in
@@ -1513,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_synth": _q_tile_pyramid,
         "zonal_stats_synth": _q_zonal_stats_images,
         "zonal_stats_dist_synth": _q_zonal_stats_dist,
+        "zonal_chunked_dist_synth": _q_zonal_chunked_dist,
         "image_stats_synth": _q_image_stats,
         "diff_stats_synth": _q_diff_synth,
         "knn_ring_synth": _q_knn_ring,
@@ -2485,6 +2502,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "image_stats_synth": _lcg_q16_stats_sql(),
         "zonal_stats_synth": _lcg_zonal_poly_sql(),
         "zonal_stats_dist_synth": _lcg_zonal_poly_sql(),
+        "zonal_chunked_dist_synth": _lcg_zonal_poly_sql(),
         "diff_stats_synth": _lcg_diff_partial_sql(),
         "knn_ring_synth": _knn_ring_sql(),
         "fill_idw_synth": _fill_idw_sql(),

@@ -384,63 +384,134 @@ def chunked_zonal_stats(chunks: DataFrame, aois: pd.DataFrame) -> DataFrame:
     its DATA rows only, one groupBy merges. Equals the whole-image
     zonal_stats exactly (tested); the path for rasters whose full block
     exceeds task memory."""
-    aoi_rows = [
-        (r.aoi_id, np.asarray(r.ring_offsets), np.asarray(r.xs, dtype=np.float64),
-         np.asarray(r.ys, dtype=np.float64))
-        for r in aois.itertuples(index=False)
-    ]
-    aoi_boxes = [geom.polygon_bbox(ro, xs, ys) for (_, ro, xs, ys) in aoi_rows]
+    from .stats import ZONAL_PARTIAL_SCHEMA, _packed_aoi_rows
+    aoi_rows = _packed_aoi_rows(aois)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["image_id", "aoi_id", "count", "min", "max", "sum", "sum_2"]
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                strip = codecs.decode_block(
-                    row.bytes, row.load_end - row.load_start, row.w, row.fmt)
-                ds = int(row.data_start)
-                data = strip[ds - int(row.load_start):
-                             int(row.data_end) - int(row.load_start)]
-                valid = ~np.isnan(data)
-                if not np.isnan(row.no_val):
-                    valid &= data != row.no_val
-                if not valid.any():
-                    continue
-                ii, jj = np.nonzero(valid)
-                vals = data[ii, jj]
-                t = geom.transform_from_gdal(row.gt)
-                # pixel centers in world coords: strip rows are global
-                # rows ds..data_end, so shift i by the data offset
-                wx, wy = geom.transform_points(t, jj + 0.5, ii + ds + 0.5)
-                # half-pixel padding: 1-row strips (common with default
-                # chunk sizing on wide rasters) have a DEGENERATE
-                # pixel-center bbox and the strict bounds_intersect
-                # would silently skip every AOI for them
-                hpx = abs(float(row.gt[1])) / 2.0
-                hpy = abs(float(row.gt[5])) / 2.0
-                box = (wx.min() - hpx, wy.min() - hpy,
-                       wx.max() + hpx, wy.max() + hpy)
-                for (aoi_id, ro, xs, ys), abox in zip(aoi_rows, aoi_boxes):
-                    if geom.bounds_intersect(box, abox) is None:
-                        continue
-                    cand = ((wx >= abox[0]) & (wx <= abox[2])
-                            & (wy >= abox[1]) & (wy <= abox[3]))
-                    if not cand.any():
-                        continue
-                    ci = np.nonzero(cand)[0]
-                    inside = np.zeros(len(wx), dtype=bool)
-                    inside[ci] = geom.points_in_rings(
-                        wx[ci], wy[ci], ro, xs, ys)
-                    if not inside.any():
-                        continue
-                    v = vals[inside]
-                    out.append((row.image_id, aoi_id, float(v.size),
-                                float(v.min()), float(v.max()),
-                                float(v.sum()), float((v * v).sum())))
-            cols = ["image_id", "aoi_id", "count", "min", "max", "sum", "sum_2"]
+                out.extend(_strip_zonal_partials(row, aoi_rows))
             yield pd.DataFrame(out, columns=cols)
 
-    from .stats import ZONAL_PARTIAL_SCHEMA
     partials = chunks.mapInPandas(gen, schema=ZONAL_PARTIAL_SCHEMA)
+    return with_derived_stats(
+        partials.groupBy("aoi_id").agg(*merge_partials_exprs()))
+
+
+def _strip_zonal_partials(row, aoi_rows) -> list:
+    """Per-(strip, aoi) PixelStats partial tuples for ONE chunk-strip
+    row against (aoi_id, ring_offsets, xs, ys, bbox) buffers — shared
+    by chunked_zonal_stats (broadcast AOIs) and
+    chunked_zonal_stats_dist (cell-join-pruned subsets)."""
+    out = []
+    strip = codecs.decode_block(
+        row.bytes, row.load_end - row.load_start, row.w, row.fmt)
+    ds = int(row.data_start)
+    data = strip[ds - int(row.load_start):
+                 int(row.data_end) - int(row.load_start)]
+    valid = ~np.isnan(data)
+    if not np.isnan(row.no_val):
+        valid &= data != row.no_val
+    if not valid.any():
+        return out
+    ii, jj = np.nonzero(valid)
+    vals = data[ii, jj]
+    t = geom.transform_from_gdal(row.gt)
+    # pixel centers in world coords: strip rows are global
+    # rows ds..data_end, so shift i by the data offset
+    wx, wy = geom.transform_points(t, jj + 0.5, ii + ds + 0.5)
+    # half-pixel padding: 1-row strips (common with default
+    # chunk sizing on wide rasters) have a DEGENERATE
+    # pixel-center bbox and the strict bounds_intersect
+    # would silently skip every AOI for them
+    hpx = abs(float(row.gt[1])) / 2.0
+    hpy = abs(float(row.gt[5])) / 2.0
+    box = (wx.min() - hpx, wy.min() - hpy,
+           wx.max() + hpx, wy.max() + hpy)
+    for (aoi_id, ro, xs, ys, abox) in aoi_rows:
+        if geom.bounds_intersect(box, abox) is None:
+            continue
+        cand = ((wx >= abox[0]) & (wx <= abox[2])
+                & (wy >= abox[1]) & (wy <= abox[3]))
+        if not cand.any():
+            continue
+        ci = np.nonzero(cand)[0]
+        inside = np.zeros(len(wx), dtype=bool)
+        inside[ci] = geom.points_in_rings(
+            wx[ci], wy[ci], ro, xs, ys)
+        if not inside.any():
+            continue
+        v = vals[inside]
+        out.append((row.image_id, aoi_id, float(v.size),
+                    float(v.min()), float(v.max()),
+                    float(v.sum()), float((v * v).sum())))
+    return out
+
+
+def chunked_zonal_stats_dist(chunks: DataFrame, aois: DataFrame,
+                             zoom: int = 12) -> DataFrame:
+    """The BOTH-sides-huge zonal join: raster as chunk strips (no task
+    decodes a whole image) x a distributed AOI catalog (nothing
+    driver-side). Strip data-row bboxes become covering cells (pure
+    Catalyst over gt/w/data range), equi-join aoi_cells_dist, distinct
+    (strip, part) candidates, cogroup back with the chunk rows, then
+    the SAME per-strip kernel as chunked_zonal_stats over each strip's
+    pruned AOI subset. Identical results to zonal_stats /
+    chunked_zonal_stats (tested)."""
+    from ..functions.mercator import MAX_COORD
+    from .celljoin import aoi_cells_dist
+    from .stats import ZONAL_PARTIAL_SCHEMA, _packed_aoi_rows
+
+    ts = 2.0 * MAX_COORD / float(1 << zoom)
+    g = [F.col("gt")[i] for i in range(6)]
+    w = F.col("w").cast("double")
+    dsd = F.col("data_start").cast("double")
+    ded = F.col("data_end").cast("double")
+    zero = F.lit(0.0)
+    corners = [(zero, dsd), (w, dsd), (zero, ded), (w, ded)]
+    cxs = [g[0] + j * g[1] + i * g[2] for (j, i) in corners]
+    cys = [g[3] + j * g[4] + i * g[5] for (j, i) in corners]
+    hx = (F.abs(g[1]) + F.abs(g[2])) / 2.0
+    hy = (F.abs(g[4]) + F.abs(g[5])) / 2.0
+    b = chunks.select(
+        "image_id", "chunk_idx",
+        F.floor((F.least(*cxs) - hx + F.lit(MAX_COORD)) / F.lit(ts))
+         .cast("long").alias("_x0"),
+        F.floor((F.greatest(*cxs) + hx + F.lit(MAX_COORD)) / F.lit(ts))
+         .cast("long").alias("_x1"),
+        F.floor((F.least(*cys) - hy + F.lit(MAX_COORD)) / F.lit(ts))
+         .cast("long").alias("_y0"),
+        F.floor((F.greatest(*cys) + hy + F.lit(MAX_COORD)) / F.lit(ts))
+         .cast("long").alias("_y1"))
+    b = b.withColumn("_cx", F.explode(F.sequence("_x0", "_x1")))
+    b = b.withColumn("_cy", F.explode(F.sequence("_y0", "_y1")))
+    scells = b.select(
+        "image_id", "chunk_idx",
+        (F.shiftleft(F.col("_cx"), 32) + F.col("_cy")).alias("cell"))
+
+    acells = aoi_cells_dist(aois, zoom)
+    # aliases: the candidate side derives from `chunks` (ambiguous
+    # self-join on the cogroup keys otherwise)
+    cand = (scells.join(acells, on="cell")
+            .dropDuplicates(["image_id", "chunk_idx", "part"])
+            .select(F.col("image_id").alias("_img"),
+                    F.col("chunk_idx").alias("_ci"),
+                    "aoi_id", "ring_offsets", "xs", "ys"))
+
+    def kernel(strip_pdf: pd.DataFrame, aoi_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["image_id", "aoi_id", "count", "min", "max", "sum", "sum_2"]
+        aoi_rows = _packed_aoi_rows(aoi_pdf.sort_values("aoi_id"))
+        out = []
+        for row in strip_pdf.itertuples(index=False):
+            out.extend(_strip_zonal_partials(row, aoi_rows))
+        return pd.DataFrame(out, columns=cols)
+
+    partials = chunks.groupBy("image_id", "chunk_idx").cogroup(
+        cand.groupBy("_img", "_ci")) \
+        .applyInPandas(lambda key, a, c: kernel(a, c),
+                       schema=ZONAL_PARTIAL_SCHEMA)
     return with_derived_stats(
         partials.groupBy("aoi_id").agg(*merge_partials_exprs()))
 

@@ -194,3 +194,30 @@ def test_cell_pip_join_cogroup_refine_parquet_catalog(spark, tmp_path):
         assert got == base, f"refine_salt={rs}"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_chunked_zonal_stats_dist_equals_all_paths(spark):
+    """The both-sides-huge zonal (chunk strips x AOI catalog) equals
+    the broadcast chunked path AND the whole-image path exactly on an
+    LCG fixture."""
+    from rasters_rs_spark.operators import stats as S
+    from rasters_rs_spark.operators.chunked import (chunk_images,
+                                                    chunked_zonal_stats,
+                                                    chunked_zonal_stats_dist)
+
+    pdf = synth.lcg_image_table(6, 32, 32, pixel_size=2.0,
+                                spacing=64.0, grid_cols=3)
+    images = spark.createDataFrame(pdf)
+    chunks = chunk_images(images, min_data_size=32 * 8)  # 8-row strips
+    aois = synth.aoi_table(12, seed=16,
+                           extent=(-1050.0, 840.0, -770.0, 1010.0))
+
+    whole = {r["aoi_id"]: tuple(r)
+             for r in S.zonal_stats(images, aois).collect()}
+    bcast = {r["aoi_id"]: tuple(r)
+             for r in chunked_zonal_stats(chunks, aois).collect()}
+    dist = {r["aoi_id"]: tuple(r)
+            for r in chunked_zonal_stats_dist(
+                chunks, _aoi_df(spark, aois), zoom=10).collect()}
+    assert bcast == whole and dist == whole
+    assert len(whole) > 1
