@@ -338,6 +338,60 @@ def _q_embedding_neardup(spark, sf_dir):
                       F.round("cosine", 9).alias("cosine"))
 
 
+def _q_embedding_neardup_inc(spark, sf_dir):
+    """Append-only embedding near-dup: the new batch (vec_id 300..399)
+    checked against the corpus (vec_id < 300) AND within itself through
+    the real incremental operator (LCG planes, fold-order dots); id_a
+    is always a new vector. Same banded-LSH SQL mirror with the
+    corpus-OR-(id_a < id_b) pair rule. Batch ids share a digit count,
+    so the operator's string order == the oracle's numeric order."""
+    emb = _tbl(spark, sf_dir, "embeddings") \
+        .selectExpr("cast(vec_id as bigint) vec_id",
+                    "transform(embedding, v -> cast(v as double)) embedding")
+    corpus = emb.where(F.col("vec_id") < 300)
+    new = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    out = dedup.embedding_neardup_incremental(
+        new, corpus, bands=_EN_BANDS, band_planes=_EN_BAND_PLANES,
+        threshold=_EN_THRESH, seed=None)
+    return out.select(F.col("id_a").cast("bigint").alias("id_a"),
+                      F.col("id_b").cast("bigint").alias("id_b"),
+                      F.round("cosine", 9).alias("cosine"))
+
+
+def _embedding_neardup_inc_sql() -> str:
+    """Mirror of dedup.embedding_neardup_incremental: the
+    _embedding_neardup_lsh_sql bucket CTE with the incremental pair
+    rule — a is new (>= 300), b is corpus (any order) or a later new
+    vector."""
+    bands, r, thresh = _EN_BANDS, _EN_BAND_PLANES, _EN_THRESH
+    planes = similarity.lcg_planes(bands * r, 64)
+
+    def dot(p):
+        return (f"list_reduce(list_transform(range(1, 65), "
+                f"i -> v[i] * ({_sql_list(p)})[i]), (a, b) -> a + b)")
+
+    bks = ", ".join(
+        "CAST(" + " + ".join(
+            f"CASE WHEN {dot(planes[b * r + j])} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(r)) + f" AS BIGINT) AS bk{b}"
+        for b in range(bands))
+    share = " OR ".join(f"a.bk{b} = b.bk{b}" for b in range(bands))
+    return f"""
+        WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id < 400),
+        bk AS (SELECT vec_id, v, {bks} FROM e),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+          FROM bk a JOIN bk b
+            ON a.vec_id != b.vec_id AND ({share})
+          WHERE a.vec_id >= 300
+            AND (b.vec_id < 300 OR a.vec_id < b.vec_id))
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(va, vb), 9) AS cosine
+        FROM cand WHERE list_cosine_similarity(va, vb) >= {thresh}
+    """
+
+
 # -- rows-only queries (non-SQL-expressible raster / LSH ops) ----------------
 
 
@@ -1524,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk": _q_events_topk,
         "nation_revenue": _q_nation_revenue,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_inc": _q_embedding_neardup_inc,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         # rows-only (exact numpy oracles live in tests/)
         "tile_pyramid_synth": _q_tile_pyramid,
@@ -2483,6 +2538,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
             GROUP BY n_name
         """,
         "embedding_neardup": _embedding_neardup_lsh_sql(),
+        "embedding_neardup_inc": _embedding_neardup_inc_sql(),
         "embedding_neardup_exact": """
             WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings WHERE vec_id < 400)

@@ -304,6 +304,62 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
     return _verify_jaccard(cand, texts, threshold)
 
 
+def embedding_neardup_incremental(new_embs: DataFrame, corpus: DataFrame,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  bands: int = 16, band_planes: int = 16,
+                                  threshold: float = 0.95,
+                                  seed: int | None = None,
+                                  hot_bucket_rows: int = 10_000,
+                                  hot_salt: int = 32,
+                                  corpus_bands: DataFrame | None = None) -> DataFrame:
+    """embedding_neardup for an APPEND-ONLY ingest — the
+    minhash_dedup_incremental shape in cosine space: each new vector is
+    checked against the corpus AND the other new vectors, without
+    re-pairing the corpus with itself. Returns (id_a, id_b, cosine)
+    with id_a always NEW; id_b a corpus id (any order) or a later new
+    id (id_a < id_b). Replayed ids are superseded by the batch version
+    (corpus rows dropped — replay-idempotent). Pass ``corpus_bands`` (a
+    persisted embedding_bands output, appended per batch) so only the
+    new batch is hashed per increment. Equals the full
+    embedding_neardup over (corpus UNION new) restricted to pairs
+    touching a new vector (pinned by test)."""
+    from .similarity import cosine_expr
+
+    nb = embedding_bands(new_embs, id_col, vec_col, bands, band_planes,
+                         seed).localCheckpoint(eager=True)
+    cb = corpus_bands if corpus_bands is not None else embedding_bands(
+        corpus, id_col, vec_col, bands, band_planes, seed)
+    new_ids = nb.select("id").distinct()
+    cb = cb.join(new_ids, on="id", how="left_anti")
+    all_b = nb.withColumn("_corp", F.lit(False)) \
+        .unionByName(cb.withColumn("_corp", F.lit(True)))
+    left = nb.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = all_b.select(F.col("id").alias("id_b"), "band", "bucket",
+                         "_corp")
+    cand = _salted_bucket_join(left, right, ["band", "bucket"],
+                               hot_bucket_rows, hot_salt, all_b) \
+        .where((F.col("id_a") != F.col("id_b"))
+               & (F.col("_corp") | (F.col("id_a") < F.col("id_b")))) \
+        .select("id_a", "id_b").distinct()
+
+    def _vecs(df):
+        return df.select(F.col(id_col).cast("string").alias("id"),
+                         F.col(vec_col).alias("_v"))
+
+    # verification vectors: the batch version wins for replayed ids
+    corpus_v = _vecs(corpus).join(new_ids, on="id", how="left_anti")
+    vecs = _vecs(new_embs).unionByName(corpus_v)
+    pairs = (cand
+             .join(vecs.select(F.col("id").alias("id_a"),
+                               F.col("_v").alias("va")), "id_a")
+             .join(vecs.select(F.col("id").alias("id_b"),
+                               F.col("_v").alias("vb")), "id_b"))
+    return pairs.withColumn("cosine", cosine_expr("va", "vb")) \
+                .where(F.col("cosine") >= threshold) \
+                .select("id_a", "id_b", "cosine")
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iters: int = 25) -> DataFrame:
     """Transitive duplicate clusters from near-dup pairs: iterative

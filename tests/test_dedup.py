@@ -319,3 +319,51 @@ def test_cosine_zero_norm_vectors_dropped(spark):
     top = S.cosine_topk(q, corpus, k=11).collect()   # includes z_zero row
     zz = [r for r in top if r["vec_id"] == "z_zero"]
     assert all(r["cosine"] is None for r in zz)      # NULL, not a crash
+
+
+def test_embedding_neardup_incremental_matches_full(spark):
+    """Incremental == full embedding_neardup over (corpus UNION new)
+    restricted to pairs touching a new vector — and replayed ids are
+    superseded by the batch (no self-pairs, no duplicate rows)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from rasters_rs_spark.operators import dedup as D
+
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=(60, 16))
+    # plant near-dups across the corpus/new split and within new
+    base[45] = base[3] + rng.normal(scale=0.01, size=16)
+    base[50] = base[48] + rng.normal(scale=0.01, size=16)
+    pdf = pd.DataFrame({"vec_id": range(60),
+                        "embedding": [v.tolist() for v in base]})
+    emb = spark.createDataFrame(pdf)
+    corpus = emb.where(F.col("vec_id") < 40)
+    new = emb.where(F.col("vec_id") >= 40)
+
+    inc = {(int(r["id_a"]), int(r["id_b"]))
+           for r in D.embedding_neardup_incremental(
+               new, corpus, bands=8, band_planes=8, threshold=0.9,
+               seed=7).collect()}
+    full = D.embedding_neardup(emb, bands=8, band_planes=8,
+                               threshold=0.9, seed=7).collect()
+    expect = set()
+    for r in full:
+        a, b = int(r["id_a"]), int(r["id_b"])
+        if a >= 40 or b >= 40:
+            new_id, other = (a, b) if a >= 40 else (b, a)
+            if other >= 40:      # within-batch: id_a < id_b
+                expect.add((min(a, b), max(a, b)))
+            else:                # corpus pair: id_a is the new one
+                expect.add((new_id, other))
+    assert inc == expect and len(inc) >= 2
+    assert all(a != b for a, b in inc)
+
+    # replay: feeding rows whose ids already exist must supersede, not
+    # self-pair
+    replay = D.embedding_neardup_incremental(
+        emb.where(F.col("vec_id").isin(3, 45)), corpus=emb, bands=8,
+        band_planes=8, threshold=0.9, seed=7).collect()
+    pairs = {(int(r["id_a"]), int(r["id_b"])) for r in replay}
+    assert (3, 45) in pairs or (45, 3) in pairs
+    assert all(a != b for a, b in pairs)
