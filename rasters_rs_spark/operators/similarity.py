@@ -84,9 +84,24 @@ def _rerank_topk(cand: DataFrame, k: int, q_id: str, c_id: str,
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 q_id: str = "q_id", c_id: str = "vec_id",
-                q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
+                q_vec: str = "q_vec", c_vec: str = "embedding",
+                max_queries: int = 100_000) -> DataFrame:
     """Exact top-k by cosine: returns (q_id, vec_id, cosine, rank).
-    Ties broken by corpus id for determinism."""
+    Ties broken by corpus id for determinism.
+
+    This is the exact BRUTE-FORCE surface (corpus x queries scan with
+    the query side broadcast): it REFUSES — via a limit-capped probe,
+    never a full count — query tables over ``max_queries``, where the
+    broadcast would OOM executors and the scan goes quadratic; use
+    lsh_topk / ivf_topk as the scale path, or raise the cap
+    explicitly."""
+    n = queries.select(queries.columns[0]).limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"cosine_topk is the exact brute-force surface (corpus x "
+            f"queries); the query table exceeds max_queries="
+            f"{max_queries}. Use similarity.lsh_topk / ivf_topk for "
+            f"large query sets, or raise max_queries explicitly.")
     cand = corpus.crossJoin(F.broadcast(queries))
     return _rerank_topk(cand, k, q_id, c_id, q_vec, c_vec)
 

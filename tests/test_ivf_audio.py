@@ -125,3 +125,17 @@ def test_lsh_catalyst_buckets_identical(spark):
         queries, corpus, k=3, dim=8, n_planes=6, probes=2,
         catalyst_buckets=True).collect())
     assert a == b and len(a) > 0
+
+
+def test_cosine_topk_refuses_huge_query_side(spark):
+    import pandas as pd
+    import numpy as np
+    import pytest
+    from rasters_rs_spark.operators import similarity as S
+    rng = np.random.default_rng(6)
+    df = spark.createDataFrame(pd.DataFrame({
+        "q_id": range(20),
+        "q_vec": [rng.normal(size=4).tolist() for _ in range(20)]}))
+    corpus = df.selectExpr("q_id as vec_id", "q_vec as embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        S.cosine_topk(df, corpus, k=3, max_queries=5)
