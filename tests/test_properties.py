@@ -166,3 +166,69 @@ def test_winding_equals_evenodd_on_simple_polygons(px, py, n, seed):
     eo = geom.points_in_rings(pxa, pya, [0], xs, ys)
     nz = geom.points_in_rings_winding(pxa, pya, [0], xs, ys)
     assert eo.tolist() == nz.tolist()
+
+
+@given(h=st.integers(1, 40), w=st.integers(1, 40),
+       n_patch=st.integers(0, 25), seed=st.integers(0, 10_000),
+       fmt=st.sampled_from(["raw", "q16"]))
+@settings(max_examples=150, deadline=None)
+def test_patch_block_bytes_invariants(h, w, n_patch, seed, fmt):
+    """For ANY block/patch set: unpatched bytes are byte-identical to
+    the input, raw patches are exact, and q16 patches land on the
+    original header's grid (error <= one quantization step, header
+    preserved)."""
+    rng = np.random.default_rng(seed)
+    block = rng.normal(size=(h, w))
+    data = codecs.encode_block(block, fmt)
+    n = min(n_patch, h * w)
+    flat = rng.choice(h * w, size=n, replace=False)
+    ii, jj = flat // w, flat % w
+    vals = rng.normal(size=n)
+    out = codecs.patch_block_bytes(data, ii, jj, vals, h, w, fmt)
+    assert len(out) == len(data)
+    dec_in = codecs.decode_block(data, h, w, fmt)
+    dec_out = codecs.decode_block(out, h, w, fmt)
+    mask = np.ones((h, w), dtype=bool)
+    mask[ii, jj] = False
+    # untouched pixels: byte-identical (stronger than value-equal)
+    if fmt == "q16":
+        assert out[:16] == data[:16]
+        px = np.frombuffer(data, dtype=">u2", offset=16)
+        qx = np.frombuffer(out, dtype=">u2", offset=16)
+        assert np.array_equal(px.reshape(h, w)[mask], qx.reshape(h, w)[mask])
+        import struct
+        vmin, vmax = struct.unpack_from("<dd", data, 0)
+        step = (vmax - vmin) / 65535.0
+        clamped = np.clip(vals, vmin, vmax)
+        assert np.all(np.abs(dec_out[ii, jj] - clamped) <= step + 1e-12)
+    else:
+        assert np.array_equal(dec_in[mask], dec_out[mask])
+        assert np.array_equal(dec_out[ii, jj], vals)
+
+
+@given(n=st.integers(3, 60), seed=st.integers(0, 10_000))
+@settings(max_examples=60, deadline=None)
+def test_delaunay_property_random_sets(n, seed):
+    """Empty-circumcircle criterion and linear-field exactness for ANY
+    random point set (degenerate collinear subsets tolerated by the
+    det==0 skip)."""
+    from rasters_rs_spark.functions.delaunay import (_circumcircles,
+                                                     delaunay_triangles)
+    from rasters_rs_spark.operators.knn import barycentric_interpolate
+    rng = np.random.default_rng(seed)
+    x = rng.random(n) * 10.0
+    y = rng.random(n) * 10.0
+    tris = delaunay_triangles(x, y)
+    if len(tris) == 0:
+        return
+    pts = np.stack([x, y], axis=1)
+    centers, r2 = _circumcircles(pts, tris)
+    ok = np.isfinite(r2)
+    d2 = ((pts[None, :, :] - centers[ok][:, None, :]) ** 2).sum(-1)
+    assert not (d2 < r2[ok][:, None] * (1.0 - 1e-7)).any()
+    # linear field reproduced at the input points themselves
+    z = 0.5 + 2.0 * x - 3.0 * y
+    got = barycentric_interpolate(x, y, x, y, z, tris)
+    inside = ~np.isnan(got)
+    assert inside.any()
+    assert np.allclose(got[inside], z[inside], atol=1e-6)
