@@ -136,6 +136,36 @@ def _burn_strip_row(sy: int, strip_height: int, w: int, h: int, gt, t,
             w, h, "raw", gt, "EPSG:3857", float("nan"))
 
 
+def aoi_ordinals_dist(aois: DataFrame, partitions: int = 64) -> DataFrame:
+    """(aoi_id, ordinal) by global aoi_id sort order WITHOUT a
+    single-partition window (which funnels the whole catalog through
+    one task): range-repartition the DISTINCT ids, rank within each
+    partition, and add per-partition offsets — the two-pass
+    zipWithIndex idiom. RangePartitioner assigns ascending id ranges
+    to ascending partition ids, so offset(p) = total rows of
+    partitions < p; the driver holds one count per partition, never
+    the catalog."""
+    from pyspark.sql import Window
+
+    ids = (aois.select("aoi_id").distinct()
+           .repartitionByRange(partitions, "aoi_id")
+           .withColumn("_pid", F.spark_partition_id())
+           .localCheckpoint(eager=True))
+    counts = {int(r["_pid"]): int(r["count"])
+              for r in ids.groupBy("_pid").count().collect()}
+    acc, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = aois.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "_pid int, _off long")
+    win = Window.partitionBy("_pid").orderBy("aoi_id")
+    return (ids.join(F.broadcast(off_df), on="_pid")
+            .withColumn("ordinal",
+                        F.row_number().over(win) - 1 + F.col("_off"))
+            .select("aoi_id", "ordinal"))
+
+
 def rasterize_dist(aois: DataFrame, gt, w: int, h: int,
                    strip_height: int = 256, zoom: int = 12,
                    pip_rule: str = "evenodd") -> DataFrame:
@@ -151,9 +181,10 @@ def rasterize_dist(aois: DataFrame, gt, w: int, h: int,
     (strip, aoi-part) -> cogroup with the strip index -> the shared
     burn kernel over each strip's pruned AOI subset. Per-task memory is
     strip_height x w doubles + candidate rings; the catalog never
-    lands on the driver."""
-    from pyspark.sql import Window
-
+    lands on the driver. Ordinals are PER aoi_id (aoi_ordinals_dist,
+    two-pass distributed rank — no single-partition window): all parts
+    of a multipart id burn the same value, which the pandas rasterize
+    only matches for unique-id tables (its ordinals are per ROW)."""
     spark = aois.sparkSession
     G = geom
     gt = [float(v) for v in gt]
@@ -164,8 +195,7 @@ def rasterize_dist(aois: DataFrame, gt, w: int, h: int,
            "nonzero": G.points_in_rings_winding}[pip_rule]
 
     if "ordinal" not in aois.columns:
-        aois = aois.withColumn(
-            "ordinal", F.row_number().over(Window.orderBy("aoi_id")) - 1)
+        aois = aois.join(aoi_ordinals_dist(aois), on="aoi_id")
     acells = aoi_cells_dist(aois, zoom, extra_cols=("ordinal",))
 
     ts = 2.0 * MAX_COORD / float(1 << zoom)

@@ -221,3 +221,19 @@ def test_chunked_zonal_stats_dist_equals_all_paths(spark):
                 chunks, _aoi_df(spark, aois), zoom=10).collect()}
     assert bcast == whole and dist == whole
     assert len(whole) > 1
+
+
+def test_aoi_ordinals_dist_no_single_partition_window(spark):
+    """Distributed ordinals: correct global sort ranks, computed with
+    partition-local windows only (no Exchange SinglePartition in the
+    plan), and multipart ids share one ordinal in rasterize_dist."""
+    from rasters_rs_spark.operators.celljoin import aoi_ordinals_dist
+
+    aois = synth.aoi_table(20, seed=10)
+    cat = _aoi_df(spark, aois)
+    ords = aoi_ordinals_dist(cat, partitions=4)
+    got = {r["aoi_id"]: r["ordinal"] for r in ords.collect()}
+    expect = {a: i for i, a in enumerate(sorted(aois["aoi_id"]))}
+    assert got == expect
+    plan = ords._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
