@@ -323,8 +323,13 @@ def aoi_cells_dist(aois: DataFrame, zoom: int, extra_cols=()) -> DataFrame:
     monotonically_increasing_id captured before the explode; each cell
     row carries its own ring buffers, so refine stays row-local."""
     ts = 2.0 * MAX_COORD / float(1 << zoom)
+    if "part" not in aois.columns:
+        # NOTE: monotonically_increasing_id is only stable WITHIN one
+        # evaluation — a caller whose plan evaluates the cell table
+        # twice (e.g. the cogroup refine) must mint part itself on a
+        # checkpointed table and pass it in
+        aois = aois.withColumn("part", F.monotonically_increasing_id())
     b = (aois
-         .withColumn("part", F.monotonically_increasing_id())
          .withColumn("_x0", F.floor((F.array_min("xs") + F.lit(MAX_COORD))
                                     / F.lit(ts)).cast("long"))
          .withColumn("_x1", F.floor((F.array_max("xs") + F.lit(MAX_COORD))
@@ -484,8 +489,20 @@ def cell_pip_join(points: DataFrame, aois, zoom: int = 12,
             f"cell_pip_join: point columns {sorted(reserved)} collide "
             f"with internal/AOI columns — rename them first")
     spark = points.sparkSession
+    aoi_parts_src = None
     if isinstance(aois, DataFrame):
-        cells = aoi_cells_dist(aois, zoom)
+        if "part" not in aois.columns:
+            aois = aois.withColumn("part",
+                                   F.monotonically_increasing_id())
+        # one row per AOI part, MATERIALIZED: the cogroup refine (and
+        # the probe + join) evaluate this subplan several times, and
+        # monotonically_increasing_id is only consistent across those
+        # evaluations when they read the same materialized rows — a
+        # recomputed id (different partition layout under AQE) silently
+        # mismatched ~97% of pairs at the 1M-point scale test. The
+        # checkpoint is one row per AOI (catalog-sized, not x cells).
+        aoi_parts_src = aois.localCheckpoint(eager=True)
+        cells = aoi_cells_dist(aoi_parts_src, zoom)
         if multipart is None:
             multipart = (aois.groupBy("aoi_id").count()
                          .where(F.col("count") > 1).limit(1).count() > 0)
@@ -534,7 +551,7 @@ def cell_pip_join(points: DataFrame, aois, zoom: int = 12,
         # the wire once per (part, salt group), and the sub-salt
         # bounds a hot polygon's group size (its right side is a
         # replicated single row, so salting costs nothing).
-        out = _refine_cogroup(pts, cells, aois, join_keys, keep,
+        out = _refine_cogroup(pts, cells, aoi_parts_src, join_keys, keep,
                               pip_rule, refine_salt)
     else:
         right = F.broadcast(cells) if broadcast_aois else cells
@@ -548,12 +565,18 @@ def cell_pip_join(points: DataFrame, aois, zoom: int = 12,
     return out
 
 
-def _refine_cogroup(pts: DataFrame, cells: DataFrame, aois: DataFrame,
+def _refine_cogroup(pts: DataFrame, cells: DataFrame,
+                    aoi_parts_src: DataFrame,
                     join_keys: list, keep_cols: list, pip_rule: str,
                     refine_salt: int) -> DataFrame:
     """Exact PIP refine for the shuffled AOI-catalog path (see
     cell_pip_join): slim candidate join + per-(part, salt) cogroup
-    against the one-row-per-part ring table."""
+    against the one-row-per-part ring table. ``aoi_parts_src`` is the
+    CHECKPOINTED part-id table `cells` was derived from — part ids are
+    only consistent across the two consumers because both read the
+    same materialized rows (a re-minted monotonically_increasing_id
+    under a different partition layout mismatched ~97% of pairs in the
+    1M-point scale test)."""
     pip = {"evenodd": geom.points_in_rings,
            "nonzero": geom.points_in_rings_winding}[pip_rule]
     names = [c.split(" ")[0] for c in keep_cols]
@@ -563,19 +586,19 @@ def _refine_cogroup(pts: DataFrame, cells: DataFrame, aois: DataFrame,
     cand = (pts.join(slim, on=join_keys, how="inner")
             .withColumn("_gsalt",
                         F.pmod(F.xxhash64("_rowid"), F.lit(refine_salt))))
-    # part identity must match between `cells` rows and this table:
-    # both derive from the SAME aoi_cells_dist plan (dedup to one row
-    # per part; rings are identical within a part), and the part ids —
-    # monotonically_increasing_id over the raw AOI scan — are
-    # deterministic per evaluation because they are assigned directly
-    # above the scan (partition splits fixed by the source, before any
-    # exchange). The _apart alias mints a fresh attribute: the cogroup
-    # sides otherwise share exprIds (ambiguous self-join).
-    aoi_parts = (cells.dropDuplicates(["part"])
+    # _apart alias mints a fresh attribute: the cogroup sides otherwise
+    # share exprIds (ambiguous self-join). _asalt MUST be cast to the
+    # left side's long: cogroup keys are NOT type-coerced like join
+    # keys — an int 3 and a long 3 hash to different shuffle
+    # partitions, so mismatched-type groups silently fail to pair
+    # (caught by the 1M-point scale check: ~97% of pairs vanished;
+    # small fixtures pass by partition-collision luck)
+    aoi_parts = (aoi_parts_src
                  .select(F.col("part").alias("_apart"),
                          "ring_offsets", "xs", "ys")
                  .withColumn("_asalt",
-                             F.explode(F.lit(list(range(refine_salt))))))
+                             F.explode(F.lit(list(range(refine_salt)))))
+                 .withColumn("_asalt", F.col("_asalt").cast("long")))
 
     def kernel(pt_pdf: pd.DataFrame, aoi_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pt_pdf) == 0 or len(aoi_pdf) == 0:

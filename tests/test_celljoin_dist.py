@@ -237,3 +237,26 @@ def test_aoi_ordinals_dist_no_single_partition_window(spark):
     assert got == expect
     plan = ords._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_cogroup_refine_many_groups_no_row_loss(spark):
+    """Regression (caught by the 1M-point scale check): cogroup keys
+    are NOT type-coerced like join keys — an int salt on one side and
+    a long on the other hash to different shuffle partitions and the
+    groups silently fail to pair, losing ~97% of matches at scale
+    while small fixtures pass by partition-collision luck. This run
+    (50k points x 64 AOIs -> 512 cogroup groups across 32 shuffle
+    partitions) makes any pairing loss a deterministic count
+    mismatch."""
+    from pyspark.sql import functions as F
+
+    aois = synth.aoi_table(64, seed=43)
+    cat = _aoi_df(spark, aois)
+    pts = spark.range(50_000).selectExpr(
+        "cast(id as string) pt_id",
+        "(pmod(id * 2654435761, 4000000) - 2000000) / 1000.0 as x",
+        "(pmod(id * 40503, 4000000) - 2000000) / 1000.0 as y")
+    n_bc = cell_pip_join(pts, aois, zoom=12).count()
+    n_cg = cell_pip_join(pts, cat, zoom=12, broadcast_aois=False,
+                         multipart=False).count()
+    assert n_cg == n_bc and n_bc > 10_000

@@ -211,6 +211,25 @@ def main():
         strip_height=256, tile_width=1024).count())
     images10.unpersist()
 
+    # --- catalog-scale PIP join (round-4 shuffled cogroup refine) -----
+    # 1M points x a DataFrame AOI catalog with the broadcast fast path
+    # DISABLED: slim candidate join + per-(part, salt) cogroup — the
+    # plan for AOI catalogs too large to broadcast.
+    from rasters_rs_spark.operators.celljoin import AOI_SCHEMA, cell_pip_join
+    import pandas as pd
+    aois_pd = synth.aoi_table(64, seed=43)
+    aoi_cat = spark.createDataFrame(
+        aois_pd[["aoi_id", "ring_offsets", "xs", "ys"]], schema=AOI_SCHEMA)
+    pts1m = spark.range(1_000_000).selectExpr(
+        "cast(id as string) pt_id",
+        "(pmod(id * 2654435761, 4000000) - 2000000) / 1000.0 * 2.0 as xr",
+        "(pmod(id * 40503, 4000000) - 2000000) / 1000.0 * 2.0 as yr")         .selectExpr("pt_id", "xr * 1000 as x", "yr * 1000 as y").persist()
+    pts1m.count()
+    timed("pip_catalog_1m", lambda: cell_pip_join(
+        pts1m, aoi_cat, zoom=12, broadcast_aois=False,
+        multipart=False).count())
+    pts1m.unpersist()
+
     results["corpus"] = {"docs_1x": n_docs, "docs_10x": n_docs10,
                          "emb_1x": n_emb, "emb_10x": n_emb10}
     results["rss_mb_end"] = round(rss_mb(), 1)
@@ -261,6 +280,7 @@ single points 2x+, hence best-of-3 with spreads shown).
 | tile_index_manifest mode=distributed (per-level shuffle) | one 4096x4096 raster | {results['tiling_distributed_4kraster']['rows']} | {results['tiling_distributed_4kraster']['sec']} |
 | tile_index_manifest mode=local (fused), same raster | one 4096x4096 raster | {results['tiling_local_4kraster']['rows']} | {results['tiling_local_4kraster']['sec']} |
 | mosaic_tiles 2000x2000 target, (256, 1024)-tiled merge | {h['images_10x']} images | {results['mosaic_tiles_10x']['rows']} | {results['mosaic_tiles_10x']['sec']} |
+| cell_pip_join, SHUFFLED AOI catalog (cogroup refine) | 1,000,000 points x 64 AOIs | {results['pip_catalog_1m']['rows']} | {results['pip_catalog_1m']['sec']} |
 
 The per-level shuffle is the plan for rasters whose pyramid exceeds a
 task (each level materializes raw tiles — per-level volume = raster
