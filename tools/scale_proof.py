@@ -222,8 +222,8 @@ def main():
         aois_pd[["aoi_id", "ring_offsets", "xs", "ys"]], schema=AOI_SCHEMA)
     pts1m = spark.range(1_000_000).selectExpr(
         "cast(id as string) pt_id",
-        "(pmod(id * 2654435761, 4000000) - 2000000) / 1000.0 * 2.0 as xr",
-        "(pmod(id * 40503, 4000000) - 2000000) / 1000.0 * 2.0 as yr")         .selectExpr("pt_id", "xr * 1000 as x", "yr * 1000 as y").persist()
+        "(pmod(id * 2654435761, 4000000) - 2000000) / 1000.0 as x",
+        "(pmod(id * 40503, 4000000) - 2000000) / 1000.0 as y").persist()
     pts1m.count()
     timed("pip_catalog_1m", lambda: cell_pip_join(
         pts1m, aoi_cat, zoom=12, broadcast_aois=False,
