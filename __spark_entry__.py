@@ -163,6 +163,24 @@ def _q_zonal_rect_dist(spark, sf_dir):
     )
 
 
+def _q_zonal_rect_cgr(spark, sf_dir):
+    """zonal_rect_events through the SHUFFLED-catalog plan forced on
+    (broadcast_aois=False): slim candidate join + per-(part, salt)
+    cogroup refine — the path whose int-vs-long cogroup-key bug the
+    1M-point validation caught; this row keeps it driver-gated against
+    the same SQL oracle as the broadcast paths."""
+    pts = _event_points(spark, sf_dir)
+    aois = spark.createDataFrame(
+        _rect_aois()[["aoi_id", "ring_offsets", "xs", "ys"]],
+        schema=celljoin.AOI_SCHEMA)
+    joined = celljoin.cell_pip_join(pts, aois, zoom=12, multipart=False,
+                                    broadcast_aois=False)
+    return joined.groupBy("aoi_id").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
 def _q_knn_topk(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings")
     corpus = emb.selectExpr("cast(vec_id as bigint) vec_id",
@@ -1569,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_stats_parts": _q_diff_stats,
         "zonal_rect_events": _q_zonal_rect,
         "zonal_rect_events_dist": _q_zonal_rect_dist,
+        "zonal_rect_events_cgr": _q_zonal_rect_cgr,
         "knn_topk_embeddings": _q_knn_topk,
         "dedup_groups_docs": _q_dedup_groups,
         "text_quality": _q_text_quality,
@@ -2403,6 +2422,7 @@ def oracle_sql() -> dict[str, str]:
     # the distributed-AOI variants answer the SAME questions — one
     # oracle text each, two independent Spark plans under test
     d["zonal_rect_events_dist"] = d["zonal_rect_events"]
+    d["zonal_rect_events_cgr"] = d["zonal_rect_events"]
     return d
 
 
