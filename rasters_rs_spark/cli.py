@@ -189,13 +189,22 @@ def cmd_focal(args):
 
 def cmd_rasterize(args):
     import pandas as pd
-    from .operators.celljoin import rasterize
+    from .operators.celljoin import rasterize, rasterize_dist
     from .operators.chunked import assemble_images
     spark = _spark(args)
-    aois = pd.read_parquet(args.aois)
     gt = [float(v) for v in args.gt]
-    chunks = rasterize(spark, aois, gt, args.width, args.height,
-                       strip_height=args.strip_height)
+    if args.distributed_aois:
+        adf = spark.read.parquet(args.aois).selectExpr(
+            "cast(aoi_id as string) aoi_id",
+            "transform(ring_offsets, v -> cast(v as int)) ring_offsets",
+            "transform(xs, v -> cast(v as double)) xs",
+            "transform(ys, v -> cast(v as double)) ys")
+        chunks = rasterize_dist(adf, gt, args.width, args.height,
+                                strip_height=args.strip_height)
+    else:
+        aois = pd.read_parquet(args.aois)
+        chunks = rasterize(spark, aois, gt, args.width, args.height,
+                           strip_height=args.strip_height)
     out = assemble_images(chunks) if args.assemble else chunks
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"written": args.output,
@@ -351,6 +360,9 @@ def build_parser():
     rz.add_argument("--strip-height", type=int, default=256)
     rz.add_argument("--chunks", dest="assemble", action="store_false",
                     help="write strip chunks instead of one image row")
+    rz.add_argument("--distributed-aois", action="store_true",
+                    help="treat the AOI parquet as a corpus-scale "
+                         "catalog (rasterize_dist)")
     rz.set_defaults(fn=cmd_rasterize, assemble=True)
 
     dd = sub.add_parser("dedup", help="near-duplicate document pairs "

@@ -217,3 +217,23 @@ def test_cli_stats_distributed_aois(capsys, tmp_path, spark):
     a = _run(capsys, ["stats", src, "--polygons", ap])
     b = _run(capsys, ["stats", src, "--polygons", ap, "--distributed-aois"])
     assert a == b and len(a) >= 1
+
+
+def test_cli_rasterize_distributed_aois(capsys, tmp_path, spark):
+    """--distributed-aois burns byte-identical output to the pandas
+    path for a unique-id catalog."""
+    from rasters_rs_spark.sources import synth
+    aois = synth.aoi_table(6, seed=10)
+    asrc = str(tmp_path / "rz_aois")
+    aois[["aoi_id", "ring_offsets", "xs", "ys"]].to_parquet(asrc)
+    args = ["rasterize", asrc, "", "--gt", "-800", "8", "0", "800", "0",
+            "-8", "--width", "128", "--height", "128"]
+    a_dst = str(tmp_path / "rz_a")
+    b_dst = str(tmp_path / "rz_b")
+    args[2] = a_dst
+    _run(capsys, args)
+    args[2] = b_dst
+    _run(capsys, args + ["--distributed-aois"])
+    ra = spark.read.parquet(a_dst).collect()[0]
+    rb = spark.read.parquet(b_dst).collect()[0]
+    assert bytes(ra["bytes"]) == bytes(rb["bytes"])
