@@ -147,6 +147,21 @@ def _q_zonal_rect(spark, sf_dir):
     )
 
 
+def _q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per returnflag: Spark's
+    percentile aggregate == DuckDB quantile_cont (both the continuous
+    p*(n-1) definition); rounded to 9 (the per-group interpolation is
+    exact but the inputs' sort order is engine-internal)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    out = stats.column_percentiles(li, "l_extendedprice",
+                                   ps=(0.5, 0.9, 0.99),
+                                   group_cols=["l_returnflag"])
+    return out.select("l_returnflag",
+                      F.round("p50", 9).alias("p50"),
+                      F.round("p90", 9).alias("p90"),
+                      F.round("p99", 9).alias("p99"))
+
+
 def _q_zonal_rect_dist(spark, sf_dir):
     """zonal_rect_events through the DISTRIBUTED AOI side: the rect
     catalog enters as an AOI DataFrame, covering cells are Catalyst
@@ -1587,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_stats_parts": _q_diff_stats,
         "zonal_rect_events": _q_zonal_rect,
         "zonal_rect_events_dist": _q_zonal_rect_dist,
+        "percentiles_price": _q_percentiles,
         "zonal_rect_events_cgr": _q_zonal_rect_cgr,
         "knn_topk_embeddings": _q_knn_topk,
         "dedup_groups_docs": _q_dedup_groups,
@@ -2423,6 +2439,13 @@ def oracle_sql() -> dict[str, str]:
     # oracle text each, two independent Spark plans under test
     d["zonal_rect_events_dist"] = d["zonal_rect_events"]
     d["zonal_rect_events_cgr"] = d["zonal_rect_events"]
+    d["percentiles_price"] = """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 9) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 9) AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 9) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """
     return d
 
 

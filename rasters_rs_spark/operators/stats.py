@@ -276,3 +276,20 @@ def zonal_stats_dist(images: DataFrame, aois: DataFrame, zoom: int = 12,
                        schema=ZONAL_PARTIAL_SCHEMA)
     return with_derived_stats(
         partials.groupBy("aoi_id").agg(*merge_partials_exprs()))
+
+
+def column_percentiles(df: DataFrame, value_col: str, ps=(0.5, 0.9, 0.99),
+                       group_cols=None) -> DataFrame:
+    """EXACT interpolated percentiles of a numeric column (optionally
+    grouped): Spark's `percentile` aggregate — the continuous
+    (p * (n-1) linear interpolation) definition, matching DuckDB's
+    quantile_cont, so the contract oracle compares values directly.
+    For corpus-scale approximate quantiles use `percentile_approx`
+    (same call shape); the exact form shuffles the column per group,
+    which is the intended cost of an exact answer."""
+    exprs = [F.expr(f"percentile({value_col}, {p})")
+             .alias(f"p{str(p).replace('0.', '').ljust(2, '0')}")
+             for p in ps]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*exprs)
+    return df.agg(*exprs)

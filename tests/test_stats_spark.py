@@ -165,3 +165,17 @@ def test_cell_pip_join_salted_same_result(spark):
         for r in cell_pip_join(pts_df, aois, zoom=10, broadcast_aois=False, salt=4).collect()
     }
     assert plain == salted
+
+
+def test_column_percentiles_matches_numpy(spark):
+    """Exact percentile == numpy linear interpolation (the continuous
+    p*(n-1) definition both Spark's percentile and DuckDB's
+    quantile_cont implement)."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(12)
+    vals = rng.normal(size=501)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    row = S.column_percentiles(df, "v", ps=(0.5, 0.9)).collect()[0]
+    assert abs(row["p50"] - np.percentile(vals, 50)) < 1e-12
+    assert abs(row["p90"] - np.percentile(vals, 90)) < 1e-12
