@@ -329,3 +329,21 @@ def test_repetition_and_filter_accept_string_ids(spark):
     assert set(rep) == {"a1", "b2"} and all(v > 0 for v in rep.values())
     kept = TX.filter_corpus(df, min_tokens=5, max_rep=1.0).collect()
     assert {r["doc_id"] for r in kept} <= {"a1", "b2"}
+
+
+def test_repetition_engines_identical(spark):
+    """The zero-shuffle Arrow engine and the Catalyst explode engine
+    are bit-identical (exact integer counts), including the empty-text
+    and short-doc slice edge cases and n=3."""
+    import pandas as pd
+    from rasters_rs_spark.operators import text as T
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": ["a b a b a b", "x", "", "one two three two three two",
+                 "z z z z", "lone pair lone pair"]}))
+    for n in (2, 3):
+        a = sorted(tuple(r) for r in T.repetition_stats(
+            docs, n=n, engine="sql").collect())
+        b = sorted(tuple(r) for r in T.repetition_stats(
+            docs, n=n, engine="arrow").collect())
+        assert a == b, n
