@@ -159,12 +159,18 @@ def main():
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
 
-    def timed(name, fn):
-        t0 = time.time()
-        n = fn()
-        dt = time.time() - t0
-        results[name] = {"rows": n, "sec": round(dt, 2)}
-        print(f"# {name}: {n} rows in {dt:.1f}s", file=sys.stderr)
+    def timed(name, fn, repeats: int = 2):
+        # best-of-2 like every other point: shared-VM noise swings a
+        # single shot 2-3x (the round-4 mosaic row measured 16s and
+        # 47s across runs); the spread is recorded
+        runs = []
+        n = None
+        for _ in range(repeats):
+            t0 = time.time()
+            n = fn()
+            runs.append(round(time.time() - t0, 2))
+        results[name] = {"rows": n, "sec": min(runs), "runs_sec": runs}
+        print(f"# {name}: {n} rows in {min(runs)}s {runs}", file=sys.stderr)
 
     timed("minhash_10x", lambda: dedup.minhash_dedup(
         docs10, threshold=0.8).count())
