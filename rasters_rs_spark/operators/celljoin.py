@@ -458,6 +458,10 @@ def _reindexed(batches):
 #: carries its AOI's full ring buffers — keep the table executor-safe).
 MAX_BROADCAST_AOI_CELLS = 200_000
 
+#: Max catalog rows the multipart=None auto-probe scans before falling
+#: back to the conservative answer (True: dedup always applied).
+MULTIPART_PROBE_ROWS = 100_000
+
 
 def cell_pip_join(points: DataFrame, aois, zoom: int = 12,
                   x_col: str = "x", y_col: str = "y",
@@ -504,8 +508,21 @@ def cell_pip_join(points: DataFrame, aois, zoom: int = 12,
         aoi_parts_src = aois.localCheckpoint(eager=True)
         cells = aoi_cells_dist(aoi_parts_src, zoom)
         if multipart is None:
-            multipart = (aois.groupBy("aoi_id").count()
-                         .where(F.col("count") > 1).limit(1).count() > 0)
+            # capped probe (round-4 ADVICE: the old groupBy over the
+            # ENTIRE catalog was a full scan + shuffle): duplicates in
+            # the first MULTIPART_PROBE_ROWS rows decide True exactly;
+            # a dup-free sample that covers the whole catalog decides
+            # False exactly; a dup-free sample of a LARGER catalog
+            # falls back to True — conservative but never wrong (the
+            # (_rowid, aoi_id) dedup is a semantic no-op on a
+            # single-part catalog, it just costs one extra shuffle;
+            # pass multipart=False at scale when the shape is known)
+            cap = MULTIPART_PROBE_ROWS
+            probe = (aoi_parts_src.select("aoi_id").limit(cap + 1)
+                     .groupBy("aoi_id").count()
+                     .agg(F.sum("count").alias("n_rows"),
+                          F.max("count").alias("mx")).first())
+            multipart = (probe.mx or 0) > 1 or (probe.n_rows or 0) > cap
         if broadcast_aois is None:
             cap = MAX_BROADCAST_AOI_CELLS
             broadcast_aois = \
@@ -516,10 +533,33 @@ def cell_pip_join(points: DataFrame, aois, zoom: int = 12,
             multipart = len(aois) != aois["aoi_id"].nunique()
         if broadcast_aois is None:
             broadcast_aois = True
+    if points.isStreaming:
+        if multipart:
+            # the (_rowid, aoi_id) dropDuplicates below is a CROSS-
+            # micro-batch stateful dedup on a stream, and
+            # monotonically_increasing_id restarts every micro-batch
+            # (partition_id << 33 + offset): later batches colliding
+            # with earlier state would silently lose rows while state
+            # grows unbounded (round-4 ADVICE)
+            raise ValueError(
+                "cell_pip_join: multipart AOI catalogs are unsupported "
+                "on a streaming point source (per-row dedup is not "
+                "batch-local in Structured Streaming). Split "
+                "multipolygon AOIs into one single-part row per aoi_id "
+                "(or pre-union their rings), then pass multipart=False.")
+        if salt > 1:
+            raise ValueError(
+                "cell_pip_join: salt > 1 keys the spread on per-row ids, "
+                "which are not stable on a streaming source")
     pts = points.withColumn("cell", cell_expr(x_col, y_col, zoom))
     pts = pts.withColumn("px", F.col(x_col)).withColumn("py", F.col(y_col))
 
-    cogroup_refine = isinstance(aois, DataFrame) and not broadcast_aois
+    # cogroup applyInPandas is batch-only: a streaming query with a
+    # too-big-to-broadcast catalog falls back to the carry-rings
+    # stream-static equi-join (rings duplicated per candidate row —
+    # correct, but prefer broadcast-sized catalogs on streams)
+    cogroup_refine = (isinstance(aois, DataFrame) and not broadcast_aois
+                      and not points.isStreaming)
     if multipart or salt > 1 or cogroup_refine:
         # per-ROW identity, captured BEFORE the join: the multipart
         # dedup must collapse (one input row x several parts of one

@@ -510,32 +510,92 @@ def grid_triangles(nx: int, ny: int) -> np.ndarray:
     return np.asarray(tris, dtype=np.int64)
 
 
+def _grid_bucket_pairs(bx0, by0, bx1, by1, qx, qy):
+    """Uniform-grid candidate pruning shared by the barycentric and
+    Sibson kernels: items with bboxes (bx0..bx1, by0..by1) vs query
+    points. Returns (cell_of_query, item_cells, item_ids) where
+    item_cells/item_ids list every (cell, item) overlap pair sorted by
+    cell then item index — so per-cell candidate lists preserve the
+    global item order (first-match semantics stay bit-identical to
+    the unbucketed loop). Grid cell count ~ n_items so the expected
+    candidates per cell is O(1) for well-shaped triangulations."""
+    n = bx0.size
+    gx0 = min(float(np.min(qx)), float(np.min(bx0)))
+    gy0 = min(float(np.min(qy)), float(np.min(by0)))
+    gx1 = max(float(np.max(qx)), float(np.max(bx1)))
+    gy1 = max(float(np.max(qy)), float(np.max(by1)))
+    g = max(1, int(np.sqrt(n)))
+    sx = (gx1 - gx0) / g or 1.0
+    sy = (gy1 - gy0) / g or 1.0
+
+    def cell_of(x, y):
+        cx = np.clip(((x - gx0) / sx).astype(np.int64), 0, g - 1)
+        cy = np.clip(((y - gy0) / sy).astype(np.int64), 0, g - 1)
+        return cy * g + cx
+
+    q_cell = cell_of(np.asarray(qx), np.asarray(qy))
+    ix0 = np.clip(((bx0 - gx0) / sx).astype(np.int64), 0, g - 1)
+    ix1 = np.clip(((bx1 - gx0) / sx).astype(np.int64), 0, g - 1)
+    iy0 = np.clip(((by0 - gy0) / sy).astype(np.int64), 0, g - 1)
+    iy1 = np.clip(((by1 - gy0) / sy).astype(np.int64), 0, g - 1)
+    spans = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    item = np.repeat(np.arange(n, dtype=np.int64), spans)
+    # per-item row-major offsets within its covered cell rectangle
+    k = np.arange(spans.sum(), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(spans)[:-1]]), spans)
+    w = (ix1 - ix0 + 1)[item]
+    cells = (iy0[item] + k // w) * g + (ix0[item] + k % w)
+    order = np.lexsort((item, cells))
+    return q_cell, cells[order], item[order]
+
+
 def barycentric_interpolate(qx, qy, px, py, pz, triangles) -> np.ndarray:
     """Linear interpolation of query points over a triangulated point
     set (raster-fill-nn/interpolation.rs:36-39, the barycentric
     alternative the reference documents next to its Sibson kernel).
-    Vectorized across queries per triangle; queries outside every
-    triangle return NaN. Boundary points (a zero barycentric
-    coordinate) are inclusive; the value is continuous across shared
-    edges, so which neighbor claims the boundary is irrelevant."""
+    Queries outside every triangle return NaN. Boundary points (a zero
+    barycentric coordinate) are inclusive; the value is continuous
+    across shared edges, so which neighbor claims the boundary is
+    irrelevant. Candidate triangles come from a uniform grid keyed on
+    triangle bboxes (round-4 ADVICE: the all-triangles-per-query loop
+    was O(n_tri x n_holes)); per cell, candidates evaluate in triangle-
+    table order on the not-yet-done queries, so the claimed triangle —
+    and the output bits — are identical to the unbucketed loop."""
     qx = np.asarray(qx, dtype=np.float64)
     qy = np.asarray(qy, dtype=np.float64)
     out = np.full(qx.shape, np.nan)
-    done = np.zeros(qx.shape, dtype=bool)
-    for (a, b, c) in np.asarray(triangles, dtype=np.int64):
-        if done.all():
-            break
-        x1, y1, x2, y2, x3, y3 = px[a], py[a], px[b], py[b], px[c], py[c]
-        det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
-        if det == 0.0:
-            continue
-        l1 = ((y2 - y3) * (qx - x3) + (x3 - x2) * (qy - y3)) / det
-        l2 = ((y3 - y1) * (qx - x3) + (x1 - x3) * (qy - y3)) / det
-        l3 = 1.0 - l1 - l2
-        m = (~done) & (l1 >= 0.0) & (l2 >= 0.0) & (l3 >= 0.0)
-        if m.any():
-            out[m] = l1[m] * pz[a] + l2[m] * pz[b] + l3[m] * pz[c]
-            done |= m
+    tris = np.asarray(triangles, dtype=np.int64).reshape(-1, 3)
+    if qx.size == 0 or tris.shape[0] == 0:
+        return out
+    tx = np.asarray(px, dtype=np.float64)[tris]
+    ty = np.asarray(py, dtype=np.float64)[tris]
+    q_cell, t_cells, t_ids = _grid_bucket_pairs(
+        tx.min(1), ty.min(1), tx.max(1), ty.max(1), qx, qy)
+
+    q_order = np.argsort(q_cell, kind="stable")
+    q_bounds = np.searchsorted(q_cell[q_order],
+                               np.arange(0, q_cell.max() + 2))
+    t_lo = np.searchsorted(t_cells, np.arange(0, q_cell.max() + 2))
+    for c in np.unique(q_cell):
+        qs = q_order[q_bounds[c]:q_bounds[c + 1]]
+        sub_x, sub_y = qx[qs], qy[qs]
+        sub_done = np.zeros(qs.size, dtype=bool)
+        for t in t_ids[t_lo[c]:t_lo[c + 1]]:
+            if sub_done.all():
+                break
+            a, b, cc = tris[t]
+            x1, y1, x2, y2 = px[a], py[a], px[b], py[b]
+            x3, y3 = px[cc], py[cc]
+            det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+            if det == 0.0:
+                continue
+            l1 = ((y2 - y3) * (sub_x - x3) + (x3 - x2) * (sub_y - y3)) / det
+            l2 = ((y3 - y1) * (sub_x - x3) + (x1 - x3) * (sub_y - y3)) / det
+            l3 = 1.0 - l1 - l2
+            m = (~sub_done) & (l1 >= 0.0) & (l2 >= 0.0) & (l3 >= 0.0)
+            if m.any():
+                out[qs[m]] = l1[m] * pz[a] + l2[m] * pz[b] + l3[m] * pz[cc]
+                sub_done |= m
     return out
 
 

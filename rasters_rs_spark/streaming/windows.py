@@ -557,23 +557,36 @@ def stream_embedding_neardup(spark: SparkSession, source_dir: str,
 
 def stream_cell_pip(spark: SparkSession, source_dir: str, schema: str,
                     aois, zoom: int = 12, x_col: str = "x",
-                    y_col: str = "y", pip_rule: str = "evenodd"):
+                    y_col: str = "y", pip_rule: str = "evenodd",
+                    broadcast_aois: bool | None = None,
+                    multipart: bool | None = None):
     """Continuous spatial enrichment: point rows arriving as a stream
     run the SAME cell-keyed PIP join the batch engine uses
     (celljoin.cell_pip_join — a stateless cell-key projection,
-    broadcast covering-cell join and Arrow PIP refine all lift to
-    Structured Streaming unchanged). ``aois`` is the small pandas AOI
-    table (the broadcast side; a changing AOI catalog is a re-deploy,
-    like any broadcast dimension). Rows are final on arrival — no
-    watermark or state — so streamed output is row-identical to the
-    batch join (tested). Attach an append-mode sink."""
+    covering-cell join and Arrow PIP refine all lift to Structured
+    Streaming unchanged). ``aois`` is either the small pandas AOI
+    table (broadcast side; a changing catalog is a re-deploy, like any
+    broadcast dimension) or an AOI **DataFrame** in AOI_SCHEMA — the
+    static side of a stream-static join, with covering cells as pure
+    Catalyst exprs; a too-big-to-broadcast catalog falls back to the
+    carry-rings shuffled join (the cogroup refine is batch-only).
+    Rows are final on arrival — no watermark or state — so streamed
+    output is row-identical to the batch join (tested, incl. the
+    DataFrame-catalog path). Multipart AOI catalogs are REJECTED on
+    streams (cell_pip_join raises): the per-row dedup they need is
+    not batch-local in Structured Streaming — split multipolygons
+    into one single-part row per aoi_id first. Attach an append-mode
+    sink."""
     from ..operators.celljoin import cell_pip_join
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    # multipart=False would skip the dedup; compute it exactly from
-    # the (driver-side) pandas table like the batch path does
+    # multipart=None: computed exactly from the pandas table, or by
+    # the capped static-side probe for a DataFrame catalog — either
+    # way a multipart catalog raises before any sink starts
     return cell_pip_join(stream, aois, zoom=zoom, x_col=x_col,
-                         y_col=y_col, pip_rule=pip_rule)
+                         y_col=y_col, pip_rule=pip_rule,
+                         broadcast_aois=broadcast_aois,
+                         multipart=multipart)
 
 
 def stream_zonal_stats(spark: SparkSession, source_dir: str, schema: str,

@@ -347,3 +347,32 @@ def test_repetition_engines_identical(spark):
         b = sorted(tuple(r) for r in T.repetition_stats(
             docs, n=n, engine="arrow").collect())
         assert a == b, n
+
+
+def test_repetition_null_text_both_engines(spark):
+    """NULL text must not crash the Arrow engine (round-4 ADVICE) and
+    must score the SQL engine's (1, 1, 1.0) — the NULL gram groups
+    into a single row, same as the empty string's ''-gram (measured
+    SQL behavior, not a drop). Covers the tokens_col path too (NULL
+    array and empty array)."""
+    import pandas as pd
+    from rasters_rs_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", None), ("d3", "")],
+        "doc_id string, text string")
+    for engine in ("sql", "arrow"):
+        out = {r["doc_id"]: (r["n_ngrams"], r["top_count"], r["rep_ratio"])
+               for r in T.repetition_stats(docs, n=2, engine=engine).collect()}
+        assert out["d2"] == (1, 1, 1.0), engine
+        assert out["d3"] == (1, 1, 1.0), engine
+        assert out["d1"] == (3, 2, 2 / 3), engine
+    toks = spark.createDataFrame(
+        [("t1", ["a", "b", "a", "b"]), ("t2", None), ("t3", [])],
+        "doc_id string, toks array<string>")
+    for engine in ("sql", "arrow"):
+        out = {r["doc_id"]: (r["n_ngrams"], r["top_count"])
+               for r in T.repetition_stats(
+                   toks, n=2, tokens_col="toks", engine=engine).collect()}
+        assert out["t2"] == (1, 1), engine
+        assert out["t3"] == (1, 1), engine
+        assert out["t1"] == (3, 2), engine

@@ -438,6 +438,61 @@ def test_stream_cell_pip_equals_batch(spark, tmp_path):
     assert got == expect and len(got) > 0
 
 
+def test_stream_cell_pip_rejects_multipart(spark, tmp_path):
+    """Multipart AOI catalogs must be rejected on a stream BEFORE any
+    sink starts: the per-row dedup they need is a cross-micro-batch
+    stateful dropDuplicates whose _rowid keys restart every batch
+    (round-4 ADVICE — rows in later batches colliding with earlier
+    state would be silently dropped)."""
+    import pandas as pd
+    import pytest
+    from rasters_rs_spark.sources import synth
+    from rasters_rs_spark.streaming.windows import stream_cell_pip
+
+    pts = synth.points_table(50, seed=9)
+    base = synth.aoi_table(4, seed=10)
+    two_parts = pd.concat([base, base.iloc[[0]]], ignore_index=True)
+    pts_df = spark.createDataFrame(pts)
+    schema = ", ".join(f"{n} {t}" for n, t in pts_df.dtypes)
+    src = str(tmp_path / "pt_stream_mp")
+    pts_df.write.mode("overwrite").parquet(src)
+    with pytest.raises(ValueError, match="multipart"):
+        stream_cell_pip(spark, src, schema, two_parts, zoom=12)
+
+
+def test_stream_cell_pip_dataframe_catalog(spark, tmp_path):
+    """The distributed-AOI side on a stream: an AOI DataFrame catalog
+    joins as the static side of a stream-static join (covering cells
+    as Catalyst exprs), row-identical to the batch catalog path —
+    via both the broadcast and the carry-rings shuffled fallback."""
+    from rasters_rs_spark.operators.celljoin import AOI_SCHEMA, cell_pip_join
+    from rasters_rs_spark.sources import synth
+    from rasters_rs_spark.streaming.windows import stream_cell_pip
+
+    pts = synth.points_table(300, seed=9)
+    aois = synth.aoi_table(8, seed=10)
+    aoi_df = spark.createDataFrame(
+        aois[["aoi_id", "ring_offsets", "xs", "ys"]], schema=AOI_SCHEMA)
+    pts_df = spark.createDataFrame(pts)
+    schema = ", ".join(f"{n} {t}" for n, t in pts_df.dtypes)
+    src = str(tmp_path / "pt_stream_cat")
+    pts_df.where("pt_id < 'pt_0000150'").write.mode("overwrite").parquet(src)
+    pts_df.where("pt_id >= 'pt_0000150'").write.mode("append").parquet(src)
+
+    expect = sorted((r["pt_id"], r["aoi_id"]) for r in
+                    cell_pip_join(pts_df, aoi_df, zoom=12).collect())
+    for i, bcast in enumerate((True, False)):
+        name = f"pip_stream_cat{i}"
+        q = (stream_cell_pip(spark, src, schema, aoi_df, zoom=12,
+                             broadcast_aois=bcast)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted((r["pt_id"], r["aoi_id"]) for r in
+                     spark.sql(f"select * from {name}").collect())
+        assert got == expect and len(got) > 0, f"broadcast={bcast}"
+
+
 def test_stream_zonal_stats_equals_batch(spark, tmp_path):
     """Zonal statistics as a stream: images over two micro-batches,
     complete-mode aggregation equals the batch zonal_stats answer
