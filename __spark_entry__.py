@@ -589,13 +589,10 @@ _BARY_NX, _BARY_NY = 60, 11
 _BARY_GX0, _BARY_GY0, _BARY_SP = -1016.0, 928.0, 8.0
 
 
-def _q_fill_barycentric(spark, sf_dir):
-    """Barycentric (linear natural-neighbor) hole fill over a
-    precomputed grid triangulation — the reference's own documented
-    alternative to its Sibson kernel (interpolation.rs:36-39). The
-    oracle recomputes the interpolation in closed form (cell locate +
-    corner blend); the grid spacing is a power of two so both
-    formulations are exact and match bitwise."""
+def _bary_fixture(spark):
+    """Shared fixture of the triangulation fills: 4 LCG images with
+    holes + a regular point grid (dyadic spacing) + its triangle
+    table."""
     import numpy as np
     pdf = synth.lcg_image_table(4, 32, 32, pixel_size=2.0,
                                 holes_below=0.125)
@@ -608,8 +605,32 @@ def _q_fill_barycentric(spark, sf_dir):
         "y": _BARY_GY0 + _BARY_SP * (idx // _BARY_NX).astype(np.float64),
         "z": z,
     })
-    tris = knn.grid_triangles(_BARY_NX, _BARY_NY)
+    return images, pts, knn.grid_triangles(_BARY_NX, _BARY_NY)
+
+
+def _q_fill_barycentric(spark, sf_dir):
+    """Barycentric (linear natural-neighbor) hole fill over a
+    precomputed grid triangulation — the reference's own documented
+    alternative to its Sibson kernel (interpolation.rs:36-39). The
+    oracle recomputes the interpolation in closed form (cell locate +
+    corner blend); the grid spacing is a power of two so both
+    formulations are exact and match bitwise."""
+    images, pts, tris = _bary_fixture(spark)
     return _explode_pixels(knn.fill_barycentric(images, pts, tris))
+
+
+def _q_fill_sibson(spark, sf_dir):
+    """Sibson (C0 natural-neighbor) hole fill over the SAME dyadic
+    grid fixture as fill_barycentric_synth — the reference's own
+    raster-fill-nn kernel (interpolation.rs:5-35), via the Watson
+    cavity decomposition. Genuinely non-SQL-expressible (the weights
+    are stolen Voronoi areas), so this row is rows-only at the driver;
+    the hard correctness evidence is tests/test_knn.py: linear
+    precision 1e-7, brute-force discrete-Voronoi match <5e-3,
+    convexity bounds, exact data-point hits, byte-identical untouched
+    pixels."""
+    images, pts, tris = _bary_fixture(spark)
+    return _explode_pixels(knn.fill_sibson(images, pts, tris))
 
 
 def _fill_barycentric_sql() -> str:
@@ -1625,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ring_synth": _q_knn_ring,
         "fill_idw_synth": _q_fill_idw,
         "fill_barycentric_synth": _q_fill_barycentric,
+        "fill_sibson_synth": _q_fill_sibson,
         "fill_idw_dist_synth": _q_fill_idw_dist,
         "mosaic_mean_synth": _q_mosaic_mean,
         "resample_bilinear_synth": _q_resample_bilinear,

@@ -547,3 +547,103 @@ def test_delaunay_refuses_huge_point_set():
     from rasters_rs_spark.functions.delaunay import delaunay_triangles
     with pytest.raises(ValueError, match="max_points"):
         delaunay_triangles(np.zeros(100), np.zeros(100), max_points=10)
+
+
+def test_sibson_linear_exact_bounded_and_hull():
+    """Sibson natural-neighbor weights (Watson cavity decomposition,
+    reference raster-fill-nn/interpolation.rs:5-35): linear precision
+    to fp noise on scattered Delaunay triangulations, values bounded
+    by the data range (convex weights), NaN outside the hull, exact z
+    on data-point hits."""
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+
+    rng = np.random.default_rng(11)
+    px = rng.random(80) * 10
+    py = rng.random(80) * 10
+    tris = delaunay_triangles(px, py)
+    qx = rng.random(400) * 14 - 2
+    qy = rng.random(400) * 14 - 2
+    # linear exactness
+    pz = 3.0 + 2.0 * px - 5.0 * py
+    got = K.sibson_interpolate(qx, qy, px, py, pz, tris)
+    bary = K.barycentric_interpolate(qx, qy, px, py, pz, tris)
+    inside = np.isfinite(bary)
+    assert np.isnan(got[~inside]).all()          # outside hull
+    expect = 3.0 + 2.0 * qx - 5.0 * qy
+    assert np.abs(got[inside] - expect[inside]).max() < 1e-7
+    # convexity bound on a random field
+    pz_r = rng.random(80)
+    got_r = K.sibson_interpolate(qx, qy, px, py, pz_r, tris)
+    ok = np.isfinite(got_r)
+    assert got_r[ok].min() >= pz_r.min() - 1e-9
+    assert got_r[ok].max() <= pz_r.max() + 1e-9
+    # exact data-point hit
+    hit = K.sibson_interpolate(px[:5], py[:5], px, py, pz_r, tris)
+    assert np.array_equal(hit, pz_r[:5])
+
+
+def test_sibson_matches_discrete_voronoi():
+    """The cavity-area weights equal the stolen Voronoi areas: checked
+    against a brute-force rasterized before/after Voronoi assignment
+    (the definition of Sibson coordinates), <5e-3 at 500px resolution."""
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+
+    rng = np.random.default_rng(5)
+    px = rng.random(60) * 10
+    py = rng.random(60) * 10
+    pz = rng.random(60)
+    tris = delaunay_triangles(px, py)
+
+    def discrete(qxv, qyv, res=500, R=3.0):
+        gx = np.linspace(qxv - R, qxv + R, res)
+        gy = np.linspace(qyv - R, qyv + R, res)
+        gxx, gyy = np.meshgrid(gx, gy)
+        d_pts = (gxx[..., None] - px) ** 2 + (gyy[..., None] - py) ** 2
+        near = np.argmin(d_pts, axis=-1)
+        d_near = np.take_along_axis(d_pts, near[..., None], -1)[..., 0]
+        stolen = (gxx - qxv) ** 2 + (gyy - qyv) ** 2 < d_near
+        ids, cnts = np.unique(near[stolen], return_counts=True)
+        return float(cnts @ pz[ids] / cnts.sum())
+
+    qs = [(2.7, 3.1), (5.2, 6.8), (7.9, 2.2), (4.4, 8.5)]
+    got = K.sibson_interpolate([q[0] for q in qs], [q[1] for q in qs],
+                               px, py, pz, tris)
+    for (qxv, qyv), g in zip(qs, got):
+        assert abs(g - discrete(qxv, qyv)) < 5e-3
+
+
+def test_fill_sibson_linear_exact_and_near_barycentric(spark):
+    """fill_sibson: exact on linear fields (like barycentric), and on
+    the curved field its divergence from barycentric is the smoothing
+    only — bounded well under the 0.10%-of-range J5 budget. Unfilled
+    pixels stay byte-identical; filled counts match barycentric's
+    (same hull)."""
+    gx = np.arange(0.0, 17.0)
+    gy = np.arange(0.0, 17.0)
+    gxx, gyy = np.meshgrid(gx, gy)
+    tris = K.grid_triangles(17, 17)
+    holes = np.zeros((16, 16), dtype=bool)
+    holes[5:9, 4:10] = True
+
+    for field, tol in ((lambda x, y: 2.0 + 0.3 * x + 0.7 * y, 1e-9),
+                       (lambda x, y: 0.05 * x * y, 0.05 * 16 * 16 * 1e-3)):
+        gz = field(gxx, gyy)
+        pts = pd.DataFrame({
+            "pt_id": [f"pt_{i:07d}" for i in range(gz.size)],
+            "x": gxx.ravel(), "y": gyy.ravel(), "z": gz.ravel()})
+        block = field(np.arange(16) + 0.5,
+                      (16.0 - np.arange(16) - 0.5)[:, None])
+        block = np.ascontiguousarray(block)
+        truth = block.copy()
+        block[holes] = -999.0
+        pdf = pd.DataFrame([{
+            "image_id": "nn0", "bytes": codecs.encode_raw(block),
+            "w": 16, "h": 16, "fmt": "raw",
+            "gt": [0.0, 1.0, 0.0, 16.0, 0.0, -1.0],
+            "crs": "IDENTITY", "no_val": -999.0}])
+        out = K.fill_sibson(spark.createDataFrame(pdf), pts, tris).collect()[0]
+        assert out["filled"] == int(holes.sum())
+        got = codecs.decode_raw(out["bytes"], 16, 16)
+        assert np.abs(got[holes] - truth[holes]).max() < max(tol, 1e-9)
+        keep = ~holes
+        assert np.array_equal(got[keep], block[keep])
