@@ -671,6 +671,102 @@ def _fill_barycentric_sql() -> str:
     """
 
 
+# distributed-triangulation fill fixture: jittered LCG grid (spacing
+# 16, jitter +-4 from the LCG stream at k-offset 4e6) covering the
+# 4-image extent with >= 20px hull margin, cell_size 64
+_BDIST_NX, _BDIST_NY = 32, 7
+_BDIST_X0, _BDIST_Y0, _BDIST_SP, _BDIST_CS = -1020.0, 920.0, 16.0, 64.0
+
+
+def _bdist_points() -> pd.DataFrame:
+    import numpy as np
+    idx = np.arange(_BDIST_NX * _BDIST_NY, dtype=np.int64)
+    jx = (synth.lcg_values(4_000_000 + 2 * idx) - 0.5) * 8.0
+    jy = (synth.lcg_values(4_000_000 + 2 * idx + 1) - 0.5) * 8.0
+    return pd.DataFrame({
+        "pt_id": [f"pt_{i:07d}" for i in idx],
+        "x": _BDIST_X0 + _BDIST_SP * (idx % _BDIST_NX) + jx,
+        "y": _BDIST_Y0 + _BDIST_SP * (idx // _BDIST_NX) + jy,
+        "z": synth.lcg_values(5_000_000 + idx),
+    })
+
+
+def _bdist_kept_triangles():
+    """Driver-side mirror of delaunay_triangles_dist's output on the
+    fixture: the halo keep-rule is a global predicate (owner cell =
+    floor(circumcenter / cs); keep iff the circumcircle fits the
+    owner's 3x3 halo), and a triangle is emitted by the distributed
+    operator iff it is globally Delaunay AND passes it — circumcircles
+    depend only on the 3 corner coords, so the mirror is exact."""
+    import numpy as np
+    from rasters_rs_spark.functions.delaunay import (_circumcircles,
+                                                     delaunay_triangles)
+    pts = _bdist_points()
+    px, py, pz = (pts[c].to_numpy() for c in ("x", "y", "z"))
+    tris = delaunay_triangles(px, py)
+    centers, r2 = _circumcircles(np.stack([px, py], axis=1), tris)
+    cs = _BDIST_CS
+    ocx = np.floor(centers[:, 0] / cs)
+    ocy = np.floor(centers[:, 1] / cs)
+    edge = np.minimum.reduce([
+        centers[:, 0] - (ocx - 1) * cs, (ocx + 2) * cs - centers[:, 0],
+        centers[:, 1] - (ocy - 1) * cs, (ocy + 2) * cs - centers[:, 1]])
+    tris = tris[np.isfinite(r2) & (r2 <= edge * edge)]
+    order = np.lexsort((py[tris], px[tris]), axis=1)
+    tris = np.take_along_axis(tris, order, axis=1)
+    rows = np.column_stack([px[tris[:, 0]], py[tris[:, 0]], pz[tris[:, 0]],
+                            px[tris[:, 1]], py[tris[:, 1]], pz[tris[:, 1]],
+                            px[tris[:, 2]], py[tris[:, 2]], pz[tris[:, 2]]])
+    return rows[np.lexsort(rows.T[::-1])]
+
+
+def _q_fill_barycentric_dist(spark, sf_dir):
+    """Scattered-point barycentric fill through the DISTRIBUTED
+    triangulation (cell-bucketed Bowyer-Watson with a 3x3 halo,
+    knn.delaunay_triangles_dist) + cell-cogrouped interpolation
+    (knn.fill_barycentric_distributed) — no driver triangulation, no
+    broadcast of the point side. The oracle embeds the kept-triangle
+    table (the keep rule is a global predicate, see
+    _bdist_kept_triangles) and recomputes the same barycentric IEEE
+    expression per hole pixel; bit-exact at round-9."""
+    pdf = synth.lcg_image_table(4, 32, 32, pixel_size=2.0,
+                                holes_below=0.125)
+    images = spark.createDataFrame(pdf)
+    points = spark.createDataFrame(_bdist_points())
+    filled = knn.fill_barycentric_distributed(images, points,
+                                              cell_size=_BDIST_CS)
+    return _explode_pixels(filled)
+
+
+def _fill_barycentric_dist_sql() -> str:
+    rows = _bdist_kept_triangles()
+    vals = ", ".join(
+        "(" + str(t) + ", " + ", ".join(_dbl17(v) for v in r) + ")"
+        for t, r in enumerate(rows))
+    return f"""
+        WITH px AS ({_lcg_px_cte(4)}),
+        tri(t, x1, y1, z1, x2, y2, z2, x3, y3, z3) AS (VALUES {vals}),
+        cand AS (
+          SELECT p.m, p.i, p.j, t.t, z1, z2, z3,
+                 ((y2-y3)*(wx-x3) + (x3-x2)*(wy-y3))
+                   / ((y2-y3)*(x1-x3) + (x3-x2)*(y1-y3)) AS l1,
+                 ((y3-y1)*(wx-x3) + (x1-x3)*(wy-y3))
+                   / ((y2-y3)*(x1-x3) + (x3-x2)*(y1-y3)) AS l2
+          FROM px p CROSS JOIN tri t
+          WHERE p.rawv < 131072
+            AND (y2-y3)*(x1-x3) + (x3-x2)*(y1-y3) != 0.0),
+        hit AS (
+          SELECT m, i, j, l1 * z1 + l2 * z2 + (1.0 - l1 - l2) * z3 AS fv,
+                 row_number() OVER (PARTITION BY m, i, j ORDER BY t) AS rn
+          FROM cand
+          WHERE l1 >= 0.0 AND l2 >= 0.0 AND 1.0 - l1 - l2 >= 0.0)
+        SELECT printf('img_%08d', p.m) AS image_id, p.i AS i, p.j AS j,
+               round(CASE WHEN p.rawv < 131072 THEN h.fv ELSE p.v END, 9) AS v
+        FROM px p LEFT JOIN (SELECT * FROM hit WHERE rn = 1) h
+          ON p.m = h.m AND p.i = h.i AND p.j = h.j
+    """
+
+
 def _q_minhash_pairs(spark, sf_dir):
     # deterministic subset (limit() is order-dependent); full table at sf0.01
     docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
@@ -1647,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_idw_synth": _q_fill_idw,
         "fill_barycentric_synth": _q_fill_barycentric,
         "fill_sibson_synth": _q_fill_sibson,
+        "fill_barycentric_dist_synth": _q_fill_barycentric_dist,
         "fill_idw_dist_synth": _q_fill_idw_dist,
         "mosaic_mean_synth": _q_mosaic_mean,
         "resample_bilinear_synth": _q_resample_bilinear,
@@ -2628,6 +2725,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "knn_ring_synth": _knn_ring_sql(),
         "fill_idw_synth": _fill_idw_sql(),
         "fill_barycentric_synth": _fill_barycentric_sql(),
+        "fill_barycentric_dist_synth": _fill_barycentric_dist_sql(),
         "fill_idw_dist_synth": _fill_idw_sql(),
         "mosaic_mean_synth": _mosaic_mean_sql(),
         "resample_bilinear_synth": _resample_bilinear_sql(),

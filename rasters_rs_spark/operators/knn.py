@@ -777,3 +777,184 @@ def fill_sibson(images: DataFrame, points: pd.DataFrame,
     fills — Sibson costs a per-hole cavity solve."""
     return _fill_with_triangles(images, points, triangles, fill_nan,
                                 sibson_interpolate)
+
+
+DELAUNAY_TRI_SCHEMA = ("x1 double, y1 double, z1 double, "
+                       "x2 double, y2 double, z2 double, "
+                       "x3 double, y3 double, z3 double")
+
+
+def delaunay_triangles_dist(points: DataFrame, cell_size: float,
+                            max_bucket_points: int = 4000) -> DataFrame:
+    """Distributed Delaunay triangulation of a scattered point
+    DataFrame (pt_id, x, y, z) — the corpus-scale path the driver-side
+    delaunay_triangles refuses beyond 20k points (the reference shares
+    ONE driver triangulation across threads, raster-fill-nn/
+    triangulation.rs:29-59 + main.rs:20,58; at 100x that scale the
+    table must be built where the points live).
+
+    Shape: each point replicates to its cell plus the 8 neighbors
+    (one 9x shuffle), each bucket runs the same numpy Bowyer-Watson on
+    its halo'd point set, and a triangle is emitted iff its
+    circumcenter lies in the bucket's CORE cell (half-open — exactly
+    one owner) AND its circumcircle fits inside the bucket's 3x3 halo
+    square. The empty-circumcircle property is local: any point that
+    could invalidate the triangle lies inside its circumcircle, which
+    the halo fully covers — so every emitted triangle belongs to the
+    GLOBAL Delaunay triangulation, each exactly once. Triangles whose
+    circumcircle exceeds the halo (hull slivers, sparse regions) are
+    dropped: interior-complete, boundary-conservative — holes only a
+    dropped triangle could fill stay unfilled (pick cell_size a few
+    multiples of the point spacing so interior circumradii stay well
+    under it). Corners are canonicalized (sorted by (x, y)) so the
+    emitted rows are a deterministic function of the point set alone.
+
+    Returns one row per triangle with corner coordinates and values
+    (DELAUNAY_TRI_SCHEMA) — downstream interpolation needs no global
+    point ids. Buckets beyond ``max_bucket_points`` raise with
+    guidance (smaller cell_size spreads the load)."""
+    from ..functions.delaunay import _circumcircles, delaunay_triangles
+
+    cs = float(cell_size)
+    p = points.select("x", "y", "z")
+    for d in ("_dx", "_dy"):
+        p = p.withColumn(d, F.explode(F.lit([-1, 0, 1])))
+    p = p.select(
+        (F.floor(F.col("x") / cs).cast("long") + F.col("_dx")).alias("bcx"),
+        (F.floor(F.col("y") / cs).cast("long") + F.col("_dy")).alias("bcy"),
+        "x", "y", "z")
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["x1", "y1", "z1", "x2", "y2", "z2", "x3", "y3", "z3"]
+        if len(pdf) < 3:
+            return pd.DataFrame(columns=cols)
+        if len(pdf) > max_bucket_points:
+            raise ValueError(
+                f"delaunay_triangles_dist: bucket {key} holds "
+                f"{len(pdf)} points > max_bucket_points="
+                f"{max_bucket_points}; use a smaller cell_size (or "
+                f"raise the cap) so per-bucket triangulation stays "
+                f"O(bucket^2)-affordable")
+        bcx, bcy = int(key[0]), int(key[1])
+        x = pdf["x"].to_numpy()
+        y = pdf["y"].to_numpy()
+        z = pdf["z"].to_numpy()
+        tris = delaunay_triangles(x, y, max_points=max_bucket_points)
+        if tris.shape[0] == 0:
+            return pd.DataFrame(columns=cols)
+        centers, r2 = _circumcircles(np.stack([x, y], axis=1), tris)
+        core_x0, core_y0 = bcx * cs, bcy * cs
+        hx0, hy0 = (bcx - 1) * cs, (bcy - 1) * cs
+        hx1, hy1 = (bcx + 2) * cs, (bcy + 2) * cs
+        edge = np.minimum.reduce([
+            centers[:, 0] - hx0, hx1 - centers[:, 0],
+            centers[:, 1] - hy0, hy1 - centers[:, 1]])
+        keep = (np.isfinite(r2)
+                & (centers[:, 0] >= core_x0) & (centers[:, 0] < core_x0 + cs)
+                & (centers[:, 1] >= core_y0) & (centers[:, 1] < core_y0 + cs)
+                & (r2 <= edge * edge))
+        tris = tris[keep]
+        if tris.shape[0] == 0:
+            return pd.DataFrame(columns=cols)
+        # canonical corner order (by (x, y)) + row order: the output
+        # is then a function of the point set, not of bucket internals
+        cx9 = x[tris]
+        cy9 = y[tris]
+        order = np.lexsort((cy9, cx9), axis=1)
+        tris = np.take_along_axis(tris, order, axis=1)
+        rows = np.column_stack([x[tris[:, 0]], y[tris[:, 0]], z[tris[:, 0]],
+                                x[tris[:, 1]], y[tris[:, 1]], z[tris[:, 1]],
+                                x[tris[:, 2]], y[tris[:, 2]], z[tris[:, 2]]])
+        rows = rows[np.lexsort(rows.T[::-1])]
+        return pd.DataFrame(rows, columns=cols)
+
+    return p.groupBy("bcx", "bcy").applyInPandas(
+        lambda k, pdf: kernel(k, pdf), schema=DELAUNAY_TRI_SCHEMA)
+
+
+def fill_barycentric_distributed(images: DataFrame, points: DataFrame,
+                                 cell_size: float,
+                                 max_bucket_points: int = 4000,
+                                 fill_nan: bool = False,
+                                 triangles: DataFrame | None = None
+                                 ) -> DataFrame:
+    """fill_barycentric for point tables too large to broadcast: the
+    triangle table comes from delaunay_triangles_dist (or a precomputed
+    ``triangles`` DataFrame in DELAUNAY_TRI_SCHEMA), hole pixels
+    explode to cell keys, and a (cell x cell) cogroup runs the same
+    bucketed barycentric kernel on each cell's holes against the
+    triangles whose bbox covers that cell — rings of coordinates cross
+    the wire once per (triangle, covered cell), never per hole. Equal
+    to the broadcast fill_barycentric on every hole whose containing
+    triangle survives the halo rule (strictly-interior holes are
+    bit-identical: same canonical triangle, same IEEE expression);
+    holes covered only by dropped sliver triangles stay unfilled
+    (delaunay_triangles_dist docstring). Returns the fill_idw schema."""
+    cs = float(cell_size)
+    tris = triangles if triangles is not None else \
+        delaunay_triangles_dist(points, cs, max_bucket_points)
+    t = tris
+    t = t.withColumn("tcx", F.explode(F.sequence(
+        F.floor(F.least("x1", "x2", "x3") / cs).cast("long"),
+        F.floor(F.greatest("x1", "x2", "x3") / cs).cast("long"))))
+    t = t.withColumn("tcy", F.explode(F.sequence(
+        F.floor(F.least("y1", "y2", "y3") / cs).cast("long"),
+        F.floor(F.greatest("y1", "y2", "y3") / cs).cast("long"))))
+
+    q = hole_pixels(images, fill_nan)
+    q = q.withColumn("qcx", F.floor(F.col("x") / cs).cast("long")) \
+         .withColumn("qcy", F.floor(F.col("y") / cs).cast("long"))
+
+    def cell_kernel(key, qpdf: pd.DataFrame, tpdf: pd.DataFrame):
+        cols = ["image_id", "pi", "pj", "val"]
+        if len(qpdf) == 0 or len(tpdf) == 0:
+            return pd.DataFrame(columns=cols)
+        # deterministic candidate order (canonical rows sort the same
+        # in every run), so on-edge ties resolve reproducibly
+        tp = tpdf[["x1", "y1", "z1", "x2", "y2", "z2",
+                   "x3", "y3", "z3"]].to_numpy()
+        tp = tp[np.lexsort(tp.T[::-1])]
+        m = tp.shape[0]
+        px = tp[:, [0, 3, 6]].ravel()
+        py = tp[:, [1, 4, 7]].ravel()
+        pz = tp[:, [2, 5, 8]].ravel()
+        tri_idx = np.arange(3 * m, dtype=np.int64).reshape(m, 3)
+        vals = barycentric_interpolate(
+            qpdf["x"].to_numpy(), qpdf["y"].to_numpy(),
+            px, py, pz, tri_idx)
+        ok = np.isfinite(vals)
+        return pd.DataFrame({
+            "image_id": qpdf["image_id"].to_numpy()[ok],
+            "pi": qpdf["pi"].to_numpy()[ok],
+            "pj": qpdf["pj"].to_numpy()[ok],
+            "val": vals[ok]})
+
+    fills = q.groupBy("qcx", "qcy").cogroup(t.groupBy("tcx", "tcy")) \
+        .applyInPandas(lambda k, a, b: cell_kernel(k, a, b),
+                       schema="image_id string, pi long, pj long, val double")
+    # fresh attribute for the patch cogroup key: fills derives from
+    # images (hole_pixels), and sharing exprIds across the two cogroup
+    # sides trips the ambiguous-self-join check
+    fills = fills.select(F.col("image_id").alias("_fid"), "pi", "pj", "val")
+
+    out_schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+                  "gt array<double>, crs string, no_val double, filled long")
+
+    def patch(img_pdf: pd.DataFrame, f_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in img_pdf.itertuples(index=False):
+            g = f_pdf[f_pdf["_fid"] == row.image_id] if len(f_pdf) else f_pdf
+            data = row.bytes
+            n = len(g)
+            if n:
+                data = codecs.patch_block_bytes(
+                    row.bytes, g["pi"].to_numpy(), g["pj"].to_numpy(),
+                    g["val"].to_numpy(), row.h, row.w, row.fmt)
+            out.append((row.image_id, data, row.w, row.h, row.fmt,
+                        list(row.gt), row.crs, row.no_val, n))
+        return pd.DataFrame(out, columns=[
+            "image_id", "bytes", "w", "h", "fmt", "gt", "crs",
+            "no_val", "filled"])
+
+    return images.groupBy("image_id").cogroup(fills.groupBy("_fid")) \
+        .applyInPandas(lambda k, a, b: patch(a, b), schema=out_schema)

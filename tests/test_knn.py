@@ -647,3 +647,82 @@ def test_fill_sibson_linear_exact_and_near_barycentric(spark):
         assert np.abs(got[holes] - truth[holes]).max() < max(tol, 1e-9)
         keep = ~holes
         assert np.array_equal(got[keep], block[keep])
+
+
+def _jitter_grid(seed=7, nx=13, ny=8, sp=16.0):
+    rng = np.random.default_rng(seed)
+    gx, gy = np.meshgrid(np.arange(nx) * sp, np.arange(ny) * sp)
+    px = (gx + rng.uniform(-4, 4, gx.shape)).ravel()
+    py = (gy + rng.uniform(-4, 4, gy.shape)).ravel()
+    return px, py, rng.random(px.size)
+
+
+def test_delaunay_dist_subset_of_global(spark):
+    """Every triangle the distributed cell-bucketed Bowyer-Watson
+    emits belongs to the GLOBAL Delaunay triangulation (the halo keep
+    rule makes the empty-circumcircle property local), each exactly
+    once; only wide-circumcircle hull slivers are dropped."""
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+
+    px, py, pz = _jitter_grid()
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"pt_id": [f"p{i}" for i in range(px.size)],
+         "x": px, "y": py, "z": pz}))
+    cols = ["x1", "y1", "z1", "x2", "y2", "z2", "x3", "y3", "z3"]
+    got = [tuple(r[c] for c in cols)
+           for r in K.delaunay_triangles_dist(pts, cell_size=48.0).collect()]
+    assert len(got) == len(set(got))            # exactly-once ownership
+
+    drv = delaunay_triangles(px, py)
+    order = np.lexsort((py[drv], px[drv]), axis=1)
+    drv = np.take_along_axis(drv, order, axis=1)
+    drv_set = {tuple(np.column_stack(
+        [px[t], py[t], pz[t]]).ravel()) for t in drv}
+    assert set(got) <= drv_set
+    # interior-complete: the drop is a small hull fringe
+    assert len(got) >= 0.85 * len(drv_set)
+
+
+def test_fill_barycentric_dist_equals_broadcast(spark):
+    """Strictly-interior holes fill BYTE-IDENTICALLY through the
+    distributed path (cell-bucketed triangulation + cell-cogrouped
+    interpolation) and the broadcast fill_barycentric over the global
+    triangulation — same canonical triangle, same IEEE expression."""
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+
+    px, py, pz = _jitter_grid(seed=3, nx=21, ny=15)
+    pts_pdf = pd.DataFrame({"pt_id": [f"p{i}" for i in range(px.size)],
+                            "x": px, "y": py, "z": pz})
+    block = np.full((24, 24), 0.5)
+    holes = np.zeros((24, 24), dtype=bool)
+    holes[4:18, 5:20] = True
+    block[holes] = -999.0
+    img = pd.DataFrame([{
+        "image_id": "i0", "bytes": codecs.encode_raw(block),
+        "w": 24, "h": 24, "fmt": "raw",
+        "gt": [60.0, 6.0, 0.0, 190.0, 0.0, -6.0],
+        "crs": "IDENTITY", "no_val": -999.0}])
+    images = spark.createDataFrame(img)
+
+    drv = delaunay_triangles(px, py)
+    order = np.lexsort((py[drv], px[drv]), axis=1)
+    drv = np.take_along_axis(drv, order, axis=1)
+    b_out = K.fill_barycentric(images, pts_pdf, drv).collect()[0]
+    d_out = K.fill_barycentric_distributed(
+        images, spark.createDataFrame(pts_pdf), cell_size=64.0).collect()[0]
+    assert d_out["filled"] == b_out["filled"] == int(holes.sum())
+    assert bytes(d_out["bytes"]) == bytes(b_out["bytes"])
+
+
+def test_delaunay_dist_bucket_cap_raises(spark):
+    """Buckets beyond max_bucket_points must refuse (per-bucket
+    Bowyer-Watson is O(n^2)) with guidance, not silently grind."""
+    import pytest
+    rng = np.random.default_rng(1)
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pt_id": [f"p{i}" for i in range(300)],
+        "x": rng.random(300), "y": rng.random(300),
+        "z": rng.random(300)}))
+    with pytest.raises(Exception, match="max_bucket_points"):
+        K.delaunay_triangles_dist(pts, cell_size=1000.0,
+                                  max_bucket_points=100).collect()
