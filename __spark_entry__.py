@@ -215,6 +215,43 @@ def _q_dedup_groups(spark, sf_dir):
                 F.col("keeper").cast("bigint").alias("keeper"))
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    """REAL merges-table BPE token counting (text.bpe_token_count):
+    rank-ordered greedy pair merges over the cleaned [a-z ] alphabet,
+    Arrow-batched vectorized kernel. The oracle reproduces the exact
+    semantics as one DuckDB list_reduce fold per merge rank over a
+    char-split (merged token text is the concatenation, so a fold step
+    just drops the delimiter) — a full end-to-end SQL oracle of the
+    tokenizer, not a proxy."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.bpe_token_count(docs) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "n_tokens")
+
+
+def _bpe_tokens_sql() -> str:
+    from rasters_rs_spark.operators.text import BPE_MERGES
+    fold = "string_split(clean, '')"
+    for a, b in BPE_MERGES:
+        step = (f"list_reduce({fold}, (s, t) -> "
+                f"CASE WHEN (s = '{a}' OR s LIKE '%|{a}') AND t = '{b}' "
+                f"THEN s || t ELSE s || '|' || t END)")
+        fold = f"string_split({step}, '|')"
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 regexp_replace(lower(coalesce(text, '')),
+                                '[^a-z ]', '', 'g') AS clean
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(CASE WHEN length(clean) = 0 THEN 0
+                    ELSE len({fold})
+                         - (length(clean)
+                            - length(replace(clean, ' ', '')))
+                    END AS BIGINT) AS n_tokens
+        FROM c
+    """
+
+
 def _q_text_quality(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     out = text.with_quality(docs)
@@ -1724,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk_embeddings": _q_knn_topk,
         "dedup_groups_docs": _q_dedup_groups,
         "text_quality": _q_text_quality,
+        "bpe_tokens_docs": _q_bpe_tokens,
         "lang_id_markers": _q_lang_id,
         "cell_index_events": _q_cell_index,
         "q1_pricing": _q_q1_pricing,
@@ -2645,6 +2683,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS keeper
             FROM documents GROUP BY lang, source HAVING count(*) > 1
         """,
+        "bpe_tokens_docs": _bpe_tokens_sql(),
         "text_quality": f"""
             SELECT doc_id::BIGINT AS doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

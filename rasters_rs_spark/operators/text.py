@@ -605,3 +605,129 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> Dat
 
     schema = ", ".join(f"{n} {t}" for n, t in docs.dtypes) + ", fingerprint long"
     return docs.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Real BPE token counting (merges-table byte-pair encoding)
+# ---------------------------------------------------------------------------
+
+#: Deterministic merges table: rank-ordered, every component is a base
+#: character or the product of an EARLIER merge (the "learned order"
+#: property real BPE tables have). Under that property, applying the
+#: merges in rank order — each as one greedy left-to-right fold — is
+#: EXACTLY the classic lowest-rank-first BPE tokenization: merging
+#: rank k can only create pairs whose merge rank is > k, so no earlier
+#: rank ever becomes applicable again. Vocabulary is [a-z ]; input is
+#: lowercased and stripped to that alphabet first, and space never
+#: appears in a merge, so merges cannot cross words.
+BPE_MERGES: tuple = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "r"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("s", "t"), ("e", "s"), ("an", "d"), ("in", "g"), ("t", "o"),
+    ("o", "u"), ("i", "t"), ("i", "s"), ("a", "l"), ("l", "e"),
+    ("c", "o"), ("d", "e"), ("r", "o"), ("ro", "w"),
+)
+
+
+def _bpe_resolve_ids(merges) -> list:
+    """(id_a, id_b, merged_id) per rank; base chars use their byte
+    value, merge r produces id 256 + r. Validates the learned-order
+    property BPE_MERGES documents."""
+    ids: dict = {}
+    out = []
+    for r, (a, b) in enumerate(merges):
+        pair = []
+        for comp in (a, b):
+            if len(comp) == 1:
+                pair.append(ord(comp))
+            elif comp in ids:
+                pair.append(ids[comp])
+            else:
+                raise ValueError(
+                    f"BPE merge {r} component {comp!r} is neither a "
+                    f"single character nor the product of an earlier "
+                    f"merge — the table must be rank-ordered")
+        if a + b in ids:
+            raise ValueError(f"duplicate merge product {a + b!r}")
+        ids[a + b] = 256 + r
+        out.append((pair[0], pair[1], 256 + r))
+    return out
+
+
+def bpe_tokenize_scalar(text: str, merges=BPE_MERGES) -> list:
+    """Pure-Python reference mirror of the BPE count (unit-test
+    oracle): clean to [a-z ], then one greedy left fold per merge
+    rank; space tokens are separators, not tokens."""
+    import re as _re
+    clean = _re.sub("[^a-z ]", "", (text or "").lower())
+    toks = list(clean)
+    for a, b in merges:
+        out = []
+        for t in toks:
+            if out and out[-1] == a and t == b:
+                out[-1] = a + b
+            else:
+                out.append(t)
+        toks = out
+    return [t for t in toks if t != " "]
+
+
+def _bpe_count_batch(texts, merges) -> np.ndarray:
+    """Vectorized BPE token counts for a batch: all cleaned docs
+    concatenate into one symbol array (byte codes; merge r writes
+    256 + r), and each merge rank is one vectorized pass — candidate
+    positions, an every-other filter inside consecutive-candidate runs
+    (the left-fold parity for a==b chains), scatter the merged id,
+    compact. No per-document Python."""
+    N = len(texts)
+    if N == 0:
+        return np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=N)
+    buf = "".join(texts).encode("ascii")
+    sym = np.frombuffer(buf, dtype=np.uint8).astype(np.int32)
+    doc = np.repeat(np.arange(N, dtype=np.int64), lens)
+    for ia, ib, im in _bpe_resolve_ids(merges):
+        if sym.size < 2:
+            break
+        cand = np.nonzero((sym[:-1] == ia) & (sym[1:] == ib)
+                          & (doc[:-1] == doc[1:]))[0]
+        if cand.size == 0:
+            continue
+        if cand.size > 1:
+            run_break = np.concatenate([[True], np.diff(cand) > 1])
+            run_start = np.nonzero(run_break)[0]
+            offset = np.arange(cand.size) - run_start[
+                np.cumsum(run_break) - 1]
+            cand = cand[offset % 2 == 0]
+        sym[cand] = im
+        mask = np.ones(sym.size, dtype=bool)
+        mask[cand + 1] = False
+        sym = sym[mask]
+        doc = doc[mask]
+    return np.bincount(doc[sym != 32], minlength=N).astype(np.int64)
+
+
+def bpe_token_count(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    merges=BPE_MERGES) -> DataFrame:
+    """Token-budget counting with a REAL merges-table BPE tokenizer
+    (not the regex proxy token_count_bpe keeps for the cheap signal):
+    returns (doc_id, n_tokens). Deterministic, rank-ordered greedy
+    merging over the cleaned [a-z ] alphabet — the exact semantics a
+    DuckDB oracle reproduces as nested char-split + list_reduce folds
+    (one fold per merge rank; merged token text is the concatenation,
+    so a fold step is 'drop the delimiter'). NULL/empty text counts 0.
+    Arrow-batched vectorized kernel; SQL-oracled end to end."""
+    id_type = dict(docs.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            clean = (pdf[text_col].fillna("").str.lower()
+                     .str.replace("[^a-z ]", "", regex=True))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "n_tokens": _bpe_count_batch(list(clean), merges),
+            })
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=f"doc_id {id_type}, n_tokens bigint")

@@ -376,3 +376,23 @@ def test_repetition_null_text_both_engines(spark):
         assert out["t2"] == (1, 1), engine
         assert out["t3"] == (1, 1), engine
         assert out["t1"] == (3, 2), engine
+
+
+def test_bpe_token_count_matches_scalar_mirror(spark):
+    """Real merges-table BPE (rank-ordered greedy folds): the
+    Arrow-batched vectorized kernel equals the pure-Python scalar
+    tokenizer on edge cases — chained same-char runs (the left-fold
+    parity), multi-rank chains (t+h -> th+e), nulls, empties, and
+    text outside the [a-z ] vocabulary."""
+    from rasters_rs_spark.operators import text as T
+    texts = [None, "", "   ", "aaaa", "the theme of the thesis",
+             "row row row your boat", "Standing AND rounding!! 123",
+             "ththththe", "x", "and and anand"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in T.bpe_token_count(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(T.bpe_tokenize_scalar(t or "")), (i, t)
+    # the merges table satisfies the learned-order property
+    T._bpe_resolve_ids(T.BPE_MERGES)
