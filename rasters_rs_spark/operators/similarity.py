@@ -320,6 +320,71 @@ def train_ivf_centroids(sample: np.ndarray, n_lists: int, iters: int = 10,
     return cents
 
 
+def train_ivf_centroids_distributed(corpus: DataFrame, dim: int,
+                                    n_lists: int, iters: int = 5,
+                                    c_vec: str = "embedding",
+                                    c_id: str = "vec_id") -> np.ndarray:
+    """Distributed Lloyd k-means for the IVF coarse quantizer — the
+    100 TB trainer: nothing corpus-sized ever reaches the driver.
+
+    Init is the ``n_lists`` rows with the smallest xxhash64(id) — a
+    deterministic, storage-order-independent sample that Spark executes
+    as map-side top-k (TakeOrdered; the driver receives n_lists rows).
+    Each Lloyd iteration is ONE mapInPandas pass emitting <= n_lists
+    (count, partial-sum) rows per partition — the classic map-side
+    combine — merged on the driver (n_lists x n_partitions rows, never
+    vectors). Assignment uses the argmin of -2*x@C^T + |C|^2 (the |x|^2
+    term cancels), so per-batch work is one matmul. Empty clusters keep
+    their previous centroid (deterministic). Equal to driver-side Lloyd
+    with the same init up to partial-sum association order (tested at
+    1e-9)."""
+    vec = corpus.select(F.col(c_id).alias("_id"), F.col(c_vec).alias("_v"))
+    init_rows = (vec.orderBy(F.xxhash64("_id").asc(), F.col("_id").asc())
+                 .limit(n_lists).collect())
+    if not init_rows:
+        raise ValueError("train_ivf_centroids_distributed: empty corpus")
+    cents = np.stack([np.asarray(r["_v"], dtype=np.float64)
+                      for r in init_rows])
+    k = len(cents)
+    vecs = vec.select("_v").persist()
+    try:
+        for _ in range(iters):
+            c = cents
+
+            def partial(batches: Iterator[pd.DataFrame],
+                        c: np.ndarray = c) -> Iterator[pd.DataFrame]:
+                sums = np.zeros((k, dim), dtype=np.float64)
+                cnt = np.zeros(k, dtype=np.int64)
+                c2 = (c * c).sum(axis=1)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    mat = np.stack([np.asarray(v, dtype=np.float64)
+                                    for v in pdf["_v"]])
+                    a = (-2.0 * (mat @ c.T) + c2).argmin(axis=1)
+                    np.add.at(sums, a, mat)
+                    cnt += np.bincount(a, minlength=k)
+                yield pd.DataFrame({
+                    "list_id": np.arange(k, dtype=np.int32),
+                    "cnt": cnt,
+                    "s": [row.tolist() for row in sums]})
+
+            rows = vecs.mapInPandas(
+                partial, schema="list_id int, cnt long, s array<double>"
+            ).collect()
+            S = np.zeros((k, dim), dtype=np.float64)
+            C = np.zeros(k, dtype=np.float64)
+            for r in rows:
+                S[r["list_id"]] += np.asarray(r["s"], dtype=np.float64)
+                C[r["list_id"]] += r["cnt"]
+            nz = C > 0
+            cents = cents.copy()
+            cents[nz] = S[nz] / C[nz][:, None]
+    finally:
+        vecs.unpersist()
+    return cents
+
+
 def _ivf_assign_udf(vec_col: str, cents: np.ndarray, nprobe: int):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -339,22 +404,36 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
              q_id: str = "q_id", c_id: str = "vec_id",
              q_vec: str = "q_vec", c_vec: str = "embedding",
              broadcast_queries: bool | None = None,
-             max_broadcast_queries: int = 1_000_000) -> DataFrame:
+             max_broadcast_queries: int = 1_000_000,
+             train: str = "sample") -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer, corpus rows
     assigned to their nearest list, queries probe their ``nprobe``
     nearest lists, exact cosine rerank inside the probed lists.
-    Same output schema as cosine_topk."""
-    sampled = [np.asarray(r[c_vec], dtype=np.float64)
-               for r in corpus.limit(train_sample).collect()]
-    if not sampled:
-        raise ValueError("ivf_topk: the corpus is empty (nothing to train "
-                         "the coarse quantizer on)")
-    sample = np.stack(sampled)
-    if len(sample) < n_lists:
-        # fewer rows than lists: clamp (k-means with replace=False would
-        # raise an opaque numpy error)
-        n_lists = len(sample)
-    cents = train_ivf_centroids(sample, n_lists)
+    Same output schema as cosine_topk.
+
+    ``train="sample"`` (default) trains on a bounded limit() sample —
+    cheap and adequate when the sample sees every mode;
+    ``train="distributed"`` runs map-side partial-sum Lloyd over the
+    FULL corpus (train_ivf_centroids_distributed) — the 100 TB
+    quantizer: no corpus-sized driver collect anywhere."""
+    if train == "distributed":
+        cents = train_ivf_centroids_distributed(
+            corpus, dim, n_lists, c_vec=c_vec, c_id=c_id)
+    elif train == "sample":
+        sampled = [np.asarray(r[c_vec], dtype=np.float64)
+                   for r in corpus.limit(train_sample).collect()]
+        if not sampled:
+            raise ValueError("ivf_topk: the corpus is empty (nothing to "
+                             "train the coarse quantizer on)")
+        sample = np.stack(sampled)
+        if len(sample) < n_lists:
+            # fewer rows than lists: clamp (k-means with replace=False
+            # would raise an opaque numpy error)
+            n_lists = len(sample)
+        cents = train_ivf_centroids(sample, n_lists)
+    else:
+        raise ValueError(f"ivf_topk: unknown train={train!r} "
+                         f"(use 'sample' or 'distributed')")
 
     c_schema = ", ".join(f"{n} {t}" for n, t in corpus.dtypes) + ", lists array<int>"
     q_schema = ", ".join(f"{n} {t}" for n, t in queries.dtypes) + ", lists array<int>"

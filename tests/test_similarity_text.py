@@ -396,3 +396,61 @@ def test_bpe_token_count_matches_scalar_mirror(spark):
         assert got[i] == len(T.bpe_tokenize_scalar(t or "")), (i, t)
     # the merges table satisfies the learned-order property
     T._bpe_resolve_ids(T.BPE_MERGES)
+
+
+def test_distributed_kmeans_equals_driver_lloyd(spark, emb):
+    """train_ivf_centroids_distributed == driver-side Lloyd with the
+    same deterministic init (smallest-xxhash64 rows), to partial-sum
+    association order (1e-9) — and nothing corpus-sized hits the
+    driver (the pass emits n_lists rows per partition)."""
+    import pyspark.sql.functions as F
+    df, pdf = emb
+    corpus = df.selectExpr(
+        "cast(vec_id as string) vec_id",
+        "transform(embedding, x -> cast(x as double)) embedding")
+    dim, k, iters = 64, 8, 4
+    got = SIM.train_ivf_centroids_distributed(corpus, dim, k, iters=iters)
+
+    rows = corpus.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    h = {r["vec_id"]: r["h"] for r in corpus.select(
+        "vec_id", F.xxhash64("vec_id").alias("h")).collect()}
+    init_order = sorted(range(len(ids)), key=lambda i: (h[ids[i]], ids[i]))
+    cents = mat[init_order[:k]].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cents[c] = mat[m].mean(axis=0)
+    assert np.allclose(got, cents, atol=1e-9)
+
+
+def test_ivf_topk_distributed_train_recall(spark, emb):
+    """ivf_topk(train='distributed'): the full-corpus quantizer keeps
+    the recall bar of the sampled one and always finds the query's own
+    vector."""
+    df, pdf = emb
+    qs = pdf.head(8)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": qs["vec_id"].astype(str),
+        "q_vec": [list(map(float, v)) for v in qs["embedding"]],
+    }))
+    corpus = df.selectExpr(
+        "cast(vec_id as string) vec_id",
+        "transform(embedding, x -> cast(x as double)) embedding")
+    exact = SIM.cosine_topk(queries, corpus, k=5).collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r["q_id"], set()).add(r["vec_id"])
+    out = SIM.ivf_topk(queries, corpus, k=5, dim=64, n_lists=8,
+                       nprobe=4, train="distributed").collect()
+    a = {}
+    for r in out:
+        a.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for q in e:
+        assert q in a and q in a[q]
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    assert np.mean(recalls) >= 0.3
