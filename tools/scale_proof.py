@@ -236,6 +236,54 @@ def main():
         multipart=False).count())
     pts1m.unpersist()
 
+    # --- distributed zonal paths at catalog scale (round-4 VERDICT #6)
+    # 8192 64px images x a 512-AOI DataFrame catalog (~hundreds of
+    # thousands of (image, aoi-part) candidates through the cell
+    # equi-join), and the both-sides-chunked variant over the same
+    # volume. Nothing driver-side on the AOI side.
+    from rasters_rs_spark.operators import chunked, stats
+    aois_big = synth.aoi_table(512, seed=44)
+    aoi_cat2 = spark.createDataFrame(
+        aois_big[["aoi_id", "ring_offsets", "xs", "ys"]], schema=AOI_SCHEMA)
+    imgs_z = synth.image_table_distributed(
+        spark, 8192, seed=42, h=64, w=64, pixel_size=2.0,
+        partitions=args.cpus * 4).persist()
+    imgs_z.count()
+    timed("zonal_dist_8192img_512aoi", lambda: stats.zonal_stats_dist(
+        imgs_z, aoi_cat2, zoom=12).count())
+    chunks_z = chunked.chunk_images(imgs_z, min_data_size=0x2000).persist()
+    chunks_z.count()
+    timed("zonal_chunked_dist_8192img_512aoi",
+          lambda: chunked.chunked_zonal_stats_dist(
+              chunks_z, aoi_cat2, zoom=12).count())
+    chunks_z.unpersist()
+    imgs_z.unpersist()
+
+    # --- distributed triangulation fill at 10x (round-5: the scattered
+    # barycentric scale path) — ~259k-point jittered grid triangulated
+    # per cell bucket (3x3 halo Bowyer-Watson), ~130k hole pixels
+    # interpolated through the cell-cogrouped kernel.
+    from rasters_rs_spark.operators import knn
+    pdfh = synth.lcg_image_table(256, 64, 64, pixel_size=2.0,
+                                 holes_below=0.125)
+    imgs_f = spark.createDataFrame(pdfh).repartition(args.cpus * 2) \
+        .persist()
+    imgs_f.count()
+    pts_f = spark.range(264 * 980).selectExpr(
+        "cast(id as string) pt_id",
+        "-1040.0 + 4.0 * cast(id % 264 as double) "
+        "+ (pmod(id * 2654435761, 1024) - 512) / 640.0 as x",
+        "-2880.0 + 4.0 * cast(id div 264 as double) "
+        "+ (pmod(id * 40503, 1024) - 512) / 640.0 as y",
+        "pmod(id * 48271, 1048576) / 1048576.0 as z").persist()
+    pts_f.count()
+    timed("fill_barycentric_dist_256img_259kpts",
+          lambda: knn.fill_barycentric_distributed(
+              imgs_f, pts_f, cell_size=64.0).agg(
+                  F.sum("filled")).collect()[0][0])
+    pts_f.unpersist()
+    imgs_f.unpersist()
+
     results["corpus"] = {"docs_1x": n_docs, "docs_10x": n_docs10,
                          "emb_1x": n_emb, "emb_10x": n_emb10}
     results["rss_mb_end"] = round(rss_mb(), 1)

@@ -4,11 +4,18 @@ compare row count, column names, and order-insensitive values.
 
 Usage: python tools/verify_contract.py [sf_dir] [query ...]
 (extra args restrict the run to the named queries() entries)
+
+Env CONTRACT_JSON=<path>: also write a driver-shaped JSON artifact
+(name -> {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}; rows-only queries get hash_match=null) — the
+committed per-round CORRECTNESS_local_r{N}.json evidence.
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 import time
 
@@ -57,18 +64,28 @@ def main(sf_dir: str, only=None):
         n = len(edf.collect())
         print(f"entry: {n} rows, schema {edf.columns} [{time.time()-t0:.1f}s]")
 
+    report = {}
     for name, fn in qs.items():
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        report[name] = rec
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
+            rec["err"] = f"spark error: {e}"[:500]
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
         el = time.time() - t0
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
+            rec["rows_match"] = True
+            rec["schema_match"] = True
+            rec["hash_match"] = None      # rows-only surface
             print(f"ok*   {name}: {len(srows)} rows (rows-only) [{el:.1f}s]")
             continue
         try:
@@ -76,19 +93,24 @@ def main(sf_dir: str, only=None):
             ocols = [c.lower() for c in res.columns]
             orows = res.fetchall()
         except Exception as e:
+            rec["err"] = f"duckdb error: {e}"[:500]
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
+        rec["oracle_rows"] = len(orows)
         sc = sorted(c.lower() for c in scols)
         oc = sorted(ocols)
         if sc != oc:
+            rec["err"] = f"schema {sc} != {oc}"
             print(f"FAIL  {name}: schema {sc} != {oc}")
             failures += 1
             continue
+        rec["schema_match"] = True
         if len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
             failures += 1
             continue
+        rec["rows_match"] = True
         ssig = frame_sig([c.lower() for c in scols], srows)
         osig = frame_sig(ocols, orows)
         if ssig != osig:
@@ -99,8 +121,14 @@ def main(sf_dir: str, only=None):
                 print(f"        duckdb: {osig[i][:200]}")
             failures += 1
             continue
+        rec["hash_match"] = True
         print(f"ok    {name}: {len(srows)} rows match [{el:.1f}s]")
 
+    out_path = os.environ.get("CONTRACT_JSON")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {out_path}")
     print(f"\n{failures} failures / {len(qs)} queries")
     return failures
 
