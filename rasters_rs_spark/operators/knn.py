@@ -890,16 +890,68 @@ def fill_barycentric_distributed(images: DataFrame, points: DataFrame,
     bit-identical: same canonical triangle, same IEEE expression);
     holes covered only by dropped sliver triangles stay unfilled
     (delaunay_triangles_dist docstring). Returns the fill_idw schema."""
+    return _fill_dist_tri_core(images, points, cell_size,
+                               max_bucket_points, fill_nan, triangles,
+                               mode="barycentric")
+
+
+def fill_sibson_distributed(images: DataFrame, points: DataFrame,
+                            cell_size: float,
+                            max_bucket_points: int = 4000,
+                            fill_nan: bool = False,
+                            triangles: DataFrame | None = None
+                            ) -> DataFrame:
+    """fill_sibson for point tables too large to broadcast — the same
+    distributed shape as fill_barycentric_distributed, except the
+    candidate cells come from each triangle's CIRCUMCIRCLE bbox (pure
+    Catalyst closed form), because the Sibson cavity of a hole is
+    every triangle whose circumcircle contains it, not just the
+    containing triangle. Interior holes whose full cavity survives the
+    halo keep rule match broadcast fill_sibson to summation-order fp
+    noise (~1e-12, tested); holes near dropped hull slivers see a
+    truncated cavity and interpolate from the surviving neighbors."""
+    return _fill_dist_tri_core(images, points, cell_size,
+                               max_bucket_points, fill_nan, triangles,
+                               mode="sibson")
+
+
+def _fill_dist_tri_core(images: DataFrame, points: DataFrame,
+                        cell_size: float, max_bucket_points: int,
+                        fill_nan: bool, triangles: DataFrame | None,
+                        mode: str) -> DataFrame:
     cs = float(cell_size)
     tris = triangles if triangles is not None else \
         delaunay_triangles_dist(points, cs, max_bucket_points)
     t = tris
+    if mode == "sibson":
+        # circumcircle bbox as Catalyst closed form: the cavity test
+        # (|q - C| <= r) can only hit cells the circle bbox covers
+        x1, y1 = F.col("x1"), F.col("y1")
+        x2, y2 = F.col("x2"), F.col("y2")
+        x3, y3 = F.col("x3"), F.col("y3")
+        d = 2.0 * (x1 * (y2 - y3) + x2 * (y3 - y1) + x3 * (y1 - y2))
+        s1 = x1 * x1 + y1 * y1
+        s2 = x2 * x2 + y2 * y2
+        s3 = x3 * x3 + y3 * y3
+        ux = (s1 * (y2 - y3) + s2 * (y3 - y1) + s3 * (y1 - y2)) / d
+        uy = (s1 * (x3 - x2) + s2 * (x1 - x3) + s3 * (x2 - x1)) / d
+        r = F.sqrt((x1 - ux) * (x1 - ux) + (y1 - uy) * (y1 - uy))
+        t = (t.where(d != 0.0)
+             .withColumn("_ux", ux).withColumn("_uy", uy)
+             .withColumn("_r", r))
+        lox, hix = F.col("_ux") - F.col("_r"), F.col("_ux") + F.col("_r")
+        loy, hiy = F.col("_uy") - F.col("_r"), F.col("_uy") + F.col("_r")
+    else:
+        lox, hix = F.least("x1", "x2", "x3"), F.greatest("x1", "x2", "x3")
+        loy, hiy = F.least("y1", "y2", "y3"), F.greatest("y1", "y2", "y3")
     t = t.withColumn("tcx", F.explode(F.sequence(
-        F.floor(F.least("x1", "x2", "x3") / cs).cast("long"),
-        F.floor(F.greatest("x1", "x2", "x3") / cs).cast("long"))))
+        F.floor(lox / cs).cast("long"), F.floor(hix / cs).cast("long"))))
     t = t.withColumn("tcy", F.explode(F.sequence(
-        F.floor(F.least("y1", "y2", "y3") / cs).cast("long"),
-        F.floor(F.greatest("y1", "y2", "y3") / cs).cast("long"))))
+        F.floor(loy / cs).cast("long"), F.floor(hiy / cs).cast("long"))))
+    t = t.select("x1", "y1", "z1", "x2", "y2", "z2", "x3", "y3", "z3",
+                 "tcx", "tcy")
+    interp = sibson_interpolate if mode == "sibson" \
+        else barycentric_interpolate
 
     q = hole_pixels(images, fill_nan)
     q = q.withColumn("qcx", F.floor(F.col("x") / cs).cast("long")) \
@@ -919,7 +971,7 @@ def fill_barycentric_distributed(images: DataFrame, points: DataFrame,
         py = tp[:, [1, 4, 7]].ravel()
         pz = tp[:, [2, 5, 8]].ravel()
         tri_idx = np.arange(3 * m, dtype=np.int64).reshape(m, 3)
-        vals = barycentric_interpolate(
+        vals = interp(
             qpdf["x"].to_numpy(), qpdf["y"].to_numpy(),
             px, py, pz, tri_idx)
         ok = np.isfinite(vals)
