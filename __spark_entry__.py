@@ -804,6 +804,21 @@ def _fill_barycentric_dist_sql() -> str:
     """
 
 
+def _q_fill_sibson_dist(spark, sf_dir):
+    """Sibson fill through the DISTRIBUTED triangulation + cavity
+    cells (circumcircle-bbox cover) — rows-only like fill_sibson_synth
+    (the weights are stolen Voronoi areas); dist == broadcast to
+    summation-order fp noise is pinned in
+    tests/test_knn.py::test_fill_sibson_dist_matches_broadcast."""
+    pdf = synth.lcg_image_table(4, 32, 32, pixel_size=2.0,
+                                holes_below=0.125)
+    images = spark.createDataFrame(pdf)
+    points = spark.createDataFrame(_bdist_points())
+    filled = knn.fill_sibson_distributed(images, points,
+                                         cell_size=_BDIST_CS)
+    return _explode_pixels(filled)
+
+
 def _q_minhash_pairs(spark, sf_dir):
     # deterministic subset (limit() is order-dependent); full table at sf0.01
     docs = _tbl(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
@@ -1832,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_docs": _q_dedup_groups,
         "diff_stats_synth": _q_diff_synth,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
+        "fill_sibson_dist_synth": _q_fill_sibson_dist,
     }
 
 

@@ -726,3 +726,32 @@ def test_delaunay_dist_bucket_cap_raises(spark):
     with pytest.raises(Exception, match="max_bucket_points"):
         K.delaunay_triangles_dist(pts, cell_size=1000.0,
                                   max_bucket_points=100).collect()
+
+
+def test_fill_sibson_dist_matches_broadcast(spark):
+    """fill_sibson_distributed (circumcircle-bbox cover cells — the
+    cavity needs every circumcircle containing the hole, not just the
+    containing triangle) equals broadcast fill_sibson on interior
+    holes to summation-order fp noise, with the same fill count."""
+    px, py, pz = _jitter_grid(seed=3, nx=21, ny=15)
+    pts_pdf = pd.DataFrame({"pt_id": [f"p{i}" for i in range(px.size)],
+                            "x": px, "y": py, "z": pz})
+    block = np.full((24, 24), 0.5)
+    holes = np.zeros((24, 24), dtype=bool)
+    holes[4:18, 5:20] = True
+    block[holes] = -999.0
+    img = pd.DataFrame([{
+        "image_id": "i0", "bytes": codecs.encode_raw(block),
+        "w": 24, "h": 24, "fmt": "raw",
+        "gt": [60.0, 6.0, 0.0, 190.0, 0.0, -6.0],
+        "crs": "IDENTITY", "no_val": -999.0}])
+    images = spark.createDataFrame(img)
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+    drv = delaunay_triangles(px, py)
+    b_out = K.fill_sibson(images, pts_pdf, drv).collect()[0]
+    d_out = K.fill_sibson_distributed(
+        images, spark.createDataFrame(pts_pdf), cell_size=64.0).collect()[0]
+    assert d_out["filled"] == b_out["filled"] == int(holes.sum())
+    bb = codecs.decode_raw(b_out["bytes"], 24, 24)
+    db = codecs.decode_raw(d_out["bytes"], 24, 24)
+    assert np.abs(bb - db).max() < 1e-10
