@@ -995,6 +995,107 @@ def _q_filter_corpus(spark, sf_dir):
                               langs=("en", "es"))
 
 
+def _q_bpe_tokenize(spark, sf_dir):
+    """FULL BPE tokenization (the token stream, not just counts): the
+    '|'-delimited fold state, exact-STRING-oracled — the DuckDB nested
+    list_reduce folds compute the identical string, so this row pins
+    the tokenizer's entire output, merge by merge."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.bpe_tokenize(docs) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "tokens")
+
+
+def _bpe_tokenize_sql() -> str:
+    from rasters_rs_spark.operators.text import BPE_MERGES
+    fold = "string_split(clean, '')"
+    step = fold
+    for a, b in BPE_MERGES:
+        step = (f"list_reduce({fold}, (s, t) -> "
+                f"CASE WHEN (s = '{a}' OR s LIKE '%|{a}') AND t = '{b}' "
+                f"THEN s || t ELSE s || '|' || t END)")
+        fold = f"string_split({step}, '|')"
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 regexp_replace(lower(coalesce(text, '')),
+                                '[^a-z ]', '', 'g') AS clean
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {step} AS tokens
+        FROM c
+    """
+
+
+_PACK_BUDGET = 2048
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing over the documents
+    table (docs may span training sequences): the global exclusive
+    token cumsum runs as the two-pass zipWithIndex idiom (no
+    single-partition window); the oracle is DuckDB's window cumsum
+    over the same doc_id order."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, budget=_PACK_BUDGET) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                "n_tokens", "global_start", "seq_id", "seq_offset",
+                "n_seqs")
+
+
+def _pack_sequences_sql() -> str:
+    b = _PACK_BUDGET
+    return f"""
+        WITH t AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(length(coalesce(text, ''))
+                      - length(replace(coalesce(text, ''), ' ', ''))
+                      + 1 AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS global_start
+          FROM t)
+        SELECT doc_id, n_tokens, global_start,
+               global_start // {b} AS seq_id,
+               global_start % {b} AS seq_offset,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN (global_start + n_tokens - 1) // {b}
+                         - global_start // {b} + 1
+                    ELSE 0 END AS BIGINT) AS n_seqs
+        FROM c
+    """
+
+
+_STRAT_FRACS = {"en": 0.8, "es": 0.5, "de": 0.25}
+_STRAT_DEFAULT = 0.1
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum Bernoulli sampling (corpus curation:
+    downsample dominant languages, keep rare ones) — md5-uniform of
+    (id, salt), replayable and monotone in the fraction; the kept SET
+    is oracled exactly."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.stratified_sample(docs, _STRAT_FRACS,
+                                  default=_STRAT_DEFAULT) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
+def _stratified_sample_sql() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {_dbl17(v)}"
+                     for k, v in sorted(_STRAT_FRACS.items()))
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+        FROM (SELECT doc_id, lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':s1'),
+                                     1, 15))::BIGINT
+                     / {_dbl17(float(1 << 60))} AS u
+              FROM documents)
+        WHERE u < CASE lang {whens} ELSE {_dbl17(_STRAT_DEFAULT)} END
+    """
+
+
 def _q_split_assign(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return text.deterministic_split(docs).select(
@@ -1848,6 +1949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_stats_synth": _q_diff_synth,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "fill_sibson_dist_synth": _q_fill_sibson_dist,
+        "bpe_tokenize_docs": _q_bpe_tokenize,
+        "pack_sequences_docs": _q_pack_sequences,
+        "stratified_sample_docs": _q_stratified_sample,
     }
 
 
@@ -2706,6 +2810,9 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
             FROM documents GROUP BY lang, source HAVING count(*) > 1
         """,
         "bpe_tokens_docs": _bpe_tokens_sql(),
+        "bpe_tokenize_docs": _bpe_tokenize_sql(),
+        "pack_sequences_docs": _pack_sequences_sql(),
+        "stratified_sample_docs": _stratified_sample_sql(),
         "text_quality": f"""
             SELECT doc_id::BIGINT AS doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -682,28 +682,7 @@ def _bpe_count_batch(texts, merges) -> np.ndarray:
     N = len(texts)
     if N == 0:
         return np.zeros(0, dtype=np.int64)
-    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=N)
-    buf = "".join(texts).encode("ascii")
-    sym = np.frombuffer(buf, dtype=np.uint8).astype(np.int32)
-    doc = np.repeat(np.arange(N, dtype=np.int64), lens)
-    for ia, ib, im in _bpe_resolve_ids(merges):
-        if sym.size < 2:
-            break
-        cand = np.nonzero((sym[:-1] == ia) & (sym[1:] == ib)
-                          & (doc[:-1] == doc[1:]))[0]
-        if cand.size == 0:
-            continue
-        if cand.size > 1:
-            run_break = np.concatenate([[True], np.diff(cand) > 1])
-            run_start = np.nonzero(run_break)[0]
-            offset = np.arange(cand.size) - run_start[
-                np.cumsum(run_break) - 1]
-            cand = cand[offset % 2 == 0]
-        sym[cand] = im
-        mask = np.ones(sym.size, dtype=bool)
-        mask[cand + 1] = False
-        sym = sym[mask]
-        doc = doc[mask]
+    sym, doc = _bpe_merge_batch(texts, merges)
     return np.bincount(doc[sym != 32], minlength=N).astype(np.int64)
 
 
@@ -731,3 +710,147 @@ def bpe_token_count(docs: DataFrame, id_col: str = "doc_id",
 
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
         gen, schema=f"doc_id {id_type}, n_tokens bigint")
+
+
+def bpe_tokenize(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 merges=BPE_MERGES) -> DataFrame:
+    """Full BPE tokenization (not just counts): returns (doc_id,
+    tokens) where ``tokens`` is the '|'-delimited token stream over
+    the cleaned [a-z ] alphabet — single-space tokens included, so
+    the string is EXACTLY the left-fold state the DuckDB oracle's
+    nested list_reduce computes, giving an exact-string oracle of the
+    tokenizer itself. Same vectorized kernel as bpe_token_count; the
+    id->token-text table is closed over the merges."""
+    id_type = dict(docs.dtypes)[id_col]
+    tok_table = np.array([chr(i) for i in range(256)]
+                         + [a + b for a, b in merges], dtype=object)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            clean = (pdf[text_col].fillna("").str.lower()
+                     .str.replace("[^a-z ]", "", regex=True))
+            sym, doc = _bpe_merge_batch(list(clean), merges)
+            parts = pd.Series(tok_table[sym])
+            joined = parts.groupby(doc).agg("|".join)
+            out = joined.reindex(range(len(pdf)), fill_value="")
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "tokens": out.to_numpy(),
+            })
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=f"doc_id {id_type}, tokens string")
+
+
+def _bpe_merge_batch(texts, merges):
+    """(symbol ids, doc index) after applying every merge rank — the
+    shared core of bpe_token_count/bpe_tokenize (ids: byte value for
+    chars, 256 + rank for merge products)."""
+    N = len(texts)
+    if N == 0:
+        return (np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int64))
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=N)
+    buf = "".join(texts).encode("ascii")
+    sym = np.frombuffer(buf, dtype=np.uint8).astype(np.int32)
+    doc = np.repeat(np.arange(N, dtype=np.int64), lens)
+    for ia, ib, im in _bpe_resolve_ids(merges):
+        if sym.size < 2:
+            break
+        cand = np.nonzero((sym[:-1] == ia) & (sym[1:] == ib)
+                          & (doc[:-1] == doc[1:]))[0]
+        if cand.size == 0:
+            continue
+        if cand.size > 1:
+            run_break = np.concatenate([[True], np.diff(cand) > 1])
+            run_start = np.nonzero(run_break)[0]
+            offset = np.arange(cand.size) - run_start[
+                np.cumsum(run_break) - 1]
+            cand = cand[offset % 2 == 0]
+        sym[cand] = im
+        mask = np.ones(sym.size, dtype=bool)
+        mask[cand + 1] = False
+        sym = sym[mask]
+        doc = doc[mask]
+    return sym, doc
+
+
+def stratified_sample(df: DataFrame, fractions: dict,
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      salt: str = "s1", default: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling for corpus
+    curation (downsample boilerplate-heavy sources/languages, keep
+    rare strata whole): a row is kept iff u(id, salt) <
+    fraction[stratum]. u is the same md5-uniform as
+    deterministic_split — a pure function of (id, salt), so samples
+    are replayable, partition/cluster-order independent, and MONOTONE
+    in the fraction (raising a stratum's rate only adds rows, never
+    reshuffles the kept set — the property rand()-sampling lacks).
+    Strata absent from ``fractions`` use ``default``. Row-local
+    Catalyst exprs, no shuffle; SQL-oracled."""
+    for k, v in fractions.items():
+        if not 0.0 <= float(v) <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in "
+                             f"[0, 1], got {v}")
+    u = (F.expr(f"cast(conv(substring(md5(concat(cast({id_col} as string), "
+                f"':{salt}')), 1, 15), 16, 10) as bigint)")
+         / F.lit(float(1 << 60)))
+    frac = F.lit(float(default))
+    for k in sorted(fractions):
+        frac = F.when(F.col(strata_col) == k,
+                      F.lit(float(fractions[k]))).otherwise(frac)
+    return df.where(u < frac)
+
+
+def pack_sequences(docs: DataFrame, budget: int, id_col: str = "doc_id",
+                   text_col: str = "text", tokens_col: str | None = None,
+                   partitions: int = 64) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents ordered
+    by id concatenate into one global token stream that is cut at
+    fixed ``budget`` boundaries — a document may SPAN sequences, the
+    standard LLM-pretraining packing (no first-fit waste). Returns
+    (doc_id, n_tokens, global_start, seq_id, seq_offset, n_seqs):
+    seq_id/seq_offset locate the doc's first token; n_seqs is how many
+    training sequences it touches.
+
+    The global exclusive cumsum uses the two-pass zipWithIndex idiom
+    (range-repartition by id, per-partition window cumsum, broadcast
+    per-partition totals) — no single-partition window, so the plan
+    holds at corpus scale; the driver sees one sum per partition.
+    Deterministic: a pure function of the (id -> n_tokens) mapping.
+    SQL-oracled (DuckDB window cumsum over the same order)."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("pack_sequences: budget must be positive")
+    n_tok = (F.size(F.col(tokens_col)).cast("long") if tokens_col
+             else F.size(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                 " ")).cast("long"))
+    d = (docs.select(F.col(id_col).alias("doc_id"),
+                     n_tok.alias("n_tokens"))
+         .repartitionByRange(partitions, "doc_id")
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint(eager=True))   # pin rows: _pid feeds 2 consumers
+    sums = {int(r["_pid"]): int(r["s"] or 0) for r in
+            d.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()}
+    acc, offsets = 0, {}
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_df = docs.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()] or [(0, 0)],
+        "_pid int, _off long")
+    win = Window.partitionBy("_pid").orderBy("doc_id")
+    b = int(budget)
+    out = (d.join(F.broadcast(off_df), on="_pid")
+           .withColumn("global_start",
+                       F.sum("n_tokens").over(win) - F.col("n_tokens")
+                       + F.col("_off")))
+    return out.select(
+        "doc_id", "n_tokens", "global_start",
+        F.expr(f"global_start div {b}").alias("seq_id"),
+        F.pmod("global_start", F.lit(b)).cast("long").alias("seq_offset"),
+        F.when(F.col("n_tokens") > 0,
+               F.expr(f"(global_start + n_tokens - 1) div {b}")
+               - F.expr(f"global_start div {b}") + F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("n_seqs"))

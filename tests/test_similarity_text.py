@@ -454,3 +454,84 @@ def test_ivf_topk_distributed_train_recall(spark, emb):
         assert q in a and q in a[q]
     recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
     assert np.mean(recalls) >= 0.3
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    """Sequence packing: exclusive global cumsum over doc_id order
+    (two-pass, no single-partition window); docs span budget
+    boundaries; zero-token docs occupy no sequence."""
+    from rasters_rs_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, None), (4, "f g h i j k")],
+        "doc_id long, text string")
+    # token counts: 3, 2, 1 (null -> '' -> ['']), 6
+    out = {r["doc_id"]: r for r in
+           T.pack_sequences(docs, budget=4, partitions=3).collect()}
+    assert [out[i]["global_start"] for i in (1, 2, 3, 4)] == [0, 3, 5, 6]
+    assert out[1].asDict() | {} == {
+        "doc_id": 1, "n_tokens": 3, "global_start": 0, "seq_id": 0,
+        "seq_offset": 0, "n_seqs": 1}
+    assert (out[2]["seq_id"], out[2]["seq_offset"]) == (0, 3)
+    assert out[2]["n_seqs"] == 2          # tokens at 3, 4 -> seqs 0 and 1
+    assert out[4]["n_seqs"] == 2          # tokens 6..11 -> seqs 1, 2
+    assert (out[4]["seq_id"], out[4]["seq_offset"]) == (1, 2)
+    assert out[3]["n_tokens"] == 1        # null text -> one ''-token
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """The packing is a pure function of (id -> n_tokens): identical
+    output at different partition counts."""
+    from rasters_rs_spark.operators import text as T
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(tuple(r) for r in T.pack_sequences(docs, 512,
+                                                  partitions=2).collect())
+    b = sorted(tuple(r) for r in T.pack_sequences(docs, 512,
+                                                  partitions=32).collect())
+    assert a == b and len(a) > 0
+
+
+def test_stratified_sample_monotone_and_deterministic(spark):
+    """Raising a stratum's fraction only ADDS rows (hash-threshold
+    monotonicity); fractions 0/1 drop/keep whole strata; re-runs are
+    identical."""
+    from rasters_rs_spark.operators import text as T
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    low = {r["doc_id"] for r in T.stratified_sample(
+        docs, {"en": 0.3}, default=0.0).collect()}
+    high = {r["doc_id"] for r in T.stratified_sample(
+        docs, {"en": 0.7}, default=0.0).collect()}
+    assert low <= high and len(low) < len(high)
+    allen = {r["doc_id"] for r in docs.where("lang = 'en'").collect()}
+    kept = {r["doc_id"] for r in T.stratified_sample(
+        docs, {"en": 1.0}, default=0.0).collect()}
+    assert kept == allen
+    again = {r["doc_id"] for r in T.stratified_sample(
+        docs, {"en": 0.3}, default=0.0).collect()}
+    assert again == low
+
+
+def test_bpe_tokenize_stream_matches_scalar(spark):
+    """bpe_tokenize's delimited stream equals the scalar fold,
+    including spaces as stream elements."""
+    import re
+    from rasters_rs_spark.operators import text as T
+    texts = ["the theme", "", None, "row row", "a  b"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["tokens"] for r in T.bpe_tokenize(docs).collect()}
+
+    def scalar_stream(txt):
+        clean = re.sub("[^a-z ]", "", (txt or "").lower())
+        toks = list(clean)
+        for a, b in T.BPE_MERGES:
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks = out
+        return "|".join(toks)
+
+    for i, t in enumerate(texts):
+        assert got[i] == scalar_stream(t), (i, t, got[i])
