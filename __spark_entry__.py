@@ -934,6 +934,68 @@ def _q_ann_ivf(spark, sf_dir):
                 F.col("rank").cast("bigint").alias("rank"))
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN, pure-ADC surface (rerank=False):
+    deterministic LCG codebooks, strict fold-order sub-distances, so
+    codes, ADC sums, ties, and ranks all match the DuckDB mirror
+    bitwise (round-9 on the distance output only)."""
+    emb = _tbl(spark, sf_dir, "embeddings") \
+        .selectExpr("cast(vec_id as bigint) vec_id",
+                    "transform(embedding, v -> cast(v as double)) embedding")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return similarity.ann_pq(queries, emb, k=5, dim=64, m_sub=8,
+                             k_codes=16, rerank=False) \
+        .select("q_id", "vec_id", F.round("adist", 9).alias("adist"),
+                F.col("rank").cast("bigint").alias("rank"))
+
+
+def _ann_pq_sql(m_sub: int = 8, k_codes: int = 16, k: int = 5) -> str:
+    """Full-pipeline mirror of ann_pq(rerank=False): per-subspace
+    fold-order squared distances to the LCG codebooks, argmin codes
+    (ties to the lowest id), ADC = the left-assoc chain of table
+    lookups, rank by (adist, vec_id)."""
+    cb = similarity.pq_codebooks_det(m_sub, k_codes, 64 // m_sub)
+    sd = 64 // m_sub
+
+    def dist(s, j):
+        lit = _sql_list(cb[s, j].tolist())
+        return (f"list_reduce(list_transform(range(1, {sd + 1}), "
+                f"i -> (v[{s * sd} + i] - ({lit})[i]) "
+                f"* (v[{s * sd} + i] - ({lit})[i])), (a, b) -> a + b)")
+
+    dcols = ", ".join(f"{dist(s, j)} AS d{s}_{j}"
+                      for s in range(m_sub) for j in range(k_codes))
+    code_cols = ", ".join(
+        "CASE " + " ".join(
+            f"WHEN d{s}_{j} = least({', '.join(f'd{s}_{x}' for x in range(k_codes))}) THEN {j}"
+            for j in range(k_codes)) + f" END AS c{s}"
+        for s in range(m_sub))
+    lookups = " + ".join(
+        "(CASE a.c" + str(s) + " "
+        + " ".join(f"WHEN {j} THEN q.d{s}_{j}" for j in range(k_codes))
+        + " END)"
+        for s in range(m_sub))
+    return f"""
+        WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        cd AS (SELECT vec_id, {dcols} FROM e),
+        assigned AS (SELECT vec_id, {code_cols} FROM cd),
+        adc AS (
+          SELECT q.vec_id AS q_id, a.vec_id, {lookups} AS adist
+          FROM (SELECT * FROM cd WHERE vec_id < 8) q
+          CROSS JOIN assigned a),
+        ranked AS (
+          SELECT q_id, vec_id, adist,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adist, vec_id) AS rank
+          FROM adc)
+        SELECT q_id, vec_id, round(adist, 9) AS adist,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _q_image_features(spark, sf_dir):
     """Image feature extraction over LCG images: px_mean is exact
     (dyadic grid); px_std's squared deviations are order-sensitive in
@@ -1952,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize_docs": _q_bpe_tokenize,
         "pack_sequences_docs": _q_pack_sequences,
         "stratified_sample_docs": _q_stratified_sample,
+        "ann_pq_embeddings": _q_ann_pq,
     }
 
 
@@ -2813,6 +2876,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "bpe_tokenize_docs": _bpe_tokenize_sql(),
         "pack_sequences_docs": _pack_sequences_sql(),
         "stratified_sample_docs": _stratified_sample_sql(),
+        "ann_pq_embeddings": _ann_pq_sql(),
         "text_quality": f"""
             SELECT doc_id::BIGINT AS doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -474,3 +474,206 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
                                       multiplier=len(flips))
     cand = ck.join(qprobe, on="bucket")
     return _rerank_topk(cand, k, q_id, c_id, q_vec, c_vec)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): 64x-compressed codes + asymmetric-distance ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks_det(m_sub: int, k_codes: int, sub_dim: int) -> np.ndarray:
+    """Deterministic (m_sub, k_codes, sub_dim) PQ codebooks from the
+    LCG stream (k-offset 6e6, decorrelated from the LSH planes and IVF
+    centroids) — the SQL-oracle-able variant."""
+    from ..sources.synth import lcg_values
+    k = 6_000_000 + np.arange(m_sub * k_codes * sub_dim, dtype=np.int64)
+    return lcg_values(k).reshape(m_sub, k_codes, sub_dim)
+
+
+def pq_encode(corpus: DataFrame, dim: int, m_sub: int = 8,
+              k_codes: int = 16, c_id: str = "vec_id",
+              c_vec: str = "embedding",
+              codebooks: np.ndarray | None = None) -> DataFrame:
+    """Product-quantize every corpus vector to ``m_sub`` sub-codes
+    (one per dim/m_sub-wide subvector, nearest codebook entry, ties to
+    the LOWEST code id): at dim=64 float64 -> 8 one-byte codes, a 64x
+    memory compression — the representation a 10^12-vector ANN index
+    actually stores. Sub-distances use strict fold-order ops so code
+    assignment is bit-identical to the DuckDB mirror. Returns
+    (vec_id, codes array<int>). Arrow-batched, no shuffle."""
+    if dim % m_sub != 0:
+        raise ValueError(f"pq_encode: dim={dim} not divisible by "
+                         f"m_sub={m_sub}")
+    sd = dim // m_sub
+    cb = codebooks if codebooks is not None \
+        else pq_codebooks_det(m_sub, k_codes, sd)
+    cb = np.asarray(cb, dtype=np.float64)
+    id_type = dict(corpus.dtypes)[c_id]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[c_vec]])
+            codes = np.empty((len(pdf), m_sub), dtype=np.int32)
+            for s in range(m_sub):
+                sub = mat[:, s * sd:(s + 1) * sd]
+                d = np.stack([_fold_sqdist_rows(sub, cb[s, j])
+                              for j in range(cb.shape[1])], axis=1)
+                codes[:, s] = d.argmin(axis=1)   # first min = lowest id
+            yield pd.DataFrame({"vec_id": pdf[c_id].to_numpy(),
+                                "codes": [row.tolist() for row in codes]})
+
+    return corpus.select(F.col(c_id), F.col(c_vec)).mapInPandas(
+        gen, schema=f"vec_id {id_type}, codes array<int>")
+
+
+def train_pq_codebooks_distributed(corpus: DataFrame, dim: int,
+                                   m_sub: int = 8, k_codes: int = 16,
+                                   iters: int = 5, c_id: str = "vec_id",
+                                   c_vec: str = "embedding") -> np.ndarray:
+    """Distributed per-subspace Lloyd k-means for PQ codebooks — ONE
+    mapInPandas partial-sum pass per iteration covers ALL subspaces
+    (<= m_sub * k_codes fixed-size rows per partition to the driver);
+    init = the k_codes smallest-xxhash64 rows' subvectors, like
+    train_ivf_centroids_distributed. No corpus-sized driver collect."""
+    sd = dim // m_sub
+    vec = corpus.select(F.col(c_id).alias("_id"), F.col(c_vec).alias("_v"))
+    init_rows = (vec.orderBy(F.xxhash64("_id").asc(), F.col("_id").asc())
+                 .limit(k_codes).collect())
+    if not init_rows:
+        raise ValueError("train_pq_codebooks_distributed: empty corpus")
+    init = np.stack([np.asarray(r["_v"], dtype=np.float64)
+                     for r in init_rows])
+    kk = len(init)
+    cb = np.stack([init[:, s * sd:(s + 1) * sd] for s in range(m_sub)])
+    vecs = vec.select("_v").persist()
+    try:
+        for _ in range(iters):
+            c = cb
+
+            def partial(batches: Iterator[pd.DataFrame],
+                        c: np.ndarray = c) -> Iterator[pd.DataFrame]:
+                sums = np.zeros((m_sub, kk, sd), dtype=np.float64)
+                cnt = np.zeros((m_sub, kk), dtype=np.int64)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    mat = np.stack([np.asarray(v, dtype=np.float64)
+                                    for v in pdf["_v"]])
+                    for s in range(m_sub):
+                        sub = mat[:, s * sd:(s + 1) * sd]
+                        c2 = (c[s] * c[s]).sum(axis=1)
+                        a = (-2.0 * (sub @ c[s].T) + c2).argmin(axis=1)
+                        np.add.at(sums[s], a, sub)
+                        cnt[s] += np.bincount(a, minlength=kk)
+                rows = []
+                for s in range(m_sub):
+                    for j in range(kk):
+                        rows.append((s, j, int(cnt[s, j]),
+                                     sums[s, j].tolist()))
+                yield pd.DataFrame(rows, columns=["s", "j", "cnt", "sum"])
+
+            parts = vecs.mapInPandas(
+                partial, schema="s int, j int, cnt long, sum array<double>"
+            ).collect()
+            S = np.zeros((m_sub, kk, sd), dtype=np.float64)
+            C = np.zeros((m_sub, kk), dtype=np.float64)
+            for r in parts:
+                S[r["s"], r["j"]] += np.asarray(r["sum"], dtype=np.float64)
+                C[r["s"], r["j"]] += r["cnt"]
+            cb = cb.copy()
+            nz = C > 0
+            cb[nz] = S[nz] / C[nz][:, None]
+    finally:
+        vecs.unpersist()
+    return cb
+
+
+def ann_pq(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
+           m_sub: int = 8, k_codes: int = 16,
+           q_id: str = "q_id", c_id: str = "vec_id",
+           q_vec: str = "q_vec", c_vec: str = "embedding",
+           rerank: bool = True, rerank_factor: int = 4,
+           codes: DataFrame | None = None,
+           codebooks: np.ndarray | None = None,
+           max_queries: int = 4096) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): the corpus is scanned as ``m_sub`` one-byte codes per
+    vector (pq_encode — 64x less data moved than raw float64), each
+    query precomputes its (m_sub x k_codes) sub-distance table, and
+    the approximate distance is the strict left-fold sum of m_sub
+    table lookups — so distances, ties, and ranks are bit-identical
+    to the DuckDB mirror. Per Arrow batch the kernel keeps only each
+    query's current top shortlist ((adist, vec_id)-sorted — exact for
+    global top-k by monotonicity), then one window ranks globally.
+
+    ``rerank=True`` re-scores a rerank_factor*k shortlist with the
+    exact cosine against the raw vectors (the standard PQ + rerank
+    recipe; output = cosine_topk schema). ``rerank=False`` returns
+    (q_id, vec_id, adist, rank) — the pure-ADC surface the contract
+    oracle mirrors end to end. Queries are driver-collected
+    (broadcast tables), capped at ``max_queries``."""
+    if dim % m_sub != 0:
+        raise ValueError(f"ann_pq: dim={dim} not divisible by m_sub={m_sub}")
+    sd = dim // m_sub
+    cb = np.asarray(codebooks, dtype=np.float64) if codebooks is not None \
+        else pq_codebooks_det(m_sub, k_codes, sd)
+    qrows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ann_pq broadcasts per-query distance tables; > "
+            f"{max_queries} queries would blow the task closure — batch "
+            f"the query table or raise max_queries explicitly")
+    q_ids = [r[q_id] for r in qrows]
+    qmat = np.stack([np.asarray(r[q_vec], dtype=np.float64)
+                     for r in qrows])
+    nq = len(q_ids)
+    # (nq, m_sub, k_codes) ADC tables with fold-order sub-distances
+    tables = np.empty((nq, m_sub, cb.shape[1]), dtype=np.float64)
+    for s in range(m_sub):
+        sub = qmat[:, s * sd:(s + 1) * sd]
+        for j in range(cb.shape[1]):
+            tables[:, s, j] = _fold_sqdist_rows(sub, cb[s, j])
+
+    codes_df = codes if codes is not None else \
+        pq_encode(corpus, dim, m_sub, cb.shape[1], c_id, c_vec, cb)
+    shortlist = (k * rerank_factor) if rerank else k
+    id_type = dict(corpus.dtypes)[c_id]
+    qid_type = dict(queries.dtypes)[q_id]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.stack([np.asarray(c, dtype=np.int64)
+                             for c in pdf["codes"]])
+            vids = pdf["vec_id"].to_numpy()
+            # left-fold over subspaces: ((t0 + t1) + t2) ... matches
+            # the SQL mirror's t0 + t1 + ... literal chain
+            acc = tables[:, 0, cmat[:, 0]]
+            for s in range(1, m_sub):
+                acc = acc + tables[:, s, cmat[:, s]]
+            out = []
+            keep = min(shortlist, len(pdf))
+            for qi in range(nq):
+                order = np.lexsort((vids, acc[qi]))[:keep]
+                out.append(pd.DataFrame({
+                    "q_id": q_ids[qi], "vec_id": vids[order],
+                    "adist": acc[qi][order]}))
+            yield pd.concat(out)
+
+    cand = codes_df.mapInPandas(
+        scan, schema=f"q_id {qid_type}, vec_id {id_type}, adist double")
+    w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    top = (cand.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= shortlist))
+    if not rerank:
+        return top.where(F.col("rank") <= k)
+    pairs = top.select("q_id", "vec_id")
+    qdf = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec))
+    cdf = corpus.select(F.col(c_id).alias("vec_id"), F.col(c_vec))
+    cand2 = (pairs.join(F.broadcast(qdf), on="q_id")
+             .join(cdf, on="vec_id"))
+    return _rerank_topk(cand2, k, "q_id", "vec_id", q_vec, c_vec)

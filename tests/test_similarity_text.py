@@ -535,3 +535,58 @@ def test_bpe_tokenize_stream_matches_scalar(spark):
 
     for i, t in enumerate(texts):
         assert got[i] == scalar_stream(t), (i, t, got[i])
+
+
+def test_ann_pq_recall_and_compression(spark, emb):
+    """PQ/ADC ANN: the pure-ADC surface finds each query's own vector
+    (own codes give the minimal table sum), exact-rerank lifts recall,
+    and trained codebooks beat the deterministic LCG ones. Codes are
+    m_sub small ints — the 64x-compressed scan representation."""
+    df, pdf = emb
+    qs = pdf.head(8)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": qs["vec_id"].astype(str),
+        "q_vec": [list(map(float, v)) for v in qs["embedding"]]}))
+    corpus = df.selectExpr(
+        "cast(vec_id as string) vec_id",
+        "transform(embedding, x -> cast(x as double)) embedding")
+    exact = SIM.cosine_topk(queries, corpus, k=5).collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    codes = SIM.pq_encode(corpus, dim=64, m_sub=8, k_codes=16)
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
+
+    adc = SIM.ann_pq(queries, corpus, k=5, dim=64, rerank=False).collect()
+    a = {}
+    for r in adc:
+        a.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for q in e:
+        assert q in a and q in a[q]
+
+    cb = SIM.train_pq_codebooks_distributed(corpus, dim=64, m_sub=8,
+                                            k_codes=16, iters=3)
+    rr = SIM.ann_pq(queries, corpus, k=5, dim=64, rerank=True,
+                    rerank_factor=8, codebooks=cb).collect()
+    b = {}
+    for r in rr:
+        b.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(e[q] & b.get(q, set())) / len(e[q]) for q in e]
+    assert np.mean(recalls) >= 0.4
+    for q in e:
+        assert q in b and q in b[q]
+
+
+def test_ann_pq_query_cap_refuses(spark, emb):
+    """ann_pq broadcasts per-query distance tables: an oversized query
+    table refuses with guidance instead of blowing the task closure."""
+    df, _ = emb
+    corpus = df.selectExpr(
+        "cast(vec_id as string) vec_id",
+        "transform(embedding, x -> cast(x as double)) embedding")
+    queries = corpus.selectExpr("vec_id as q_id", "embedding as q_vec")
+    with pytest.raises(ValueError, match="max_queries"):
+        SIM.ann_pq(queries, corpus, k=5, dim=64, max_queries=10)
