@@ -996,6 +996,105 @@ def _ann_pq_sql(m_sub: int = 8, k_codes: int = 16, k: int = 5) -> str:
     """
 
 
+_IVFPQ_CFG = dict(n_lists=4, nprobe=2, m_sub=4, k_codes=8, k=5)
+
+
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ (residual product quantization inside coarse lists — the
+    production 10^12-vector ANN shape), pure-ADC surface at a reduced
+    deterministic config so the DuckDB mirror stays tractable: list
+    assignment, residual codes, per-(query, list) ADC tables, ranking
+    — all bit-matched end to end."""
+    emb = _tbl(spark, sf_dir, "embeddings") \
+        .selectExpr("cast(vec_id as bigint) vec_id",
+                    "transform(embedding, v -> cast(v as double)) embedding")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = _IVFPQ_CFG
+    return similarity.ann_ivfpq(queries, emb, k=c["k"], dim=64,
+                                n_lists=c["n_lists"], nprobe=c["nprobe"],
+                                m_sub=c["m_sub"], k_codes=c["k_codes"],
+                                rerank=False) \
+        .select("q_id", "vec_id", F.round("adist", 9).alias("adist"),
+                F.col("rank").cast("bigint").alias("rank"))
+
+
+def _ann_ivfpq_sql() -> str:
+    c = _IVFPQ_CFG
+    n_lists, nprobe = c["n_lists"], c["nprobe"]
+    m_sub, k_codes, k = c["m_sub"], c["k_codes"], c["k"]
+    sd = 64 // m_sub
+    cents = similarity.lcg_centroids(n_lists, 64)
+    cb = similarity.pq_codebooks_det(m_sub, k_codes, sd)
+
+    cdist = ", ".join(
+        f"list_reduce(list_transform(range(1, 65), "
+        f"i -> (v[i] - ({_sql_list(ct)})[i]) * (v[i] - ({_sql_list(ct)})[i])), "
+        f"(a, b) -> a + b) AS cd{i}"
+        for i, ct in enumerate(cents))
+    least = "least(" + ", ".join(f"cd{i}" for i in range(n_lists)) + ")"
+    pick = "CASE " + " ".join(f"WHEN cd{i} = m THEN {i}"
+                              for i in range(n_lists)) + " END"
+    cent_case = ("CASE list_id " + " ".join(
+        f"WHEN {i} THEN {_sql_list(ct)}" for i, ct in enumerate(cents))
+        + " END")
+    resid = (f"list_transform(range(1, 65), "
+             f"i -> v[i] - ({cent_case})[i])")
+
+    def rdist(s, j):
+        lit = _sql_list(cb[s, j].tolist())
+        return (f"list_reduce(list_transform(range(1, {sd + 1}), "
+                f"i -> (r[{s * sd} + i] - ({lit})[i]) "
+                f"* (r[{s * sd} + i] - ({lit})[i])), (a, b) -> a + b)")
+
+    rcols = ", ".join(f"{rdist(s, j)} AS rd{s}_{j}"
+                      for s in range(m_sub) for j in range(k_codes))
+    code_cols = ", ".join(
+        "CASE " + " ".join(
+            f"WHEN rd{s}_{j} = least({', '.join(f'rd{s}_{x}' for x in range(k_codes))}) THEN {j}"
+            for j in range(k_codes)) + f" END AS c{s}"
+        for s in range(m_sub))
+    qpairs = ", ".join(f"{{'d': cd{i}, 'c': {i}}}" for i in range(n_lists))
+    lookups = " + ".join(
+        "(CASE a.c" + str(s) + " "
+        + " ".join(f"WHEN {j} THEN q.rd{s}_{j}" for j in range(k_codes))
+        + " END)"
+        for s in range(m_sub))
+    return f"""
+        WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        cd AS (SELECT vec_id, v, {cdist} FROM e),
+        assigned AS (
+          SELECT vec_id, v, {pick} AS list_id
+          FROM (SELECT *, {least} AS m FROM cd)),
+        cres AS (SELECT vec_id, list_id, {resid} AS r FROM assigned),
+        crd AS (SELECT vec_id, list_id, {rcols} FROM cres),
+        codes AS (SELECT vec_id, list_id, {code_cols} FROM crd),
+        ql AS (
+          SELECT vec_id AS q_id, v,
+                 unnest([{qpairs}], recursive := true)
+          FROM cd WHERE vec_id < 8),
+        qp AS (
+          SELECT q_id, v, c AS list_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY d, c) AS rk
+          FROM ql),
+        qres AS (SELECT q_id, list_id, {resid} AS r
+                 FROM qp WHERE rk <= {nprobe}),
+        qt AS (SELECT q_id, list_id, {rcols} FROM qres),
+        adc AS (
+          SELECT q.q_id, a.vec_id, {lookups} AS adist
+          FROM qt q JOIN codes a ON q.list_id = a.list_id),
+        ranked AS (
+          SELECT q_id, vec_id, adist,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adist, vec_id) AS rank
+          FROM adc)
+        SELECT q_id, vec_id, round(adist, 9) AS adist,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _q_image_features(spark, sf_dir):
     """Image feature extraction over LCG images: px_mean is exact
     (dyadic grid); px_std's squared deviations are order-sensitive in
@@ -2015,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": _q_pack_sequences,
         "stratified_sample_docs": _q_stratified_sample,
         "ann_pq_embeddings": _q_ann_pq,
+        "ann_ivfpq_embeddings": _q_ann_ivfpq,
     }
 
 
@@ -2877,6 +2977,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "pack_sequences_docs": _pack_sequences_sql(),
         "stratified_sample_docs": _stratified_sample_sql(),
         "ann_pq_embeddings": _ann_pq_sql(),
+        "ann_ivfpq_embeddings": _ann_ivfpq_sql(),
         "text_quality": f"""
             SELECT doc_id::BIGINT AS doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -677,3 +677,130 @@ def ann_pq(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     cand2 = (pairs.join(F.broadcast(qdf), on="q_id")
              .join(cdf, on="vec_id"))
     return _rerank_topk(cand2, k, "q_id", "vec_id", q_vec, c_vec)
+
+
+def ann_ivfpq(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
+              n_lists: int = 16, nprobe: int = 4, m_sub: int = 8,
+              k_codes: int = 16,
+              q_id: str = "q_id", c_id: str = "vec_id",
+              q_vec: str = "q_vec", c_vec: str = "embedding",
+              rerank: bool = True, rerank_factor: int = 4,
+              centroids=None, codebooks: np.ndarray | None = None,
+              max_queries: int = 4096) -> DataFrame:
+    """IVF-PQ — the production 10^12-vector ANN composition: a coarse
+    quantizer prunes the scan to ``nprobe`` lists per query, and
+    inside the lists vectors are stored as PQ codes of their RESIDUAL
+    (v - centroid[list]) — so the index holds one byte-per-subspace
+    codes plus a list id, and the ADC scan touches only the probed
+    lists' codes. Deterministic LCG centroids/codebooks by default
+    (SQL-oracle-able, strict fold-order everywhere: list assignment,
+    residual codes, per-(query, list) ADC tables, the left-assoc ADC
+    sum, (adist, vec_id) ranking); pass trained ``centroids``
+    (train_ivf_centroids_distributed) and ``codebooks`` for recall.
+    ``rerank=False`` returns (q_id, vec_id, adist, rank) — the surface
+    the contract oracle mirrors end to end; ``rerank=True`` re-scores
+    a rerank_factor*k shortlist with the exact cosine."""
+    if dim % m_sub != 0:
+        raise ValueError(f"ann_ivfpq: dim={dim} not divisible by "
+                         f"m_sub={m_sub}")
+    sd = dim // m_sub
+    cents = np.asarray(centroids if centroids is not None
+                       else lcg_centroids(n_lists, dim), dtype=np.float64)
+    n_lists = len(cents)
+    cb = np.asarray(codebooks, dtype=np.float64) if codebooks is not None \
+        else pq_codebooks_det(m_sub, k_codes, sd)
+    k_codes = cb.shape[1]
+    id_type = dict(corpus.dtypes)[c_id]
+    qid_type = dict(queries.dtypes)[q_id]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[c_vec]])
+            d = np.stack([_fold_sqdist_rows(mat, cents[j])
+                          for j in range(n_lists)], axis=1)
+            lists = d.argmin(axis=1)
+            res = mat - cents[lists]
+            codes = np.empty((len(pdf), m_sub), dtype=np.int32)
+            for s in range(m_sub):
+                sub = res[:, s * sd:(s + 1) * sd]
+                ds = np.stack([_fold_sqdist_rows(sub, cb[s, j])
+                               for j in range(k_codes)], axis=1)
+                codes[:, s] = ds.argmin(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf[c_id].to_numpy(),
+                "list_id": lists.astype(np.int32),
+                "codes": [row.tolist() for row in codes]})
+
+    codes_df = corpus.select(F.col(c_id), F.col(c_vec)).mapInPandas(
+        encode, schema=f"vec_id {id_type}, list_id int, codes array<int>")
+
+    qrows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ann_ivfpq broadcasts per-(query, list) ADC tables; > "
+            f"{max_queries} queries would blow the task closure — batch "
+            f"the query table or raise max_queries explicitly")
+    q_ids = [r[q_id] for r in qrows]
+    qmat = np.stack([np.asarray(r[q_vec], dtype=np.float64)
+                     for r in qrows])
+    nq = len(q_ids)
+    qd = np.stack([_fold_sqdist_rows(qmat, cents[j])
+                   for j in range(n_lists)], axis=1)
+    # nprobe nearest lists, ties to the lower list id (stable argsort)
+    probe_lists = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    # per-(query, probed list) ADC tables over the query RESIDUAL
+    tabs = {}
+    for qi in range(nq):
+        for li in probe_lists[qi]:
+            r = (qmat[qi] - cents[li])[None, :]
+            t = np.empty((m_sub, k_codes), dtype=np.float64)
+            for s in range(m_sub):
+                sub = r[:, s * sd:(s + 1) * sd]
+                for j in range(k_codes):
+                    t[s, j] = _fold_sqdist_rows(sub, cb[s, j])[0]
+            tabs[(qi, int(li))] = t
+    shortlist = (k * rerank_factor) if rerank else k
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.stack([np.asarray(c, dtype=np.int64)
+                             for c in pdf["codes"]])
+            vids = pdf["vec_id"].to_numpy()
+            lids = pdf["list_id"].to_numpy()
+            out = []
+            for qi in range(nq):
+                for li in probe_lists[qi]:
+                    m = lids == li
+                    if not m.any():
+                        continue
+                    t = tabs[(qi, int(li))]
+                    sub = cmat[m]
+                    acc = t[0, sub[:, 0]]
+                    for s in range(1, m_sub):
+                        acc = acc + t[s, sub[:, s]]
+                    v = vids[m]
+                    order = np.lexsort((v, acc))[:shortlist]
+                    out.append(pd.DataFrame({
+                        "q_id": q_ids[qi], "vec_id": v[order],
+                        "adist": acc[order]}))
+            yield (pd.concat(out) if out else pd.DataFrame(
+                columns=["q_id", "vec_id", "adist"]))
+
+    cand = codes_df.mapInPandas(
+        scan, schema=f"q_id {qid_type}, vec_id {id_type}, adist double")
+    w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    top = (cand.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= shortlist))
+    if not rerank:
+        return top.where(F.col("rank") <= k)
+    pairs = top.select("q_id", "vec_id")
+    qdf = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec))
+    cdf = corpus.select(F.col(c_id).alias("vec_id"), F.col(c_vec))
+    cand2 = (pairs.join(F.broadcast(qdf), on="q_id")
+             .join(cdf, on="vec_id"))
+    return _rerank_topk(cand2, k, "q_id", "vec_id", q_vec, c_vec)

@@ -590,3 +590,36 @@ def test_ann_pq_query_cap_refuses(spark, emb):
     queries = corpus.selectExpr("vec_id as q_id", "embedding as q_vec")
     with pytest.raises(ValueError, match="max_queries"):
         SIM.ann_pq(queries, corpus, k=5, dim=64, max_queries=10)
+
+
+def test_ann_ivfpq_trained_recall(spark, emb):
+    """IVF-PQ (residual codes inside coarse lists — the production
+    10^12-vector composition): trained centroids + codebooks with
+    exact rerank keep the recall bar and find each query's own
+    vector; the deterministic config is covered end to end by the
+    ann_ivfpq_embeddings SQL oracle."""
+    df, pdf = emb
+    qs = pdf.head(8)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "q_id": qs["vec_id"].astype(str),
+        "q_vec": [list(map(float, v)) for v in qs["embedding"]]}))
+    corpus = df.selectExpr(
+        "cast(vec_id as string) vec_id",
+        "transform(embedding, x -> cast(x as double)) embedding")
+    exact = SIM.cosine_topk(queries, corpus, k=5).collect()
+    e = {}
+    for r in exact:
+        e.setdefault(r["q_id"], set()).add(r["vec_id"])
+    cents = SIM.train_ivf_centroids_distributed(corpus, 64, 8, iters=3)
+    cb = SIM.train_pq_codebooks_distributed(corpus, dim=64, m_sub=8,
+                                            k_codes=16, iters=3)
+    out = SIM.ann_ivfpq(queries, corpus, k=5, dim=64, n_lists=8,
+                        nprobe=4, rerank=True, rerank_factor=8,
+                        centroids=cents, codebooks=cb).collect()
+    a = {}
+    for r in out:
+        a.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for q in e:
+        assert q in a and q in a[q]
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    assert np.mean(recalls) >= 0.35
