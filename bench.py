@@ -95,6 +95,8 @@ def main():
         "tile_pyramid_synth", "zonal_stats_synth", "knn_ring_synth",
         "fill_idw_synth", "repetition_docs", "funnel_events",
         "filter_corpus_docs",
+        # round-5 additions (new keys; prior keys keep their basis)
+        "bpe_tokens_docs", "ann_pq_embeddings", "pack_sequences_docs",
     ]
     # best-of-N per query: the shared VM's noisy-neighbor spikes can
     # inflate a single shot 5-10x (measured), and the FIRST run also
