@@ -23,6 +23,10 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import shingle_expr
 
+#: Max MATERIALIZED band-table bytes the LSH self-join will broadcast
+#: (read from the localCheckpoint's block-manager metadata — no job).
+MAX_BROADCAST_BAND_BYTES = 64 << 20
+
 
 def _temp_view(df: DataFrame) -> str:
     """Collision-proof temp view name (id()-based names can be reused
@@ -217,24 +221,33 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """Verified near-duplicate pairs: LSH candidates refined by exact
     n-gram Jaccard >= threshold (array_intersect/array_union, JVM-side).
     Returns (id_a, id_b, jaccard). Zero Python in the pipeline."""
-    # broadcast-vs-salted from a limit-CAPPED id probe (O(cap) scan,
-    # column-pruned — never a full count): the band table is n_docs x
-    # bands small rows, so ROW count is the right broadcast proxy —
-    # a text-bytes proxy mis-routes long-doc corpora to the salted
-    # path (measured 64s vs 18s on the 50k-doc 10x corpus) and
-    # short-doc corpora to oversized broadcasts. The band rows are
-    # ALWAYS eagerly checkpointed — the signature aggregation (the
-    # expensive stage) runs once, and the join's two sides (three with
-    # the salted path's hot-bucket count) read materialized blocks
-    # (reclaimed on GC, unlike a bare persist). The round-3 +25%
-    # regression was the separate count() JOB over the checkpointed
-    # rows, not the checkpoint (A/B at sf0.1: ckpt 1.49s < probe+ckpt
-    # 1.76s < no-ckpt 1.83s < ckpt+count 2.02s).
-    cap_docs = 1_000_000 // bands
-    small = (docs.select(F.col(id_col)).limit(cap_docs + 1).count()
-             <= cap_docs)
+    # The band rows are ALWAYS eagerly checkpointed — the signature
+    # aggregation (the expensive stage) runs once, and the join's two
+    # sides (three with the salted path's hot-bucket count) read
+    # materialized blocks (reclaimed on GC, unlike a bare persist).
+    # The round-3 +25% regression was the separate count() JOB over
+    # the checkpointed rows, not the checkpoint (A/B at sf0.1: ckpt
+    # 1.49s < probe+ckpt 1.76s < no-ckpt 1.83s < ckpt+count 2.02s).
+    # Round 5: the broadcast-vs-salted decision now reads the
+    # checkpoint's MATERIALIZED byte size from the block manager
+    # (getRDDStorageInfo — metadata, zero jobs), eliminating the probe
+    # job entirely. Bytes is a sound proxy HERE because band rows are
+    # fixed-width (id, band, md5 key) — unlike the text columns the
+    # round-4 docstring warned about. Falls back to the capped row
+    # probe when the new cached RDD can't be identified unambiguously
+    # (concurrent queries checkpointing in the same session).
+    sc = docs.sparkSession.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
     band_rows = minhash_bands(docs, text_col, id_col, num_hashes, bands,
                               shingle_k).localCheckpoint(eager=True)
+    new = [i for i in sc._jsc.sc().getRDDStorageInfo()
+           if i.id() not in before]
+    if len(new) == 1:
+        small = int(new[0].memSize()) <= MAX_BROADCAST_BAND_BYTES
+    else:
+        cap_docs = 1_000_000 // bands
+        small = (docs.select(F.col(id_col)).limit(cap_docs + 1).count()
+                 <= cap_docs)
     cand = lsh_candidate_pairs(band_rows, broadcast_right=small)
     texts = docs.select(F.col(id_col).cast("string").alias("id"),
                         F.split(F.col(text_col), " ").alias("_toks")) \
