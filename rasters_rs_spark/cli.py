@@ -237,6 +237,53 @@ def cmd_dedup(args):
     print(json.dumps(out))
 
 
+def cmd_tokenize(args):
+    from .operators import text as T
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.counts_only:
+        out = T.bpe_token_count(docs, id_col=args.id_col,
+                                text_col=args.text_col)
+    else:
+        out = T.bpe_tokenize(docs, id_col=args.id_col,
+                             text_col=args.text_col)
+    out = out.persist()
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"docs": out.count(), "output": args.output,
+                      "mode": "counts" if args.counts_only else "stream"}))
+
+
+def cmd_pack(args):
+    from pyspark.sql import functions as F
+    from .operators import text as T
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    out = T.pack_sequences(docs, budget=args.budget, id_col=args.id_col,
+                           text_col=args.text_col).persist()
+    out.write.mode("overwrite").parquet(args.output)
+    agg = out.agg(F.sum("n_tokens").alias("toks"),
+                  F.max("seq_id").alias("mx")).first()
+    print(json.dumps({"docs": out.count(), "tokens": int(agg["toks"] or 0),
+                      "sequences": int((agg["mx"] or -1) + 1),
+                      "budget": args.budget, "output": args.output}))
+
+
+def cmd_sample(args):
+    from .operators import text as T
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    fracs = {}
+    for spec in args.stratum or []:
+        k, v = spec.split("=", 1)
+        fracs[k] = float(v)
+    out = T.stratified_sample(docs, fracs, strata_col=args.strata_col,
+                              id_col=args.id_col, salt=args.salt,
+                              default=args.default).persist()
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"kept": out.count(), "output": args.output,
+                      "fractions": fracs, "default": args.default}))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="rasters-rs-spark")
     p.add_argument("--cores", type=int, default=8)
@@ -380,6 +427,38 @@ def build_parser():
                     help="also write the deduplicated corpus "
                          "(canonical keepers) to this path")
     dd.set_defaults(fn=cmd_dedup)
+
+    tk = sub.add_parser("tokenize", help="real merges-table BPE over the "
+                                         "cleaned [a-z ] alphabet")
+    tk.add_argument("input")
+    tk.add_argument("output")
+    tk.add_argument("--id-col", default="doc_id")
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--counts-only", action="store_true",
+                    help="write (doc_id, n_tokens) instead of the "
+                         "delimited token stream")
+    tk.set_defaults(fn=cmd_tokenize)
+
+    pk = sub.add_parser("pack", help="GPT-style concat-and-chunk sequence "
+                                     "packing (docs may span sequences)")
+    pk.add_argument("input")
+    pk.add_argument("output")
+    pk.add_argument("--budget", type=int, default=2048)
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--text-col", default="text")
+    pk.set_defaults(fn=cmd_pack)
+
+    sm = sub.add_parser("sample", help="deterministic per-stratum "
+                                       "Bernoulli sampling")
+    sm.add_argument("input")
+    sm.add_argument("output")
+    sm.add_argument("--stratum", action="append", metavar="NAME=FRAC",
+                    help="per-stratum keep fraction (repeatable)")
+    sm.add_argument("--strata-col", default="lang")
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--salt", default="s1")
+    sm.add_argument("--default", type=float, default=0.0)
+    sm.set_defaults(fn=cmd_sample)
     return p
 
 

@@ -237,3 +237,36 @@ def test_cli_rasterize_distributed_aois(capsys, tmp_path, spark):
     ra = spark.read.parquet(a_dst).collect()[0]
     rb = spark.read.parquet(b_dst).collect()[0]
     assert bytes(ra["bytes"]) == bytes(rb["bytes"])
+
+
+def test_cli_tokenize_pack_sample(tmp_path):
+    """The round-5 text subcommands end to end: tokenize (counts and
+    stream), pack, sample — parquet in, parquet + one-line JSON out."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the theme of things", "row row row", "standing by", "x"],
+        "lang": ["en", "en", "es", "de"],
+    }).to_parquet(src)
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "rasters_rs_spark.cli", "--cores", "2",
+             *args], capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    out = run("tokenize", src, str(tmp_path / "tok.parquet"),
+              "--counts-only")
+    assert out["docs"] == 4 and out["mode"] == "counts"
+    out = run("pack", src, str(tmp_path / "pack.parquet"), "--budget", "4")
+    assert out["docs"] == 4 and out["tokens"] == 10 and out["sequences"] == 3
+    out = run("sample", src, str(tmp_path / "samp.parquet"),
+              "--stratum", "en=1.0", "--default", "0.0")
+    assert out["kept"] == 2
