@@ -602,3 +602,20 @@ def stream_zonal_stats(spark: SparkSession, source_dir: str, schema: str,
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return zonal_stats(stream, aois, include_whole=include_whole)
+
+
+def stream_pq_encode(spark: SparkSession, source_dir: str, schema: str,
+                     dim: int, m_sub: int = 8, k_codes: int = 16,
+                     c_id: str = "vec_id", c_vec: str = "embedding",
+                     codebooks=None):
+    """Continuous PQ encoding of an embedding stream: pq_encode is a
+    stateless Arrow-batched projection, so it lifts to Structured
+    Streaming unchanged — rows are final on arrival (codes are a pure
+    function of the vector and the fixed codebooks), streamed output
+    row-identical to batch (tested). The ingest side of a continuously
+    refreshed PQ/IVF-PQ index; train codebooks offline
+    (train_pq_codebooks_distributed) and redeploy to rotate them."""
+    from ..operators.similarity import pq_encode
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return pq_encode(stream, dim, m_sub, k_codes, c_id, c_vec, codebooks)

@@ -520,3 +520,28 @@ def test_stream_zonal_stats_equals_batch(spark, tmp_path):
     expect = {r["aoi_id"]: tuple(r) for r in
               zonal_stats(images, aois, include_whole=True).collect()}
     assert got == expect and len(got) > 1
+
+
+def test_stream_pq_encode_equals_batch(spark, tmp_path):
+    """PQ codes over a stream: two micro-batches of embeddings produce
+    exactly the batch pq_encode rows (stateless kernel, append-final)."""
+    from rasters_rs_spark.operators.similarity import pq_encode
+    from rasters_rs_spark.streaming.windows import stream_pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .selectExpr("cast(vec_id as bigint) vec_id",
+                    "transform(embedding, x -> cast(x as double)) embedding")
+    schema = ", ".join(f"{n} {t}" for n, t in emb.dtypes)
+    src = str(tmp_path / "emb_stream")
+    emb.where("vec_id < 100").write.mode("overwrite").parquet(src)
+    emb.where("vec_id >= 100").write.mode("append").parquet(src)
+
+    q = (stream_pq_encode(spark, src, schema, dim=64)
+         .writeStream.format("memory").queryName("pq_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["vec_id"], tuple(r["codes"])) for r in
+                 spark.sql("select * from pq_stream").collect())
+    expect = sorted((r["vec_id"], tuple(r["codes"])) for r in
+                    pq_encode(emb, dim=64).collect())
+    assert got == expect and len(got) > 0
