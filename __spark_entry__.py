@@ -1257,6 +1257,46 @@ def _stratified_sample_sql() -> str:
     """
 
 
+_DECON_SPLIT, _DECON_K = 490, 4
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id < 490) flagged
+    for sharing word 4-grams with the held-out 'benchmark' docs
+    (doc_id >= 490) — one row per contaminated (doc, test) pair with
+    the exact distinct-gram overlap count. The test side broadcasts
+    (benchmarks are tiny); the corpus is never shuffled. Oracled by
+    the same DuckDB shingle mirror the minhash rows use."""
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < _DECON_SPLIT)
+    tests = docs.where(F.col("doc_id") >= _DECON_SPLIT)
+    return dedup.decontaminate(corpus, tests, shingle_k=_DECON_K) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.col("test_id").cast("bigint").alias("test_id"),
+                "n_hits")
+
+
+def _decontaminate_sql() -> str:
+    k = _DECON_K
+    sh = f"""
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1,
+                   greatest(len(string_split(text, ' ')) - {k - 1}, 1)),
+                 i -> array_to_string(
+                   string_split(text, ' ')[i:i+{k - 1}], ' ')))) AS g
+        FROM documents"""
+    return f"""
+        WITH cg AS ({sh} WHERE doc_id < {_DECON_SPLIT}),
+        tg AS ({sh} WHERE doc_id >= {_DECON_SPLIT})
+        SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+               CAST(t.doc_id AS BIGINT) AS test_id,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM cg c JOIN tg t ON c.g = t.g
+        GROUP BY 1, 2
+    """
+
+
 def _q_split_assign(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return text.deterministic_split(docs).select(
@@ -2115,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample,
         "ann_pq_embeddings": _q_ann_pq,
         "ann_ivfpq_embeddings": _q_ann_ivfpq,
+        "decontaminate_docs": _q_decontaminate,
     }
 
 
@@ -2978,6 +3019,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "stratified_sample_docs": _stratified_sample_sql(),
         "ann_pq_embeddings": _ann_pq_sql(),
         "ann_ivfpq_embeddings": _ann_ivfpq_sql(),
+        "decontaminate_docs": _decontaminate_sql(),
         "text_quality": f"""
             SELECT doc_id::BIGINT AS doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -715,3 +715,49 @@ def embedding_neardup(embs: DataFrame, id_col: str = "vec_id",
     return pairs.withColumn("cosine", cosine_expr("va", "vb")) \
                 .where(F.col("cosine") >= threshold) \
                 .select("id_a", "id_b", "cosine")
+
+
+def decontaminate(docs: DataFrame, test_set: DataFrame,
+                  shingle_k: int = 8, min_hits: int = 1,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  test_text_col: str = "text",
+                  test_id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination — the training-corpus hygiene join:
+    flag every training document sharing at least ``min_hits`` word
+    ``shingle_k``-grams with any evaluation/test document (the
+    standard n-gram-overlap contamination rule). Returns one row per
+    contaminated (doc_id, test_id) pair with the exact distinct-gram
+    overlap count; anti-join the ids against the corpus to drop them
+    (see ``keep_uncontaminated``).
+
+    Shape: both sides shingle with the SAME pure-Catalyst expression
+    the minhash pipeline uses (tokenize once, distinct k-grams), the
+    join is a plain equi-join on the gram STRING — at corpus scale the
+    test side is tiny (benchmarks are small), so Catalyst broadcasts
+    it and the corpus is never shuffled; the overlap count is one
+    partial-aggregated groupBy. Exactly SQL-oracled (DuckDB mirrors
+    the shingling verbatim)."""
+    d = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                    F.split(F.col(text_col), " ").alias("_toks")) \
+            .select("doc_id", F.explode(shingle_expr(
+                "_toks", shingle_k, tokens=True)).alias("_g"))
+    t = test_set.select(
+        F.col(test_id_col).cast("string").alias("test_id"),
+        F.split(F.col(test_text_col), " ").alias("_toks")) \
+        .select("test_id", F.explode(shingle_expr(
+            "_toks", shingle_k, tokens=True)).alias("_g"))
+    hits = (d.join(t, on="_g")
+            .groupBy("doc_id", "test_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+            .where(F.col("n_hits") >= min_hits))
+    return hits
+
+
+def keep_uncontaminated(docs: DataFrame, contaminated: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Drop every document decontaminate() flagged (left-anti join on
+    the distinct contaminated ids)."""
+    bad = contaminated.select(
+        F.col("doc_id").alias("_bad")).distinct()
+    return docs.join(bad, on=F.col(id_col).cast("string") == F.col("_bad"),
+                     how="left_anti")

@@ -367,3 +367,35 @@ def test_embedding_neardup_incremental_matches_full(spark):
     pairs = {(int(r["id_a"]), int(r["id_b"])) for r in replay}
     assert (3, 45) in pairs or (45, 3) in pairs
     assert all(a != b for a, b in pairs)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """Benchmark decontamination: a training doc containing a test
+    doc's exact 8-gram is flagged with the right overlap count;
+    clean docs are not; keep_uncontaminated drops exactly the flagged
+    ids; min_hits raises the bar."""
+    import pandas as pd
+    from rasters_rs_spark.operators import dedup as D
+
+    bench = "the quick brown fox jumps over the lazy dog tonight"
+    train = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "intro words " + bench + " trailing words",   # contaminated
+            "totally unrelated content about spark plans",  # clean
+            "the quick brown fox stops here",               # < 8-gram
+        ]})
+    tests = pd.DataFrame({"doc_id": [100], "text": [bench]})
+    docs = spark.createDataFrame(train)
+    ts = spark.createDataFrame(tests)
+
+    hits = D.decontaminate(docs, ts, shingle_k=8).collect()
+    assert {(r["doc_id"], r["test_id"]) for r in hits} == {("1", "100")}
+    # bench has 10 tokens -> 3 distinct 8-grams, all inside doc 1
+    assert hits[0]["n_hits"] == 3
+
+    kept = D.keep_uncontaminated(docs, D.decontaminate(docs, ts,
+                                                       shingle_k=8))
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3}
+    # min_hits above the overlap -> nothing flagged
+    assert D.decontaminate(docs, ts, shingle_k=8, min_hits=4).count() == 0
