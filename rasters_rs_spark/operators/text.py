@@ -854,3 +854,96 @@ def pack_sequences(docs: DataFrame, budget: int, id_col: str = "doc_id",
                F.expr(f"(global_start + n_tokens - 1) div {b}")
                - F.expr(f"global_start div {b}") + F.lit(1))
         .otherwise(F.lit(0)).cast("long").alias("n_seqs"))
+
+
+def train_bpe_merges_scalar(texts, n_merges: int = 32,
+                            min_count: int = 2):
+    """Pure-Python BPE trainer (the unit-test mirror of
+    train_bpe_merges): greedy highest-count adjacent pair per round,
+    ties broken by the (left, right) token strings ascending; space
+    never participates. Returns the rank-ordered merges tuple."""
+    import re as _re
+    cleans = [_re.sub("[^a-z ]", "", (t or "").lower()) for t in texts]
+    merges: list = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for c in cleans:
+            toks = list(c)
+            for a, b in merges:
+                out = []
+                for t in toks:
+                    if out and out[-1] == a and t == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(t)
+                toks = out
+            for x, y in zip(toks, toks[1:]):
+                if x != " " and y != " ":
+                    counts[(x, y)] = counts.get((x, y), 0) + 1
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < min_count:
+            break
+        merges.append(best)
+    return tuple(merges)
+
+
+def train_bpe_merges(docs: DataFrame, n_merges: int = 32,
+                     min_count: int = 2, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """DISTRIBUTED BPE training: learn the merges table from the
+    corpus itself. Each round is one mapInPandas pass — partitions
+    re-derive the current symbol sequences with the batch merge kernel
+    (_bpe_merge_batch over the merges learned so far) and emit packed
+    adjacent-pair counts (space never pairs); a groupBy-sum reduces
+    them and the driver picks the globally highest-count pair, ties
+    broken by the (left, right) token strings ascending. Stops early
+    below ``min_count``. O(n_merges) corpus passes — the standard
+    trainer shape (incremental pair maintenance is the known
+    optimization, out of scope); per-pass output is bounded by the
+    vocabulary squared, never corpus-sized.
+
+    The learned table satisfies the learned-order property BY
+    CONSTRUCTION (every product is built from chars or earlier
+    products), so it plugs straight into bpe_token_count /
+    bpe_tokenize — and their DuckDB oracles. Equal to the scalar
+    trainer on the same corpus (tested)."""
+    tok_str = {i: chr(i) for i in range(256)}
+    merges: list = []
+    src = docs.select(F.col(text_col).alias("_t"))
+    for rank in range(n_merges):
+        m = tuple(merges)
+
+        def partial(batches: Iterator[pd.DataFrame],
+                    m: tuple = m) -> Iterator[pd.DataFrame]:
+            acc: dict = {}
+            for pdf in batches:
+                clean = (pdf["_t"].fillna("").str.lower()
+                         .str.replace("[^a-z ]", "", regex=True))
+                sym, doc = _bpe_merge_batch(list(clean), m)
+                if sym.size < 2:
+                    continue
+                ok = ((doc[:-1] == doc[1:])
+                      & (sym[:-1] != 32) & (sym[1:] != 32))
+                packed = (sym[:-1][ok].astype(np.int64) * 4096
+                          + sym[1:][ok])
+                u, c = np.unique(packed, return_counts=True)
+                for p, n in zip(u, c):
+                    acc[int(p)] = acc.get(int(p), 0) + int(n)
+            yield pd.DataFrame({"pair": list(acc.keys()),
+                                "cnt": list(acc.values())})
+
+        rows = (src.mapInPandas(partial, schema="pair long, cnt long")
+                .groupBy("pair").agg(F.sum("cnt").alias("cnt")).collect())
+        if not rows:
+            break
+        best = min(rows, key=lambda r: (
+            -r["cnt"], tok_str[r["pair"] // 4096], tok_str[r["pair"] % 4096]))
+        if best["cnt"] < min_count:
+            break
+        a = tok_str[best["pair"] // 4096]
+        b = tok_str[best["pair"] % 4096]
+        merges.append((a, b))
+        tok_str[256 + rank] = a + b
+    return tuple(merges)

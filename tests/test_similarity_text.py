@@ -623,3 +623,20 @@ def test_ann_ivfpq_trained_recall(spark, emb):
         assert q in a and q in a[q]
     recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
     assert np.mean(recalls) >= 0.35
+
+
+def test_train_bpe_merges_distributed_equals_scalar(spark):
+    """Distributed BPE training (per-partition packed pair counts +
+    driver argmax with string tie-breaks) equals the scalar trainer
+    EXACTLY, and the learned table satisfies the learned-order
+    property by construction (resolver accepts it), so it plugs into
+    bpe_token_count/bpe_tokenize unchanged."""
+    from rasters_rs_spark.operators import text as T
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r["text"] for r in docs.collect()]
+    dist = T.train_bpe_merges(docs, n_merges=10)
+    scal = T.train_bpe_merges_scalar(texts, n_merges=10)
+    assert dist == scal and len(dist) == 10
+    T._bpe_resolve_ids(dist)          # learned-order property holds
+    n = T.bpe_token_count(docs, merges=dist).count()
+    assert n == docs.count()
