@@ -261,10 +261,9 @@ def cmd_pack(args):
     out = T.pack_sequences(docs, budget=args.budget, id_col=args.id_col,
                            text_col=args.text_col).persist()
     out.write.mode("overwrite").parquet(args.output)
-    agg = out.agg(F.sum("n_tokens").alias("toks"),
-                  F.max("seq_id").alias("mx")).first()
-    print(json.dumps({"docs": out.count(), "tokens": int(agg["toks"] or 0),
-                      "sequences": int((agg["mx"] or -1) + 1),
+    toks = int(out.agg(F.sum("n_tokens")).first()[0] or 0)
+    print(json.dumps({"docs": out.count(), "tokens": toks,
+                      "sequences": -(-toks // args.budget),
                       "budget": args.budget, "output": args.output}))
 
 

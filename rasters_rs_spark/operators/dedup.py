@@ -243,7 +243,11 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     new = [i for i in sc._jsc.sc().getRDDStorageInfo()
            if i.id() not in before]
     if len(new) == 1:
-        small = int(new[0].memSize()) <= MAX_BROADCAST_BAND_BYTES
+        # memory AND disk: localCheckpoint stores MEMORY_AND_DISK, and
+        # blocks spilled to disk under pressure are exactly the large
+        # tables the cap must catch
+        small = (int(new[0].memSize()) + int(new[0].diskSize())
+                 <= MAX_BROADCAST_BAND_BYTES)
     else:
         cap_docs = 1_000_000 // bands
         small = (docs.select(F.col(id_col)).limit(cap_docs + 1).count()

@@ -644,15 +644,22 @@ def sibson_interpolate(qx, qy, px, py, pz, triangles) -> np.ndarray:
     tris[flip] = tris[flip][:, [0, 2, 1]]
     from ..functions.delaunay import _circumcircles
     centers, r2 = _circumcircles(np.stack([px, py], axis=1), tris)
-    r = np.sqrt(np.where(np.isfinite(r2), r2, 0.0))
-    valid_t = np.isfinite(r2)
+    valid_t = np.isfinite(r2) & np.isfinite(centers).all(axis=1)
     out = base.copy()
     todo = np.nonzero(np.isfinite(base))[0]
-    if todo.size == 0:
+    if todo.size == 0 or not valid_t.any():
         return out
+    # bucket only the non-degenerate triangles: a collinear row has a
+    # NaN circumcenter, and one NaN bbox poisons the whole grid
+    # (np.min/NaN->int casts) — degenerate triangles have no cavity
+    # membership anyway (review r5)
+    vidx = np.nonzero(valid_t)[0]
+    vc = centers[vidx]
+    vr = np.sqrt(r2[vidx])
     q_cell, t_cells, t_ids = _grid_bucket_pairs(
-        centers[:, 0] - r, centers[:, 1] - r,
-        centers[:, 0] + r, centers[:, 1] + r, qx[todo], qy[todo])
+        vc[:, 0] - vr, vc[:, 1] - vr,
+        vc[:, 0] + vr, vc[:, 1] + vr, qx[todo], qy[todo])
+    t_ids = vidx[t_ids]
     t_lo = np.searchsorted(t_cells, np.arange(0, q_cell.max() + 2))
     eps_area = 1e-12 * max(float(np.nanmax(r2[valid_t]))
                            if valid_t.any() else 1.0, 1.0)

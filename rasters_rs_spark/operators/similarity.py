@@ -621,6 +621,8 @@ def ann_pq(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     cb = np.asarray(codebooks, dtype=np.float64) if codebooks is not None \
         else pq_codebooks_det(m_sub, k_codes, sd)
     qrows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
+    if not qrows:
+        raise ValueError("ann_pq: the queries DataFrame is empty")
     if len(qrows) > max_queries:
         raise ValueError(
             f"ann_pq broadcasts per-query distance tables; > "
@@ -738,6 +740,8 @@ def ann_ivfpq(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
         encode, schema=f"vec_id {id_type}, list_id int, codes array<int>")
 
     qrows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
+    if not qrows:
+        raise ValueError("ann_ivfpq: the queries DataFrame is empty")
     if len(qrows) > max_queries:
         raise ValueError(
             f"ann_ivfpq broadcasts per-(query, list) ADC tables; > "

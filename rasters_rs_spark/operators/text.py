@@ -228,14 +228,14 @@ def _repetition_stats_arrow(docs: DataFrame, n: int, id_col: str,
                 from collections import Counter
                 out = []
                 for did, v in zip(pdf[id_col], pdf[src]):
-                    toks = [] if v is None else list(v)
                     if v is None:
                         out.append((did, 1, 1, 1.0))
                         continue
+                    toks = list(v)
                     m = max(len(toks) - (n - 1), 1)
                     c = Counter(" ".join(toks[i:i + n]) for i in range(m))
-                    out.append((did, m, max(c.values()),
-                                max(c.values()) / m))
+                    top = max(c.values())
+                    out.append((did, m, top, top / m))
                 yield pd.DataFrame(out, columns=["doc_id", "n_ngrams",
                                                  "top_count", "rep_ratio"])
             else:
@@ -508,9 +508,7 @@ def deterministic_split(df: DataFrame, id_col: str = "doc_id",
     if len(weights) != len(names) or abs(sum(weights) - 1.0) >= 1e-9:
         raise ValueError("weights and names must align and weights must "
                          "sum to 1.0")
-    u = (F.expr(f"cast(conv(substring(md5(concat(cast({id_col} as string), "
-                f"':{salt}')), 1, 15), 16, 10) as bigint)")
-         / F.lit(float(1 << 60)))
+    u = _md5_uniform(id_col, salt)
     expr = F.lit(names[-1])
     acc = 0.0
     branches = []
@@ -775,6 +773,16 @@ def _bpe_merge_batch(texts, merges):
     return sym, doc
 
 
+def _md5_uniform(id_col: str, salt: str):
+    """u(id, salt) in [0, 1): first 60 bits of md5(id || ':' || salt)
+    over 2^60 — the shared deterministic-uniform of
+    deterministic_split and stratified_sample (one definition, one
+    DuckDB mirror)."""
+    return (F.expr(f"cast(conv(substring(md5(concat(cast({id_col} as "
+                   f"string), ':{salt}')), 1, 15), 16, 10) as bigint)")
+            / F.lit(float(1 << 60)))
+
+
 def stratified_sample(df: DataFrame, fractions: dict,
                       strata_col: str = "lang", id_col: str = "doc_id",
                       salt: str = "s1", default: float = 0.0) -> DataFrame:
@@ -792,9 +800,7 @@ def stratified_sample(df: DataFrame, fractions: dict,
         if not 0.0 <= float(v) <= 1.0:
             raise ValueError(f"fraction for stratum {k!r} must be in "
                              f"[0, 1], got {v}")
-    u = (F.expr(f"cast(conv(substring(md5(concat(cast({id_col} as string), "
-                f"':{salt}')), 1, 15), 16, 10) as bigint)")
-         / F.lit(float(1 << 60)))
+    u = _md5_uniform(id_col, salt)
     frac = F.lit(float(default))
     for k in sorted(fractions):
         frac = F.when(F.col(strata_col) == k,
@@ -817,8 +823,11 @@ def pack_sequences(docs: DataFrame, budget: int, id_col: str = "doc_id",
     (range-repartition by id, per-partition window cumsum, broadcast
     per-partition totals) — no single-partition window, so the plan
     holds at corpus scale; the driver sees one sum per partition.
-    Deterministic: a pure function of the (id -> n_tokens) mapping.
-    SQL-oracled (DuckDB window cumsum over the same order)."""
+    Deterministic: a pure function of the (id -> n_tokens) mapping
+    when ids are unique (the expected shape); duplicate ids still pack
+    without overlap (ROWS frame) but their relative order is
+    tie-broken arbitrarily. SQL-oracled (DuckDB window cumsum over the
+    same order)."""
     from pyspark.sql import Window
 
     if budget <= 0:
@@ -840,7 +849,11 @@ def pack_sequences(docs: DataFrame, budget: int, id_col: str = "doc_id",
     off_df = docs.sparkSession.createDataFrame(
         [(p, o) for p, o in offsets.items()] or [(0, 0)],
         "_pid int, _off long")
-    win = Window.partitionBy("_pid").orderBy("doc_id")
+    # explicit ROWS frame: the default for sum().over(orderBy) is
+    # RANGE, which sums ALL peer rows of a tied doc_id into each of
+    # them — duplicate ids would get overlapping starts (review r5)
+    win = (Window.partitionBy("_pid").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     b = int(budget)
     out = (d.join(F.broadcast(off_df), on="_pid")
            .withColumn("global_start",

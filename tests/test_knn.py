@@ -755,3 +755,22 @@ def test_fill_sibson_dist_matches_broadcast(spark):
     bb = codecs.decode_raw(b_out["bytes"], 24, 24)
     db = codecs.decode_raw(d_out["bytes"], 24, 24)
     assert np.abs(bb - db).max() < 1e-10
+
+
+def test_sibson_tolerates_degenerate_triangle_rows():
+    """A collinear row in a user-supplied triangle table (NaN
+    circumcircle) must not poison the bucketing grid (review r5):
+    results equal the table without the degenerate row."""
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+    rng = np.random.default_rng(2)
+    px = np.concatenate([rng.random(40) * 10, [0.0, 1.0, 2.0]])
+    py = np.concatenate([rng.random(40) * 10, [0.0, 0.0, 0.0]])
+    pz = rng.random(43)
+    tris = delaunay_triangles(px[:40], py[:40])
+    bad = np.vstack([tris, [[40, 41, 42]]])     # collinear triangle
+    qx = rng.random(200) * 10
+    qy = rng.random(200) * 10
+    a = K.sibson_interpolate(qx, qy, px, py, pz, bad)
+    b = K.sibson_interpolate(qx, qy, px, py, pz, tris)
+    same = (np.isnan(a) & np.isnan(b)) | (a == b)
+    assert same.all()

@@ -640,3 +640,28 @@ def test_train_bpe_merges_distributed_equals_scalar(spark):
     T._bpe_resolve_ids(dist)          # learned-order property holds
     n = T.bpe_token_count(docs, merges=dist).count()
     assert n == docs.count()
+
+
+def test_pack_sequences_duplicate_ids_non_overlapping(spark):
+    """ROWS window frame (review r5): duplicate doc_ids must not get
+    overlapping global_start (the default RANGE frame sums tied peers
+    into each other)."""
+    from rasters_rs_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(1, "a b"), (1, "c d"), (2, "e")], "doc_id long, text string")
+    rows = T.pack_sequences(docs, budget=4, partitions=2).collect()
+    starts = sorted((r["global_start"], r["n_tokens"]) for r in rows)
+    # the three spans tile [0, 5) without overlap
+    assert starts == [(0, 2), (2, 2), (4, 1)]
+
+
+def test_ann_pq_empty_queries_raises(spark, emb):
+    import pytest as _pt
+    df, _ = emb
+    corpus = df.selectExpr(
+        "cast(vec_id as string) vec_id",
+        "transform(embedding, x -> cast(x as double)) embedding")
+    empty = corpus.where("vec_id = '-1'").selectExpr(
+        "vec_id as q_id", "embedding as q_vec")
+    with _pt.raises(ValueError, match="empty"):
+        SIM.ann_pq(empty, corpus, k=5, dim=64)

@@ -107,6 +107,7 @@ def main(sf_dir: str, only=None):
             continue
         rec["schema_match"] = True
         if len(srows) != len(orows):
+            rec["err"] = f"rowcount {len(srows)} != {len(orows)}"
             print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
             failures += 1
             continue
@@ -115,6 +116,7 @@ def main(sf_dir: str, only=None):
         osig = frame_sig(ocols, orows)
         if ssig != osig:
             bad = [i for i, (a, b) in enumerate(zip(ssig, osig)) if a != b][:3]
+            rec["err"] = f"value mismatch at sorted rows {bad}"
             print(f"FAIL  {name}: value mismatch at sorted rows {bad}")
             for i in bad[:2]:
                 print(f"        spark:  {ssig[i][:200]}")
