@@ -182,6 +182,8 @@ def main():
         queries, emb10, k=5, dim=64, n_planes=8, probes=4).count())
     timed("ann_ivf_10x", lambda: similarity.ivf_topk_det(
         queries, emb10, k=5, dim=64, n_lists=16, nprobe=4).count())
+    timed("ann_pq_10x", lambda: similarity.ann_pq(
+        queries, emb10, k=5, dim=64, rerank=False).count())
     docs10.unpersist()
     emb10.unpersist()
 
