@@ -328,6 +328,7 @@ single points 2x+, hence best-of-3 with spreads shown).
 | embedding_neardup (cos 0.95) | {n_emb10} vecs | {results['embedding_neardup_10x']['rows']} | {results['embedding_neardup_10x']['sec']} |
 | lsh_topk_det (8 queries) | {n_emb10} vecs | {results['ann_lsh_10x']['rows']} | {results['ann_lsh_10x']['sec']} |
 | ivf_topk_det (8 queries) | {n_emb10} vecs | {results['ann_ivf_10x']['rows']} | {results['ann_ivf_10x']['sec']} |
+| ann_pq ADC scan (8 queries) | {n_emb10} vecs | {results['ann_pq_10x']['rows']} | {results['ann_pq_10x']['sec']} |
 
 ## Distributed tiling / mosaic merge
 
@@ -337,6 +338,14 @@ single points 2x+, hence best-of-3 with spreads shown).
 | tile_index_manifest mode=local (fused), same raster | one 4096x4096 raster | {results['tiling_local_4kraster']['rows']} | {results['tiling_local_4kraster']['sec']} |
 | mosaic_tiles 2000x2000 target, (256, 1024)-tiled merge | {h['images_10x']} images | {results['mosaic_tiles_10x']['rows']} | {results['mosaic_tiles_10x']['sec']} |
 | cell_pip_join, SHUFFLED AOI catalog (cogroup refine) | 1,000,000 points x 64 AOIs | {results['pip_catalog_1m']['rows']} | {results['pip_catalog_1m']['sec']} |
+
+## Distributed AOI / triangulation paths at catalog scale
+
+| stage | input | output rows | wall (s) | spread (s) |
+|---|---|---|---|---|
+| zonal_stats_dist | 8192 64px images x 512-AOI catalog | {results['zonal_dist_8192img_512aoi']['rows']} | {results['zonal_dist_8192img_512aoi']['sec']} | {results['zonal_dist_8192img_512aoi']['runs_sec']} |
+| chunked_zonal_stats_dist | same volume, strip chunks | {results['zonal_chunked_dist_8192img_512aoi']['rows']} | {results['zonal_chunked_dist_8192img_512aoi']['sec']} | {results['zonal_chunked_dist_8192img_512aoi']['runs_sec']} |
+| fill_barycentric_distributed | 256 64px images, ~259k points, cell-bucketed Delaunay | {results['fill_barycentric_dist_256img_259kpts']['rows']} filled | {results['fill_barycentric_dist_256img_259kpts']['sec']} | {results['fill_barycentric_dist_256img_259kpts']['runs_sec']} |
 
 The per-level shuffle is the plan for rasters whose pyramid exceeds a
 task (each level materializes raw tiles — per-level volume = raster
