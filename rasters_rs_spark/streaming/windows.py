@@ -619,3 +619,25 @@ def stream_pq_encode(spark: SparkSession, source_dir: str, schema: str,
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return pq_encode(stream, dim, m_sub, k_codes, c_id, c_vec, codebooks)
+
+
+def stream_decontaminate(spark: SparkSession, source_dir: str, schema: str,
+                         test_set, shingle_k: int = 8, min_hits: int = 1,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Continuous ingest decontamination: training documents arriving
+    as a stream run the SAME n-gram-overlap check as the batch
+    operator (dedup.decontaminate) against a static benchmark table —
+    a stateless shingle projection + stream-static equi-join +
+    per-micro-batch aggregation. A document's grams all arrive in its
+    own micro-batch, so each flagged (doc, test) pair is complete the
+    batch it arrives in — attach an UPDATE-mode sink (streaming
+    aggregations reject append without a watermark) and each pair
+    emits exactly once, row-identical to batch (tested). ``test_set``
+    is the static benchmark DataFrame; anti-join the flagged ids
+    downstream."""
+    from ..operators.dedup import decontaminate
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return decontaminate(stream, test_set, shingle_k=shingle_k,
+                         min_hits=min_hits, text_col=text_col,
+                         id_col=id_col)

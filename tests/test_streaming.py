@@ -545,3 +545,36 @@ def test_stream_pq_encode_equals_batch(spark, tmp_path):
     expect = sorted((r["vec_id"], tuple(r["codes"])) for r in
                     pq_encode(emb, dim=64).collect())
     assert got == expect and len(got) > 0
+
+
+def test_stream_decontaminate_equals_batch(spark, tmp_path):
+    """Ingest decontamination as a stream: docs over two micro-batches
+    against a static benchmark table; every doc's grams arrive in one
+    batch, so the per-batch aggregation (update mode) emits each
+    flagged (doc, test) pair exactly once with the batch count."""
+    import pandas as pd
+    from rasters_rs_spark.operators.dedup import decontaminate
+    from rasters_rs_spark.streaming.windows import stream_decontaminate
+
+    bench = "the quick brown fox jumps over the lazy dog tonight"
+    train = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["x " + bench + " y", "clean doc about nothing",
+                 bench + " twice over " + bench, "also clean here"]})
+    tests = pd.DataFrame({"doc_id": [100], "text": [bench]})
+    docs = spark.createDataFrame(train)
+    ts = spark.createDataFrame(tests)
+    schema = ", ".join(f"{n} {t}" for n, t in docs.dtypes)
+    src = str(tmp_path / "decon_stream")
+    docs.where("doc_id <= 2").write.mode("overwrite").parquet(src)
+    docs.where("doc_id >= 3").write.mode("append").parquet(src)
+
+    q = (stream_decontaminate(spark, src, schema, ts, shingle_k=8)
+         .writeStream.format("memory").queryName("decon_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["doc_id"], r["test_id"], r["n_hits"]) for r in
+                 spark.sql("select * from decon_stream").collect())
+    expect = sorted((r["doc_id"], r["test_id"], r["n_hits"]) for r in
+                    decontaminate(docs, ts, shingle_k=8).collect())
+    assert got == expect and len(got) == 2
