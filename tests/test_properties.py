@@ -232,3 +232,49 @@ def test_delaunay_property_random_sets(n, seed):
     inside = ~np.isnan(got)
     assert inside.any()
     assert np.allclose(got[inside], z[inside], atol=1e-6)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.text(alphabet="ab xyü", min_size=0, max_size=40)),
+    min_size=0, max_size=25),
+    st.integers(min_value=1, max_value=4))
+def test_repetition_batch_kernel_equals_counter(texts, n):
+    """The cross-document vectorized repetition kernel equals the
+    per-doc Counter mirror on arbitrary texts (nulls, empties, runs of
+    spaces, multi-byte chars) for every n."""
+    from collections import Counter
+
+    import numpy as np
+
+    from rasters_rs_spark.operators.text import _repetition_batch
+
+    t1, p1 = _repetition_batch(texts, n)
+    for i, t in enumerate(texts):
+        toks = ("" if t is None else t).split(" ")
+        m = max(len(toks) - (n - 1), 1)
+        c = Counter(" ".join(toks[j:j + n]) for j in range(m))
+        assert t1[i] == m and p1[i] == max(c.values()), (i, t, n)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abcdeortw XY7!", min_size=0, max_size=60),
+    min_size=0, max_size=15))
+def test_bpe_batch_kernel_equals_scalar(texts):
+    """The vectorized BPE merge kernel equals the scalar greedy-fold
+    tokenizer on arbitrary text (cleaning, chained same-char runs,
+    multi-rank chains)."""
+    import re
+
+    import numpy as np
+
+    from rasters_rs_spark.operators.text import (BPE_MERGES,
+                                                 _bpe_count_batch,
+                                                 bpe_tokenize_scalar)
+
+    clean = [re.sub("[^a-z ]", "", t.lower()) for t in texts]
+    got = _bpe_count_batch(clean, BPE_MERGES)
+    for i, t in enumerate(texts):
+        assert got[i] == len(bpe_tokenize_scalar(t)), (i, t)
