@@ -50,3 +50,67 @@ def run_headline(spark: SparkSession, root: str, n_images: int = 64,
         "zones": zonal.count(),
         "tiles": tiles.count(),
     }
+
+
+def run_corpus_curation(spark: SparkSession, root: str, sf_dir: str,
+                        budget: int = 2048, dedup_threshold: float = 0.8,
+                        sample_fracs: dict | None = None,
+                        decon_k: int = 4, test_split: int = 490) -> dict:
+    """The TRAINING-DATA half of the engine as a resumable pipeline:
+    documents -> quality-filter cascade -> benchmark decontamination
+    -> minhash near-dup pairs -> canonical keepers -> per-language
+    stratified sampling -> sequence packing. Every stage checkpoints
+    through the manifest (per-partition lineage + row/byte metrics);
+    re-running with the same ``root`` skips completed stages, and
+    deleting one stage's manifest recomputes exactly that stage while
+    downstream stages reload their checkpoints — the north rule's
+    idempotent-resume contract over the corpus-curation dataflow."""
+    from ..operators import dedup, text
+
+    runner = CheckpointRunner(spark, root)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tests = docs.where(F.col("doc_id") >= test_split)
+
+    filtered = runner.run(
+        "quality_filter",
+        lambda: docs.join(
+            text.filter_corpus(docs, min_tokens=30, max_rep=0.5,
+                               langs=("en", "es", "de", "fr", "zh"))
+            .select("doc_id"), on="doc_id"))
+
+    clean = runner.run(
+        "decontaminate",
+        lambda: dedup.keep_uncontaminated(
+            filtered, dedup.decontaminate(
+                filtered.where(F.col("doc_id") < test_split), tests,
+                shingle_k=decon_k)))
+
+    pairs = runner.run(
+        "minhash_pairs",
+        lambda: dedup.minhash_dedup(clean, threshold=dedup_threshold))
+
+    kept = runner.run(
+        "canonical_keepers",
+        lambda: dedup.keep_canonical(clean, pairs))
+
+    sampled = runner.run(
+        "stratified_sample",
+        lambda: text.stratified_sample(
+            kept, sample_fracs or {"en": 1.0, "es": 0.8, "de": 0.8},
+            default=0.5))
+
+    packed = runner.run(
+        "pack_sequences",
+        lambda: text.pack_sequences(sampled, budget=budget))
+
+    return {
+        "stages": runner.summary(),
+        "input_docs": docs.count(),
+        "after_quality": filtered.count(),
+        "after_decontaminate": clean.count(),
+        "dup_pairs": pairs.count(),
+        "after_dedup": kept.count(),
+        "after_sample": sampled.count(),
+        "packed_docs": packed.count(),
+        "total_tokens": int(packed.agg(F.sum("n_tokens")).first()[0] or 0),
+    }

@@ -95,3 +95,34 @@ def test_write_tiles_hilbert_order(spark, tmp_path):
     assert a == b
     import os
     assert any(d.startswith("z=") for d in os.listdir(p2))
+
+
+def test_corpus_curation_pipeline_resumes(spark, tmp_path):
+    """The training-data dataflow (quality -> decontaminate -> dedup
+    -> keepers -> sample -> pack) through the checkpoint manifest:
+    full first run; a re-run skips every stage; deleting ONE stage's
+    manifest recomputes exactly that stage with identical outputs."""
+    import shutil
+
+    from rasters_rs_spark.streaming.pipeline import run_corpus_curation
+
+    root = str(tmp_path / "curation")
+    sf = "/root/testdata/sf0.001"
+    r1 = run_corpus_curation(spark, root, sf, budget=512)
+    assert r1["input_docs"] > 0
+    assert r1["packed_docs"] == r1["after_sample"] > 0
+    assert not any(s["skipped"] for s in r1["stages"])
+
+    r2 = run_corpus_curation(spark, root, sf, budget=512)
+    assert all(s["skipped"] for s in r2["stages"])
+    assert r2["packed_docs"] == r1["packed_docs"]
+    assert r2["total_tokens"] == r1["total_tokens"]
+
+    shutil.rmtree(str(tmp_path / "curation" / "stratified_sample"))
+    r3 = run_corpus_curation(spark, root, sf, budget=512)
+    by_name = {s["stage"]: s for s in r3["stages"]}
+    assert not by_name["stratified_sample"]["skipped"]
+    assert by_name["minhash_pairs"]["skipped"]
+    assert by_name["pack_sequences"]["skipped"]
+    assert r3["after_sample"] == r1["after_sample"]
+    assert r3["total_tokens"] == r1["total_tokens"]
