@@ -283,6 +283,51 @@ def cmd_sample(args):
                       "fractions": fracs, "default": args.default}))
 
 
+def cmd_decon(args):
+    from .operators import dedup as D
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    tests = spark.read.parquet(args.tests)
+    flagged = D.decontaminate(docs, tests, shingle_k=args.shingle_k,
+                              min_hits=args.min_hits,
+                              text_col=args.text_col,
+                              id_col=args.id_col).persist()
+    flagged.write.mode("overwrite").parquet(args.output)
+    out = {"flagged_pairs": flagged.count(), "output": args.output}
+    if args.keep:
+        kept = D.keep_uncontaminated(docs, flagged, id_col=args.id_col)
+        kept.write.mode("overwrite").parquet(args.keep)
+        out["kept_rows"] = kept.count()
+        out["kept_output"] = args.keep
+    print(json.dumps(out))
+
+
+def cmd_ann(args):
+    from pyspark.sql import functions as F
+    from .operators import similarity as S
+    spark = _spark(args)
+    corpus = spark.read.parquet(args.corpus).selectExpr(
+        f"cast({args.id_col} as string) vec_id",
+        f"transform({args.vec_col}, x -> cast(x as double)) embedding")
+    queries = spark.read.parquet(args.queries).selectExpr(
+        f"cast({args.id_col} as string) q_id",
+        f"transform({args.vec_col}, x -> cast(x as double)) q_vec")
+    fn = {
+        "exact": lambda: S.cosine_topk(queries, corpus, k=args.k),
+        "lsh": lambda: S.lsh_topk_det(queries, corpus, k=args.k,
+                                      dim=args.dim),
+        "ivf": lambda: S.ivf_topk_det(queries, corpus, k=args.k,
+                                      dim=args.dim),
+        "pq": lambda: S.ann_pq(queries, corpus, k=args.k, dim=args.dim),
+        "ivfpq": lambda: S.ann_ivfpq(queries, corpus, k=args.k,
+                                     dim=args.dim),
+    }[args.method]
+    out = fn().persist()
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": out.count(), "method": args.method,
+                      "k": args.k, "output": args.output}))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="rasters-rs-spark")
     p.add_argument("--cores", type=int, default=8)
@@ -458,6 +503,32 @@ def build_parser():
     sm.add_argument("--salt", default="s1")
     sm.add_argument("--default", type=float, default=0.0)
     sm.set_defaults(fn=cmd_sample)
+
+    dc = sub.add_parser("decon", help="benchmark decontamination "
+                                      "(n-gram overlap vs a test set)")
+    dc.add_argument("input")
+    dc.add_argument("tests", help="parquet benchmark/test-set table")
+    dc.add_argument("output", help="flagged (doc, test) pairs parquet")
+    dc.add_argument("--shingle-k", type=int, default=8)
+    dc.add_argument("--min-hits", type=int, default=1)
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--keep", default=None,
+                    help="also write the decontaminated corpus here")
+    dc.set_defaults(fn=cmd_decon)
+
+    an = sub.add_parser("ann", help="similarity search over an "
+                                    "embedding corpus")
+    an.add_argument("corpus")
+    an.add_argument("queries")
+    an.add_argument("output")
+    an.add_argument("--method", default="exact",
+                    choices=["exact", "lsh", "ivf", "pq", "ivfpq"])
+    an.add_argument("--k", type=int, default=5)
+    an.add_argument("--dim", type=int, default=64)
+    an.add_argument("--id-col", default="vec_id")
+    an.add_argument("--vec-col", default="embedding")
+    an.set_defaults(fn=cmd_ann)
     return p
 
 

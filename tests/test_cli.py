@@ -270,3 +270,48 @@ def test_cli_tokenize_pack_sample(tmp_path):
     out = run("sample", src, str(tmp_path / "samp.parquet"),
               "--stratum", "en=1.0", "--default", "0.0")
     assert out["kept"] == 2
+
+
+def test_cli_decon_and_ann(tmp_path):
+    """The decon and ann subcommands end to end."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    bench = "the quick brown fox jumps over the lazy dog tonight"
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["x " + bench + " y", "clean unrelated content here"],
+    }).to_parquet(src)
+    tsrc = str(tmp_path / "tests.parquet")
+    pd.DataFrame({"doc_id": [100], "text": [bench]}).to_parquet(tsrc)
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "rasters_rs_spark.cli", "--cores", "2",
+             *args], capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    out = run("decon", src, tsrc, str(tmp_path / "flag.parquet"),
+              "--keep", str(tmp_path / "kept.parquet"))
+    assert out["flagged_pairs"] == 1 and out["kept_rows"] == 1
+
+    import numpy as np
+    rng = np.random.default_rng(5)
+    esrc = str(tmp_path / "emb.parquet")
+    pd.DataFrame({
+        "vec_id": list(range(40)),
+        "embedding": [rng.random(64).tolist() for _ in range(40)],
+    }).to_parquet(esrc)
+    qsrc = str(tmp_path / "q.parquet")
+    pd.DataFrame({
+        "vec_id": [0, 1],
+        "embedding": [rng.random(64).tolist() for _ in range(2)],
+    }).to_parquet(qsrc)
+    out = run("ann", esrc, qsrc, str(tmp_path / "nn.parquet"),
+              "--method", "pq", "--k", "3")
+    assert out["rows"] == 6 and out["method"] == "pq"
