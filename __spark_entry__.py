@@ -1297,6 +1297,53 @@ def _decontaminate_sql() -> str:
     """
 
 
+_DUPSPAN_K = 16
+
+
+def _q_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-substring fractions (Lee-et-al-style
+    boilerplate signal): k-byte rolling-hash windows, a window is
+    duplicated when its hash occurs in >= 2 distinct docs. The oracle
+    recomputes the exact M31 window hashes (the fingerprint mirror's
+    arithmetic) and the same distinct-doc rule."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.duplicated_span_stats(docs, k=_DUPSPAN_K) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                "n_windows", "n_dup_windows",
+                F.round("dup_fraction", 9).alias("dup_fraction"))
+
+
+def _dup_spans_sql() -> str:
+    from rasters_rs_spark.operators import text as _t
+    k = _DUPSPAN_K
+    powers = [1] * k
+    for i in range(1, k):
+        powers[i] = (powers[i - 1] * _t.FP_BASE) % _t.FP_MOD
+    terms = " + ".join(
+        f"CAST(ascii(substr(t, i + {d}, 1)) AS BIGINT) * {powers[k - 1 - d]}"
+        for d in range(k))
+    return f"""
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          coalesce(text, '') AS t
+                   FROM documents),
+        pos AS (
+          SELECT doc_id, t,
+                 unnest(range(1, greatest(length(t) - {k - 1}, 1) + 1)) AS i
+          FROM d),
+        w AS (SELECT doc_id, ({terms}) % {_t.FP_MOD} AS h FROM pos),
+        dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c
+                               FROM w GROUP BY h) WHERE c >= 2),
+        cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+                FROM w JOIN dup USING (h) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(greatest(length(t) - {k - 1}, 1) AS BIGINT) AS n_windows,
+               coalesce(cnt.n_dup, 0) AS n_dup_windows,
+               round(CAST(coalesce(cnt.n_dup, 0) AS DOUBLE)
+                     / greatest(length(t) - {k - 1}, 1), 9) AS dup_fraction
+        FROM d LEFT JOIN cnt USING (doc_id)
+    """
+
+
 def _q_split_assign(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return text.deterministic_split(docs).select(
@@ -2156,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_embeddings": _q_ann_pq,
         "ann_ivfpq_embeddings": _q_ann_ivfpq,
         "decontaminate_docs": _q_decontaminate,
+        "dup_spans_docs": _q_dup_spans,
     }
 
 
@@ -3020,6 +3068,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "ann_pq_embeddings": _ann_pq_sql(),
         "ann_ivfpq_embeddings": _ann_ivfpq_sql(),
         "decontaminate_docs": _decontaminate_sql(),
+        "dup_spans_docs": _dup_spans_sql(),
         "text_quality": f"""
             SELECT doc_id::BIGINT AS doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -960,3 +960,87 @@ def train_bpe_merges(docs: DataFrame, n_merges: int = 32,
         merges.append((a, b))
         tok_str[256 + rank] = a + b
     return tuple(merges)
+
+
+def _window_hash_rows(texts, k: int):
+    """(doc_idx, hash) for every k-byte rolling-hash window of each
+    text — fingerprint_batch's buffer machinery without the min fold:
+    docs zero-pad to >= k bytes (so every doc has >= 1 window), and
+    cross-document windows are masked out. Exact M31 arithmetic —
+    identical values to the DuckDB ascii/power mirror."""
+    n = len(texts)
+    if n == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    bufs = [(t or "").encode() for t in texts]
+    bufs = [b if len(b) >= k else b + b"\x00" * (k - len(b)) for b in bufs]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+    total = offsets[-1]
+    powers = np.empty(k, dtype=np.int64)
+    powers[0] = 1
+    for i in range(1, k):
+        powers[i] = (powers[i - 1] * FP_BASE) % FP_MOD
+    n_win = int(total - k + 1)
+    acc = np.zeros(n_win, dtype=np.int64)
+    for d in range(k):
+        acc = (acc + data[d:d + n_win] * powers[k - 1 - d]) % FP_MOD
+    doc_idx = np.repeat(np.arange(n), lens)[:n_win]
+    pos = np.arange(n_win, dtype=np.int64) - offsets[doc_idx]
+    ok = pos <= lens[doc_idx] - k
+    return doc_idx[ok], acc[ok]
+
+
+def duplicated_span_stats(docs: DataFrame, k: int = 16,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-substring signal (the Lee-et-al-style
+    boilerplate detector a dedup pipeline runs alongside MinHash):
+    every k-byte window's rolling hash, a window counts as DUPLICATED
+    when its hash occurs in >= 2 distinct documents, and each doc
+    reports (n_windows, n_dup_windows, dup_fraction) — high fractions
+    mark templated/boilerplate text that document-level near-dup
+    misses. Returns one row per doc. SQL-oracled end to end (the
+    window hash is the fingerprint oracle's exact M31 polynomial).
+
+    Cost is honest substring-level dedup cost: the window table is
+    O(corpus bytes) and shuffles once on the hash (the groupBy) and
+    once back (the join) — same asymptotics as a suffix-automaton
+    pass, fully distributed. The window table is checkpointed (it
+    feeds the dup-hash aggregation AND the join). Short docs zero-pad
+    to one window (two empty docs are mutual duplicates — correct:
+    empty text is the ultimate boilerplate)."""
+    id_type = dict(docs.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            di, h = _window_hash_rows(list(pdf[text_col]), k)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy()[di],
+                "_h": h})
+
+    windows = docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=f"doc_id {id_type}, _h long") \
+        .localCheckpoint(eager=True)
+    dup_hashes = (windows.dropDuplicates(["_h", "doc_id"])
+                  .groupBy("_h").count().where(F.col("count") > 1)
+                  .select("_h"))
+    dup_counts = (windows.join(dup_hashes, on="_h")
+                  .groupBy("doc_id")
+                  .agg(F.count("*").cast("bigint").alias("n_dup_windows"))
+                  .withColumnRenamed("doc_id", "_did"))
+    n_win = F.greatest(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) - (k - 1),
+        F.lit(1)).cast("bigint")
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       n_win.alias("n_windows"))
+    out = base.join(dup_counts,
+                    on=base["doc_id"] == dup_counts["_did"], how="left") \
+        .drop("_did") \
+        .withColumn("n_dup_windows",
+                    F.coalesce(F.col("n_dup_windows"), F.lit(0))) \
+        .withColumn("dup_fraction",
+                    F.col("n_dup_windows").cast("double")
+                    / F.col("n_windows"))
+    return out

@@ -665,3 +665,26 @@ def test_ann_pq_empty_queries_raises(spark, emb):
         "vec_id as q_id", "embedding as q_vec")
     with _pt.raises(ValueError, match="empty"):
         SIM.ann_pq(empty, corpus, k=5, dim=64)
+
+
+def test_duplicated_span_stats_planted(spark):
+    """Duplicated-span signal: a 16-byte span shared across two docs
+    marks exactly its windows in both; unique text scores 0; two empty
+    docs are mutual full duplicates (zero-pad window)."""
+    from rasters_rs_spark.operators import text as T
+    boiler = "SHARED BOILERPLATE SEGMENT HERE!"     # 32 bytes
+    docs = spark.createDataFrame([
+        (1, "aaaa " + boiler + " bbbb"),
+        (2, "cccc " + boiler + " dddd"),
+        (3, "totally unique text with no repeats at all x"),
+        (4, ""), (5, ""),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           T.duplicated_span_stats(docs, k=16).collect()}
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_fraction"] == 0.0
+    # the shared substring includes the flanking spaces: 34 bytes ->
+    # 34-16+1 = 19 windows fully inside it in both docs
+    assert out[1]["n_dup_windows"] == 19 == out[2]["n_dup_windows"]
+    assert 0 < out[1]["dup_fraction"] < 1
+    assert out[4]["n_windows"] == 1 and out[4]["dup_fraction"] == 1.0
+    assert out[5]["dup_fraction"] == 1.0
