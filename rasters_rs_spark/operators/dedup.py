@@ -236,19 +236,32 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     # round-4 docstring warned about. Falls back to the capped row
     # probe when the new cached RDD can't be identified unambiguously
     # (concurrent queries checkpointing in the same session).
-    sc = docs.sparkSession.sparkContext
-    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    # The block-manager probe rides the private _jsc bridge, absent
+    # under Spark Connect and unstable across PySpark majors — ANY
+    # failure there (AttributeError, Py4J error) must degrade to the
+    # capped row probe, not break the operator (round-5 ADVICE).
+    small = None
+    try:
+        sc = docs.sparkSession.sparkContext
+        before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    except Exception:
+        before = None
     band_rows = minhash_bands(docs, text_col, id_col, num_hashes, bands,
                               shingle_k).localCheckpoint(eager=True)
-    new = [i for i in sc._jsc.sc().getRDDStorageInfo()
-           if i.id() not in before]
-    if len(new) == 1:
-        # memory AND disk: localCheckpoint stores MEMORY_AND_DISK, and
-        # blocks spilled to disk under pressure are exactly the large
-        # tables the cap must catch
-        small = (int(new[0].memSize()) + int(new[0].diskSize())
-                 <= MAX_BROADCAST_BAND_BYTES)
-    else:
+    if before is not None:
+        try:
+            new = [i for i in sc._jsc.sc().getRDDStorageInfo()
+                   if i.id() not in before]
+            if len(new) == 1:
+                # memory AND disk: localCheckpoint stores
+                # MEMORY_AND_DISK, and blocks spilled to disk under
+                # pressure are exactly the large tables the cap must
+                # catch
+                small = (int(new[0].memSize()) + int(new[0].diskSize())
+                         <= MAX_BROADCAST_BAND_BYTES)
+        except Exception:
+            small = None
+    if small is None:
         cap_docs = 1_000_000 // bands
         small = (docs.select(F.col(id_col)).limit(cap_docs + 1).count()
                  <= cap_docs)

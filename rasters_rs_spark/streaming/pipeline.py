@@ -78,12 +78,16 @@ def run_corpus_curation(spark: SparkSession, root: str, sf_dir: str,
                                langs=("en", "es", "de", "fr", "zh"))
             .select("doc_id"), on="doc_id"))
 
+    # the training corpus is doc_id < test_split ONLY: the held-out
+    # benchmark docs must not reach any downstream training stage
+    # (dedup / sampling / packing), not merely fail to flag themselves
+    # (round-5 ADVICE: keep_uncontaminated over the full `filtered`
+    # let test docs flow into the curated corpus and total_tokens)
+    train = filtered.where(F.col("doc_id") < test_split)
     clean = runner.run(
         "decontaminate",
         lambda: dedup.keep_uncontaminated(
-            filtered, dedup.decontaminate(
-                filtered.where(F.col("doc_id") < test_split), tests,
-                shingle_k=decon_k)))
+            train, dedup.decontaminate(train, tests, shingle_k=decon_k)))
 
     pairs = runner.run(
         "minhash_pairs",

@@ -634,10 +634,49 @@ def stream_decontaminate(spark: SparkSession, source_dir: str, schema: str,
     aggregations reject append without a watermark) and each pair
     emits exactly once, row-identical to batch (tested). ``test_set``
     is the static benchmark DataFrame; anti-join the flagged ids
-    downstream."""
+    downstream.
+
+    State contract (round-5 ADVICE, explicit): the groupBy runs with
+    NO watermark, so Spark keeps one state row per emitted
+    (doc_id, test_id) pair for the stream's lifetime — bounded by
+    flagged pairs, not by corpus size, but unbounded over an infinite
+    stream; and ingest must be exactly-once (a replayed document
+    accumulates into existing state and double-counts n_hits). When
+    either assumption fails — long-lived streams or at-least-once
+    sources — use ``stream_decontaminate_batched``, which scopes the
+    aggregation per micro-batch through foreachBatch: zero retained
+    state, each batch's pairs computed by the batch operator."""
     from ..operators.dedup import decontaminate
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return decontaminate(stream, test_set, shingle_k=shingle_k,
                          min_hits=min_hits, text_col=text_col,
                          id_col=id_col)
+
+
+def stream_decontaminate_batched(spark: SparkSession, source_dir: str,
+                                 schema: str, test_set, batch_sink,
+                                 shingle_k: int = 8, min_hits: int = 1,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id"):
+    """stream_decontaminate with BOUNDED state: each micro-batch runs
+    the batch decontaminate operator against the static benchmark
+    table inside foreachBatch, and ``batch_sink(df, epoch_id)``
+    receives that batch's flagged (doc_id, test_id, n_hits) pairs —
+    no streaming aggregation state at all, so an infinite stream holds
+    zero state between batches and a replayed micro-batch re-emits the
+    same rows instead of double-counting (make the sink idempotent on
+    (doc_id, test_id, epoch) for exactly-once output). Identical rows
+    to the batch operator per micro-batch because a document's grams
+    never span batches (file sources deliver whole rows). Returns the
+    DataStreamWriter — call .trigger(...).start() on it."""
+    from ..operators.dedup import decontaminate
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def run_batch(batch_df, epoch_id):
+        batch_sink(decontaminate(batch_df, test_set, shingle_k=shingle_k,
+                                 min_hits=min_hits, text_col=text_col,
+                                 id_col=id_col), epoch_id)
+
+    return stream.writeStream.foreachBatch(run_batch)

@@ -112,6 +112,13 @@ def test_corpus_curation_pipeline_resumes(spark, tmp_path):
     assert r1["input_docs"] > 0
     assert r1["packed_docs"] == r1["after_sample"] > 0
     assert not any(s["skipped"] for s in r1["stages"])
+    # held-out benchmark docs (doc_id >= test_split) must never reach a
+    # training stage — not merely fail to self-flag (round-5 ADVICE)
+    for stage in ("decontaminate", "canonical_keepers",
+                  "stratified_sample", "pack_sequences"):
+        top = (spark.read.parquet(f"{root}/{stage}/data")
+               .agg({"doc_id": "max"}).first()[0])
+        assert top is None or top < 490, (stage, top)
 
     r2 = run_corpus_curation(spark, root, sf, budget=512)
     assert all(s["skipped"] for s in r2["stages"])

@@ -294,7 +294,7 @@ def test_fingerprint_batch_matches_scalar():
     got = TX.fingerprint_batch(texts, k=8)
     expect = [TX.fingerprint_minhash(t or "", 8) for t in texts]
     assert got.tolist() == expect
-    # non-ascii: both paths hash utf-8 bytes
+    # non-ascii: both paths hash per-character codepoints (utf-32)
     uni = ["héllo wörld " * 3, "日本語テキスト"]
     assert TX.fingerprint_batch(uni).tolist() == \
         [TX.fingerprint_minhash(t) for t in uni]
@@ -376,6 +376,47 @@ def test_repetition_null_text_both_engines(spark):
         assert out["t2"] == (1, 1), engine
         assert out["t3"] == (1, 1), engine
         assert out["t1"] == (3, 2), engine
+
+
+def test_repetition_tokens_batch_matches_counter_semantics():
+    """_repetition_batch_tokens (the vectorized caller-tokenized path
+    that replaced the per-doc Counter, round-5 VERDICT #6) equals a
+    scalar Counter mirror on: space-containing tokens (gram identity
+    is the ' '.join string — ['a b','c'] and ['a','b c'] join equal),
+    short docs, empties, Nones, unicode tokens, and a fuzz sweep."""
+    from collections import Counter
+
+    import numpy as np
+    from rasters_rs_spark.operators import text as T
+
+    def mirror(seqs, n):
+        out = []
+        for v in seqs:
+            toks = list(v) if v is not None else []
+            toks = toks if toks else [""]
+            m = max(len(toks) - (n - 1), 1)
+            c = Counter(" ".join(toks[i:i + n]) for i in range(m))
+            out.append((m, max(c.values())))
+        return out
+
+    cases = [
+        ["a b", "c", "a", "b c", "a b", "c"],   # join-equal grams
+        ["x"], [], None, [""],
+        ["日本", "語", "日本", "語"],
+        ["t"] * 7,
+    ]
+    for n in (1, 2, 3):
+        tot, top = T._repetition_batch_tokens(cases, n)
+        assert list(zip(tot.tolist(), top.tolist())) == mirror(cases, n), n
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "bb", "c d", "", "éé", "zz z"]
+    fuzz = [None if rng.random() < 0.1 else
+            list(rng.choice(vocab, size=int(rng.integers(0, 9))))
+            for _ in range(200)]
+    for n in (2, 4):
+        tot, top = T._repetition_batch_tokens(fuzz, n)
+        assert list(zip(tot.tolist(), top.tolist())) == mirror(fuzz, n), n
 
 
 def test_bpe_token_count_matches_scalar_mirror(spark):
@@ -688,3 +729,45 @@ def test_duplicated_span_stats_planted(spark):
     assert 0 < out[1]["dup_fraction"] < 1
     assert out[4]["n_windows"] == 1 and out[4]["dup_fraction"] == 1.0
     assert out[5]["dup_fraction"] == 1.0
+
+
+def test_dup_spans_and_fingerprint_non_ascii_match_duckdb():
+    """Round-5 ADVICE: the engine hashed utf-8 BYTES while the DuckDB
+    oracle hashes per-character codepoints (ascii()) — divergent on any
+    non-ASCII text. Both window-hash kernels now run on codepoints
+    (utf-32 decode), so engine == oracle on accented/CJK text too."""
+    import duckdb
+    import pandas as pd
+    from rasters_rs_spark.operators import text as T
+    import __spark_entry__ as E
+
+    boiler = "日本語の定型文テキストがここに入ります"  # CJK boilerplate
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["héllo wörld " + boiler + " à suivre",
+                 "prefix différent " + boiler + " autre suite",
+                 "texte unique sans répétition aucune ici même",
+                 "日本語テキスト"]})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    k = E._DUPSPAN_K
+    di, h = T._window_hash_rows(list(pdf["text"]), k)
+    got = {}
+    for d, hh in zip(pdf["doc_id"].to_numpy()[di], h):
+        got.setdefault(int(d), []).append(int(hh))
+    oracle = con.execute(E._dup_spans_sql()).fetchdf()
+    n_dup = {}
+    docs_per_hash = {}
+    for d, hs in got.items():
+        for hh in set(hs):
+            docs_per_hash.setdefault(hh, set()).add(d)
+    for d, hs in got.items():
+        n_dup[d] = sum(1 for hh in hs if len(docs_per_hash[hh]) >= 2)
+    for r in oracle.itertuples(index=False):
+        assert len(got[int(r.doc_id)]) == int(r.n_windows), r
+        assert n_dup[int(r.doc_id)] == int(r.n_dup_windows), r
+
+    fp_oracle = dict(con.execute(E._fingerprint_sql(8)).fetchall())
+    for d, t in zip(pdf["doc_id"], pdf["text"]):
+        assert T.fingerprint_minhash(t, 8) == int(fp_oracle[int(d)]), d

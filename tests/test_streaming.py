@@ -578,3 +578,20 @@ def test_stream_decontaminate_equals_batch(spark, tmp_path):
     expect = sorted((r["doc_id"], r["test_id"], r["n_hits"]) for r in
                     decontaminate(docs, ts, shingle_k=8).collect())
     assert got == expect and len(got) == 2
+
+    # bounded-state variant: per-micro-batch aggregation through
+    # foreachBatch — zero retained state, same rows as batch
+    from rasters_rs_spark.streaming.windows import \
+        stream_decontaminate_batched
+
+    emitted = []
+
+    def sink(df, epoch_id):
+        emitted.extend((r["doc_id"], r["test_id"], r["n_hits"])
+                       for r in df.collect())
+
+    q2 = (stream_decontaminate_batched(spark, src, schema, ts, sink,
+                                       shingle_k=8)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert sorted(emitted) == expect
