@@ -757,6 +757,171 @@ def test_fill_sibson_dist_matches_broadcast(spark):
     assert np.abs(bb - db).max() < 1e-10
 
 
+def test_sibson_c1_linear_exact_and_estimated_gradients():
+    """C1 Sibson (the reference's default raster-fill-nn mode:
+    interpolation.rs:26-29 with --sibson flatness 0.5): linear
+    precision holds with FAN-ESTIMATED gradients — every adjacent
+    plane of a linear field has the field's gradient, so the
+    area-weighted estimate is exact and zeta_i(x) == z(x)."""
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+
+    rng = np.random.default_rng(13)
+    px = rng.random(90) * 10
+    py = rng.random(90) * 10
+    pz = 1.5 - 2.0 * px + 4.0 * py
+    tris = delaunay_triangles(px, py)
+    g = K.estimate_gradients(px, py, pz, tris)
+    interior = np.zeros(90, dtype=bool)
+    # hull vertices can have an open fan; check interior estimates
+    interior[(px > 1.5) & (px < 8.5) & (py > 1.5) & (py < 8.5)] = True
+    assert np.abs(g[interior] - np.array([-2.0, 4.0])).max() < 1e-9
+    qx = rng.random(300) * 10
+    qy = rng.random(300) * 10
+    got = K.sibson_interpolate(qx, qy, px, py, pz, tris, c1=True)
+    inside = np.isfinite(got)
+    expect = 1.5 - 2.0 * qx + 4.0 * qy
+    assert inside.sum() > 200
+    assert np.abs(got[inside] - expect[inside]).max() < 1e-7
+    # exact data-point hits still short-circuit
+    hit = K.sibson_interpolate(px[:5], py[:5], px, py, pz, tris, c1=True)
+    assert np.array_equal(hit, pz[:5])
+
+
+def test_sibson_c1_spherical_quadric_exact_with_true_gradients():
+    """Sibson 1981's sharpest property of the alpha/beta blend with
+    flatness 0.5: the C1 interpolant reproduces spherical quadrics
+    z = a + b.x + c|x|^2 EXACTLY when the true gradients are supplied
+    (zeta_i = z(x) - c*d_i^2 and the alpha/beta weighting cancels the
+    d^2 residue against Z0's +c*sum(lam*d^2) — an identity that pins
+    both alpha = sum(lam*d)/sum(lam/d) and beta = sum(lam*d^2)).
+    A wrong alpha or beta fails this at the 1e-2 level."""
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+
+    rng = np.random.default_rng(29)
+    px = rng.random(70) * 8
+    py = rng.random(70) * 8
+    a, bx, by, c = 2.0, 0.3, -0.7, 0.5
+    pz = a + bx * px + by * py + c * (px ** 2 + py ** 2)
+    grads = np.column_stack([bx + 2 * c * px, by + 2 * c * py])
+    tris = delaunay_triangles(px, py)
+    qx = rng.random(250) * 8
+    qy = rng.random(250) * 8
+    got = K.sibson_interpolate(qx, qy, px, py, pz, tris, c1=True,
+                               gradients=grads)
+    inside = np.isfinite(got)
+    expect = a + bx * qx + by * qy + c * (qx ** 2 + qy ** 2)
+    assert inside.sum() > 150
+    assert np.abs(got[inside] - expect[inside]).max() < 1e-8
+    # C0 on the same field is NOT exact — the blend term is doing the
+    # work (divergence-vs-C0 on curved fields)
+    c0 = K.sibson_interpolate(qx, qy, px, py, pz, tris)
+    assert np.abs(c0[inside] - expect[inside]).max() > 1e-3
+
+
+def test_sibson_c1_smooth_at_data_points():
+    """THE property the C1 blend buys (and C0 lacks): continuous
+    first derivatives AT the data points. One-sided difference
+    quotients straddling an interior data point on a curved field:
+    C0 Sibson has a gradient crease (mismatch stays O(1) as h -> 0);
+    the C1 blend's mismatch shrinks with h and is far smaller."""
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+
+    px, py, _ = _jitter_grid(seed=17, nx=11, ny=11, sp=1.0)
+    pz = np.sin(0.9 * px) * np.cos(1.1 * py)
+    tris = delaunay_triangles(px, py)
+    g = K.estimate_gradients(px, py, pz, tris)
+    # pick interior data points
+    sel = np.nonzero((px > 2.5) & (px < 7.5) & (py > 2.5) & (py < 7.5))[0][:12]
+    h = 1e-3
+    u = np.array([0.6, 0.8])                    # probe direction
+    qx = np.concatenate([px[sel] + h * u[0], px[sel] - h * u[0]])
+    qy = np.concatenate([py[sel] + h * u[1], py[sel] - h * u[1]])
+    creases = []
+    for c1 in (False, True):
+        got = K.sibson_interpolate(qx, qy, px, py, pz, tris, c1=c1,
+                                   gradients=g if c1 else None)
+        right = (got[:len(sel)] - pz[sel]) / h
+        left = (pz[sel] - got[len(sel):]) / h
+        creases.append(np.abs(right - left).max())
+    c0_crease, c1_crease = creases
+    assert c1_crease < 0.2 * c0_crease, creases
+    assert c1_crease < 5e-2, creases
+
+
+def test_fill_sibson_c1_and_distributed_match(spark):
+    """fill_sibson(c1=True) — the reference's exact default fill — on
+    a curved field: diverges measurably from the C0 fill (the blend
+    term), stays within the neighbor-value envelope, and the
+    DISTRIBUTED c1 fill (global vertex-gradient aggregation joined
+    onto triangle corners) matches broadcast on interior holes to
+    groupBy-summation-order fp noise."""
+    px, py, _ = _jitter_grid(seed=3, nx=21, ny=15)
+    pz = np.sin(px / 40.0) + np.cos(py / 55.0)
+    pts_pdf = pd.DataFrame({"pt_id": [f"p{i}" for i in range(px.size)],
+                            "x": px, "y": py, "z": pz})
+    block = np.full((24, 24), 0.5)
+    holes = np.zeros((24, 24), dtype=bool)
+    holes[4:18, 5:20] = True
+    block[holes] = -999.0
+    img = pd.DataFrame([{
+        "image_id": "i0", "bytes": codecs.encode_raw(block),
+        "w": 24, "h": 24, "fmt": "raw",
+        "gt": [60.0, 6.0, 0.0, 190.0, 0.0, -6.0],
+        "crs": "IDENTITY", "no_val": -999.0}])
+    images = spark.createDataFrame(img)
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+    drv = delaunay_triangles(px, py)
+
+    c0 = K.fill_sibson(images, pts_pdf, drv).collect()[0]
+    b_out = K.fill_sibson(images, pts_pdf, drv, c1=True).collect()[0]
+    assert b_out["filled"] == c0["filled"] == int(holes.sum())
+    f0 = codecs.decode_raw(c0["bytes"], 24, 24)
+    f1 = codecs.decode_raw(b_out["bytes"], 24, 24)
+    assert np.abs(f1[holes] - f0[holes]).max() > 1e-6   # blend is live
+
+    d_out = K.fill_sibson_distributed(
+        images, spark.createDataFrame(pts_pdf), cell_size=64.0,
+        c1=True).collect()[0]
+    assert d_out["filled"] == b_out["filled"]
+    db = codecs.decode_raw(d_out["bytes"], 24, 24)
+    assert np.abs(f1 - db).max() < 1e-9
+
+
+def test_sibson_discrete_operator_matches_continuous(spark):
+    """The distributed rasterized-Voronoi operator (the hash-exact
+    SQL-oracled contract row) approximates the CONTINUOUS cavity
+    kernel on the same sites: grid-resolution error only. Closes the
+    evidence chain continuous == discrete == DuckDB — the two
+    rows-only fill_sibson contract rows now have a hash-hard sibling
+    pinned to the same definition (round-5 VERDICT #2)."""
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+    from rasters_rs_spark.sources import synth
+
+    i = np.arange(24, dtype=np.int64)
+    sx = 8.0 + (i % 6) * 16.0 + (synth.lcg_values(4_000_000 + 2 * i) - 0.5) * 6.0
+    sy = 8.0 + (i // 6) * 16.0 + (synth.lcg_values(4_000_001 + 2 * i) - 0.5) * 6.0
+    sz = synth.lcg_values(4_100_000 + i)
+    j = np.arange(10, dtype=np.int64)
+    qx = 16.0 + synth.lcg_values(4_200_000 + 2 * j) * 64.0
+    qy = 12.0 + synth.lcg_values(4_200_001 + 2 * j) * 40.0
+
+    sites = spark.createDataFrame(pd.DataFrame(
+        {"site_id": i, "x": sx, "y": sy, "z": sz}))
+    qdf = spark.createDataFrame(pd.DataFrame({"q_id": j, "x": qx, "y": qy}))
+    rows = K.sibson_discrete(spark, sites, qdf, (0.0, 0.0, 96.0, 64.0),
+                             96, 64).collect()
+    vals = {r["q_id"]: r["val"] for r in rows}
+    assert len(vals) == 10                       # every query steals cells
+    assert all(r["cnt"] > 0 for r in rows)
+
+    tris = delaunay_triangles(sx, sy)
+    cont = K.sibson_interpolate(qx, qy, sx, sy, sz, tris)
+    inside = np.isfinite(cont)
+    assert inside.sum() >= 8
+    for qi in np.nonzero(inside)[0]:
+        assert abs(vals[int(qi)] - cont[qi]) < 0.05, qi
+
+
 def test_sibson_tolerates_degenerate_triangle_rows():
     """A collinear row in a user-supplied triangle table (NaN
     circumcircle) must not poison the bucketing grid (review r5):
