@@ -888,6 +888,25 @@ def _q_fill_barycentric_dist(spark, sf_dir):
     return _explode_pixels(filled)
 
 
+def _q_fill_barycentric_chunked(spark, sf_dir):
+    """The FULLY chunked triangulation fill (round-6): the same
+    fixture strip-decomposed (chunked.chunk_images, 8-row strips)
+    through fill_barycentric_distributed_chunked — no task decodes a
+    whole image AND no broadcast triangle table — then reassembled.
+    Byte-identity with the whole-image distributed fill means the SAME
+    bit-exact embedded-triangle oracle as fill_barycentric_dist_synth
+    verifies it."""
+    from rasters_rs_spark.operators import chunked as CH
+    pdf = synth.lcg_image_table(4, 32, 32, pixel_size=2.0,
+                                holes_below=0.125)
+    images = spark.createDataFrame(pdf)
+    points = spark.createDataFrame(_bdist_points())
+    strips = CH.chunk_images(images, min_data_size=32 * 8)
+    patched = knn.fill_barycentric_distributed_chunked(
+        strips, points, cell_size=_BDIST_CS)
+    return _explode_pixels(CH.assemble_images(patched))
+
+
 def _fill_barycentric_dist_sql() -> str:
     rows = _bdist_kept_triangles()
     vals = ", ".join(
@@ -2245,7 +2264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_inc": _q_embedding_neardup_inc,
         "tile_pyramid_synth": _q_tile_pyramid,
-        "zonal_stats_synth": _q_zonal_stats_images,
         "zonal_stats_dist_synth": _q_zonal_stats_dist,
         "zonal_chunked_dist_synth": _q_zonal_chunked_dist,
         "knn_ring_synth": _q_knn_ring,
@@ -2253,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_barycentric_synth": _q_fill_barycentric,
         "fill_sibson_synth": _q_fill_sibson,
         "fill_barycentric_dist_synth": _q_fill_barycentric_dist,
+        "fill_barycentric_chunked_synth": _q_fill_barycentric_chunked,
         "fill_idw_dist_synth": _q_fill_idw_dist,
         "resample_bilinear_synth": _q_resample_bilinear,
         "minhash_pairs_docs": _q_minhash_pairs,
@@ -2285,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_docs": _q_dup_spans,
         "sibson_discrete_synth": _q_sibson_discrete,
         # --- beyond the driver cap (full local gate still runs) ---
+        "zonal_stats_synth": _q_zonal_stats_images,
         "q1_pricing": _q_q1_pricing,
         "nation_revenue": _q_nation_revenue,
         "events_topk": _q_events_topk,
@@ -3265,6 +3285,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "fill_idw_synth": _fill_idw_sql(),
         "fill_barycentric_synth": _fill_barycentric_sql(),
         "fill_barycentric_dist_synth": _fill_barycentric_dist_sql(),
+        "fill_barycentric_chunked_synth": _fill_barycentric_dist_sql(),
         "sibson_discrete_synth": _sibson_discrete_sql(),
         "fill_idw_dist_synth": _fill_idw_sql(),
         "mosaic_mean_synth": _mosaic_mean_sql(),

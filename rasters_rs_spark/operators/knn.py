@@ -1250,11 +1250,53 @@ def fill_sibson_distributed(images: DataFrame, points: DataFrame,
                                mode="sibson", c1=c1, flatness=flatness)
 
 
+def fill_barycentric_distributed_chunked(chunks: DataFrame,
+                                         points: DataFrame,
+                                         cell_size: float,
+                                         max_bucket_points: int = 4000,
+                                         fill_nan: bool = False,
+                                         triangles: DataFrame | None = None
+                                         ) -> DataFrame:
+    """fill_barycentric_distributed over the chunked-strip
+    representation (chunked.CHUNK_SCHEMA): BOTH sides distributed — no
+    task decodes a whole image AND no broadcast triangle table (round-5
+    VERDICT #7; previously only IDW had the fully chunked path).
+    hole_pixels_chunked -> the same cell-cogroup triangulation kernel
+    (strip holes carry global pixel indices, so world coordinates and
+    hence fill values are identical to the whole-image fill) -> fills
+    patched per STRIP on the image-global q16 grid. Returns patched
+    chunk rows; assemble with chunked.assemble_images (padding rows
+    re-duplicate from patched data there). Byte-identical to broadcast
+    fill_barycentric on every hole whose triangle survives the halo
+    rule (tested; bit-exact contract oracle shared with
+    fill_barycentric_synth)."""
+    return _fill_dist_tri_core(chunks, points, cell_size,
+                               max_bucket_points, fill_nan, triangles,
+                               mode="barycentric", chunked=True)
+
+
+def fill_sibson_distributed_chunked(chunks: DataFrame, points: DataFrame,
+                                    cell_size: float,
+                                    max_bucket_points: int = 4000,
+                                    fill_nan: bool = False,
+                                    triangles: DataFrame | None = None,
+                                    c1: bool = False,
+                                    flatness: float = 0.5) -> DataFrame:
+    """fill_sibson_distributed over chunk strips — the Sibson (C0 or
+    C1) analogue of fill_barycentric_distributed_chunked; same
+    circumcircle-bbox candidate cells, same strip patch discipline."""
+    return _fill_dist_tri_core(chunks, points, cell_size,
+                               max_bucket_points, fill_nan, triangles,
+                               mode="sibson", c1=c1, flatness=flatness,
+                               chunked=True)
+
+
 def _fill_dist_tri_core(images: DataFrame, points: DataFrame,
                         cell_size: float, max_bucket_points: int,
                         fill_nan: bool, triangles: DataFrame | None,
                         mode: str, c1: bool = False,
-                        flatness: float = 0.5) -> DataFrame:
+                        flatness: float = 0.5,
+                        chunked: bool = False) -> DataFrame:
     cs = float(cell_size)
     tris = triangles if triangles is not None else \
         delaunay_triangles_dist(points, cs, max_bucket_points)
@@ -1304,12 +1346,13 @@ def _fill_dist_tri_core(images: DataFrame, points: DataFrame,
     t = t.select("x1", "y1", "z1", "x2", "y2", "z2", "x3", "y3", "z3",
                  *gcols, "tcx", "tcy")
 
-    q = hole_pixels(images, fill_nan)
+    q = (hole_pixels_chunked if chunked else hole_pixels)(images, fill_nan)
     q = q.withColumn("qcx", F.floor(F.col("x") / cs).cast("long")) \
          .withColumn("qcy", F.floor(F.col("y") / cs).cast("long"))
+    id_cols = ["image_id", "chunk_idx"] if chunked else ["image_id"]
 
     def cell_kernel(key, qpdf: pd.DataFrame, tpdf: pd.DataFrame):
-        cols = ["image_id", "pi", "pj", "val"]
+        cols = id_cols + ["pi", "pj", "val"]
         if len(qpdf) == 0 or len(tpdf) == 0:
             return pd.DataFrame(columns=cols)
         # deterministic candidate order (canonical rows sort the same
@@ -1337,19 +1380,57 @@ def _fill_dist_tri_core(images: DataFrame, points: DataFrame,
         else:
             vals = barycentric_interpolate(qx, qy, px, py, pz, tri_idx)
         ok = np.isfinite(vals)
-        return pd.DataFrame({
-            "image_id": qpdf["image_id"].to_numpy()[ok],
-            "pi": qpdf["pi"].to_numpy()[ok],
-            "pj": qpdf["pj"].to_numpy()[ok],
-            "val": vals[ok]})
+        res = {c: qpdf[c].to_numpy()[ok] for c in id_cols}
+        res.update({"pi": qpdf["pi"].to_numpy()[ok],
+                    "pj": qpdf["pj"].to_numpy()[ok],
+                    "val": vals[ok]})
+        return pd.DataFrame(res)
 
+    fills_schema = ("image_id string, "
+                    + ("chunk_idx int, " if chunked else "")
+                    + "pi long, pj long, val double")
     fills = q.groupBy("qcx", "qcy").cogroup(t.groupBy("tcx", "tcy")) \
         .applyInPandas(lambda k, a, b: cell_kernel(k, a, b),
-                       schema="image_id string, pi long, pj long, val double")
+                       schema=fills_schema)
     # fresh attribute for the patch cogroup key: fills derives from
     # images (hole_pixels), and sharing exprIds across the two cogroup
     # sides trips the ambiguous-self-join check
-    fills = fills.select(F.col("image_id").alias("_fid"), "pi", "pj", "val")
+    fills = fills.select(F.col("image_id").alias("_fid"),
+                         *(["chunk_idx"] if chunked else []),
+                         "pi", "pj", "val")
+
+    if chunked:
+        from .chunked import CHUNK_SCHEMA
+
+        def patch_strip(chunk_pdf: pd.DataFrame,
+                        f_pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for row in chunk_pdf.itertuples(index=False):
+                ls, le = int(row.load_start), int(row.load_end)
+                ds, de = int(row.data_start), int(row.data_end)
+                data = row.bytes
+                if len(f_pdf):
+                    # hole_pixels_chunked emits data-range holes only
+                    # and the cogroup key is (image_id, chunk_idx), so
+                    # every fill row belongs to THIS strip
+                    gi = f_pdf["pi"].to_numpy()
+                    assert ((gi >= ds) & (gi < de)).all(), \
+                        "fill rows outside the strip's data range"
+                    data = codecs.patch_block_bytes(
+                        row.bytes, gi - ls, f_pdf["pj"].to_numpy(),
+                        f_pdf["val"].to_numpy(), le - ls, row.w, row.fmt)
+                out.append((row.image_id, int(row.chunk_idx), ds, de,
+                            ls, le, data, row.w, row.h, row.fmt,
+                            list(row.gt), row.crs, row.no_val))
+            return pd.DataFrame(out, columns=[
+                "image_id", "chunk_idx", "data_start", "data_end",
+                "load_start", "load_end", "bytes", "w", "h", "fmt",
+                "gt", "crs", "no_val"])
+
+        return images.groupBy("image_id", "chunk_idx").cogroup(
+            fills.groupBy("_fid", "chunk_idx")) \
+            .applyInPandas(lambda k, a, b: patch_strip(a, b),
+                           schema=CHUNK_SCHEMA)
 
     out_schema = ("image_id string, bytes binary, w int, h int, fmt string, "
                   "gt array<double>, crs string, no_val double, filled long")

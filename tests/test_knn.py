@@ -887,6 +887,51 @@ def test_fill_sibson_c1_and_distributed_match(spark):
     assert np.abs(f1 - db).max() < 1e-9
 
 
+def test_fill_triangulated_chunked_equals_broadcast(spark):
+    """The fully chunked triangulation fills (round-5 VERDICT #7):
+    strip-decomposed images through fill_barycentric_distributed_chunked
+    reassemble BYTE-identical to broadcast fill_barycentric (interior
+    holes, same canonical triangle tables), and the chunked Sibson C1
+    fill matches broadcast fill_sibson(c1=True) to distributed-
+    gradient-summation fp noise."""
+    from rasters_rs_spark.functions.delaunay import delaunay_triangles
+    from rasters_rs_spark.operators.chunked import (assemble_images,
+                                                    chunk_images)
+
+    px, py, _ = _jitter_grid(seed=3, nx=21, ny=15)
+    pz = np.sin(px / 40.0) + np.cos(py / 55.0)
+    pts_pdf = pd.DataFrame({"pt_id": [f"p{i}" for i in range(px.size)],
+                            "x": px, "y": py, "z": pz})
+    block = np.full((32, 32), 0.5)
+    holes = np.zeros((32, 32), dtype=bool)
+    holes[6:26, 5:27] = True
+    block[holes] = -999.0
+    img = pd.DataFrame([{
+        "image_id": "i0", "bytes": codecs.encode_raw(block),
+        "w": 32, "h": 32, "fmt": "raw",
+        "gt": [60.0, 5.0, 0.0, 180.0, 0.0, -5.0],
+        "crs": "IDENTITY", "no_val": -999.0}])
+    images = spark.createDataFrame(img)
+    chunks = chunk_images(images, min_data_size=32 * 8)  # 8-row strips
+    assert chunks.count() > 1
+    drv = delaunay_triangles(px, py)
+    order = np.lexsort((py[drv], px[drv]), axis=1)
+    drv = np.take_along_axis(drv, order, axis=1)   # canonical corners
+    pts_df = spark.createDataFrame(pts_pdf)
+
+    base = K.fill_barycentric(images, pts_pdf, drv).collect()[0]
+    got = assemble_images(K.fill_barycentric_distributed_chunked(
+        chunks, pts_df, cell_size=64.0)).collect()[0]
+    assert bytes(got["bytes"]) == bytes(base["bytes"])
+
+    sib = K.fill_sibson(images, pts_pdf, drv, c1=True).collect()[0]
+    gots = assemble_images(K.fill_sibson_distributed_chunked(
+        chunks, pts_df, cell_size=64.0, c1=True)).collect()[0]
+    a = codecs.decode_raw(bytes(sib["bytes"]), 32, 32)
+    b = codecs.decode_raw(bytes(gots["bytes"]), 32, 32)
+    assert np.abs(a - b).max() < 1e-9
+
+
 def test_sibson_discrete_operator_matches_continuous(spark):
     """The distributed rasterized-Voronoi operator (the hash-exact
     SQL-oracled contract row) approximates the CONTINUOUS cavity

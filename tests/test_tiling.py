@@ -63,6 +63,35 @@ def test_golden_fixture_local(spark):
     compare_index(got, ref)
 
 
+def test_index_json_strings_distributed_sink(spark, tmp_path):
+    """The distributed manifest sink (one groupBy(image_id) job,
+    round-5 VERDICT #4): per-image JSON strings byte-identical to
+    json.dumps(index_json(...)) per image, and dump_index_json's
+    multi-image file byte-identical to the driver-loop assembly it
+    replaced."""
+    from rasters_rs_spark.sources import synth
+
+    pdf = synth.lcg_image_table(3, 16, 16, pixel_size=2.0)
+    enc = T.tile_index_manifest(spark.createDataFrame(pdf), mode="local")
+    enc = enc.localCheckpoint(eager=True)      # one pyramid computation
+    rows = {r["image_id"]: r for r in T.index_json_strings(enc).collect()}
+    ids = sorted(rows)
+    assert len(ids) == 3
+    for i in ids:
+        assert rows[i]["manifest_json"] == json.dumps(T.index_json(enc, i))
+        assert rows[i]["n_tiles"] > 0
+
+    out = tmp_path / "multi.json"
+    T.dump_index_json(enc, str(out))
+    expect = json.dumps({i: T.index_json(enc, i) for i in ids})
+    assert out.read_text() == expect
+
+    # single-image path unchanged (reference-shaped bare manifest)
+    single = tmp_path / "one.json"
+    T.dump_index_json(enc.where("image_id = 'img_0000'"), str(single))
+    assert single.read_text() == json.dumps(T.index_json(enc, "img_0000"))
+
+
 def test_distributed_equals_local(spark):
     imgs = _fab1_images(spark)
     loc = T.tile_pyramid(imgs, mode="local")
