@@ -93,9 +93,20 @@ def run_corpus_curation(spark: SparkSession, root: str, sf_dir: str,
         "minhash_pairs",
         lambda: dedup.minhash_dedup(clean, threshold=dedup_threshold))
 
+    # minhash ids ride the string pipeline, so its (id_a < id_b) is
+    # LEXICOGRAPHIC ("10" < "5"); canonicalize numerically before the
+    # keeper rule — "keep the smallest doc_id" is the stable contract
+    # (and the one the streaming ingest variant can honor append-only:
+    # the kept doc of any pair is always the earlier-arrived one)
+    def numeric_pairs():
+        a = F.col("id_a").cast("bigint")
+        b = F.col("id_b").cast("bigint")
+        return pairs.select(F.least(a, b).alias("id_a"),
+                            F.greatest(a, b).alias("id_b"))
+
     kept = runner.run(
         "canonical_keepers",
-        lambda: dedup.keep_canonical(clean, pairs))
+        lambda: dedup.keep_canonical(clean, numeric_pairs()))
 
     sampled = runner.run(
         "stratified_sample",
@@ -118,3 +129,77 @@ def run_corpus_curation(spark: SparkSession, root: str, sf_dir: str,
         "packed_docs": packed.count(),
         "total_tokens": int(packed.agg(F.sum("n_tokens")).first()[0] or 0),
     }
+
+
+def run_corpus_curation_streaming(spark: SparkSession, source_dir: str,
+                                  schema: str, out_dir: str, test_set,
+                                  dedup_threshold: float = 0.8,
+                                  sample_fracs: dict | None = None,
+                                  decon_k: int = 4,
+                                  max_files_per_trigger: int | None = None):
+    """Streaming-ingest variant of run_corpus_curation (round-5
+    VERDICT #9): documents arrive as micro-batches and each batch runs
+    quality filter -> benchmark decontamination (static ``test_set``)
+    -> incremental MinHash near-dup against EVERYTHING previously
+    ingested -> greedy larger-id drop -> stratified sampling, with
+    survivors appended to ``out_dir/curated`` and the full
+    quality+decon survivor set appended to ``out_dir/register`` (the
+    corpus the next batch's incremental dedup probes).
+
+    Parity with the batch pipeline is exact when batches arrive in
+    doc_id order (the append-only ingest contract): batch
+    keep_canonical drops the LARGER id of every verified pair, and
+    probing each new doc against ALL prior survivors — kept or
+    dropped, hence the register — reproduces precisely that drop set
+    (checking only kept docs would diverge on dup chains A~B~C).
+    Sampling is md5-row-local, so per-doc decisions are
+    batch-independent. Sequence packing stays an offline step over
+    the curated store (its output depends on global corpus order).
+    Returns the started StreamingQuery; tested streamed == batch on a
+    two-batch replay."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from ..operators import dedup, text
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+    register = f"{out_dir}/register"
+    curated = f"{out_dir}/curated"
+
+    def curate_batch(batch_df, epoch_id):
+        filtered = batch_df.join(
+            text.filter_corpus(batch_df, min_tokens=30, max_rep=0.5,
+                               langs=("en", "es", "de", "fr", "zh"))
+            .select("doc_id"), on="doc_id")
+        clean = dedup.keep_uncontaminated(
+            filtered, dedup.decontaminate(filtered, test_set,
+                                          shingle_k=decon_k))
+        clean = clean.localCheckpoint(eager=True)
+        if os.path.exists(register):
+            prior = spark.read.parquet(register)
+            pairs = dedup.minhash_dedup_incremental(
+                clean, prior, threshold=dedup_threshold)
+        else:
+            pairs = dedup.minhash_dedup(clean, threshold=dedup_threshold)
+        # batch keep_canonical == drop the larger id of every pair
+        # (id-ordered arrival makes every cross-batch pair's larger id
+        # the new doc)
+        losers = pairs.select(
+            SF.greatest(SF.col("id_a").cast("bigint"),
+                        SF.col("id_b").cast("bigint")).alias("doc_id")
+        ).distinct()
+        kept = clean.join(losers, on="doc_id", how="left_anti")
+        sampled = text.stratified_sample(
+            kept, sample_fracs or {"en": 1.0, "es": 0.8, "de": 0.8},
+            default=0.5)
+        sampled.write.mode("append").parquet(curated)
+        clean.write.mode("append").parquet(register)
+
+    return (stream.writeStream.foreachBatch(curate_batch)
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .trigger(availableNow=True).start())

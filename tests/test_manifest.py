@@ -133,3 +133,42 @@ def test_corpus_curation_pipeline_resumes(spark, tmp_path):
     assert by_name["pack_sequences"]["skipped"]
     assert r3["after_sample"] == r1["after_sample"]
     assert r3["total_tokens"] == r1["total_tokens"]
+
+
+def test_corpus_curation_streaming_equals_batch(spark, tmp_path):
+    """Round-5 VERDICT #9: the streaming ingest curation (per-batch
+    quality -> decontaminate -> incremental minhash vs the full
+    survivor register -> larger-id drop -> sampling) produces the SAME
+    curated doc set as the batch pipeline on a two-batch replay in
+    doc_id order."""
+    from pyspark.sql import functions as F
+
+    from rasters_rs_spark.streaming.pipeline import (
+        run_corpus_curation, run_corpus_curation_streaming)
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    train = docs.where(F.col("doc_id") < 490)
+    tests_static = docs.where(F.col("doc_id") >= 490)
+
+    # batch reference: the resumable pipeline's post-sampling stage
+    broot = str(tmp_path / "batch")
+    run_corpus_curation(spark, broot, sf, budget=512)
+    batch_ids = sorted(r["doc_id"] for r in spark.read.parquet(
+        f"{broot}/stratified_sample/data").select("doc_id").collect())
+
+    # streamed: the same train docs over two id-ordered micro-batches
+    src = str(tmp_path / "stream_src")
+    train.where("doc_id < 250").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    train.where("doc_id >= 250").coalesce(1) \
+        .write.mode("append").parquet(src)
+    out = str(tmp_path / "stream_out")
+    schema = ", ".join(f"{n} {t}" for n, t in train.dtypes)
+    q = run_corpus_curation_streaming(spark, src, schema, out,
+                                      tests_static,
+                                      max_files_per_trigger=1)
+    q.awaitTermination(240)
+    got_ids = sorted(r["doc_id"] for r in spark.read.parquet(
+        f"{out}/curated").select("doc_id").collect())
+    assert got_ids == batch_ids and len(got_ids) > 0
