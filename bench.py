@@ -97,6 +97,8 @@ def main():
         "filter_corpus_docs",
         # round-5 additions (new keys; prior keys keep their basis)
         "bpe_tokens_docs", "ann_pq_embeddings", "pack_sequences_docs",
+        # round-6 additions
+        "sibson_discrete_synth", "fill_barycentric_chunked_synth",
     ]
     # best-of-N per query: the shared VM's noisy-neighbor spikes can
     # inflate a single shot 5-10x (measured), and the FIRST run also

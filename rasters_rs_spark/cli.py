@@ -108,14 +108,19 @@ def cmd_tile(args):
 
 def cmd_fill(args):
     import pandas as pd
-    from .operators.knn import fill_barycentric, fill_idw
+    from .operators.knn import fill_barycentric, fill_idw, fill_sibson
     spark = _spark(args)
     pts = pd.read_parquet(args.points)
-    if args.method == "barycentric":
+    if args.method in ("barycentric", "sibson", "sibson-c1"):
         from .functions.delaunay import delaunay_triangles
         tris = delaunay_triangles(pts["x"].to_numpy(), pts["y"].to_numpy())
-        out = fill_barycentric(_images(spark, args.input), pts, tris,
-                               fill_nan=args.fill_nan).persist()
+        if args.method == "barycentric":
+            out = fill_barycentric(_images(spark, args.input), pts, tris,
+                                   fill_nan=args.fill_nan).persist()
+        else:
+            out = fill_sibson(_images(spark, args.input), pts, tris,
+                              fill_nan=args.fill_nan,
+                              c1=args.method == "sibson-c1").persist()
     else:
         out = fill_idw(_images(spark, args.input), pts, k=args.k,
                        fill_nan=args.fill_nan).persist()
@@ -377,10 +382,12 @@ def build_parser():
     f.add_argument("-k", type=int, default=8)
     f.add_argument("--fill-nan", action="store_true")
     f.add_argument("--method", default="idw",
-                   choices=["idw", "barycentric"],
+                   choices=["idw", "barycentric", "sibson", "sibson-c1"],
                    help="barycentric = linear interpolation over a "
-                        "driver-built Delaunay triangulation (the "
-                        "reference's documented Sibson alternative)")
+                        "driver-built Delaunay triangulation; sibson = "
+                        "C0 natural-neighbor (Watson cavity); sibson-c1 "
+                        "= the reference raster-fill-nn default (C1 "
+                        "gradient blend, flatness 0.5)")
     f.set_defaults(fn=cmd_fill)
 
     r = sub.add_parser("resample")

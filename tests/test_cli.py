@@ -202,6 +202,14 @@ def test_cli_fill_barycentric(capsys, tmp_path, spark):
     ii, jj = np.nonzero(block == -999.0)
     assert np.abs(got[ii, jj] - field(jj + 0.5, 16.0 - ii - 0.5)).max() < 1e-9
 
+    # sibson-c1 (the reference raster-fill-nn default): linear field
+    # stays exact through the C1 blend
+    dst2 = str(tmp_path / "filled_c1")
+    res2 = _run(capsys, ["fill", src, ptsp, dst2, "--method", "sibson-c1"])
+    assert res2["filled"] == 4
+    got2 = codecs.decode_raw(pd.read_parquet(dst2).iloc[0]["bytes"], 16, 16)
+    assert np.abs(got2[ii, jj] - field(jj + 0.5, 16.0 - ii - 0.5)).max() < 1e-7
+
 
 def test_cli_stats_distributed_aois(capsys, tmp_path, spark):
     import pandas as pd

@@ -25,6 +25,8 @@ import sys
 import time
 import urllib.request
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -184,6 +186,42 @@ def main():
         queries, emb10, k=5, dim=64, n_lists=16, nprobe=4).count())
     timed("ann_pq_10x", lambda: similarity.ann_pq(
         queries, emb10, k=5, dim=64, rerank=False).count())
+
+    # --- PQ recall-vs-config sweep (round-5 VERDICT #8): trained
+    # codebooks, exact cosine top-k as ground truth, so a user can
+    # pick (m_sub, k_codes, rerank_factor) from measured evidence.
+    # rerank_factor is the cheap knob: it widens the exact-rerank
+    # shortlist without touching the codes table.
+    exact = {}
+    for r in similarity.cosine_topk(queries, emb10, k=5,
+                                    dim=64).collect():
+        exact.setdefault(r["q_id"], set()).add(r["vec_id"])
+    pq_sweep = []
+    for m_sub, k_codes, rfac in [(8, 16, 4), (8, 16, 8),
+                                 (16, 16, 4), (8, 64, 4)]:
+        cb = similarity.train_pq_codebooks_distributed(
+            emb10, dim=64, m_sub=m_sub, k_codes=k_codes)
+        runs = []
+        got = None
+        for _ in range(2):
+            t0 = time.time()
+            got = similarity.ann_pq(
+                queries, emb10, k=5, dim=64, m_sub=m_sub,
+                k_codes=k_codes, rerank=True, rerank_factor=rfac,
+                codebooks=cb).collect()
+            runs.append(round(time.time() - t0, 2))
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+        rec = round(float(np.mean(
+            [len(exact[q] & by_q.get(q, set())) / len(exact[q])
+             for q in exact])), 3)
+        pq_sweep.append({"m_sub": m_sub, "k_codes": k_codes,
+                         "rerank_factor": rfac, "recall_at_5": rec,
+                         "sec": min(runs), "runs_sec": runs})
+        print(f"# pq_sweep m={m_sub} k={k_codes} r={rfac}: "
+              f"recall {rec} in {min(runs)}s {runs}", file=sys.stderr)
+    results["pq_recall_sweep"] = pq_sweep
     docs10.unpersist()
     emb10.unpersist()
 
@@ -283,6 +321,17 @@ def main():
           lambda: knn.fill_barycentric_distributed(
               imgs_f, pts_f, cell_size=64.0).agg(
                   F.sum("filled")).collect()[0][0])
+    # same fixture through the SIBSON kernels (round-6: the vectorized
+    # cavity solve's distributed-scale evidence; C1 adds the global
+    # gradient aggregation + blend)
+    timed("fill_sibson_dist_256img_259kpts",
+          lambda: knn.fill_sibson_distributed(
+              imgs_f, pts_f, cell_size=64.0).agg(
+                  F.sum("filled")).collect()[0][0])
+    timed("fill_sibson_c1_dist_256img_259kpts",
+          lambda: knn.fill_sibson_distributed(
+              imgs_f, pts_f, cell_size=64.0, c1=True).agg(
+                  F.sum("filled")).collect()[0][0])
     pts_f.unpersist()
     imgs_f.unpersist()
 
@@ -298,6 +347,10 @@ def main():
         f"| {s['stage']} | {s['name']} | {s['tasks']} | {s['median_ms']} "
         f"| {s['max_ms']} | {s['max_over_median']} |"
         for s in results["stage_skew_top"])
+    pq_rows = "\n".join(
+        f"| {p['m_sub']} | {p['k_codes']} | {p['rerank_factor']} "
+        f"| {p['recall_at_5']} | {p['sec']} | {p['runs_sec']} |"
+        for p in results["pq_recall_sweep"])
     with open(path, "w") as f:
         f.write(f"""# 10x scale proof
 
@@ -330,6 +383,16 @@ single points 2x+, hence best-of-3 with spreads shown).
 | ivf_topk_det (8 queries) | {n_emb10} vecs | {results['ann_ivf_10x']['rows']} | {results['ann_ivf_10x']['sec']} |
 | ann_pq ADC scan (8 queries) | {n_emb10} vecs | {results['ann_pq_10x']['rows']} | {results['ann_pq_10x']['sec']} |
 
+## PQ recall vs config (trained codebooks, exact cosine ground truth)
+
+recall@5 over 8 queries x {n_emb10} vecs; rerank_factor widens the
+exact-rerank shortlist without touching the codes table — the cheap
+recall knob. Pick configs from this table, not folklore.
+
+| m_sub | k_codes | rerank_factor | recall@5 | wall (s) | spread (s) |
+|---|---|---|---|---|---|
+{pq_rows}
+
 ## Distributed tiling / mosaic merge
 
 | stage | input | output rows | wall (s) |
@@ -346,6 +409,8 @@ single points 2x+, hence best-of-3 with spreads shown).
 | zonal_stats_dist | 8192 64px images x 512-AOI catalog | {results['zonal_dist_8192img_512aoi']['rows']} | {results['zonal_dist_8192img_512aoi']['sec']} | {results['zonal_dist_8192img_512aoi']['runs_sec']} |
 | chunked_zonal_stats_dist | same volume, strip chunks | {results['zonal_chunked_dist_8192img_512aoi']['rows']} | {results['zonal_chunked_dist_8192img_512aoi']['sec']} | {results['zonal_chunked_dist_8192img_512aoi']['runs_sec']} |
 | fill_barycentric_distributed | 256 64px images, ~259k points, cell-bucketed Delaunay | {results['fill_barycentric_dist_256img_259kpts']['rows']} filled | {results['fill_barycentric_dist_256img_259kpts']['sec']} | {results['fill_barycentric_dist_256img_259kpts']['runs_sec']} |
+| fill_sibson_distributed (vectorized cavity solve) | same volume | {results['fill_sibson_dist_256img_259kpts']['rows']} filled | {results['fill_sibson_dist_256img_259kpts']['sec']} | {results['fill_sibson_dist_256img_259kpts']['runs_sec']} |
+| fill_sibson_distributed c1=True (gradient blend) | same volume | {results['fill_sibson_c1_dist_256img_259kpts']['rows']} filled | {results['fill_sibson_c1_dist_256img_259kpts']['sec']} | {results['fill_sibson_c1_dist_256img_259kpts']['runs_sec']} |
 
 The per-level shuffle is the plan for rasters whose pyramid exceeds a
 task (each level materializes raw tiles — per-level volume = raster
