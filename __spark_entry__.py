@@ -1432,6 +1432,95 @@ def _decontaminate_sql() -> str:
 _DUPSPAN_K = 16
 
 
+# clean reference corpus for the CCNet-style perplexity gate: fixed
+# seed text (vocabulary matching the synthetic documents so pair hits
+# dominate; unseen bigrams exercise the per-context fallback)
+_LM_SEED = ("the query scans the table and joins each row on the hash "
+            "key then sorts the merged batch by value a window over the "
+            "stream groups small parts into big sorted columns fast "
+            "filters keep the data line clean for every customer order "
+            "spark merges partial aggregates before the final sort ") * 2
+
+
+def _lm_seed_model():
+    a, b, c = text._char_pairs_batch([_LM_SEED])
+    return text.char_bigram_model(
+        pd.DataFrame({"a": a, "b": b, "cnt": c}))
+
+
+def _q_char_bigram_counts(spark, sf_dir):
+    """Distributed char-LM training pass (round 6: CCNet-style
+    perplexity filtering, Wenzek et al. 2020): codepoint-bigram counts
+    over the documents corpus — Arrow-batched partial counts merged by
+    one bounded groupBy (output = alphabet^2 rows max). Hash-exact vs
+    the oracle's per-position ascii(substr) pairs."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.char_bigram_counts(docs)
+
+
+def _char_bigram_counts_sql() -> str:
+    return """
+        WITH d AS (SELECT coalesce(text, '') AS t FROM documents),
+        pos AS (SELECT t, unnest(range(1, length(t))) AS i FROM d)
+        SELECT CAST(ascii(substr(t, i, 1)) AS BIGINT) AS a,
+               CAST(ascii(substr(t, i + 1, 1)) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM pos GROUP BY a, b
+    """
+
+
+def _q_lm_score(spark, sf_dir):
+    """Perplexity scoring under the fixed seed-trained char-bigram
+    model (the quality-gate half of the CCNet pipeline; training is
+    the hash-exact char_bigram_counts_docs row). Model log-probs are
+    quantized to the 2^-20 dyadic grid, so each document's sum_logp is
+    EXACT and order-free — a plain SQL SUM over the same literal table
+    reproduces the double bit-for-bit. ppl (libm exp) is kept out of
+    the hash surface."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.lm_score(docs, _lm_seed_model()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_transitions", "sum_logp", "avg_logp")
+
+
+def _lm_score_sql() -> str:
+    m = _lm_seed_model()
+    prs = ", ".join(
+        f"({int(a)}, {int(b)}, {_dbl17(lp)})"
+        for a, b, lp in zip(m["pairs"]["a"], m["pairs"]["b"],
+                            m["pairs"]["logp"]))
+    ctx = ", ".join(f"({int(a)}, {_dbl17(lp)})"
+                    for a, lp in zip(m["ctx"]["a"], m["ctx"]["logp"]))
+    g = _dbl17(m["global"])
+    return f"""
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          coalesce(text, '') AS t FROM documents),
+        pairsm(a, b, logp) AS (VALUES {prs}),
+        ctxm(a, logp) AS (VALUES {ctx}),
+        pos AS (
+          SELECT doc_id,
+                 CAST(ascii(substr(t, i, 1)) AS BIGINT) AS a,
+                 CAST(ascii(substr(t, i + 1, 1)) AS BIGINT) AS b
+          FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS i
+                FROM d)),
+        sc AS (
+          SELECT doc_id, coalesce(p.logp, c.logp, {g}) AS lp
+          FROM pos
+          LEFT JOIN pairsm p ON p.a = pos.a AND p.b = pos.b
+          LEFT JOIN ctxm c ON c.a = pos.a),
+        agg AS (SELECT doc_id, sum(lp) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM sc GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(agg.n, 0) AS n_transitions,
+               coalesce(agg.s, 0.0) AS sum_logp,
+               CASE WHEN coalesce(agg.n, 0) > 0
+                    THEN agg.s / CAST(agg.n AS DOUBLE)
+                    ELSE 0.0 END AS avg_logp
+        FROM d LEFT JOIN agg USING (doc_id)
+    """
+
+
 def _q_dup_spans(spark, sf_dir):
     """Cross-document duplicated-substring fractions (Lee-et-al-style
     boilerplate signal): k-byte rolling-hash windows, a window is
@@ -2304,6 +2393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_docs": _q_dup_spans,
         "sibson_discrete_synth": _q_sibson_discrete,
         # --- beyond the driver cap (full local gate still runs) ---
+        "char_bigram_counts_docs": _q_char_bigram_counts,
+        "lm_score_docs": _q_lm_score,
         "zonal_stats_synth": _q_zonal_stats_images,
         "q1_pricing": _q_q1_pricing,
         "nation_revenue": _q_nation_revenue,
@@ -3287,6 +3378,8 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "fill_barycentric_dist_synth": _fill_barycentric_dist_sql(),
         "fill_barycentric_chunked_synth": _fill_barycentric_dist_sql(),
         "sibson_discrete_synth": _sibson_discrete_sql(),
+        "char_bigram_counts_docs": _char_bigram_counts_sql(),
+        "lm_score_docs": _lm_score_sql(),
         "fill_idw_dist_synth": _fill_idw_sql(),
         "mosaic_mean_synth": _mosaic_mean_sql(),
         "resample_bilinear_synth": _resample_bilinear_sql(),

@@ -1112,3 +1112,195 @@ def duplicated_span_stats(docs: DataFrame, k: int = 16,
                     F.col("n_dup_windows").cast("double")
                     / F.col("n_windows"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram language-model quality scoring (CCNet-style
+# perplexity filtering, Wenzek et al. 2020 — the classic web-corpus
+# quality gate: score each document under a LM trained on a clean
+# reference corpus and drop the high-perplexity tail). A char-BIGRAM
+# model keeps training a bounded aggregation (alphabet^2 rows) and
+# scoring a broadcast lookup — the Spark-shaped stand-in for the
+# KenLM 5-gram the original uses; the dataflow (distributed count ->
+# driver-sized model -> broadcast score) is the production shape.
+# ---------------------------------------------------------------------------
+
+#: Unicode codepoint space bound used to pack (a, b) bigram keys.
+_LM_CP = 0x110000
+#: log-probabilities quantize to this dyadic grid so per-document sums
+#: are EXACT integers-in-double (order-free: any summation order gives
+#: identical bits, which is what lets a plain SQL SUM() mirror the
+#: Arrow kernel bit-for-bit). Error per transition <= 2^-21 — noise at
+#: quality-filter resolution.
+_LM_QUANT = 1 << 20
+
+
+def _char_pairs_batch(texts):
+    """(a, b, cnt) codepoint-bigram partial counts for one Arrow batch:
+    utf-32 concatenation, one shifted-pair view, cross-document pairs
+    masked, np.unique on packed keys. No per-document Python."""
+    bufs = [(t or "").encode("utf-32-le") for t in texts]
+    lens = np.fromiter((len(b) // 4 for b in bufs), dtype=np.int64,
+                       count=len(bufs))
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.int64)
+    n = int(data.size)
+    if n < 2:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    valid = np.ones(n - 1, dtype=bool)
+    last = offsets[1:-1] - 1          # last char of each doc but the final
+    last = last[(last >= 0) & (last < n - 1)]
+    valid[last] = False
+    key = data[:-1][valid] * _LM_CP + data[1:][valid]
+    u, c = np.unique(key, return_counts=True)
+    return u // _LM_CP, u % _LM_CP, c.astype(np.int64)
+
+
+def char_bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed LM training pass: codepoint-bigram counts over the
+    corpus — Arrow-batched partial counts (one shifted-pair scan per
+    batch, bounded by the batch's distinct bigrams) merged by ONE
+    map-side-combined groupBy; output bounded by alphabet^2, never by
+    corpus size. SQL-oracled hash-exact (the oracle re-derives pairs
+    via ascii(substr) per position — codepoints, matching the utf-32
+    kernel on any text). Returns (a, b, cnt)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a, b, c = _char_pairs_batch(list(pdf[text_col]))
+            yield pd.DataFrame({"a": a, "b": b, "cnt": c})
+
+    return docs.select(text_col).mapInPandas(
+        gen, schema="a long, b long, cnt long") \
+        .groupBy("a", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def char_bigram_model(counts: pd.DataFrame, alpha: float = 1.0) -> dict:
+    """Driver-side model build from (a, b, cnt) counts (alphabet^2
+    rows — driver-sized by construction): add-alpha (Laplace)
+    conditional log-probs with an OOV successor bucket per context and
+    a uniform fallback for unseen contexts:
+
+        p(b|a)   = (cnt(a,b) + alpha) / (tot(a) + alpha * (V + 1))
+        p(oov|a) =          alpha     / (tot(a) + alpha * (V + 1))
+        p(.|a unseen) = 1 / (V + 1)
+
+    with V = distinct observed successors. All log-probs quantize to
+    the 2^-20 dyadic grid (_LM_QUANT) so document scores sum exactly
+    and order-free. Returns {"pairs": (a, b, logp), "ctx": (a, logp),
+    "global": float, "V": int}."""
+    a = counts["a"].to_numpy(dtype=np.int64)
+    b = counts["b"].to_numpy(dtype=np.int64)
+    c = counts["cnt"].to_numpy(dtype=np.float64)
+    V = int(np.unique(b).size)
+
+    def quant(x):
+        return np.round(np.log(x) * _LM_QUANT) / _LM_QUANT
+
+    ctx_ids, inv = np.unique(a, return_inverse=True)
+    tot = np.bincount(inv, weights=c)
+    denom = tot + alpha * (V + 1)
+    pair_logp = quant((c + alpha) / denom[inv])
+    ctx_logp = quant(alpha / denom)
+    return {
+        "pairs": pd.DataFrame({"a": a, "b": b, "logp": pair_logp}),
+        "ctx": pd.DataFrame({"a": ctx_ids, "logp": ctx_logp}),
+        "global": float(quant(np.asarray(1.0 / (V + 1)))),
+        "V": V,
+    }
+
+
+def lm_score(docs: DataFrame, model: dict, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Score every document under a char-bigram model (char_bigram_model):
+    sum of transition log-probs, average per transition, and
+    perplexity exp(-avg). The model rides the Arrow closure as three
+    sorted numpy lookup tables (searchsorted — no Python per char);
+    because model log-probs live on the 2^-20 dyadic grid, sum_logp is
+    exact and order-free, so the SQL oracle's SUM() matches
+    bit-for-bit (avg_logp = one division of exact values; ppl is
+    exp() and excluded from the hash surface). Empty/one-char docs
+    score (0, 0.0, 1.0). Returns (doc_id, n_transitions, sum_logp,
+    avg_logp, ppl)."""
+    pairs = model["pairs"]
+    pk = (pairs["a"].to_numpy(dtype=np.int64) * _LM_CP
+          + pairs["b"].to_numpy(dtype=np.int64))
+    order = np.argsort(pk)
+    pk = pk[order]
+    pv = pairs["logp"].to_numpy(dtype=np.float64)[order]
+    ck = model["ctx"]["a"].to_numpy(dtype=np.int64)
+    corder = np.argsort(ck)
+    ck = ck[corder]
+    cv = model["ctx"]["logp"].to_numpy(dtype=np.float64)[corder]
+    g = float(model["global"])
+    id_type = dict(docs.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = list(pdf[text_col])
+            bufs = [(t or "").encode("utf-32-le") for t in texts]
+            lens = np.fromiter((len(x) // 4 for x in bufs),
+                               dtype=np.int64, count=len(bufs))
+            data = np.frombuffer(b"".join(bufs), dtype=np.uint32) \
+                .astype(np.int64)
+            n = int(data.size)
+            trans = np.maximum(lens - 1, 0)
+            sums = np.zeros(len(bufs), dtype=np.float64)
+            if n >= 2:
+                offsets = np.concatenate([[0], np.cumsum(lens)])
+                valid = np.ones(n - 1, dtype=bool)
+                last = offsets[1:-1] - 1
+                last = last[(last >= 0) & (last < n - 1)]
+                valid[last] = False
+                key = data[:-1] * _LM_CP + data[1:]
+                lp = np.full(n - 1, g)
+                # context fallback first, pair hit overrides
+                if ck.size:
+                    ci = np.searchsorted(ck, data[:-1])
+                    chit = (ci < ck.size) & (ck[np.minimum(ci, ck.size - 1)]
+                                             == data[:-1])
+                    lp[chit] = cv[ci[chit]]
+                if pk.size:
+                    pi = np.searchsorted(pk, key)
+                    phit = (pi < pk.size) & (pk[np.minimum(pi, pk.size - 1)]
+                                             == key)
+                    lp[phit] = pv[pi[phit]]
+                lp[~valid] = 0.0
+                # dyadic-grid values: np.add.reduceat's in-segment
+                # order is irrelevant — the sum is exact
+                seg = np.add.reduceat(
+                    np.concatenate([lp, [0.0]]),
+                    np.minimum(offsets[:-1], n - 1))
+                seg[trans == 0] = 0.0
+                sums = seg
+            avg = np.where(trans > 0, sums / np.maximum(trans, 1), 0.0)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "n_transitions": trans,
+                "sum_logp": sums,
+                "avg_logp": avg,
+                "ppl": np.exp(-avg),
+            })
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=(f"doc_id {id_type}, n_transitions bigint, "
+                     f"sum_logp double, avg_logp double, ppl double"))
+
+
+def perplexity_filter(docs: DataFrame, model: dict,
+                      max_avg_nll: float, min_chars: int = 2,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style quality gate: keep documents whose average negative
+    log-likelihood per transition under the reference model is at most
+    ``max_avg_nll`` (equivalently ppl <= e^max_avg_nll) and that have
+    at least ``min_chars`` characters. Returns the kept docs with the
+    score columns attached."""
+    scored = lm_score(docs, model, text_col, id_col)
+    keep = scored.where((F.col("n_transitions") >= min_chars - 1)
+                        & (-F.col("avg_logp") <= max_avg_nll)) \
+        .select(F.col("doc_id").alias("_kid"), "n_transitions",
+                "avg_logp", "ppl")
+    return docs.join(keep, on=F.col(id_col) == F.col("_kid"),
+                     how="inner").drop("_kid")

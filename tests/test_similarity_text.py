@@ -771,3 +771,67 @@ def test_dup_spans_and_fingerprint_non_ascii_match_duckdb():
     fp_oracle = dict(con.execute(E._fingerprint_sql(8)).fetchall())
     for d, t in zip(pdf["doc_id"], pdf["text"]):
         assert T.fingerprint_minhash(t, 8) == int(fp_oracle[int(d)]), d
+
+
+def test_char_bigram_lm_end_to_end(spark):
+    """CCNet-style perplexity gate (round 6): distributed bigram
+    counts match a scalar mirror; scoring under the trained model
+    separates in-domain text from garbage; dyadic-grid log-probs make
+    sum_logp exactly n * per-transition values (order-free); empty /
+    single-char / null docs score (0, 0.0, ppl 1.0); perplexity_filter
+    keeps exactly the low-NLL docs."""
+    from collections import Counter
+
+    import numpy as np
+    from rasters_rs_spark.operators import text as T
+
+    corpus = ["the quick brown fox jumps over the lazy dog",
+              "the lazy dog sleeps while the quick fox runs",
+              "quick brown foxes jump over lazy sleeping dogs"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+
+    counts = {(r["a"], r["b"]): r["cnt"]
+              for r in T.char_bigram_counts(docs).collect()}
+    mirror = Counter()
+    for t in corpus:
+        for x, y in zip(t, t[1:]):
+            mirror[(ord(x), ord(y))] += 1
+    assert counts == dict(mirror)
+
+    model = T.char_bigram_model(
+        __import__("pandas").DataFrame(
+            {"a": [k[0] for k in mirror], "b": [k[1] for k in mirror],
+             "cnt": list(mirror.values())}))
+    # every logp sits on the dyadic grid
+    for arr in (model["pairs"]["logp"], model["ctx"]["logp"]):
+        v = np.asarray(arr) * T._LM_QUANT
+        assert np.array_equal(v, np.round(v))
+
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zzqx qzxj jxqz zqxz"),
+         (3, ""), (4, None), (5, "a")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.lm_score(probe, model).collect()}
+    assert got[1]["avg_logp"] > got[2]["avg_logp"]   # in-domain scores higher
+    assert got[1]["ppl"] < got[2]["ppl"]
+    for d in (3, 4, 5):
+        assert got[d]["n_transitions"] == 0
+        assert got[d]["sum_logp"] == 0.0 and got[d]["ppl"] == 1.0
+    assert got[1]["n_transitions"] == len("the quick brown fox") - 1
+    # scalar mirror of the score: same lookup semantics
+    pk = {(a, b): lp for a, b, lp in zip(model["pairs"]["a"],
+                                         model["pairs"]["b"],
+                                         model["pairs"]["logp"])}
+    ck = dict(zip(model["ctx"]["a"], model["ctx"]["logp"]))
+    t = "the quick brown fox"
+    exp = sum(pk.get((ord(x), ord(y)),
+                     ck.get(ord(x), model["global"]))
+              for x, y in zip(t, t[1:]))
+    assert got[1]["sum_logp"] == exp                  # exact: dyadic grid
+
+    kept = {r["doc_id"] for r in
+            T.perplexity_filter(probe, model,
+                                max_avg_nll=-got[1]["avg_logp"] + 0.1)
+            .collect()}
+    assert 1 in kept and 2 not in kept and 3 not in kept

@@ -192,21 +192,23 @@ def main():
     # pick (m_sub, k_codes, rerank_factor) from measured evidence.
     # rerank_factor is the cheap knob: it widens the exact-rerank
     # shortlist without touching the codes table.
+    # sweep runs on the DISTINCT 1x corpus: the 10x replicas put 10
+    # exact copies of each query in the corpus, which makes recall@5
+    # trivially 1.0 for any config (measured) — a vacuous sweep
     exact = {}
-    for r in similarity.cosine_topk(queries, emb10, k=5,
-                                    dim=64).collect():
+    for r in similarity.cosine_topk(queries, emb, k=5).collect():
         exact.setdefault(r["q_id"], set()).add(r["vec_id"])
     pq_sweep = []
     for m_sub, k_codes, rfac in [(8, 16, 4), (8, 16, 8),
                                  (16, 16, 4), (8, 64, 4)]:
         cb = similarity.train_pq_codebooks_distributed(
-            emb10, dim=64, m_sub=m_sub, k_codes=k_codes)
+            emb, dim=64, m_sub=m_sub, k_codes=k_codes)
         runs = []
         got = None
         for _ in range(2):
             t0 = time.time()
             got = similarity.ann_pq(
-                queries, emb10, k=5, dim=64, m_sub=m_sub,
+                queries, emb, k=5, dim=64, m_sub=m_sub,
                 k_codes=k_codes, rerank=True, rerank_factor=rfac,
                 codebooks=cb).collect()
             runs.append(round(time.time() - t0, 2))
@@ -385,7 +387,9 @@ single points 2x+, hence best-of-3 with spreads shown).
 
 ## PQ recall vs config (trained codebooks, exact cosine ground truth)
 
-recall@5 over 8 queries x {n_emb10} vecs; rerank_factor widens the
+recall@5 over 8 queries x {n_emb} DISTINCT vecs (the 10x replicas
+would put 10 exact query copies in the corpus and pin recall at 1.0
+for any config — measured); rerank_factor widens the
 exact-rerank shortlist without touching the codes table — the cheap
 recall knob. Pick configs from this table, not folklore.
 
