@@ -1565,6 +1565,119 @@ def _dup_spans_sql() -> str:
     """
 
 
+def _span_cuts_cte() -> str:
+    """Shared CTE chain for the exact substring-dedup oracles: the
+    two-lane packed window hash (engine's h1*FP2_MOD+h2, int64-exact
+    in DuckDB's BIGINT), canonical = min packed (doc_id, pos), and the
+    gaps-and-islands merge of non-canonical marks into maximal
+    half-open [start, end) intervals — all integer arithmetic, so the
+    oracle is hash-hard."""
+    from rasters_rs_spark.operators import text as _t
+    k = _DUPSPAN_K
+
+    def terms(base, mod):
+        powers = [1] * k
+        for i in range(1, k):
+            powers[i] = (powers[i - 1] * base) % mod
+        return " + ".join(
+            f"CAST(ascii(substr(t, i + {d}, 1)) AS BIGINT)"
+            f" * {powers[k - 1 - d]}" for d in range(k))
+
+    return f"""
+        d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce(text, '') AS t FROM documents),
+        pos AS (
+          SELECT doc_id, t, unnest(range(1, length(t) - {k - 1} + 1)) AS i
+          FROM d WHERE length(t) >= {k}),
+        w AS (SELECT doc_id, i - 1 AS p,
+                     (({terms(_t.FP_BASE, _t.FP_MOD)}) % {_t.FP_MOD})
+                       * {_t.FP2_MOD}
+                     + (({terms(_t.FP2_BASE, _t.FP2_MOD)}) % {_t.FP2_MOD})
+                     AS h
+              FROM pos),
+        agg AS (SELECT h, count(DISTINCT doc_id) AS nd,
+                       min(doc_id * 4294967296 + p) AS canon
+                FROM w GROUP BY h),
+        marks AS (SELECT w.doc_id, w.p FROM w JOIN agg USING (h)
+                  WHERE nd >= 2
+                    AND w.doc_id * 4294967296 + w.p <> canon),
+        isl AS (SELECT doc_id, p,
+                       max(p + {k}) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_end
+                FROM marks),
+        isl2 AS (SELECT doc_id, p,
+                        sum(CASE WHEN prev_end IS NULL OR p > prev_end
+                                 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS UNBOUNDED PRECEDING) AS g
+                 FROM isl),
+        cuts AS (SELECT doc_id, min(p) AS start, max(p) + {k} AS "end"
+                 FROM isl2 GROUP BY doc_id, g)
+    """
+
+
+def _q_span_intervals(spark, sf_dir):
+    """Merged removal intervals of the exact cross-document
+    substring-dedup pass (Lee et al. 2022 shape): non-canonical
+    occurrences of duplicated k-char windows, merged per doc."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.duplicated_span_intervals(docs, k=_DUPSPAN_K) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                "start", "end")
+
+
+def _span_intervals_sql() -> str:
+    return f"""
+        WITH {_span_cuts_cte()}
+        SELECT doc_id, start, "end" FROM cuts
+    """
+
+
+def _q_span_removal(spark, sf_dir):
+    """Apply the removal intervals: cut every non-canonical duplicated
+    span out of the text (string reassembly from the kept complement
+    segments — hash-exact vs the DuckDB string_agg mirror)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.remove_duplicated_spans(docs, k=_DUPSPAN_K) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                "text_clean", "n_spans_removed", "n_chars_removed")
+
+
+def _span_removal_sql() -> str:
+    return f"""
+        WITH {_span_cuts_cte()},
+        cstat AS (SELECT doc_id,
+                         CAST(count(*) AS INTEGER) AS n_spans_removed,
+                         CAST(sum("end" - start) AS INTEGER)
+                           AS n_chars_removed
+                  FROM cuts GROUP BY doc_id),
+        segs AS (
+          SELECT doc_id,
+                 coalesce(lag("end") OVER (PARTITION BY doc_id
+                                           ORDER BY start), 0) AS s,
+                 start AS e
+          FROM cuts
+          UNION ALL
+          SELECT doc_id, max("end") AS s, NULL AS e
+          FROM cuts GROUP BY doc_id),
+        seg2 AS (SELECT segs.doc_id, s, coalesce(e, length(d.t)) AS e,
+                        d.t
+                 FROM segs JOIN d USING (doc_id)),
+        clean AS (SELECT doc_id,
+                         string_agg(substr(t, s + 1, e - s), ''
+                                    ORDER BY s) AS text_clean
+                  FROM seg2 GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(clean.text_clean, d.t) AS text_clean,
+               coalesce(cstat.n_spans_removed, 0) AS n_spans_removed,
+               coalesce(cstat.n_chars_removed, 0) AS n_chars_removed
+        FROM d
+        LEFT JOIN clean USING (doc_id)
+        LEFT JOIN cstat USING (doc_id)
+    """
+
+
 def _q_split_assign(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return text.deterministic_split(docs).select(
@@ -2391,6 +2504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_embeddings": _q_ann_ivfpq,
         "decontaminate_docs": _q_decontaminate,
         "dup_spans_docs": _q_dup_spans,
+        "span_intervals_docs": _q_span_intervals,
+        "span_removal_docs": _q_span_removal,
         "sibson_discrete_synth": _q_sibson_discrete,
         # --- beyond the driver cap (full local gate still runs) ---
         "char_bigram_counts_docs": _q_char_bigram_counts,
@@ -3295,6 +3410,8 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "ann_ivfpq_embeddings": _ann_ivfpq_sql(),
         "decontaminate_docs": _decontaminate_sql(),
         "dup_spans_docs": _dup_spans_sql(),
+        "span_intervals_docs": _span_intervals_sql(),
+        "span_removal_docs": _span_removal_sql(),
         "text_quality": f"""
             SELECT doc_id::BIGINT AS doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

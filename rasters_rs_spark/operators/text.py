@@ -13,7 +13,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # tiny deterministic marker lists; on real corpora these would be
 # frequency-derived stopword profiles per language
@@ -1026,21 +1026,28 @@ def train_bpe_merges(docs: DataFrame, n_merges: int = 32,
     return tuple(merges)
 
 
-def _window_hash_rows(texts, k: int):
-    """(doc_idx, hash) for every k-CHARACTER rolling-hash window of
-    each text — fingerprint_batch's buffer machinery without the min
-    fold: docs zero-pad to >= k codepoints (so every doc has >= 1
-    window), and cross-document windows are masked out. Exact M31
-    arithmetic over codepoints (utf-32 decode) — identical values to
-    the DuckDB ascii/power mirror on any text, ASCII or not, and
-    consistent with the engine's character-based n_windows
-    (round-5 ADVICE)."""
+def _window_hash_rows(texts, k: int, base: int = FP_BASE,
+                      mod: int = FP_MOD, with_pos: bool = False,
+                      pad: bool = True):
+    """(doc_idx, hash[, pos]) for every k-CHARACTER rolling-hash
+    window of each text — fingerprint_batch's buffer machinery without
+    the min fold: with ``pad`` docs zero-pad to >= k codepoints (so
+    every doc has >= 1 window; ``pad=False`` skips short docs
+    instead), and cross-document windows are masked out. Exact
+    modular arithmetic over codepoints (utf-32 decode) — identical
+    values to the DuckDB ascii/power mirror on any text, ASCII or
+    not, and consistent with the engine's character-based n_windows
+    (round-5 ADVICE). ``base``/``mod`` select the hash lane (any
+    prime mod < 2^31 keeps codepoint*power products < 2^52,
+    int64-exact)."""
     n = len(texts)
+    empty = np.empty(0, dtype=np.int64)
     if n == 0:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        return (empty, empty, empty) if with_pos else (empty, empty)
     bufs = [(t or "").encode("utf-32-le") for t in texts]
-    bufs = [b if len(b) >= 4 * k else b + b"\x00" * (4 * k - len(b))
-            for b in bufs]
+    if pad:
+        bufs = [b if len(b) >= 4 * k else b + b"\x00" * (4 * k - len(b))
+                for b in bufs]
     lens = np.fromiter((len(b) // 4 for b in bufs), dtype=np.int64, count=n)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
@@ -1049,14 +1056,18 @@ def _window_hash_rows(texts, k: int):
     powers = np.empty(k, dtype=np.int64)
     powers[0] = 1
     for i in range(1, k):
-        powers[i] = (powers[i - 1] * FP_BASE) % FP_MOD
+        powers[i] = (powers[i - 1] * base) % mod
     n_win = int(total - k + 1)
+    if n_win <= 0:
+        return (empty, empty, empty) if with_pos else (empty, empty)
     acc = np.zeros(n_win, dtype=np.int64)
     for d in range(k):
-        acc = (acc + data[d:d + n_win] * powers[k - 1 - d]) % FP_MOD
+        acc = (acc + data[d:d + n_win] * powers[k - 1 - d]) % mod
     doc_idx = np.repeat(np.arange(n), lens)[:n_win]
     pos = np.arange(n_win, dtype=np.int64) - offsets[doc_idx]
     ok = pos <= lens[doc_idx] - k
+    if with_pos:
+        return doc_idx[ok], acc[ok], pos[ok]
     return doc_idx[ok], acc[ok]
 
 
@@ -1304,3 +1315,124 @@ def perplexity_filter(docs: DataFrame, model: dict,
                 "avg_logp", "ppl")
     return docs.join(keep, on=F.col(id_col) == F.col("_kid"),
                      how="inner").drop("_kid")
+
+
+# second rolling-hash lane for span identity (62 combined bits: at
+# 10^8 corpus windows, expected cross-window collisions ~1e-3 — the
+# single 31-bit lane would see thousands)
+FP2_BASE = 1000033
+FP2_MOD = 2147483629
+
+
+def duplicated_span_windows(docs: DataFrame, k: int = 16,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """(id_col, pos, h) for every k-character window, h = the packed
+    two-lane rolling hash (h1 * FP2_MOD + h2 < 2^62, int64-exact).
+    Docs shorter than k contribute nothing (removal never truncates a
+    doc that cannot contain a full span). The shared scan of the
+    span-removal pipeline."""
+    id_type = dict(docs.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = list(pdf[text_col])
+            di, h1, pos = _window_hash_rows(texts, k, with_pos=True,
+                                            pad=False)
+            _, h2, _ = _window_hash_rows(texts, k, base=FP2_BASE,
+                                         mod=FP2_MOD, with_pos=True,
+                                         pad=False)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[di],
+                "pos": pos,
+                "h": h1 * FP2_MOD + h2,
+            })
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, pos long, h long")
+
+
+def duplicated_span_intervals(docs: DataFrame, k: int = 16,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Merged removal intervals of the exact substring-dedup pass
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — remove all but one occurrence of substrings
+    duplicated ACROSS documents): a window is duplicated when its
+    two-lane hash occurs in >= 2 distinct docs; the occurrence with
+    the smallest (doc_id, pos) is CANONICAL and stays; every other
+    occurrence marks [pos, pos+k) for removal; per-doc marks merge
+    into maximal intervals (0-based, half-open). Hash-exact SQL
+    oracle: dup + canonical are window aggregations, the merge is
+    gaps-and-islands — all integers.
+
+    Shape: one window scan (O(corpus chars) rows), one hash shuffle
+    for the dup/canonical aggregation, one join back, one per-doc
+    merge — the honest substring-dedup cost, fully distributed.
+    Returns (doc_id, start, end)."""
+    w = duplicated_span_windows(docs, k, id_col, text_col)
+    agg = w.groupBy("h").agg(
+        F.count_distinct(id_col).alias("_nd"),
+        F.min(F.struct(id_col, "pos")).alias("_canon"))
+    dup = agg.where(F.col("_nd") >= 2)
+    marked = w.join(dup, on="h").where(
+        (F.col(id_col) != F.col(f"_canon.{id_col}"))
+        | (F.col("pos") != F.col("_canon.pos")))
+    # gaps-and-islands entirely in Catalyst: a new island starts when
+    # pos exceeds the running max end of earlier marks
+    win = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max(F.col("pos") + k).over(
+        win.rowsBetween(Window.unboundedPreceding, -1))
+    isl = marked.select(id_col, "pos") \
+        .withColumn("_new", F.when(
+            prev_max.isNull() | (F.col("pos") > prev_max), 1).otherwise(0)) \
+        .withColumn("_isl", F.sum("_new").over(
+            win.rowsBetween(Window.unboundedPreceding, 0)))
+    return isl.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("start"),
+        (F.max("pos") + k).alias("end")) \
+        .select(id_col, "start", "end")
+
+
+def remove_duplicated_spans(docs: DataFrame, k: int = 16,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Apply duplicated_span_intervals: cut every removal interval out
+    of the text (the canonical occurrence elsewhere keeps the
+    content), returning (id_col, text_clean, n_spans_removed,
+    n_chars_removed). Docs with no marks pass through byte-identical.
+    The cut itself is SQL-expressible (string_agg of the kept
+    complement segments), so the whole operator is hash-exact against
+    DuckDB. Character (codepoint) semantics throughout."""
+    iv = duplicated_span_intervals(docs, k, id_col, text_col) \
+        .select(F.col(id_col).alias("_iid"), "start", "end")
+    id_type = dict(docs.dtypes)[id_col]
+
+    def cut(doc_pdf: pd.DataFrame, iv_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        ivs = iv_pdf.sort_values("start") if len(iv_pdf) else iv_pdf
+        for row in doc_pdf.itertuples(index=False):
+            t = getattr(row, text_col) or ""
+            g = ivs[ivs["_iid"] == getattr(row, id_col)] if len(ivs) else ivs
+            if len(g) == 0:
+                out.append((getattr(row, id_col), t, 0, 0))
+                continue
+            pieces = []
+            cursor = 0
+            removed = 0
+            for s, e in zip(g["start"], g["end"]):
+                pieces.append(t[cursor:s])
+                removed += e - s
+                cursor = e
+            pieces.append(t[cursor:])
+            out.append((getattr(row, id_col), "".join(pieces),
+                        int(len(g)), int(removed)))
+        return pd.DataFrame(out, columns=[id_col, "text_clean",
+                                          "n_spans_removed",
+                                          "n_chars_removed"])
+
+    return docs.groupBy(id_col).cogroup(iv.groupBy("_iid")) \
+        .applyInPandas(lambda key, a, b: cut(a, b),
+                       schema=(f"{id_col} {id_type}, text_clean string, "
+                               f"n_spans_removed int, "
+                               f"n_chars_removed int"))

@@ -835,3 +835,81 @@ def test_char_bigram_lm_end_to_end(spark):
                                 max_avg_nll=-got[1]["avg_logp"] + 0.1)
             .collect()}
     assert 1 in kept and 2 not in kept and 3 not in kept
+
+
+def _brute_span_marks(rows, k):
+    """Exact-substring mirror of the span-removal rule: occurrences
+    keyed by the literal k-char window (no hashing), canonical = min
+    (doc_id, pos), everything else marked; marks merged into maximal
+    half-open intervals (touching intervals merge)."""
+    wins = {}
+    for did, t in rows:
+        t = t or ""
+        for p in range(len(t) - k + 1):
+            wins.setdefault(t[p:p + k], []).append((did, p))
+    marks = {}
+    for occ in wins.values():
+        if len({d for d, _ in occ}) >= 2:
+            canon = min(occ)
+            for o in occ:
+                if o != canon:
+                    marks.setdefault(o[0], set()).add(o[1])
+    out = {}
+    for did, poss in marks.items():
+        ivs = []
+        for p in sorted(poss):
+            if ivs and p <= ivs[-1][1]:
+                ivs[-1][1] = max(ivs[-1][1], p + k)
+            else:
+                ivs.append([p, p + k])
+        out[did] = [tuple(iv) for iv in ivs]
+    return out
+
+
+def test_duplicated_span_intervals_and_removal_planted(spark):
+    """Exact substring-dedup (Lee et al. 2022 shape): the canonical
+    (smallest doc_id, pos) occurrence of a cross-document duplicated
+    span survives, every other occurrence is cut; within-document
+    repeats alone are NOT cut (cross-document rule); overlapping marks
+    merge into one interval. Verified against the literal-substring
+    brute force and by reassembling the cleaned text."""
+    from rasters_rs_spark.operators import text as T
+    boiler = "SHARED BOILERPLATE SEGMENT HERE!"      # 32 chars
+    selfrep = "xyzw" * 10                            # self-repeat only
+    rows = [
+        (1, "aaaa " + boiler + " bbbb"),
+        (2, "cccc " + boiler + " dddd"),
+        (3, "eeee " + boiler + " ffff " + boiler + " gggg"),
+        (4, "totally unique text with no repeats at all q"),
+        (5, selfrep),
+        (6, "short"),
+        (7, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _brute_span_marks(rows, 16)
+
+    got = {}
+    for r in T.duplicated_span_intervals(docs, k=16).collect():
+        got.setdefault(r["doc_id"], []).append((r["start"], r["end"]))
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == want
+    assert 1 not in got            # canonical occurrence stays
+    assert 4 not in got and 5 not in got and 6 not in got and 7 not in got
+    assert 2 in got and 3 in got
+
+    out = {r["doc_id"]: r for r in
+           T.remove_duplicated_spans(docs, k=16).collect()}
+    for did, t in rows:
+        t = t or ""
+        ivs = want.get(did, [])
+        pieces, cur = [], 0
+        for s, e in ivs:
+            pieces.append(t[cur:s]); cur = e
+        pieces.append(t[cur:])
+        r = out[did]
+        assert r["text_clean"] == "".join(pieces), did
+        assert r["n_spans_removed"] == len(ivs), did
+        assert r["n_chars_removed"] == sum(e - s for s, e in ivs), did
+    # doc 1 keeps the boilerplate verbatim, doc 2 loses exactly it
+    assert boiler in out[1]["text_clean"]
+    assert boiler not in out[2]["text_clean"]
