@@ -1565,15 +1565,18 @@ def _dup_spans_sql() -> str:
     """
 
 
-def _span_cuts_cte() -> str:
+def _span_cuts_cte(within_doc: bool = False) -> str:
     """Shared CTE chain for the exact substring-dedup oracles: the
     two-lane packed window hash (engine's h1*FP2_MOD+h2, int64-exact
     in DuckDB's BIGINT), canonical = min packed (doc_id, pos), and the
     gaps-and-islands merge of non-canonical marks into maximal
     half-open [start, end) intervals — all integer arithmetic, so the
-    oracle is hash-hard."""
+    oracle is hash-hard. ``within_doc`` switches the duplication rule
+    from >=2 distinct docs to >=2 occurrences anywhere (the engine's
+    within_doc=True)."""
     from rasters_rs_spark.operators import text as _t
     k = _DUPSPAN_K
+    nd = "count(*)" if within_doc else "count(DISTINCT doc_id)"
 
     def terms(base, mod):
         powers = [1] * k
@@ -1595,7 +1598,7 @@ def _span_cuts_cte() -> str:
                      + (({terms(_t.FP2_BASE, _t.FP2_MOD)}) % {_t.FP2_MOD})
                      AS h
               FROM pos),
-        agg AS (SELECT h, count(DISTINCT doc_id) AS nd,
+        agg AS (SELECT h, {nd} AS nd,
                        min(doc_id * 4294967296 + p) AS canon
                 FROM w GROUP BY h),
         marks AS (SELECT w.doc_id, w.p FROM w JOIN agg USING (h)
@@ -1676,6 +1679,22 @@ def _span_removal_sql() -> str:
         LEFT JOIN clean USING (doc_id)
         LEFT JOIN cstat USING (doc_id)
     """
+
+
+def _q_span_removal_intra(spark, sf_dir):
+    """within_doc=True removal (the full Lee et al. rule): intra-doc
+    repeats beyond the first occurrence are cut too — collapses
+    internal boilerplate runs, not just cross-document duplicates."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.remove_duplicated_spans(docs, k=_DUPSPAN_K,
+                                        within_doc=True) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                "text_clean", "n_spans_removed", "n_chars_removed")
+
+
+def _span_removal_intra_sql() -> str:
+    return _span_removal_sql().replace(
+        _span_cuts_cte(), _span_cuts_cte(within_doc=True))
 
 
 def _q_split_assign(spark, sf_dir):
@@ -2506,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_docs": _q_dup_spans,
         "span_intervals_docs": _q_span_intervals,
         "span_removal_docs": _q_span_removal,
+        "span_removal_intra_docs": _q_span_removal_intra,
         "sibson_discrete_synth": _q_sibson_discrete,
         # --- beyond the driver cap (full local gate still runs) ---
         "char_bigram_counts_docs": _q_char_bigram_counts,
@@ -3412,6 +3432,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "dup_spans_docs": _dup_spans_sql(),
         "span_intervals_docs": _span_intervals_sql(),
         "span_removal_docs": _span_removal_sql(),
+        "span_removal_intra_docs": _span_removal_intra_sql(),
         "text_quality": f"""
             SELECT doc_id::BIGINT AS doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

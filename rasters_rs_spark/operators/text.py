@@ -1354,25 +1354,29 @@ def duplicated_span_windows(docs: DataFrame, k: int = 16,
 
 def duplicated_span_intervals(docs: DataFrame, k: int = 16,
                               id_col: str = "doc_id",
-                              text_col: str = "text") -> DataFrame:
+                              text_col: str = "text",
+                              within_doc: bool = False) -> DataFrame:
     """Merged removal intervals of the exact substring-dedup pass
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
-    Models Better" — remove all but one occurrence of substrings
-    duplicated ACROSS documents): a window is duplicated when its
-    two-lane hash occurs in >= 2 distinct docs; the occurrence with
-    the smallest (doc_id, pos) is CANONICAL and stays; every other
-    occurrence marks [pos, pos+k) for removal; per-doc marks merge
-    into maximal intervals (0-based, half-open). Hash-exact SQL
-    oracle: dup + canonical are window aggregations, the merge is
-    gaps-and-islands — all integers.
+    Models Better" — remove all but one occurrence of duplicated
+    substrings): a window is duplicated when its two-lane hash occurs
+    in >= 2 distinct docs (default cross-document rule), or >= 2
+    times anywhere including inside one doc (``within_doc=True``,
+    the paper's full rule — collapses internal boilerplate runs too);
+    the occurrence with the smallest (doc_id, pos) is CANONICAL and
+    stays; every other occurrence marks [pos, pos+k) for removal;
+    per-doc marks merge into maximal intervals (0-based, half-open).
+    Hash-exact SQL oracle: dup + canonical are window aggregations,
+    the merge is gaps-and-islands — all integers.
 
     Shape: one window scan (O(corpus chars) rows), one hash shuffle
     for the dup/canonical aggregation, one join back, one per-doc
     merge — the honest substring-dedup cost, fully distributed.
     Returns (doc_id, start, end)."""
     w = duplicated_span_windows(docs, k, id_col, text_col)
+    n_dup = F.count("*") if within_doc else F.count_distinct(id_col)
     agg = w.groupBy("h").agg(
-        F.count_distinct(id_col).alias("_nd"),
+        n_dup.alias("_nd"),
         F.min(F.struct(id_col, "pos")).alias("_canon"))
     dup = agg.where(F.col("_nd") >= 2)
     marked = w.join(dup, on="h").where(
@@ -1396,7 +1400,8 @@ def duplicated_span_intervals(docs: DataFrame, k: int = 16,
 
 def remove_duplicated_spans(docs: DataFrame, k: int = 16,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            within_doc: bool = False) -> DataFrame:
     """Apply duplicated_span_intervals: cut every removal interval out
     of the text (the canonical occurrence elsewhere keeps the
     content), returning (id_col, text_clean, n_spans_removed,
@@ -1404,7 +1409,8 @@ def remove_duplicated_spans(docs: DataFrame, k: int = 16,
     The cut itself is SQL-expressible (string_agg of the kept
     complement segments), so the whole operator is hash-exact against
     DuckDB. Character (codepoint) semantics throughout."""
-    iv = duplicated_span_intervals(docs, k, id_col, text_col) \
+    iv = duplicated_span_intervals(docs, k, id_col, text_col,
+                                   within_doc=within_doc) \
         .select(F.col(id_col).alias("_iid"), "start", "end")
     id_type = dict(docs.dtypes)[id_col]
 

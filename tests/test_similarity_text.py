@@ -913,3 +913,60 @@ def test_duplicated_span_intervals_and_removal_planted(spark):
     # doc 1 keeps the boilerplate verbatim, doc 2 loses exactly it
     assert boiler in out[1]["text_clean"]
     assert boiler not in out[2]["text_clean"]
+
+
+def _brute_span_marks_any(rows, k):
+    """within_doc=True mirror: duplicated = >= 2 occurrences anywhere
+    (same doc counts); canonical/merge rules unchanged."""
+    wins = {}
+    for did, t in rows:
+        t = t or ""
+        for p in range(len(t) - k + 1):
+            wins.setdefault(t[p:p + k], []).append((did, p))
+    marks = {}
+    for occ in wins.values():
+        if len(occ) >= 2:
+            canon = min(occ)
+            for o in occ:
+                if o != canon:
+                    marks.setdefault(o[0], set()).add(o[1])
+    out = {}
+    for did, poss in marks.items():
+        ivs = []
+        for p in sorted(poss):
+            if ivs and p <= ivs[-1][1]:
+                ivs[-1][1] = max(ivs[-1][1], p + k)
+            else:
+                ivs.append([p, p + k])
+        out[did] = [tuple(iv) for iv in ivs]
+    return out
+
+
+def test_duplicated_span_removal_within_doc(spark):
+    """within_doc=True (the full Lee et al. rule): a doc that is one
+    long periodic run collapses to its period prefix; cross-doc
+    behavior is unchanged; default mode leaves intra-doc repeats."""
+    from rasters_rs_spark.operators import text as T
+    rows = [
+        (1, "xyzw" * 10),                               # period-4 run
+        (2, "totally unique text with no repeats at all q"),
+        (3, "lead DUPLICATE SEGMENT 16+ mid DUPLICATE SEGMENT 16+ end"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # default (cross-doc only): nothing duplicated across docs
+    assert T.duplicated_span_intervals(docs, k=16).count() == 0
+
+    want = _brute_span_marks_any(rows, 16)
+    got = {}
+    for r in T.duplicated_span_intervals(docs, k=16,
+                                         within_doc=True).collect():
+        got.setdefault(r["doc_id"], []).append((r["start"], r["end"]))
+    assert {d: sorted(v) for d, v in got.items()} == want
+
+    out = {r["doc_id"]: r for r in
+           T.remove_duplicated_spans(docs, k=16,
+                                     within_doc=True).collect()}
+    assert out[1]["text_clean"] == "xyzw"               # run collapses
+    assert out[2]["text_clean"] == rows[1][1]
+    assert out[3]["text_clean"].count("DUPLICATE SEGMENT 16+") == 1
