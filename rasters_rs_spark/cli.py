@@ -307,6 +307,31 @@ def cmd_decon(args):
     print(json.dumps(out))
 
 
+def cmd_spanrm(args):
+    from pyspark.sql import functions as F
+    from .operators import text as T
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    cleaned = T.remove_duplicated_spans(
+        docs, k=args.k, id_col=args.id_col, text_col=args.text_col,
+        within_doc=args.within_doc).persist()
+    # carry every non-text column through; cleaned text replaces it
+    out = docs.drop(args.text_col).join(
+        cleaned.select(args.id_col,
+                       F.col("text_clean").alias(args.text_col)),
+        on=args.id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    agg = cleaned.agg(
+        F.sum("n_spans_removed").alias("s"),
+        F.sum("n_chars_removed").alias("c"),
+        F.count("*").alias("n")).first()
+    print(json.dumps({"docs": int(agg["n"]),
+                      "spans_removed": int(agg["s"] or 0),
+                      "chars_removed": int(agg["c"] or 0),
+                      "within_doc": bool(args.within_doc),
+                      "k": args.k, "output": args.output}))
+
+
 def cmd_ann(args):
     from pyspark.sql import functions as F
     from .operators import similarity as S
@@ -523,6 +548,18 @@ def build_parser():
     dc.add_argument("--keep", default=None,
                     help="also write the decontaminated corpus here")
     dc.set_defaults(fn=cmd_decon)
+
+    sr = sub.add_parser("spanrm", help="exact duplicated-span removal "
+                                       "(substring dedup, Lee et al.)")
+    sr.add_argument("input")
+    sr.add_argument("output", help="cleaned corpus parquet")
+    sr.add_argument("--k", type=int, default=16,
+                    help="window length in characters")
+    sr.add_argument("--within-doc", action="store_true",
+                    help="also cut repeats inside a single document")
+    sr.add_argument("--text-col", default="text")
+    sr.add_argument("--id-col", default="doc_id")
+    sr.set_defaults(fn=cmd_spanrm)
 
     an = sub.add_parser("ann", help="similarity search over an "
                                     "embedding corpus")

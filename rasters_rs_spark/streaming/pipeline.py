@@ -55,11 +55,13 @@ def run_headline(spark: SparkSession, root: str, n_images: int = 64,
 def run_corpus_curation(spark: SparkSession, root: str, sf_dir: str,
                         budget: int = 2048, dedup_threshold: float = 0.8,
                         sample_fracs: dict | None = None,
-                        decon_k: int = 4, test_split: int = 490) -> dict:
+                        decon_k: int = 4, test_split: int = 490,
+                        span_k: int | None = None) -> dict:
     """The TRAINING-DATA half of the engine as a resumable pipeline:
     documents -> quality-filter cascade -> benchmark decontamination
-    -> minhash near-dup pairs -> canonical keepers -> per-language
-    stratified sampling -> sequence packing. Every stage checkpoints
+    -> minhash near-dup pairs -> canonical keepers -> optional
+    duplicated-span removal (``span_k``) -> per-language stratified
+    sampling -> sequence packing. Every stage checkpoints
     through the manifest (per-partition lineage + row/byte metrics);
     re-running with the same ``root`` skips completed stages, and
     deleting one stage's manifest recomputes exactly that stage while
@@ -107,6 +109,19 @@ def run_corpus_curation(spark: SparkSession, root: str, sf_dir: str,
     kept = runner.run(
         "canonical_keepers",
         lambda: dedup.keep_canonical(clean, numeric_pairs()))
+
+    if span_k:
+        # sub-document dedup among the kept docs: cut non-canonical
+        # duplicated spans (doc-level dedup only removes whole docs;
+        # shared boilerplate across otherwise-distinct docs survives
+        # it and still inflates total_tokens)
+        kept = runner.run(
+            "span_removal",
+            lambda: kept.drop("text").join(
+                text.remove_duplicated_spans(kept, k=span_k)
+                    .select("doc_id",
+                            F.col("text_clean").alias("text")),
+                on="doc_id"))
 
     sampled = runner.run(
         "stratified_sample",

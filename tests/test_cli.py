@@ -323,3 +323,43 @@ def test_cli_decon_and_ann(tmp_path):
     out = run("ann", esrc, qsrc, str(tmp_path / "nn.parquet"),
               "--method", "pq", "--k", "3")
     assert out["rows"] == 6 and out["method"] == "pq"
+
+
+def test_cli_spanrm(tmp_path):
+    """spanrm end to end: cross-doc duplicated boilerplate leaves only
+    the canonical copy; --within-doc also collapses internal runs;
+    non-text columns ride through."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    boiler = "SHARED BOILERPLATE SEGMENT HERE!"
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["aa " + boiler + " bb", "cc " + boiler + " dd",
+                 "unique and unrepeated content entirely"],
+        "lang": ["en", "en", "de"],
+    }).to_parquet(src)
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "rasters_rs_spark.cli", "--cores", "2",
+             *args], capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    dst = str(tmp_path / "clean.parquet")
+    out = run("spanrm", src, dst)
+    assert out["docs"] == 3 and out["spans_removed"] == 1
+    got = pd.read_parquet(dst).set_index("doc_id")
+    assert boiler in got.loc[1, "text"] and boiler not in got.loc[2, "text"]
+    assert set(got.columns) >= {"text", "lang"}
+
+    src2 = str(tmp_path / "docs2.parquet")
+    pd.DataFrame({"doc_id": [1], "text": ["xyzw" * 10]}).to_parquet(src2)
+    out = run("spanrm", src2, str(tmp_path / "clean2.parquet"),
+              "--within-doc")
+    assert out["spans_removed"] == 1 and out["chars_removed"] == 36

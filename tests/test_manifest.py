@@ -172,3 +172,34 @@ def test_corpus_curation_streaming_equals_batch(spark, tmp_path):
     got_ids = sorted(r["doc_id"] for r in spark.read.parquet(
         f"{out}/curated").select("doc_id").collect())
     assert got_ids == batch_ids and len(got_ids) > 0
+
+
+def test_corpus_curation_span_removal_stage(spark, tmp_path):
+    """span_k wires duplicated-span removal in as a checkpointed stage
+    between keepers and sampling: the stage appears in the manifest,
+    downstream token totals can only shrink vs the span-free run, and
+    benchmark docs stay excluded."""
+    from pyspark.sql import functions as F
+
+    from rasters_rs_spark.streaming.pipeline import run_corpus_curation
+
+    sf = "/root/testdata/sf0.001"
+    base = run_corpus_curation(spark, str(tmp_path / "plain"), sf,
+                               budget=512)
+    r = run_corpus_curation(spark, str(tmp_path / "spanrm"), sf,
+                            budget=512, span_k=16)
+    names = [s["stage"] for s in r["stages"]]
+    assert "span_removal" in names
+    assert names.index("canonical_keepers") < names.index("span_removal") \
+        < names.index("stratified_sample")
+    assert r["total_tokens"] <= base["total_tokens"]
+    assert r["after_dedup"] == base["after_dedup"]
+    top = (spark.read.parquet(str(tmp_path / "spanrm") +
+                              "/span_removal/data")
+           .agg(F.max("doc_id")).first()[0])
+    assert top is None or top < 490
+    # resume skips the new stage too
+    r2 = run_corpus_curation(spark, str(tmp_path / "spanrm"), sf,
+                             budget=512, span_k=16)
+    assert all(s["skipped"] for s in r2["stages"])
+    assert r2["total_tokens"] == r["total_tokens"]
