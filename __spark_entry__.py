@@ -1697,6 +1697,88 @@ def _span_removal_intra_sql() -> str:
         _span_cuts_cte(), _span_cuts_cte(within_doc=True))
 
 
+_BM25_QIDS = (3, 7, 11, 13, 17)
+
+
+def _q_bm25(spark, sf_dir):
+    """BM25 lexical top-k: five documents' 64-char prefixes retrieve
+    against the full corpus. Scores are sums of 2^-20-dyadic-grid
+    contributions (order-free exact), so the row is hash-hard."""
+    docs = _tbl(spark, sf_dir, "documents")
+    qs = docs.where(F.col("doc_id").isin(*_BM25_QIDS)).select(
+        F.col("doc_id").cast("bigint").alias("q_id"),
+        F.substring("text", 1, 64).alias("q_text"))
+    return similarity.bm25_topk(qs, docs, k=8).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "score", "rank")
+
+
+def _bm25_sql() -> str:
+    k1, b = 1.2, 0.75
+    grid = float(1 << 20)
+    qids = ", ".join(str(q) for q in _BM25_QIDS)
+    # every double literal through :.17e (DuckDB bare floats are
+    # DECIMAL); expression association mirrors the engine exactly
+    c_k1p1 = _dbl17(k1 + 1.0)
+    c_k1 = _dbl17(k1)
+    c_1mb = _dbl17(1.0 - b)
+    c_b = _dbl17(b)
+    c_g = _dbl17(grid)
+    h = _dbl17(0.5)
+    one = _dbl17(1.0)
+    return f"""
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          coalesce(text, '') AS t FROM documents),
+        terms AS (SELECT doc_id, tok AS term FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(t),
+                                  '[^a-z0-9]+')) AS tok
+                    FROM d) WHERE tok <> ''),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM terms GROUP BY doc_id),
+        consts AS (SELECT CAST((SELECT count(*) FROM d) AS DOUBLE) AS n,
+                          CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+                          / CAST((SELECT count(*) FROM d) AS DOUBLE)
+                            AS avgdl),
+        q AS (SELECT doc_id AS q_id, substr(t, 1, 64) AS qt
+              FROM d WHERE doc_id IN ({qids})),
+        qterms AS (SELECT DISTINCT q_id, tok AS term FROM (
+                     SELECT q_id,
+                            unnest(regexp_split_to_array(lower(qt),
+                                   '[^a-z0-9]+')) AS tok
+                     FROM q) WHERE tok <> ''),
+        qvocab AS (SELECT DISTINCT term FROM qterms),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM terms JOIN qvocab USING (term)
+               GROUP BY doc_id, term),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term),
+        contrib AS (
+          SELECT qterms.q_id, tf.doc_id,
+                 floor(ln(((n - CAST(df AS DOUBLE)) + {h})
+                           / (CAST(df AS DOUBLE) + {h}) + {one})
+                       * (CAST(tf AS DOUBLE) * {c_k1p1})
+                       / (CAST(tf AS DOUBLE)
+                          + {c_k1} * ({c_1mb}
+                                      + ({c_b} * CAST(dl AS DOUBLE))
+                                        / avgdl))
+                       * {c_g}) / {c_g} AS c
+          FROM qterms
+          JOIN tf USING (term)
+          JOIN dfq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id, consts),
+        scored AS (SELECT q_id, doc_id, sum(c) AS score
+                   FROM contrib GROUP BY q_id, doc_id),
+        ranked AS (SELECT q_id, doc_id, score,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, doc_id ASC)
+                               AS INTEGER) AS rank
+                   FROM scored)
+        SELECT q_id, doc_id, score, rank FROM ranked WHERE rank <= 8
+    """
+
+
 def _q_split_assign(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return text.deterministic_split(docs).select(
@@ -2526,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_intervals_docs": _q_span_intervals,
         "span_removal_docs": _q_span_removal,
         "span_removal_intra_docs": _q_span_removal_intra,
+        "bm25_topk_docs": _q_bm25,
         "sibson_discrete_synth": _q_sibson_discrete,
         # --- beyond the driver cap (full local gate still runs) ---
         "char_bigram_counts_docs": _q_char_bigram_counts,
@@ -3433,6 +3516,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "span_intervals_docs": _span_intervals_sql(),
         "span_removal_docs": _span_removal_sql(),
         "span_removal_intra_docs": _span_removal_intra_sql(),
+        "bm25_topk_docs": _bm25_sql(),
         "text_quality": f"""
             SELECT doc_id::BIGINT AS doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -99,7 +99,7 @@ def main():
         "bpe_tokens_docs", "ann_pq_embeddings", "pack_sequences_docs",
         # round-6 additions
         "sibson_discrete_synth", "fill_barycentric_chunked_synth",
-        "lm_score_docs", "span_removal_docs",
+        "lm_score_docs", "span_removal_docs", "bm25_topk_docs",
     ]
     # best-of-N per query: the shared VM's noisy-neighbor spikes can
     # inflate a single shot 5-10x (measured), and the FIRST run also

@@ -332,6 +332,20 @@ def cmd_spanrm(args):
                       "k": args.k, "output": args.output}))
 
 
+def cmd_search(args):
+    from .operators import similarity as S
+    spark = _spark(args)
+    docs = spark.read.parquet(args.corpus)
+    queries = spark.read.parquet(args.queries)
+    out = S.bm25_topk(queries, docs, k=args.k, k1=args.k1, b=args.b,
+                      id_col=args.id_col, text_col=args.text_col,
+                      q_id_col=args.q_id_col,
+                      q_text_col=args.q_text_col).persist()
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": out.count(), "k": args.k,
+                      "output": args.output}))
+
+
 def cmd_ann(args):
     from pyspark.sql import functions as F
     from .operators import similarity as S
@@ -560,6 +574,19 @@ def build_parser():
     sr.add_argument("--text-col", default="text")
     sr.add_argument("--id-col", default="doc_id")
     sr.set_defaults(fn=cmd_spanrm)
+
+    se = sub.add_parser("search", help="BM25 lexical top-k retrieval")
+    se.add_argument("corpus")
+    se.add_argument("queries", help="parquet with (q_id, q_text)")
+    se.add_argument("output")
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--k1", type=float, default=1.2)
+    se.add_argument("--b", type=float, default=0.75)
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--q-id-col", default="q_id")
+    se.add_argument("--q-text-col", default="q_text")
+    se.set_defaults(fn=cmd_search)
 
     an = sub.add_parser("ann", help="similarity search over an "
                                     "embedding corpus")

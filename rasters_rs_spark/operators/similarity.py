@@ -808,3 +808,87 @@ def ann_ivfpq(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     cand2 = (pairs.join(F.broadcast(qdf), on="q_id")
              .join(cdf, on="vec_id"))
     return _rerank_topk(cand2, k, "q_id", "vec_id", q_vec, c_vec)
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval — the sparse complement to the dense ANN tiers
+# ---------------------------------------------------------------------------
+
+_BM25_GRID = float(1 << 20)
+
+
+def _bm25_tokens(col):
+    """Lowercased alphanumeric tokenization as a pure Catalyst
+    expression (split on runs of anything else, drop empties) —
+    mirrored term-for-term by DuckDB regexp_split_to_array in the
+    oracle."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""))
+
+
+def bm25_topk(queries: DataFrame, docs: DataFrame, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text",
+              q_id_col: str = "q_id",
+              q_text_col: str = "q_text") -> DataFrame:
+    """BM25 (Robertson/Okapi) top-k retrieval over a document corpus
+    — the inverted-index dataflow expressed as DataFrame ops: one
+    corpus scan explodes terms; tf and dl aggregate by (doc, term) /
+    doc (map-side combine); the small query vocabulary BROADCASTS to
+    prune posting lists before df is counted (df, and hence idf, per
+    standard BM25 is corpus-wide, which pruned lists still compute
+    exactly); scoring is the pruned-postings equi-join on term; top-k
+    is one window. The corpus never crosses an all-pairs boundary and
+    the only driver traffic is two scalars (N, total token count), so
+    the plan survives a 100-TB corpus as long as queries stay
+    query-sized (the same contract as the ANN tiers).
+
+    Per-(query,term,doc) contributions are quantized to the 2^-20
+    dyadic grid (exactly like lm_score): every contribution is an
+    integer multiple of 2^-20, so the score SUM is order-free exact —
+    the property that makes the operator hash-hard against a DuckDB
+    mirror despite floating-point scoring.
+
+    Returns (q_id, doc_id, score, rank), rank 1..k per query by
+    (score desc, doc_id asc)."""
+    tf_ = F.col("tf").cast("double")
+    df_ = F.col("df").cast("double")
+    dl_ = F.col("dl").cast("double")
+
+    terms = docs.select(
+        F.col(id_col).alias("_did"),
+        F.explode(_bm25_tokens(F.coalesce(F.col(text_col),
+                                          F.lit("")))).alias("term"))
+    dl = terms.groupBy("_did").agg(F.count("*").alias("dl"))
+    n_docs = docs.count()
+    tot = dl.agg(F.sum("dl")).first()[0] or 0
+    avgdl = float(tot) / float(n_docs) if n_docs else 1.0
+
+    qterms = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.explode(_bm25_tokens(F.coalesce(F.col(q_text_col),
+                                          F.lit("")))).alias("term")) \
+        .distinct()
+    qvocab = qterms.select("term").distinct()
+
+    # posting lists restricted to the query vocabulary BEFORE any
+    # term-keyed aggregation: tf/df shuffle only the pruned postings
+    tf = terms.join(F.broadcast(qvocab), on="term") \
+        .groupBy("_did", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    idf = F.log((F.lit(float(n_docs)) - df_ + 0.5) / (df_ + 0.5) + 1.0)
+    denom = tf_ + k1 * (1.0 - b + b * dl_ / F.lit(avgdl))
+    contrib = F.floor(idf * (tf_ * (k1 + 1.0)) / denom
+                      * _BM25_GRID) / _BM25_GRID
+
+    scored = qterms \
+        .join(tf, on="term") \
+        .join(F.broadcast(df), on="term") \
+        .join(dl, on="_did") \
+        .groupBy("q_id", "_did") \
+        .agg(F.sum(contrib).alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("_did"))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .where(F.col("rank") <= k) \
+        .select("q_id", F.col("_did").alias(id_col), "score", "rank")

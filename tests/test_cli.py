@@ -363,3 +363,30 @@ def test_cli_spanrm(tmp_path):
     out = run("spanrm", src2, str(tmp_path / "clean2.parquet"),
               "--within-doc")
     assert out["spans_removed"] == 1 and out["chars_removed"] == 36
+
+
+def test_cli_search(tmp_path):
+    """BM25 search subcommand end to end."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox", "lazy dog sleeps", "fox and dog"],
+    }).to_parquet(src)
+    qsrc = str(tmp_path / "q.parquet")
+    pd.DataFrame({"q_id": [10], "q_text": ["fox"]}).to_parquet(qsrc)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "rasters_rs_spark.cli", "--cores", "2",
+         "search", src, qsrc, str(tmp_path / "hits.parquet"), "--k", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["rows"] == 2
+    hits = pd.read_parquet(str(tmp_path / "hits.parquet"))
+    assert set(hits["doc_id"]) == {1, 3}

@@ -970,3 +970,70 @@ def test_duplicated_span_removal_within_doc(spark):
     assert out[1]["text_clean"] == "xyzw"               # run collapses
     assert out[2]["text_clean"] == rows[1][1]
     assert out[3]["text_clean"].count("DUPLICATE SEGMENT 16+") == 1
+
+
+def test_bm25_topk_matches_reference_scoring(spark):
+    """bm25_topk vs an independent scalar BM25 (math.log, dicts, no
+    Spark/hashing): same top-k sets, ranks, and scores to the dyadic
+    grid; ties break by doc_id; docs sharing no term never appear;
+    query-term multiplicity is ignored (distinct-term semantics)."""
+    import math
+    import re
+
+    from rasters_rs_spark.operators import similarity as SIM
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a lazy dog sleeps all day in the warm sun"),
+        (3, "Quick, quick! QUICK foxes everywhere... quickly now"),
+        (4, "unrelated astronomy telescope galaxy nebula survey"),
+        (5, None),
+        (6, "dog dog dog dog dog dog dog dog dog dog"),
+    ]
+    qrows = [(10, "quick fox"), (11, "lazy dog dog dog"), (12, "zzz")]
+    k1, b, k = 1.2, 0.75, 4
+
+    def tok(t):
+        return [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+
+    docs_t = {d: tok(t) for d, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in docs_t.values()) / n
+    want = {}
+    for qid, qt in qrows:
+        scores = {}
+        for term in set(tok(qt)):
+            df = sum(1 for v in docs_t.values() if term in v)
+            if df == 0:
+                continue
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for d, v in docs_t.items():
+                tf = v.count(term)
+                if tf:
+                    c = idf * (tf * (k1 + 1.0)) / (
+                        tf + k1 * (1.0 - b + b * len(v) / avgdl))
+                    scores[d] = scores.get(d, 0.0) + \
+                        math.floor(c * (1 << 20)) / (1 << 20)
+        top = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        want[qid] = [(d, s, r + 1) for r, (d, s) in enumerate(top)]
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame(qrows, "q_id long, q_text string")
+    got = {}
+    for r in SIM.bm25_topk(qs, docs, k=k, k1=k1, b=b).collect():
+        got.setdefault(r["q_id"], []).append(
+            (r["doc_id"], r["score"], r["rank"]))
+    got = {q: sorted(v, key=lambda x: x[2]) for q, v in got.items()}
+    for qid, _ in qrows:
+        exp = want.get(qid, [])
+        assert [(d, r) for d, _, r in got.get(qid, [])] == \
+               [(d, r) for d, _, r in exp], qid
+        for (dg, sg, _), (de, se, _) in zip(got.get(qid, []), exp):
+            assert abs(sg - se) < 1e-12, (qid, dg, sg, se)
+    assert 12 not in got                       # no-match query: no rows
+    assert all(d != 5 for d, _, _ in got.get(10, []))
+
+    # plan: query vocabulary broadcasts into the posting-list prune
+    plan = SIM.bm25_topk(qs, docs, k=k)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
