@@ -116,7 +116,7 @@ def main():
     spark = get_spark_with_ui(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     import bench
-    from rasters_rs_spark.operators import dedup, similarity
+    from rasters_rs_spark.operators import dedup, similarity, text
 
     spark.range(1000).agg(F.sum("id")).collect()
     bench.headline_pipeline(spark, 16, img_px=32)   # warm python workers
@@ -186,6 +186,20 @@ def main():
         queries, emb10, k=5, dim=64, n_lists=16, nprobe=4).count())
     timed("ann_pq_10x", lambda: similarity.ann_pq(
         queries, emb10, k=5, dim=64, rerank=False).count())
+
+    # exact substring dedup at 10x: the replicated corpus is the
+    # worst case by construction — every doc is a 10-way full-text
+    # duplicate, so EVERY window in 9 of 10 replicas is marked and
+    # the interval merge runs at maximum mark density
+    timed("span_removal_10x", lambda: text.remove_duplicated_spans(
+        docs10, k=16).where(F.col("n_spans_removed") > 0).count())
+
+    # BM25 at 10x: 8 doc-prefix queries against the replicated corpus
+    tq = docs.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("q_id"),
+        F.substring("text", 1, 64).alias("q_text"))
+    timed("bm25_10x", lambda: similarity.bm25_topk(
+        tq, docs10, k=10).count())
 
     # --- PQ recall-vs-config sweep (round-5 VERDICT #8): trained
     # codebooks, exact cosine top-k as ground truth, so a user can
@@ -384,6 +398,8 @@ single points 2x+, hence best-of-3 with spreads shown).
 | lsh_topk_det (8 queries) | {n_emb10} vecs | {results['ann_lsh_10x']['rows']} | {results['ann_lsh_10x']['sec']} |
 | ivf_topk_det (8 queries) | {n_emb10} vecs | {results['ann_ivf_10x']['rows']} | {results['ann_ivf_10x']['sec']} |
 | ann_pq ADC scan (8 queries) | {n_emb10} vecs | {results['ann_pq_10x']['rows']} | {results['ann_pq_10x']['sec']} |
+| remove_duplicated_spans k=16 (docs w/ cuts) | {n_docs10} docs | {results['span_removal_10x']['rows']} | {results['span_removal_10x']['sec']} |
+| bm25_topk (8 queries, k=10) | {n_docs10} docs | {results['bm25_10x']['rows']} | {results['bm25_10x']['sec']} |
 
 ## PQ recall vs config (trained codebooks, exact cosine ground truth)
 
