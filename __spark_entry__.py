@@ -1779,6 +1779,109 @@ def _bm25_sql() -> str:
     """
 
 
+def _packed_win_hash(k: int) -> str:
+    """DuckDB expression for the engine's packed two-lane k-window
+    rolling hash over column t at 1-based position i (h1*FP2_MOD+h2,
+    int64-exact)."""
+    from rasters_rs_spark.operators import text as _t
+
+    def terms(base, mod):
+        powers = [1] * k
+        for i in range(1, k):
+            powers[i] = (powers[i - 1] * base) % mod
+        return " + ".join(
+            f"CAST(ascii(substr(t, i + {d}, 1)) AS BIGINT)"
+            f" * {powers[k - 1 - d]}" for d in range(k))
+
+    return (f"(({terms(_t.FP_BASE, _t.FP_MOD)}) % {_t.FP_MOD})"
+            f" * {_t.FP2_MOD}"
+            f" + (({terms(_t.FP2_BASE, _t.FP2_MOD)}) % {_t.FP2_MOD})")
+
+
+def _q_overlap(spark, sf_dir):
+    """Exact-substring-overlap retrieval: distinct shared 16-char
+    windows between the 64-char query prefixes and every document."""
+    docs = _tbl(spark, sf_dir, "documents")
+    qs = docs.where(F.col("doc_id").isin(*_BM25_QIDS)).select(
+        F.col("doc_id").cast("bigint").alias("q_id"),
+        F.substring("text", 1, 64).alias("q_text"))
+    return similarity.window_overlap_topk(qs, docs, k=8,
+                                          win_k=_DUPSPAN_K).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_shared", "rank")
+
+
+def _overlap_sql() -> str:
+    k = _DUPSPAN_K
+    qids = ", ".join(str(q) for q in _BM25_QIDS)
+    h = _packed_win_hash(k)
+    return f"""
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          coalesce(text, '') AS t FROM documents),
+        dw AS (SELECT DISTINCT doc_id, {h} AS h FROM (
+                 SELECT doc_id, t,
+                        unnest(range(1, length(t) - {k - 1} + 1)) AS i
+                 FROM d WHERE length(t) >= {k})),
+        q AS (SELECT doc_id AS q_id, substr(t, 1, 64) AS t
+              FROM d WHERE doc_id IN ({qids})),
+        qw AS (SELECT DISTINCT q_id, {h} AS h FROM (
+                 SELECT q_id, t,
+                        unnest(range(1, length(t) - {k - 1} + 1)) AS i
+                 FROM q WHERE length(t) >= {k})),
+        sc AS (SELECT q_id, dw.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_shared
+               FROM qw JOIN dw USING (h) GROUP BY q_id, dw.doc_id),
+        ranked AS (SELECT q_id, doc_id, n_shared,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY n_shared DESC, doc_id ASC)
+                               AS INTEGER) AS rank
+                   FROM sc)
+        SELECT q_id, doc_id, n_shared, rank FROM ranked WHERE rank <= 8
+    """
+
+
+def _q_rrf(spark, sf_dir):
+    """Hybrid retrieval: RRF fusion of the BM25 and exact-overlap hit
+    lists (rank-only, 2^-40 dyadic-grid contributions — order-free
+    exact sums)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    qs = docs.where(F.col("doc_id").isin(*_BM25_QIDS)).select(
+        F.col("doc_id").cast("bigint").alias("q_id"),
+        F.substring("text", 1, 64).alias("q_text"))
+    bm = similarity.bm25_topk(qs, docs, k=8)
+    ov = similarity.window_overlap_topk(qs, docs, k=8, win_k=_DUPSPAN_K)
+    return similarity.rrf_fuse(bm, ov, k=8).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "rrf_score", "n_lists", "rank")
+
+
+def _rrf_sql() -> str:
+    grid = _dbl17(float(1 << 40))
+    one = _dbl17(1.0)
+    c60 = _dbl17(60.0)
+    return f"""
+        WITH a AS ({_bm25_sql()}),
+        b AS ({_overlap_sql()}),
+        u AS (SELECT q_id, doc_id, rank FROM a
+              UNION ALL
+              SELECT q_id, doc_id, rank FROM b),
+        sc AS (SELECT q_id, doc_id,
+                      sum(floor({one} / ({c60} + CAST(rank AS DOUBLE))
+                                * {grid}) / {grid}) AS rrf_score,
+                      CAST(count(*) AS INTEGER) AS n_lists
+               FROM u GROUP BY q_id, doc_id),
+        ranked AS (SELECT q_id, doc_id, rrf_score, n_lists,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY rrf_score DESC, doc_id ASC)
+                               AS INTEGER) AS rank
+                   FROM sc)
+        SELECT q_id, doc_id, rrf_score, n_lists, rank
+        FROM ranked WHERE rank <= 8
+    """
+
+
 def _q_split_assign(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return text.deterministic_split(docs).select(
@@ -2609,6 +2712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_removal_docs": _q_span_removal,
         "span_removal_intra_docs": _q_span_removal_intra,
         "bm25_topk_docs": _q_bm25,
+        "overlap_topk_docs": _q_overlap,
+        "rrf_hybrid_docs": _q_rrf,
         "sibson_discrete_synth": _q_sibson_discrete,
         # --- beyond the driver cap (full local gate still runs) ---
         "char_bigram_counts_docs": _q_char_bigram_counts,
@@ -3517,6 +3622,8 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "span_removal_docs": _span_removal_sql(),
         "span_removal_intra_docs": _span_removal_intra_sql(),
         "bm25_topk_docs": _bm25_sql(),
+        "overlap_topk_docs": _overlap_sql(),
+        "rrf_hybrid_docs": _rrf_sql(),
         "text_quality": f"""
             SELECT doc_id::BIGINT AS doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -892,3 +892,67 @@ def bm25_topk(queries: DataFrame, docs: DataFrame, k: int = 10,
     return scored.withColumn("rank", F.row_number().over(w)) \
         .where(F.col("rank") <= k) \
         .select("q_id", F.col("_did").alias(id_col), "score", "rank")
+
+
+def window_overlap_topk(queries: DataFrame, docs: DataFrame,
+                        k: int = 10, win_k: int = 16,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        q_id_col: str = "q_id",
+                        q_text_col: str = "q_text") -> DataFrame:
+    """Exact-substring-overlap retrieval: score(q, doc) = number of
+    DISTINCT k-character windows the two texts share (two-lane rolling
+    hash, the span-removal scan). The second retrieval signal next to
+    BM25 — phrase/boilerplate matching that bag-of-words misses — and
+    all-integer scoring, so trivially hash-hard. Shape: both sides'
+    window sets dedup map-side, the join keys on the 62-bit window
+    hash (query side is query-sized), one count aggregation, one
+    window top-k. Returns (q_id, doc_id, n_shared, rank)."""
+    from .text import duplicated_span_windows
+
+    dw = duplicated_span_windows(docs, win_k, id_col, text_col) \
+        .select(F.col(id_col).alias("_did"), "h").distinct()
+    qw = duplicated_span_windows(queries, win_k, q_id_col, q_text_col) \
+        .select(F.col(q_id_col).alias("q_id"), "h").distinct()
+    scored = qw.join(dw, on="h").groupBy("q_id", "_did") \
+        .agg(F.count("*").alias("n_shared"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("n_shared"),
+                                           F.asc("_did"))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .where(F.col("rank") <= k) \
+        .select("q_id", F.col("_did").alias(id_col), "n_shared", "rank")
+
+
+_RRF_GRID = float(1 << 40)
+
+
+def rrf_fuse(*hit_lists: DataFrame, k: int = 10, k_rrf: float = 60.0,
+             q_col: str = "q_id", id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two or more
+    ranked hit lists — the standard hybrid-retrieval combiner (dense
+    ANN + sparse BM25 + exact overlap): fused score = sum over lists
+    of 1 / (k_rrf + rank). Contributions are quantized to the 2^-40
+    dyadic grid so the sum is order-free exact (hash-hard despite
+    double arithmetic). Rank-only fusion: input score scales never
+    mix, which is why RRF needs no per-list normalization. Returns
+    (q_id, doc_id, rrf_score, n_lists, rank) top-k per query by
+    (rrf_score desc, doc_id asc)."""
+    if len(hit_lists) < 2:
+        raise ValueError("rrf_fuse needs at least two hit lists")
+    u = None
+    for h in hit_lists:
+        part = h.select(F.col(q_col).alias("q_id"),
+                        F.col(id_col).alias("_did"),
+                        F.col(rank_col).alias("_r"))
+        u = part if u is None else u.unionByName(part)
+    contrib = F.floor(F.lit(1.0) / (k_rrf + F.col("_r").cast("double"))
+                      * _RRF_GRID) / _RRF_GRID
+    scored = u.groupBy("q_id", "_did").agg(
+        F.sum(contrib).alias("rrf_score"),
+        F.count("*").cast("int").alias("n_lists"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"),
+                                           F.asc("_did"))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .where(F.col("rank") <= k) \
+        .select("q_id", F.col("_did").alias(id_col),
+                "rrf_score", "n_lists", "rank")

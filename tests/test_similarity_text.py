@@ -1037,3 +1037,49 @@ def test_bm25_topk_matches_reference_scoring(spark):
     plan = SIM.bm25_topk(qs, docs, k=k)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_window_overlap_and_rrf_fusion(spark):
+    """Overlap retrieval counts DISTINCT shared k-windows (brute-force
+    substring mirror); RRF fusion matches the scalar formula with
+    dyadic-grid contributions, handles 3 lists, and rejects 1."""
+    import math
+
+    import pytest as _pt
+
+    from rasters_rs_spark.operators import similarity as SIM
+
+    boiler = "SHARED BOILERPLATE SEGMENT HERE!"
+    rows = [(1, "aaaa " + boiler + " bbbb"),
+            (2, "cccc " + boiler[:20] + " unrelated tail words"),
+            (3, "no overlap at all in this document body")]
+    qrows = [(10, "zz " + boiler + " yy")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame(qrows, "q_id long, q_text string")
+
+    def wins(t, k=8):
+        return {t[p:p + k] for p in range(len(t) - k + 1)}
+
+    got = {r["doc_id"]: r["n_shared"] for r in
+           SIM.window_overlap_topk(qs, docs, k=5, win_k=8).collect()}
+    qw = wins(qrows[0][1])
+    for did, t in rows:
+        exp = len(qw & wins(t))
+        assert got.get(did, 0) == exp, (did, exp)
+    assert got[1] > got[2] > 0 and 3 not in got
+
+    # RRF vs scalar mirror, 3 lists
+    mk = lambda rows_: spark.createDataFrame(
+        rows_, "q_id long, doc_id long, rank int")
+    a = mk([(10, 1, 1), (10, 2, 2)])
+    b = mk([(10, 2, 1), (10, 3, 2)])
+    c = mk([(10, 1, 1), (10, 3, 2), (10, 2, 3)])
+    out = {r["doc_id"]: r for r in SIM.rrf_fuse(a, b, c, k=3).collect()}
+    g = float(1 << 40)
+    q = lambda r: math.floor(1.0 / (60.0 + r) * g) / g
+    assert abs(out[2]["rrf_score"] - (q(2) + q(1) + q(3))) < 1e-15
+    assert out[2]["n_lists"] == 3
+    assert abs(out[1]["rrf_score"] - (q(1) + q(1))) < 1e-15
+    assert out[2]["rank"] == 1 and out[1]["rank"] == 2   # 3 hits beat 2
+    with _pt.raises(ValueError, match="two"):
+        SIM.rrf_fuse(a)
