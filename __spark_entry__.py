@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from rasters_rs_spark.functions import hexgrid
 from rasters_rs_spark.operators import celljoin, dedup, diff, knn, mask
 from rasters_rs_spark.operators import multimodal, similarity, stats, text, tiling
 from rasters_rs_spark.sources import synth
@@ -332,6 +333,74 @@ def _hilbert_sql(bits: int = 12) -> str:
               FROM {prev})""")
     return ("WITH " + ",\n".join(ctes)
             + f" SELECT event_id, CAST(hd AS BIGINT) AS hilbert FROM l0")
+
+
+# --- hexagonal cell index (functions/hexgrid.py): the H3-style layer ------
+
+_EV_X_SQL = "(value * 60.0 - 9000.0)"
+_EV_Y_SQL = "(CAST(event_id % 199 AS DOUBLE) * 97.0 - 9000.0)"
+
+
+def _q_hex_cell(spark, sf_dir):
+    """Axial hex cell per event point (cube-round, pure Catalyst);
+    the H3-analogue companion of cell_index_events."""
+    pts = _event_points(spark, sf_dir)
+    return hexgrid.with_hex_cell(pts, size=250.0) \
+        .select(F.col("event_id").cast("bigint").alias("event_id"),
+                "hq", "hr")
+
+
+def _q_hex_bin(spark, sf_dir):
+    """Hex binning (count + exact decimal sum per occupied cell) — the
+    H3 analytics primitive: one shuffle, output bounded by occupied
+    cells."""
+    pts = _event_points(spark, sf_dir)
+    return hexgrid.hex_bin_stats(pts, size=500.0)
+
+
+def _q_hex_kring(spark, sf_dir):
+    """k-ring counts around sampled query cells: query side explodes to
+    its 1+3k(k+1) ring cells (pure Catalyst generators), point side is
+    equi-joined on its own cell key — never a distance-filtered cross
+    join over the corpus."""
+    pts = _event_points(spark, sf_dir)
+    queries = hexgrid.with_hex_cell(
+        pts.where(F.col("event_id") % 1000 == 0), size=250.0) \
+        .select("hq", "hr")
+    return hexgrid.hex_kring_join(queries, pts, size=250.0, k=2)
+
+
+def _hex_cells_cte() -> str:
+    """Shared CTE: every event's hex cell at size 250 (exact mirror)."""
+    inner = hexgrid.hex_cell_sql(_EV_X_SQL, _EV_Y_SQL, 250.0,
+                                 "FROM events", extra_cols="event_id")
+    return f"WITH _cells AS ({inner})"
+
+
+def _hex_bin_sql() -> str:
+    inner = hexgrid.hex_cell_sql(_EV_X_SQL, _EV_Y_SQL, 500.0,
+                                 "FROM events", extra_cols="value")
+    return f"""
+        WITH _cells AS ({inner})
+        SELECT hq, hr, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM _cells GROUP BY hq, hr
+    """
+
+
+def _hex_kring_sql() -> str:
+    dist = hexgrid.HEX_DIST_SQL.format(q1="q.hq", r1="q.hr",
+                                       q2="p.hq", r2="p.hr")
+    return f"""
+        {_hex_cells_cte()},
+        _queries AS (
+          SELECT DISTINCT hq, hr FROM _cells WHERE event_id % 1000 = 0
+        )
+        SELECT q.hq AS hq, q.hr AS hr, {dist} AS ring,
+               CAST(count(*) AS BIGINT) AS n
+        FROM _queries q JOIN _cells p ON {dist} <= 2
+        GROUP BY q.hq, q.hr, ring
+    """
 
 
 def _q_q1_pricing(spark, sf_dir):
@@ -2658,9 +2727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # discrete-Sibson + C1 rows) and the bit-exact P1/J4
         # mirrors sit here; long-stable rows driver-green in r05
         # follow and stay judge-verified ---
-        "pixel_stats": _q_pixel_stats,
-        "diff_stats_parts": _q_diff_stats,
-        "zonal_rect_events": _q_zonal_rect,
+        "hex_cell_events": _q_hex_cell,
+        "hex_bin_events": _q_hex_bin,
+        "hex_kring_counts_events": _q_hex_kring,
         "knn_topk_embeddings": _q_knn_topk,
         "text_quality": _q_text_quality,
         "cell_index_events": _q_cell_index,
@@ -2708,6 +2777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": _q_lm_score,
         "sibson_discrete_synth": _q_sibson_discrete,
         "fill_sibson_c1_synth": _q_fill_sibson_c1,
+        "pixel_stats": _q_pixel_stats,
+        "diff_stats_parts": _q_diff_stats,
+        "zonal_rect_events": _q_zonal_rect,
         "zonal_stats_synth": _q_zonal_stats_images,
         "q1_pricing": _q_q1_pricing,
         "nation_revenue": _q_nation_revenue,
@@ -3637,6 +3709,12 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
             FROM documents
         """,
         "lang_id_markers": _lang_case(),
+        "hex_cell_events": (
+            _hex_cells_cte()
+            + " SELECT CAST(event_id AS BIGINT) AS event_id, hq, hr"
+              " FROM _cells"),
+        "hex_bin_events": _hex_bin_sql(),
+        "hex_kring_counts_events": _hex_kring_sql(),
         "cell_index_events": f"""
             SELECT event_id::BIGINT AS event_id,
                    CAST(floor(((value * 60.0 - 9000.0) + 20037508.0) / {ts12})

@@ -1,0 +1,239 @@
+"""Hexagonal cell index: the H3-style analytics grid, pure Catalyst.
+
+The engine's primary cell index is the square web-mercator tile grid
+(`functions/mercator.py`, mirroring raster-tile/tiling/web_mercator.rs:
+43-102); this module adds the hexagonal companion the brief's H3/S2
+index layer calls for.  Hexagons are the canonical analytics binning
+cell (every neighbor shares a full edge, all 6 neighbor centers are
+equidistant, k-ring neighborhoods are isotropic), and an axial-
+coordinate hex grid over the engine's planar web-mercator coordinates
+gives H3's analytics semantics — hex binning, k-ring expansion,
+integer cell distance — without H3's icosahedral projection (whose
+purpose is global-sphere coverage, already served here by the WM
+grid / the quad-sphere index in `functions/s2grid.py`).
+
+All cell math is classic public axial/cube-coordinate geometry
+(pointy-top orientation):
+
+    fractional axial   qf = (x/sqrt(3) - y/3) / size
+                       rf = (2y/3) / size
+    cube round         (q, r) = round-to-nearest-cube-lattice point
+
+and every operator here is a pure Catalyst expression tree — no UDFs,
+no Python in the hot path — with an exactly-mirrored DuckDB SQL
+emitter (`hex_cell_sql`) so cell assignments are engine-bit-exact:
+the only operations are IEEE +,-,*,/ on shared double literals plus
+floor/abs/CASE, all of which both engines evaluate identically.
+
+``size`` is the hexagon circumradius (center -> corner) in map units.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+# exact double constants, shared verbatim by the Spark and SQL sides
+C_INV_SQRT3 = 1.0 / math.sqrt(3.0)   # 0.5773502691896258
+C_1_3 = 1.0 / 3.0
+C_2_3 = 2.0 / 3.0
+SQRT3 = math.sqrt(3.0)
+
+
+def _lit(v: float) -> str:
+    """DuckDB double literal (bare floats parse as DECIMAL there)."""
+    return f"{v:.17e}"
+
+
+# ---------------------------------------------------------------------------
+# cell assignment
+# ---------------------------------------------------------------------------
+
+def with_hex_cell(df: DataFrame, x_col: str = "x", y_col: str = "y",
+                  size: float = 250.0, q_out: str = "hq",
+                  r_out: str = "hr") -> DataFrame:
+    """Assign each (x, y) point its axial hex cell (``hq``, ``r``) as
+    long columns.  Pure Catalyst: fractional axial coords, then the
+    standard cube-round (round each cube coordinate, then repair the
+    one with the largest rounding error so q + r + s == 0 holds).
+
+    Rounding is ``floor(v + 0.5)`` — not half-even ``round`` — so the
+    tie rule is identical in Spark and DuckDB.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    qf = (x * F.lit(C_INV_SQRT3) - y * F.lit(C_1_3)) / F.lit(float(size))
+    rf = (y * F.lit(C_2_3)) / F.lit(float(size))
+    df = df.withColumn("_qf", qf).withColumn("_rf", rf) \
+           .withColumn("_yf", -F.col("_qf") - F.col("_rf"))
+    rx = F.floor(F.col("_qf") + F.lit(0.5))
+    ry = F.floor(F.col("_yf") + F.lit(0.5))
+    rz = F.floor(F.col("_rf") + F.lit(0.5))
+    df = df.withColumn("_rx", rx).withColumn("_ry", ry).withColumn("_rz", rz)
+    dx = F.abs(F.col("_rx").cast("double") - F.col("_qf"))
+    dy = F.abs(F.col("_ry").cast("double") - F.col("_yf"))
+    dz = F.abs(F.col("_rz").cast("double") - F.col("_rf"))
+    df = df.withColumn("_dx", dx).withColumn("_dy", dy).withColumn("_dz", dz)
+    fix_x = (F.col("_dx") > F.col("_dy")) & (F.col("_dx") > F.col("_dz"))
+    hq = F.when(fix_x, -F.col("_ry") - F.col("_rz")).otherwise(F.col("_rx"))
+    hr = F.when(~fix_x & (F.col("_dz") > F.col("_dy")),
+                -F.col("_rx") - F.col("_ry")).otherwise(F.col("_rz"))
+    return df.withColumn(q_out, hq.cast("long")) \
+             .withColumn(r_out, hr.cast("long")) \
+             .drop("_qf", "_rf", "_yf", "_rx", "_ry", "_rz",
+                   "_dx", "_dy", "_dz")
+
+
+def hex_cell_sql(x_sql: str, y_sql: str, size: float,
+                 from_clause: str, extra_cols: str = "") -> str:
+    """DuckDB mirror of :func:`with_hex_cell`: a CTE chain computing
+    ``hq``/``hr`` with the identical expression tree and identical
+    double literals (``:.17e`` so they parse as DOUBLE, not DECIMAL).
+    ``extra_cols`` (e.g. ``"event_id, value"``) are carried through.
+    """
+    carry = f"{extra_cols}, " if extra_cols else ""
+    s = _lit(float(size))
+    return f"""
+        WITH _hx0 AS (
+          SELECT {carry}
+                 (({x_sql}) * {_lit(C_INV_SQRT3)}
+                  - ({y_sql}) * {_lit(C_1_3)}) / {s} AS qf,
+                 (({y_sql}) * {_lit(C_2_3)}) / {s} AS rf
+          {from_clause}
+        ), _hx1 AS (
+          SELECT {carry} qf, rf, -qf - rf AS yf,
+                 floor(qf + 5.0e-01) AS rx,
+                 floor(-qf - rf + 5.0e-01) AS ry,
+                 floor(rf + 5.0e-01) AS rz
+          FROM _hx0
+        ), _hx2 AS (
+          SELECT {carry} rx, ry, rz,
+                 abs(rx - qf) AS dx, abs(ry - yf) AS dy,
+                 abs(rz - rf) AS dz
+          FROM _hx1
+        )
+        SELECT {carry}
+               CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz
+                         ELSE rx END AS BIGINT) AS hq,
+               CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy
+                         THEN -rx - ry ELSE rz END AS BIGINT) AS hr
+        FROM _hx2
+    """
+
+
+def hex_cell_np(x, y, size: float):
+    """Vectorized numpy mirror of :func:`with_hex_cell` (tests)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    qf = (x * C_INV_SQRT3 - y * C_1_3) / float(size)
+    rf = (y * C_2_3) / float(size)
+    yf = -qf - rf
+    rx = np.floor(qf + 0.5)
+    ry = np.floor(yf + 0.5)
+    rz = np.floor(rf + 0.5)
+    dx, dy, dz = np.abs(rx - qf), np.abs(ry - yf), np.abs(rz - rf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    hq = np.where(fix_x, -ry - rz, rx)
+    hr = np.where(fix_z, -rx - ry, rz)
+    return hq.astype(np.int64), hr.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# centers, distance, k-ring
+# ---------------------------------------------------------------------------
+
+def hex_center_exprs(q_col: str = "hq", r_col: str = "hr",
+                     size: float = 250.0):
+    """(cx, cy) Catalyst expressions for a cell's center point."""
+    q = F.col(q_col).cast("double")
+    r = F.col(r_col).cast("double")
+    cx = F.lit(float(size)) * (F.lit(SQRT3) * q + F.lit(SQRT3) / F.lit(2.0) * r)
+    cy = F.lit(float(size)) * (F.lit(1.5) * r)
+    return cx, cy
+
+
+def hex_center_np(q, r, size: float):
+    q = np.asarray(q, dtype=np.float64)
+    r = np.asarray(r, dtype=np.float64)
+    return (float(size) * (SQRT3 * q + SQRT3 / 2.0 * r),
+            float(size) * (1.5 * r))
+
+
+def hex_distance_expr(q1, r1, q2, r2):
+    """Integer hex-grid distance between two axial cells:
+    (|dq| + |dr| + |dq + dr|) / 2 — exact long arithmetic."""
+    dq = F.col(q1) - F.col(q2)
+    dr = F.col(r1) - F.col(r2)
+    return ((F.abs(dq) + F.abs(dr) + F.abs(dq + dr)) / F.lit(2)).cast("long")
+
+
+HEX_DIST_SQL = ("CAST((abs({q1} - {q2}) + abs({r1} - {r2}) "
+                "+ abs({q1} + {r1} - {q2} - {r2})) / 2 AS BIGINT)")
+
+
+def kring_explode(df: DataFrame, q_col: str = "hq", r_col: str = "hr",
+                  k: int = 1, nq_out: str = "nq", nr_out: str = "nr",
+                  ring_out: str = "ring") -> DataFrame:
+    """Expand each cell row to its full k-ring: every cell within hex
+    distance <= k, tagged with its exact ring (hex distance).  Emits
+    1 + 3k(k+1) rows per input via two nested ``sequence`` explodes —
+    pure Catalyst generators, no Python, no driver loop.  This is the
+    H3 ``grid_disk`` analogue and the candidate-cell generator for
+    cell-keyed k-ring joins: explode the (small) query side, equi-join
+    the (huge) point side on the cell key, never distance-filter a
+    cross join.
+    """
+    df = df.withColumn("_dq", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+    lo = F.greatest(F.lit(-k), -F.col("_dq") - F.lit(k))
+    hi = F.least(F.lit(k), -F.col("_dq") + F.lit(k))
+    df = df.withColumn("_dr", F.explode(F.sequence(lo, hi)))
+    ring = ((F.abs(F.col("_dq")) + F.abs(F.col("_dr"))
+             + F.abs(F.col("_dq") + F.col("_dr"))) / F.lit(2)).cast("long")
+    return (df.withColumn(nq_out, (F.col(q_col) + F.col("_dq")).cast("long"))
+              .withColumn(nr_out, (F.col(r_col) + F.col("_dr")).cast("long"))
+              .withColumn(ring_out, ring)
+              .drop("_dq", "_dr"))
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def hex_bin_stats(points: DataFrame, x_col: str = "x", y_col: str = "y",
+                  value_col: str = "value", size: float = 500.0) -> DataFrame:
+    """Hex binning — the H3 analytics primitive: one shuffle, map-side
+    partial aggregation, output bounded by the number of occupied
+    cells.  Sums ride DECIMAL(18,2) so they are order-free exact (the
+    engine's standard oracle-able aggregation discipline).
+    """
+    cells = with_hex_cell(points, x_col, y_col, size)
+    return cells.groupBy("hq", "hr").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+         .cast("double").alias("sum_value"),
+    )
+
+
+def hex_kring_join(queries: DataFrame, points: DataFrame,
+                   x_col: str = "x", y_col: str = "y",
+                   size: float = 250.0, k: int = 2) -> DataFrame:
+    """Count points per (query cell, ring) for every ring 0..k.
+
+    Scale shape: the QUERY side (small) explodes to its 1 + 3k(k+1)
+    k-ring cells; the POINT side (huge) is touched once, keyed by its
+    own cell, and equi-joined on the cell key — a shuffle-or-broadcast
+    hash join Catalyst/AQE is free to pick, never an all-pairs
+    distance filter over the corpus.  Returns one row per query cell
+    per non-empty ring: (hq, hr, ring, n).
+    """
+    qcells = kring_explode(queries.select("hq", "hr").distinct(),
+                           "hq", "hr", k=k)
+    pcells = with_hex_cell(points, x_col, y_col, size,
+                           q_out="pq", r_out="pr")
+    joined = qcells.join(
+        pcells, (F.col("nq") == F.col("pq")) & (F.col("nr") == F.col("pr")))
+    return joined.groupBy("hq", "hr", "ring").agg(
+        F.count("*").cast("bigint").alias("n"))

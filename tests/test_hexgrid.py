@@ -1,0 +1,132 @@
+"""Hex cell index: axial assignment, k-ring, binning, Voronoi property."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from rasters_rs_spark.functions import hexgrid
+
+
+def _lcg_points(n: int, lo: float, hi: float, seed: int = 0x5e1f):
+    """Deterministic dyadic-grid points (exact doubles)."""
+    s = seed
+    out = np.empty((2, n), dtype=np.float64)
+    vals = np.empty(2 * n, dtype=np.float64)
+    for i in range(2 * n):
+        s = (6364136223846793005 * s + 1442695040888963407) & (2**64 - 1)
+        vals[i] = float((s >> 20) & 0xFFFFF) / float(1 << 20)
+    out[0] = lo + (hi - lo) * vals[:n]
+    out[1] = lo + (hi - lo) * vals[n:]
+    return out[0], out[1]
+
+
+def test_cell_np_voronoi_property():
+    """The assigned cell's center is the nearest hex center — checked
+    against the cell's full 1-ring (the only possible competitors)."""
+    x, y = _lcg_points(2000, -9000.0, 9000.0)
+    size = 250.0
+    q, r = hexgrid.hex_cell_np(x, y, size)
+    cx, cy = hexgrid.hex_center_np(q, r, size)
+    d_own = np.hypot(x - cx, y - cy)
+    # max center distance inside a hexagon is the circumradius (= size:
+    # center -> corner); all points fall inside their assigned hexagon
+    assert np.all(d_own <= size + 1e-9)
+    for dq, dr in [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]:
+        nx, ny = hexgrid.hex_center_np(q + dq, r + dr, size)
+        d_nb = np.hypot(x - nx, y - ny)
+        assert np.all(d_own <= d_nb + 1e-9)
+
+
+def test_center_round_trip():
+    qs = np.arange(-50, 50, dtype=np.int64)
+    rs = (qs * 7 % 23) - 11
+    cx, cy = hexgrid.hex_center_np(qs, rs, 123.0)
+    q2, r2 = hexgrid.hex_cell_np(cx, cy, 123.0)
+    assert np.array_equal(q2, qs) and np.array_equal(r2, rs)
+
+
+def test_spark_matches_numpy(spark):
+    x, y = _lcg_points(3000, -9000.0, 9000.0)
+    pdf = pd.DataFrame({"pid": np.arange(3000), "x": x, "y": y})
+    df = hexgrid.with_hex_cell(spark.createDataFrame(pdf), size=250.0)
+    got = df.select("pid", "hq", "hr").toPandas().sort_values("pid")
+    q, r = hexgrid.hex_cell_np(x, y, 250.0)
+    assert np.array_equal(got["hq"].to_numpy(), q)
+    assert np.array_equal(got["hr"].to_numpy(), r)
+
+
+def test_kring_explode_counts_and_rings(spark):
+    df = spark.createDataFrame(pd.DataFrame({"hq": [3, -2], "hr": [-1, 5]}))
+    for k in (1, 2, 3):
+        ring = hexgrid.kring_explode(df, k=k).toPandas()
+        assert len(ring) == 2 * (1 + 3 * k * (k + 1))
+        for _, g in ring.groupby(["hq", "hr"]):
+            assert len(g) == len(g[["nq", "nr"]].drop_duplicates())
+            dq = g["nq"] - g["hq"]
+            dr = g["nr"] - g["hr"]
+            dist = (dq.abs() + dr.abs() + (dq + dr).abs()) // 2
+            assert (g["ring"].to_numpy() == dist.to_numpy()).all()
+            assert g["ring"].max() == k
+            # ring sizes: 1 at ring 0, 6k at ring k
+            sizes = g.groupby("ring").size()
+            assert sizes[0] == 1
+            for kk in range(1, k + 1):
+                assert sizes[kk] == 6 * kk
+
+
+def test_hex_bin_stats_matches_pandas(spark):
+    x, y = _lcg_points(4000, -9000.0, 9000.0)
+    val = np.round(np.abs(x) * 0.01, 2)
+    pdf = pd.DataFrame({"x": x, "y": y, "value": val})
+    got = hexgrid.hex_bin_stats(spark.createDataFrame(pdf), size=500.0) \
+        .toPandas().sort_values(["hq", "hr"]).reset_index(drop=True)
+    q, r = hexgrid.hex_cell_np(x, y, 500.0)
+    exp = pd.DataFrame({"hq": q, "hr": r, "value": val}) \
+        .groupby(["hq", "hr"], as_index=False) \
+        .agg(n=("value", "size"), sum_value=("value", "sum")) \
+        .sort_values(["hq", "hr"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.array_equal(got["n"].to_numpy(), exp["n"].to_numpy())
+    assert np.allclose(got["sum_value"], exp["sum_value"], atol=1e-9)
+
+
+def test_hex_kring_join_matches_brute_force(spark):
+    x, y = _lcg_points(1500, -9000.0, 9000.0)
+    size, k = 400.0, 2
+    pts = pd.DataFrame({"x": x, "y": y})
+    q, r = hexgrid.hex_cell_np(x, y, size)
+    # queries: cells of the first 5 points
+    queries = pd.DataFrame({"hq": q[:5], "hr": r[:5]}).drop_duplicates()
+    got = hexgrid.hex_kring_join(
+        spark.createDataFrame(queries),
+        spark.createDataFrame(pts), size=size, k=k) \
+        .toPandas().sort_values(["hq", "hr", "ring"]).reset_index(drop=True)
+    rows = []
+    for _, qq in queries.iterrows():
+        dq = q - qq["hq"]
+        dr = r - qq["hr"]
+        dist = (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+        for ring in range(k + 1):
+            n = int((dist == ring).sum())
+            if n:
+                rows.append((qq["hq"], qq["hr"], ring, n))
+    exp = pd.DataFrame(rows, columns=["hq", "hr", "ring", "n"]) \
+        .sort_values(["hq", "hr", "ring"]).reset_index(drop=True)
+    assert got.astype("int64").equals(exp.astype("int64"))
+
+
+def test_sql_mirror_matches_spark(spark):
+    """hex_cell_sql through DuckDB bit-matches the Catalyst assignment."""
+    import duckdb
+    x, y = _lcg_points(2500, -9000.0, 9000.0)
+    pdf = pd.DataFrame({"pid": np.arange(2500, dtype=np.int64),
+                        "x": x, "y": y})
+    got = hexgrid.with_hex_cell(spark.createDataFrame(pdf), size=333.0) \
+        .select("pid", "hq", "hr").toPandas().sort_values("pid")
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    sql = hexgrid.hex_cell_sql("x", "y", 333.0, "FROM pts",
+                               extra_cols="pid")
+    exp = con.sql(sql + " ORDER BY pid").df()
+    assert np.array_equal(got["hq"].to_numpy(), exp["hq"].to_numpy())
+    assert np.array_equal(got["hr"].to_numpy(), exp["hr"].to_numpy())
