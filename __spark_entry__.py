@@ -403,6 +403,54 @@ def _hex_kring_sql() -> str:
     """
 
 
+# --- S2-style quad-sphere cell index (functions/s2grid.py) ----------------
+
+def _lcg_signed_col(k):
+    """Exact dyadic direction component in (-1, 1), never 0: the LCG's
+    20-bit value m -> (2m + 1)/2^20 - 1.  Pure Catalyst, mirrored
+    verbatim by _lcg_signed_sql (all ops exact in both engines)."""
+    m = ((F.lit(1103515245).cast("long") * k + F.lit(12345))
+         % F.lit(2147483648)) % F.lit(1048576)
+    return ((F.lit(2).cast("long") * m + F.lit(1)).cast("double")
+            / F.lit(1048576.0)) - F.lit(1.0)
+
+
+def _lcg_signed_sql(k_expr: str) -> str:
+    return (f"CAST(2 * (((1103515245 * ({k_expr}) + 12345) % 2147483648) "
+            f"% 1048576) + 1 AS DOUBLE) / 1.04857600000000000e+06 - "
+            f"1.00000000000000000e+00")
+
+
+def _q_s2_cell(spark, sf_dir):
+    """S2-style cell ids for deterministic event directions: face CASE,
+    quadratic st, unrolled Hilbert — the full quad-sphere chain as one
+    Catalyst projection, hash-matched against the CTE-unrolled DuckDB
+    mirror."""
+    ev = _tbl(spark, sf_dir, "events")
+    k = F.col("event_id").cast("long") * F.lit(3)
+    dirs = ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        _lcg_signed_col(k).alias("vx"),
+        _lcg_signed_col(k + F.lit(1)).alias("vy"),
+        _lcg_signed_col(k + F.lit(2)).alias("vz"))
+    from rasters_rs_spark.functions import s2grid
+    return s2grid.with_s2_cell(dirs, level=8) \
+        .select("event_id", "s2_cell")
+
+
+def _s2_cell_sql() -> str:
+    from rasters_rs_spark.functions import s2grid
+    # carry must be a bare column name in the downstream CTEs; alias in
+    # an outermost wrapper instead
+    inner = s2grid.s2_cell_sql(
+        _lcg_signed_sql("3 * event_id"),
+        _lcg_signed_sql("3 * event_id + 1"),
+        _lcg_signed_sql("3 * event_id + 2"),
+        8, "FROM events", extra_cols="event_id")
+    return (f"SELECT CAST(event_id AS BIGINT) AS event_id, s2_cell "
+            f"FROM ({inner})")
+
+
 def _q_q1_pricing(spark, sf_dir):
     li = _tbl(spark, sf_dir, "lineitem")
     qty = _dec("l_quantity")
@@ -2730,8 +2778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cell_events": _q_hex_cell,
         "hex_bin_events": _q_hex_bin,
         "hex_kring_counts_events": _q_hex_kring,
+        "s2_cell_events": _q_s2_cell,
         "knn_topk_embeddings": _q_knn_topk,
-        "text_quality": _q_text_quality,
         "cell_index_events": _q_cell_index,
         "embedding_neardup": _q_embedding_neardup,
         "tile_pyramid_synth": _q_tile_pyramid,
@@ -2777,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": _q_lm_score,
         "sibson_discrete_synth": _q_sibson_discrete,
         "fill_sibson_c1_synth": _q_fill_sibson_c1,
+        "text_quality": _q_text_quality,
         "pixel_stats": _q_pixel_stats,
         "diff_stats_parts": _q_diff_stats,
         "zonal_rect_events": _q_zonal_rect,
@@ -3715,6 +3764,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
               " FROM _cells"),
         "hex_bin_events": _hex_bin_sql(),
         "hex_kring_counts_events": _hex_kring_sql(),
+        "s2_cell_events": _s2_cell_sql(),
         "cell_index_events": f"""
             SELECT event_id::BIGINT AS event_id,
                    CAST(floor(((value * 60.0 - 9000.0) + 20037508.0) / {ts12})
