@@ -689,6 +689,21 @@ def _q_knn_ring(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def _q_knn_hex(spark, sf_dir):
+    """Hex k-ring-expansion kNN (H3-style grid_disk probing,
+    operators/knn.py knn_join_hex): fast_path_points=0 forces the
+    ring-expansion path so the oracle verifies the hex stop bound, not
+    the broadcast brute force."""
+    pts = spark.createDataFrame(synth.points_table(500, seed=22))
+    qs = spark.createDataFrame(
+        synth.points_table(50, seed=23).rename(columns={"pt_id": "qid"})
+        .drop(columns=["z"]))
+    return knn.knn_join_hex(qs, pts, k=5, size=150.0, query_id="qid",
+                            fast_path_points=0) \
+              .select("qid", "pt_id", F.round("dist", 9).alias("dist"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 _FILL_PTS_EXTENT = (-1000.0, 900.0, -100.0, 1010.0)
 
 
@@ -2785,9 +2800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_synth": _q_tile_pyramid,
         "zonal_stats_dist_synth": _q_zonal_stats_dist,
         "knn_ring_synth": _q_knn_ring,
+        "knn_hex_synth": _q_knn_hex,
         "fill_idw_synth": _q_fill_idw,
         "fill_barycentric_synth": _q_fill_barycentric,
-        "fill_sibson_synth": _q_fill_sibson,
         "fill_barycentric_dist_synth": _q_fill_barycentric_dist,
         "fill_barycentric_chunked_synth": _q_fill_barycentric_chunked,
         "minhash_pairs_docs": _q_minhash_pairs,
@@ -2825,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": _q_lm_score,
         "sibson_discrete_synth": _q_sibson_discrete,
         "fill_sibson_c1_synth": _q_fill_sibson_c1,
+        "fill_sibson_synth": _q_fill_sibson,
         "text_quality": _q_text_quality,
         "pixel_stats": _q_pixel_stats,
         "diff_stats_parts": _q_diff_stats,
@@ -3156,6 +3172,30 @@ def _knn_ring_sql() -> str:
     pts = _points_values(synth.points_table(500, seed=20), with_z=False)
     qs = _points_values(
         synth.points_table(50, seed=21).rename(columns={"pt_id": "qid"}),
+        with_z=False)
+    return f"""
+        WITH p(pt_id, x, y) AS (VALUES {pts}),
+        q(qid, qx, qy) AS (VALUES {qs}),
+        cand AS (
+          SELECT qid, pt_id,
+                 sqrt((qx - x)*(qx - x) + (qy - y)*(qy - y)) AS dist
+          FROM q CROSS JOIN p),
+        ranked AS (
+          SELECT qid, pt_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, pt_id) AS rank
+          FROM cand)
+        SELECT qid, pt_id, round(dist, 9) AS dist, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def _knn_hex_sql() -> str:
+    """Brute-force kNN oracle for the hex ring path: the hex index must
+    reach the exact same (dist, pt_id)-ranked top-k as a full scan."""
+    pts = _points_values(synth.points_table(500, seed=22), with_z=False)
+    qs = _points_values(
+        synth.points_table(50, seed=23).rename(columns={"pt_id": "qid"}),
         with_z=False)
     return f"""
         WITH p(pt_id, x, y) AS (VALUES {pts}),
@@ -3828,6 +3868,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "zonal_chunked_dist_synth": _lcg_zonal_poly_sql(),
         "diff_stats_synth": _lcg_diff_partial_sql(),
         "knn_ring_synth": _knn_ring_sql(),
+        "knn_hex_synth": _knn_hex_sql(),
         "fill_idw_synth": _fill_idw_sql(),
         "fill_barycentric_synth": _fill_barycentric_sql(),
         "fill_barycentric_dist_synth": _fill_barycentric_dist_sql(),

@@ -169,6 +169,118 @@ def _brute_force_rank(remaining: DataFrame, p: DataFrame, k: int, query_id: str)
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def knn_join_hex(queries: DataFrame, points: DataFrame, k: int, size: float,
+                 query_id: str = "qid", max_rounds: int = 8,
+                 fast_path_points: int = 10_000,
+                 max_ring_cells: int = 1 << 16) -> DataFrame:
+    """Exact kNN join over the hexagonal cell index (functions/hexgrid):
+    the H3-style "k-ring-expansion kNN over the same index" — queries
+    probe an expanding hex k-ring (H3 grid_disk) until the kth
+    candidate provably beats every unprobed cell, then row_number() <= k.
+
+    Stop bound (why this is exact): centers of two hex cells at integer
+    hex distance D are Euclidean-separated by at least 1.5*R*D, where R
+    is the hexagon circumradius (``size``) — the minimum over axial
+    offsets (a, b), a + b = D is R*sqrt(3*D^2 - 3*D*t + 3*t^2) >=
+    1.5*R*D, attained at the t = D/2 "diagonal".  Every point lies
+    within R of its own cell's center, so after probing every cell at
+    hex distance <= rho of the query's cell, any unprobed point is at
+    least ``1.5*R*(rho+1) - R - d_qc`` away, with d_qc the query's
+    distance to its own cell center.  A query whose kth candidate
+    distance is STRICTLY below that bound cannot be improved (an
+    unprobed point at exactly the bound still ranks after the kth under
+    the (dist, pt_id) ordering).
+
+    Scale shape: identical to :func:`knn_join` — per round, the (small)
+    unsatisfied query side explodes to its ring-annulus cells (pure
+    Catalyst ``sequence`` generators, ring tags filtered to the
+    unprobed annulus) and equi-joins the (huge) point side on the hex
+    cell key; no cell is joined twice, the running top-k carries
+    between rounds, and Catalyst/AQE picks broadcast vs shuffle hash
+    join.  Tiny point sides (<= ``fast_path_points``) short-circuit to
+    one broadcast crossJoin + window, same as the square index.
+    """
+    from ..functions import hexgrid
+
+    R = float(size)
+    q = hexgrid.with_hex_cell(queries, "x", "y", R, q_out="qhq", r_out="qhr") \
+        .withColumnRenamed("x", "qx").withColumnRenamed("y", "qy")
+    ccx, ccy = hexgrid.hex_center_exprs("qhq", "qhr", R)
+    dqx = F.col("qx") - ccx
+    dqy = F.col("qy") - ccy
+    q = q.withColumn("_dqc", F.sqrt(dqx * dqx + dqy * dqy))
+    p = hexgrid.with_hex_cell(points, "x", "y", R,
+                              q_out="phq", r_out="phr").persist()
+
+    n_points = p.count()
+    drop_cols = ["qhq", "qhr", "_dqc"]
+    if n_points <= fast_path_points:
+        out = _brute_force_rank(
+            q.drop("_dqc"),
+            F.broadcast(p.withColumnRenamed("phq", "pcx")
+                         .withColumnRenamed("phr", "pcy")),
+            k, query_id).drop("qhq", "qhr").persist()
+        out.count()
+        p.unpersist()
+        return out
+
+    remaining = q.persist()
+    to_unpersist = [p, remaining]
+    out = None
+    carry = None
+    prev_rho = -1     # nothing probed yet; round 1 includes ring 0
+    rho = 1
+    exhausted = True
+    for round_i in range(max_rounds):
+        if round_i > 0 and remaining.isEmpty():
+            exhausted = False
+            break
+        # annulus = hex rings prev_rho+1 .. rho: 1 + 3*rho*(rho+1) disk
+        # cells minus the already-probed disk, generated Catalyst-side
+        if 1 + 3 * rho * (rho + 1) > max_ring_cells:
+            break     # remaining far-from-everything queries: brute force
+        probes = hexgrid.kring_explode(remaining, "qhq", "qhr", k=rho) \
+            .where(F.col("ring") > prev_rho) \
+            .drop("ring")
+        cand = probes.join(
+            p, (F.col("nq") == F.col("phq")) & (F.col("nr") == F.col("phr"))) \
+            .drop("nq", "nr", "phq", "phr") \
+            .withColumn("dist", _dist_expr())
+        if carry is not None:
+            cand = cand.unionByName(carry)
+        w = Window.partitionBy(query_id).orderBy("dist", "pt_id")
+        wall = Window.partitionBy(query_id)
+        g = F.lit(1.5 * R) * F.lit(float(rho + 1)) - F.lit(R) - F.col("_dqc")
+        ranked = (cand.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .withColumn("_sat", (F.count("*").over(wall) >= k) &
+                              (F.max("dist").over(wall) < g))
+                  .persist())
+        to_unpersist.append(ranked)
+        solved = ranked.where(F.col("_sat")).drop("_sat")
+        out = solved if out is None else out.unionByName(solved)
+        carry = ranked.where(~F.col("_sat")).drop("_sat", "rank")
+        remaining = remaining.join(
+            ranked.where(F.col("_sat")).select(query_id).distinct(),
+            on=query_id, how="left_anti").persist()
+        to_unpersist.append(remaining)
+        prev_rho = rho
+        rho *= 2
+    p_sq = p.withColumnRenamed("phq", "pcx").withColumnRenamed("phr", "pcy")
+    if out is None:
+        out = _brute_force_rank(remaining.drop("_dqc"), p_sq, k, query_id) \
+            .withColumn("_dqc", F.lit(0.0))
+    elif exhausted and not remaining.isEmpty():
+        out = out.unionByName(
+            _brute_force_rank(remaining.drop("_dqc"), p_sq, k, query_id)
+            .withColumn("_dqc", F.lit(0.0)))
+    out = out.drop(*drop_cols).persist()
+    out.count()
+    for df in to_unpersist:
+        df.unpersist()
+    return out
+
+
 def knn_join_broadcast(queries: DataFrame, points: pd.DataFrame, k: int,
                        query_id: str = "qid") -> DataFrame:
     """Brute-force kNN against a broadcast pandas point table (exact;

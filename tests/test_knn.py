@@ -93,6 +93,71 @@ def test_knn_join_fast_path_matches_ring(spark):
     assert a == b
 
 
+def test_knn_join_hex_exact_vs_bruteforce(spark):
+    """Hex k-ring-expansion kNN (H3-style index) is exact: forced ring
+    path vs the numpy brute force."""
+    ps = synth.points_table(300, seed=26)
+    qs = synth.points_table(40, seed=27).rename(columns={"pt_id": "qid"}) \
+                                        .drop(columns=["z"])
+    expect = _bruteforce_knn(qs, ps, 5)
+    res = K.knn_join_hex(spark.createDataFrame(qs), spark.createDataFrame(ps),
+                         k=5, size=120.0, query_id="qid",
+                         fast_path_points=0).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append((r["pt_id"], r["dist"]))
+    assert set(got) == set(expect)
+    for qid in expect:
+        assert [p for p, _ in got[qid]] == [p for p, _ in expect[qid]], qid
+        assert np.allclose([d for _, d in got[qid]], [d for _, d in expect[qid]])
+
+
+def test_knn_join_hex_dense_multi_round(spark):
+    """Small hex size over a dense corpus: several expansion rounds,
+    boundary cells probed exactly once, still exact vs brute force."""
+    ps = synth.points_table(4000, seed=28)
+    qs = synth.points_table(60, seed=29).rename(columns={"pt_id": "qid"}) \
+                                        .drop(columns=["z"])
+    expect = _bruteforce_knn(qs, ps, 7)
+    res = K.knn_join_hex(spark.createDataFrame(qs), spark.createDataFrame(ps),
+                         k=7, size=40.0, query_id="qid",
+                         fast_path_points=0).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(r["pt_id"])
+    assert {q: [p for p, _ in v] for q, v in expect.items()} == got
+
+
+def test_knn_join_hex_partial_fallback_union(spark):
+    """max_rounds exhausted with some queries satisfied: ring output +
+    brute-force fallback union stays exact (hex variant of the pcx/pcy
+    column-mismatch regression)."""
+    grid = [(i * 50.0 + 10.0, j * 50.0 + 10.0)
+            for i in range(5) for j in range(5)]
+    cluster = [(25.0, 30.0), (30.0, 25.0), (20.0, 20.0)]
+    far = [(9000.0, 9000.0), (9100.0, 9100.0)]
+    pts = grid + cluster + far
+    ps = pd.DataFrame({
+        "pt_id": [f"pt_{i:07d}" for i in range(len(pts))],
+        "x": [p[0] for p in pts],
+        "y": [p[1] for p in pts],
+        "z": np.zeros(len(pts)),
+    })
+    qs = pd.DataFrame({
+        "qid": ["near0", "near1", "far0"],
+        "x": [25.0, 30.0, 8000.0],
+        "y": [25.0, 30.0, 8000.0],
+    })
+    expect = _bruteforce_knn(qs, ps, 3)
+    res = K.knn_join_hex(spark.createDataFrame(qs), spark.createDataFrame(ps),
+                         k=3, size=30.0, query_id="qid", max_rounds=1,
+                         fast_path_points=0).collect()
+    got = {}
+    for r in sorted(res, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(r["pt_id"])
+    assert {q: [p for p, _ in v] for q, v in expect.items()} == got
+
+
 def test_knn_broadcast_matches(spark):
     ps = synth.points_table(200, seed=22)
     qs = synth.points_table(25, seed=23).rename(columns={"pt_id": "qid"}).drop(columns=["z"])
