@@ -525,6 +525,85 @@ def _q_embedding_neardup(spark, sf_dir):
                       F.round("cosine", 9).alias("cosine"))
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (dedup.semantic_dedup): LCG-centroid clustering, the
+    within-cluster cosine prune, and the paper's low-centroid-sim keep
+    rule — assignment, centroid cosine, pair cosine, and the keep
+    decision are all strict left folds, bit-identical to the DuckDB
+    list_reduce mirror."""
+    emb = _tbl(spark, sf_dir, "embeddings") \
+        .selectExpr("cast(vec_id as bigint) vec_id",
+                    "transform(embedding, v -> cast(v as double)) embedding")
+    out = dedup.semantic_dedup(emb, similarity.lcg_centroids(8, 64),
+                               threshold=0.4)
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"),
+                      F.round("centroid_sim", 9).alias("centroid_sim"),
+                      "kept")
+
+
+def _semdedup_sql(n_clusters: int = 8, threshold: float = 0.4) -> str:
+    """Mirror of dedup.semantic_dedup: every sum a list_reduce left
+    fold (== the kernel's numpy strict folds), argmin ties to the
+    lowest centroid id, drop rule = higher centroid_sim (ties: larger
+    id) per qualifying pair."""
+    cents = similarity.lcg_centroids(n_clusters, 64)
+    dcols = ", ".join(
+        f"list_reduce(list_transform(range(1, 65), "
+        f"i -> (v[i] - ({_sql_list(c)})[i]) * (v[i] - ({_sql_list(c)})[i])), "
+        f"(a, b) -> a + b) AS d{i}"
+        for i, c in enumerate(cents))
+    tcols = ", ".join(
+        f"list_reduce(list_transform(range(1, 65), "
+        f"i -> v[i] * ({_sql_list(c)})[i]), (a, b) -> a + b) AS t{i}"
+        for i, c in enumerate(cents))
+    cn = ", ".join(
+        f"sqrt(list_reduce(list_transform(range(1, 65), "
+        f"i -> ({_sql_list(c)})[i] * ({_sql_list(c)})[i]), "
+        f"(a, b) -> a + b)) AS cn{i}"
+        for i, c in enumerate(cents))
+    least = "least(" + ", ".join(f"d{i}" for i in range(n_clusters)) + ")"
+    whens = " ".join(f"WHEN d{i} = m THEN {i}" for i in range(n_clusters))
+    sim_whens = " ".join(
+        f"WHEN cluster = {i} THEN CASE WHEN vnorm * cn{i} <> 0 "
+        f"THEN t{i} / (vnorm * cn{i}) END" for i in range(n_clusters))
+    pair_dot = ("list_reduce(list_transform(range(1, 65), "
+                "i -> a.v[i] * b.v[i]), (x, y) -> x + y)")
+    return f"""
+        WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        cd AS (SELECT id, v, {dcols}, {tcols},
+                      sqrt(list_reduce(list_transform(range(1, 65),
+                           i -> v[i] * v[i]), (a, b) -> a + b)) AS vnorm,
+                      {cn}
+               FROM e),
+        assigned AS (
+          SELECT id, v, vnorm, CASE {whens} END AS cluster,
+                 {", ".join(f"t{i}, cn{i}" for i in range(n_clusters))}
+          FROM (SELECT *, {least} AS m FROM cd)),
+        scored AS (
+          SELECT id, cluster, CASE {sim_whens} END AS centroid_sim
+          FROM assigned),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 sa.centroid_sim AS cs_a, sb.centroid_sim AS cs_b
+          FROM assigned a JOIN assigned b
+            ON a.cluster = b.cluster AND a.id < b.id
+          JOIN scored sa ON sa.id = a.id
+          JOIN scored sb ON sb.id = b.id
+          WHERE a.vnorm * b.vnorm <> 0
+            AND {pair_dot} / (a.vnorm * b.vnorm) >= {_dbl17(threshold)}),
+        dropped AS (
+          SELECT DISTINCT CASE WHEN cs_a > cs_b THEN id_a
+                               WHEN cs_b > cs_a THEN id_b
+                               ELSE greatest(id_a, id_b) END AS id
+          FROM pairs)
+        SELECT s.id AS vec_id, CAST(s.cluster AS INT) AS cluster,
+               round(s.centroid_sim, 9) AS centroid_sim,
+               (d.id IS NULL) AS kept
+        FROM scored s LEFT JOIN dropped d ON d.id = s.id
+    """
+
+
 def _q_embedding_neardup_inc(spark, sf_dir):
     """Append-only embedding near-dup: the new batch (vec_id 300..399)
     checked against the corpus (vec_id < 300) AND within itself through
@@ -2797,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk_embeddings": _q_knn_topk,
         "cell_index_events": _q_cell_index,
         "embedding_neardup": _q_embedding_neardup,
+        "semdedup_embeddings": _q_semdedup,
         "tile_pyramid_synth": _q_tile_pyramid,
         "zonal_stats_dist_synth": _q_zonal_stats_dist,
         "knn_ring_synth": _q_knn_ring,
@@ -2814,7 +2894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_grad_synth": _q_focal_grad,
         "rasterize_synth": _q_rasterize,
         "rasterize_dist_synth": _q_rasterize_dist,
-        "asof_purchase_before_error": _q_asof_join,
         "chunk_plan_parts": _q_chunk_plan,
         "tile_assignment_synth": _q_tile_assignment,
         "bpe_tokens_docs": _q_bpe_tokens,
@@ -2841,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sibson_discrete_synth": _q_sibson_discrete,
         "fill_sibson_c1_synth": _q_fill_sibson_c1,
         "fill_sibson_synth": _q_fill_sibson,
+        "asof_purchase_before_error": _q_asof_join,
         "text_quality": _q_text_quality,
         "pixel_stats": _q_pixel_stats,
         "diff_stats_parts": _q_diff_stats,
@@ -3845,6 +3925,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
             GROUP BY n_name
         """,
         "embedding_neardup": _embedding_neardup_lsh_sql(),
+        "semdedup_embeddings": _semdedup_sql(),
         "embedding_neardup_inc": _embedding_neardup_inc_sql(),
         "embedding_neardup_exact": """
             WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v

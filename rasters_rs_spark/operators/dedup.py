@@ -734,6 +734,106 @@ def embedding_neardup(embs: DataFrame, id_col: str = "vec_id",
                 .select("id_a", "id_b", "cosine")
 
 
+def _semdedup_assign_udf(id_col: str, vec_col: str, cents):
+    """Per-batch Arrow kernel: argmin-sqdist cluster (strict fold
+    distances, ties to the lowest centroid id — np.argmin's first-min
+    == the oracle's CASE WHEN d_i = m ordered scan) plus the cosine to
+    the assigned centroid, every sum a strict left fold so the value is
+    bit-identical to the DuckDB list_reduce mirror."""
+    from .similarity import _fold_sqdist_rows, _fold_dot_rows
+
+    cl = [np.asarray(c, dtype=np.float64) for c in cents]
+    cnorm = []
+    for c in cl:
+        acc = 0.0
+        for x in c:
+            acc = acc + x * x
+        cnorm.append(np.sqrt(acc))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            d = np.stack([_fold_sqdist_rows(mat, c) for c in cl], axis=1)
+            cluster = np.argmin(d, axis=1)
+            vnorm_sq = np.zeros(mat.shape[0])
+            for j in range(mat.shape[1]):
+                vnorm_sq = vnorm_sq + mat[:, j] * mat[:, j]
+            vnorm = np.sqrt(vnorm_sq)
+            dots = np.stack([_fold_dot_rows(mat, c) for c in cl], axis=1)
+            cdot = np.take_along_axis(dots, cluster[:, None], axis=1)[:, 0]
+            denom = vnorm * np.asarray(cnorm)[cluster]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = np.where(denom != 0.0, cdot / denom, np.nan)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
+                "cluster": cluster.astype(np.int32),
+                "centroid_sim": [None if not np.isfinite(s) else float(s)
+                                 for s in sim],
+            })
+    return gen
+
+
+def semantic_dedup(embs: DataFrame, cents, threshold: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   hot_cluster_rows: int = 100_000,
+                   hot_salt: int = 32) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then prune near-duplicate pairs WITHIN each
+    cluster, keeping the member farther from its centroid (the paper's
+    low-centroid-similarity keep rule — prototypical near-dups go,
+    outliers stay).  Pair rule, greedy and deterministic: for every
+    same-cluster pair with cosine >= ``threshold``, drop the higher
+    ``centroid_sim`` member (ties: the larger id).  Returns one row per
+    input vector: (id, cluster, centroid_sim, kept).
+
+    ``cents`` is the centroid list (e.g. ``similarity.lcg_centroids``
+    for the SQL-oracled deterministic variant, or
+    ``similarity.train_ivf_centroids_distributed`` for trained ones).
+
+    Scale shape: centroids ship inside the Arrow kernel (broadcast
+    metadata, one corpus scan assigns cluster + centroid cosine); the
+    only shuffle is the cluster-keyed self-equi-join, hot clusters
+    salted like every other dedup candidate join.  Within-cluster work
+    is O((n/k)^2) per cluster — size the centroid count so clusters
+    stay bounded (the paper runs 50k clusters at 5B embeddings), and
+    the salting caps per-task blowup when the clustering is skewed.
+    All sums are strict left folds, so cluster assignment, centroid
+    cosine, and the keep decision are bit-identical to the DuckDB
+    list_reduce mirror (semdedup_embeddings contract row)."""
+    from .similarity import cosine_expr
+
+    schema = (f"{id_col} {dict(embs.dtypes)[id_col]}, "
+              f"{vec_col} {dict(embs.dtypes)[vec_col]}, "
+              f"cluster int, centroid_sim double")
+    assigned = embs.select(id_col, vec_col) \
+        .mapInPandas(_semdedup_assign_udf(id_col, vec_col, cents),
+                     schema=schema) \
+        .localCheckpoint(eager=True)
+    left = assigned.select(F.col(id_col).alias("id_a"), "cluster",
+                           F.col(vec_col).alias("va"),
+                           F.col("centroid_sim").alias("cs_a"))
+    right = assigned.select(F.col(id_col).alias("id_b"), "cluster",
+                            F.col(vec_col).alias("vb"),
+                            F.col("centroid_sim").alias("cs_b"))
+    pairs = _salted_bucket_join(left, right, ["cluster"],
+                                hot_cluster_rows, hot_salt, assigned) \
+        .where(F.col("id_a") < F.col("id_b")) \
+        .withColumn("_cos", cosine_expr("va", "vb")) \
+        .where(F.col("_cos") >= F.lit(threshold))
+    dropped = pairs.select(
+        F.when(F.col("cs_a") > F.col("cs_b"), F.col("id_a"))
+         .when(F.col("cs_b") > F.col("cs_a"), F.col("id_b"))
+         .otherwise(F.greatest("id_a", "id_b")).alias(id_col)).distinct()
+    return assigned.join(dropped.withColumn("_drop", F.lit(True)),
+                         on=id_col, how="left") \
+        .select(id_col, "cluster", "centroid_sim",
+                F.col("_drop").isNull().alias("kept"))
+
+
 def decontaminate(docs: DataFrame, test_set: DataFrame,
                   shingle_k: int = 8, min_hits: int = 1,
                   text_col: str = "text", id_col: str = "doc_id",

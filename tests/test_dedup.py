@@ -399,3 +399,59 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert {r["doc_id"] for r in kept.collect()} == {2, 3}
     # min_hits above the overlap -> nothing flagged
     assert D.decontaminate(docs, ts, shingle_k=8, min_hits=4).count() == 0
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """SemDeDup: planted near-dup groups are pruned to one survivor
+    each, and the survivor is the paper's low-centroid-sim member."""
+    rng = np.random.default_rng(7)
+    dim = 16
+    cents = [rng.normal(size=dim).tolist() for _ in range(4)]
+    base = [np.asarray(c) * 2.0 + rng.normal(size=dim) * 0.05
+            for c in cents[:3]]
+    rows = []
+    vid = 0
+    for g, b in enumerate(base):          # 3 groups x 4 near-identical
+        for j in range(4):
+            v = b + rng.normal(size=dim) * 1e-3
+            rows.append((vid, v.tolist()))
+            vid += 1
+    for _ in range(10):                   # background singletons
+        rows.append((vid, rng.normal(size=dim).tolist()))
+        vid += 1
+    embs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = D.semantic_dedup(embs, cents, threshold=0.95).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == vid
+
+    # numpy mirror of the greedy drop rule
+    mat = np.stack([np.asarray(v) for _, v in rows])
+    ca = np.stack([((mat - np.asarray(c)) ** 2).sum(1) for c in cents], 1)
+    cl = ca.argmin(1)
+    norm = np.linalg.norm(mat, axis=1)
+    csim = np.array([mat[i] @ np.asarray(cents[cl[i]])
+                     / (norm[i] * np.linalg.norm(cents[cl[i]]))
+                     for i in range(len(mat))])
+    dropped = set()
+    for i in range(len(mat)):
+        for j in range(i + 1, len(mat)):
+            if cl[i] != cl[j]:
+                continue
+            cos = mat[i] @ mat[j] / (norm[i] * norm[j])
+            if cos >= 0.95:
+                if csim[i] > csim[j]:
+                    dropped.add(i)
+                elif csim[j] > csim[i]:
+                    dropped.add(j)
+                else:
+                    dropped.add(max(i, j))
+    assert dropped, "planted groups must produce drops"
+    for i in range(len(mat)):
+        assert by_id[i]["kept"] == (i not in dropped), i
+        assert by_id[i]["cluster"] == cl[i]
+        assert abs(by_id[i]["centroid_sim"] - csim[i]) < 1e-9
+    # each planted group keeps at least one member
+    for g in range(3):
+        ids = range(g * 4, g * 4 + 4)
+        assert any(by_id[i]["kept"] for i in ids)
