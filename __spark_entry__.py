@@ -1488,6 +1488,42 @@ def _q_augment(spark, sf_dir):
     return out.mapInPandas(gen, schema="image_id string, i long, j long, v double")
 
 
+def _q_patchify(spark, sf_dir):
+    """ViT patch extraction (multimodal.patchify_images) over LCG
+    images: per-patch pixel sums/extremes computed FROM the emitted
+    patch arrays (ordered F.aggregate folds over the row-major pixels)
+    — dyadic values make every sum exact, so the closed-form LCG
+    oracle matches bit-for-bit, pinning patch boundaries, order, and
+    values."""
+    images = spark.createDataFrame(synth.lcg_image_table(6))
+    p = multimodal.patchify_images(images, patch=8)
+    return p.select(
+        "image_id", F.col("pi").cast("int").alias("pi"),
+        F.col("pj").cast("int").alias("pj"),
+        F.size("pixels").cast("bigint").alias("n"),
+        F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x).alias("sum_v"),
+        F.array_min("pixels").alias("min_v"),
+        F.array_max("pixels").alias("max_v"))
+
+
+def _patchify_sql() -> str:
+    """Closed-form mirror: regenerate every pixel of the 6 LCG images
+    from k = m*1024 + i*32 + j and aggregate by 8x8 patch."""
+    v = synth.lcg_sql_expr("m * 1024 + i * 32 + j")
+    return f"""
+        WITH g AS (
+          SELECT m.m, i.i, j.j, {v} AS v
+          FROM (SELECT unnest(generate_series(0, 5)) AS m) m,
+               (SELECT unnest(generate_series(0, 31)) AS i) i,
+               (SELECT unnest(generate_series(0, 31)) AS j) j)
+        SELECT printf('img_%08d', m) AS image_id,
+               CAST(i // 8 AS INT) AS pi, CAST(j // 8 AS INT) AS pj,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v
+        FROM g GROUP BY m, i // 8, j // 8
+    """
+
+
 def _q_repetition(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return text.repetition_stats(docs, n=2)
@@ -2899,8 +2935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens_docs": _q_bpe_tokens,
         "repetition_docs": _q_repetition,
         "augment_pixels_synth": _q_augment,
+        "patchify_stats_synth": _q_patchify,
         "filter_corpus_docs": _q_filter_corpus,
-        "dup_components_docs": _q_dup_components,
         "fill_sibson_dist_synth": _q_fill_sibson_dist,
         "bpe_tokenize_docs": _q_bpe_tokenize,
         "pack_sequences_docs": _q_pack_sequences,
@@ -2920,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sibson_discrete_synth": _q_sibson_discrete,
         "fill_sibson_c1_synth": _q_fill_sibson_c1,
         "fill_sibson_synth": _q_fill_sibson,
+        "dup_components_docs": _q_dup_components,
         "asof_purchase_before_error": _q_asof_join,
         "text_quality": _q_text_quality,
         "pixel_stats": _q_pixel_stats,
@@ -4120,6 +4157,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
             WHERE q.n_tokens >= 30 AND rep.rep_ratio <= 0.12
               AND lang.lang_id IN ('en', 'es')
         """,
+        "patchify_stats_synth": _patchify_sql(),
         "augment_pixels_synth": f"""
             WITH px AS (
               SELECT m.m, i.idx // {_AUG_CROP[3]} AS i,

@@ -74,6 +74,52 @@ def resize_images(images: DataFrame, out_h: int, out_w: int,
         gen, schema="image_id string, bytes binary, w int, h int, fmt string")
 
 
+def patchify_images(images: DataFrame, patch: int = 8,
+                    allow_fake: bool = False) -> DataFrame:
+    """ViT-style patch extraction (Dosovitskiy et al. 2021, "An Image
+    is Worth 16x16 Words"): decode each image and emit one row per
+    non-overlapping ``patch`` x ``patch`` tile — (image_id, pi, pj,
+    pixels) with ``pixels`` the row-major flattened float64 patch — the
+    patch-embedding input shape for vision-transformer training-data
+    pipelines.  Trailing rows/cols not divisible by ``patch`` are
+    cropped (the standard ViT rule).
+
+    Scale shape: one Arrow-batched pass, no shuffle — each image row
+    fans out to (h//patch)*(w//patch) patch rows inside its own task;
+    the reshape/transpose is a single numpy view per image.  Row count
+    multiplies by the patch grid, so repartition downstream if patches
+    feed a wide aggregation.  Per-patch dyadic-pixel sums are
+    SQL-oracled bit-exactly (patchify_stats_synth)."""
+    if patch <= 0:
+        raise ValueError("patch must be positive")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                block = decode_any(row.bytes, row.h, row.w, row.fmt,
+                                   allow_fake)
+                ph, pw = row.h // patch, row.w // patch
+                if ph == 0 or pw == 0:
+                    continue
+                core = block[:ph * patch, :pw * patch]
+                tiles = core.reshape(ph, patch, pw, patch) \
+                            .transpose(0, 2, 1, 3) \
+                            .reshape(ph * pw, patch * patch)
+                pi, pj = np.divmod(np.arange(ph * pw), pw)
+                out.append(pd.DataFrame({
+                    "image_id": row.image_id,
+                    "pi": pi.astype(np.int32),
+                    "pj": pj.astype(np.int32),
+                    "pixels": [t for t in tiles],
+                }))
+            yield (pd.concat(out) if out else pd.DataFrame(
+                columns=["image_id", "pi", "pj", "pixels"]))
+
+    return images.mapInPandas(
+        gen, schema="image_id string, pi int, pj int, pixels array<double>")
+
+
 AUG_OPS = ("fliph", "flipv", "rot90", "rot180", "rot270", "crop")
 
 

@@ -229,6 +229,34 @@ def test_validate_images_invariant(spark):
     assert all(p == float("inf") for p in ident.values())
 
 
+def test_patchify_images(spark):
+    """ViT patch extraction equals the numpy reshape oracle: every
+    (pi, pj) patch is the row-major flatten of block[pi*P:(pi+1)*P,
+    pj*P:(pj+1)*P]; trailing remainder rows/cols are cropped; an image
+    smaller than one patch emits nothing."""
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.operators import multimodal as MM
+    rng = np.random.default_rng(23)
+    block = rng.normal(size=(17, 13))        # 17//4=4, 13//4=3 patches
+    tiny = rng.normal(size=(3, 3))           # smaller than patch=4
+    pdf = pd.DataFrame([
+        {"image_id": "a", "bytes": codecs.encode_raw(block),
+         "w": 13, "h": 17, "fmt": "raw"},
+        {"image_id": "t", "bytes": codecs.encode_raw(tiny),
+         "w": 3, "h": 3, "fmt": "raw"},
+    ])
+    rows = MM.patchify_images(spark.createDataFrame(pdf), patch=4).collect()
+    got = {(r["image_id"], r["pi"], r["pj"]): np.array(r["pixels"])
+           for r in rows}
+    assert len(got) == 4 * 3                 # tiny image emits nothing
+    for pi in range(4):
+        for pj in range(3):
+            expect = block[pi * 4:(pi + 1) * 4, pj * 4:(pj + 1) * 4].ravel()
+            assert np.array_equal(got[("a", pi, pj)], expect), (pi, pj)
+    with pytest.raises(ValueError, match="patch must be positive"):
+        MM.patchify_images(spark.createDataFrame(pdf), patch=0)
+
+
 def test_multimodal_plumbing(spark):
     from rasters_rs_spark.functions import codecs
     from rasters_rs_spark.operators import multimodal as MM
