@@ -455,3 +455,37 @@ def test_semantic_dedup_planted_clusters(spark):
     for g in range(3):
         ids = range(g * 4, g * 4 + 4)
         assert any(by_id[i]["kept"] for i in ids)
+
+
+def test_semdedup_pair_kernel_matches_expr(spark):
+    """The Arrow pair-cosine kernel is bit-identical to cosine_expr's
+    strict folds: same kept pair set AND, for every kept pair, the
+    kernel's threshold decision agrees with the Catalyst fold value
+    exactly (zero-norm -> NULL -> dropped; length mismatch -> NULL ->
+    dropped)."""
+    from pyspark.sql import functions as F
+    from rasters_rs_spark.operators.similarity import cosine_expr
+    rng = np.random.default_rng(41)
+    n, dim = 60, 16
+    vecs = [rng.normal(size=dim).tolist() for _ in range(n)]
+    vecs[7] = [0.0] * dim                     # zero-norm -> NULL cosine
+    vecs[11] = rng.normal(size=dim - 3).tolist()   # ragged length
+    rows = [(a, b, vecs[a], vecs[b])
+            for a in range(n) for b in range(a + 1, n)]
+    cand = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id_a", "id_b", "va", "vb"])) \
+        .withColumn("cs_a", F.lit(0.0)).withColumn("cs_b", F.lit(0.0)) \
+        .select("id_a", "id_b", "cs_a", "cs_b", "va", "vb")
+    thr = 0.05
+    expr_kept = {(r["id_a"], r["id_b"]) for r in
+                 cand.withColumn("_cos", cosine_expr("va", "vb"))
+                     .where(F.col("_cos") >= F.lit(thr))
+                     .select("id_a", "id_b").collect()}
+    kern_kept = {(r["id_a"], r["id_b"]) for r in
+                 cand.mapInPandas(
+                     D._pair_cosine_filter_udf(thr),
+                     schema="id_a bigint, id_b bigint, "
+                            "cs_a double, cs_b double").collect()}
+    assert kern_kept == expr_kept
+    assert expr_kept, "threshold must keep a non-trivial pair set"
+    assert not any(7 in p or 11 in p for p in kern_kept)
