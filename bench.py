@@ -101,6 +101,7 @@ def main():
         "sibson_discrete_synth", "fill_barycentric_chunked_synth",
         "lm_score_docs", "span_removal_docs", "bm25_topk_docs",
         "hex_bin_events", "hex_kring_counts_events",
+        "semdedup_embeddings", "patchify_stats_synth",
     ]
     # best-of-N per query: the shared VM's noisy-neighbor spikes can
     # inflate a single shot 5-10x (measured), and the FIRST run also
