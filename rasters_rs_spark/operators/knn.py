@@ -1418,8 +1418,16 @@ def _fill_dist_tri_core(images: DataFrame, points: DataFrame,
         # global fan average joined per corner BEFORE the cell explode
         # (gradients are a property of the triangulation, not of which
         # bbox covers a cell); left join + coalesce(0) mirrors the
-        # numpy estimator's zero gradient for degenerate-only vertices
-        grads = delaunay_vertex_gradients(tris)
+        # numpy estimator's zero gradient for degenerate-only vertices.
+        # Checkpoint BOTH tables first: the plan below references tris
+        # 4x (main side + 3 per-corner gradient branches) and grads 3x
+        # — left lazy, the distributed Bowyer-Watson re-ran per
+        # reference (measured: the 259k-point SCALE10X c1 fill spent
+        # ~75 of its 103.6s recomputing the triangulation; checkpoints
+        # make it build once, 103.6s -> ~35s)
+        tris = tris.localCheckpoint(eager=True)
+        t = tris
+        grads = delaunay_vertex_gradients(tris).localCheckpoint(eager=True)
         for i in (1, 2, 3):
             gi = grads.select(F.col("x").alias(f"x{i}"),
                               F.col("y").alias(f"y{i}"),
