@@ -1032,6 +1032,70 @@ def test_sibson_discrete_operator_matches_continuous(spark):
         assert abs(vals[int(qi)] - cont[qi]) < 0.05, qi
 
 
+def test_sibson_c1_discrete_matches_numpy_blend(spark):
+    """sibson_c1_discrete's Catalyst fan gradients and alpha/beta
+    blend are BIT-IDENTICAL to the numpy definition applied to the
+    same discrete counts: estimate_gradients' bincount accumulates
+    per site in triangle order, exactly the operator's tri_id-ordered
+    fold, and the per-query blend sums fold in site_id order on both
+    sides. Also pins the C1 value against the CONTINUOUS C1 kernel at
+    grid resolution (the sibling of
+    test_sibson_discrete_operator_matches_continuous)."""
+    from rasters_rs_spark.sources import synth
+
+    i = np.arange(24, dtype=np.int64)
+    sx = 8.0 + (i % 6) * 16.0 + (synth.lcg_values(4_000_000 + 2 * i) - 0.5) * 6.0
+    sy = 8.0 + (i // 6) * 16.0 + (synth.lcg_values(4_000_001 + 2 * i) - 0.5) * 6.0
+    sz = synth.lcg_values(4_100_000 + i)
+    j = np.arange(10, dtype=np.int64)
+    qx = 16.0 + synth.lcg_values(4_200_000 + 2 * j) * 64.0
+    qy = 12.0 + synth.lcg_values(4_200_001 + 2 * j) * 40.0
+    tris = K.grid_triangles(6, 4)
+
+    sites = spark.createDataFrame(pd.DataFrame(
+        {"site_id": i, "x": sx, "y": sy, "z": sz}))
+    qdf = spark.createDataFrame(pd.DataFrame({"q_id": j, "x": qx, "y": qy}))
+    rows = K.sibson_c1_discrete(spark, sites, qdf, (0.0, 0.0, 96.0, 64.0),
+                                96, 64, tris).collect()
+    assert len({r["q_id"] for r in rows}) == 10
+
+    g = K.estimate_gradients(sx, sy, sz, tris)
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(int(r["q_id"]), []).append(r)
+    for qi, rs in per_q.items():
+        rs.sort(key=lambda r: r["site_id"])       # the fold order
+        lam = np.array([float(r["cnt"]) for r in rs])
+        sid = np.array([r["site_id"] for r in rs])
+        dx = qx[qi] - sx[sid]
+        dy = qy[qi] - sy[sid]
+        d2 = dx * dx + dy * dy
+        r_ = np.sqrt(d2)
+        zeta = sz[sid] + g[sid, 0] * dx + g[sid, 1] * dy
+        S = float(sum(int(r["cnt"]) for r in rs))
+        def acc(t):                               # strict left fold
+            s = 0.0                               # (np pairwise sums
+            for v in t:                           # diverge above 8
+                s += float(v)                     # elements)
+            return s
+        num0, W = acc(lam * sz[sid]), acc(lam / r_)
+        XI = acc((lam / r_) * zeta) / W
+        alpha = acc(lam * r_) / W
+        beta = acc((lam * r_) * r_) / S
+        z0 = num0 / S
+        want = (alpha * z0 + beta * XI) / (alpha + beta)
+        assert rs[0]["val_c0"] == z0
+        assert abs(rs[0]["val"] - want) < 1e-13, qi
+
+    cont = K.sibson_interpolate(qx, qy, sx, sy, sz, tris, c1=True,
+                                gradients=g)
+    vals = {int(r["q_id"]): r["val"] for r in rows}
+    inside = np.isfinite(cont)
+    assert inside.sum() >= 8
+    for qi in np.nonzero(inside)[0]:
+        assert abs(vals[int(qi)] - cont[qi]) < 0.05, qi
+
+
 def test_sibson_tolerates_degenerate_triangle_rows():
     """A collinear row in a user-supplied triangle table (NaN
     circumcircle) must not poison the bucketing grid (review r5):

@@ -22,8 +22,10 @@ import time
 import duckdb
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from audit_oracle_types import expected_duck  # noqa: E402
 from rasters_rs_spark.session import get_spark  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -91,6 +93,8 @@ def main(sf_dir: str, only=None):
         try:
             res = con.sql(oracles[name])
             ocols = [c.lower() for c in res.columns]
+            otypes = {c.lower(): str(t).upper()
+                      for c, t in zip(res.columns, res.types)}
             orows = res.fetchall()
         except Exception as e:
             rec["err"] = f"duckdb error: {e}"[:500]
@@ -106,6 +110,20 @@ def main(sf_dir: str, only=None):
             failures += 1
             continue
         rec["schema_match"] = True
+        # type gate: the driver's value-hasher is type-sensitive
+        # while norm() stringifies (r6 pack_sequences HUGEINT fail) —
+        # require every oracle column to bind to the Spark type
+        tbad = []
+        for col, st in sdf.dtypes:
+            exp = expected_duck(st)
+            got = otypes.get(col.lower())
+            if exp is not None and got is not None and got not in exp:
+                tbad.append(f"{col}: spark {st} vs duckdb {got}")
+        if tbad:
+            rec["err"] = "oracle type drift: " + "; ".join(tbad)
+            print(f"FAIL  {name}: {rec['err']}")
+            failures += 1
+            continue
         if len(srows) != len(orows):
             rec["err"] = f"rowcount {len(srows)} != {len(orows)}"
             print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
