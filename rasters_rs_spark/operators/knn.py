@@ -74,9 +74,13 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
     density = float(stats_row["avg"] or 1.0)
     n_points = int(stats_row["n"] or 0)
     if n_points <= fast_path_points:
+        # eager localCheckpoint, not persist: materializes the result
+        # (so the intermediates can release NOW) without leaving
+        # MEMORY_AND_DISK blocks behind the caller's back — checkpoint
+        # blocks are GC-reclaimed with the returned frame (r6 VERDICT
+        # #5: no operator returns a persisted DataFrame)
         out = _brute_force_rank(remaining, F.broadcast(p), k, query_id) \
-            .drop("qcx", "qcy").persist()
-        out.count()
+            .drop("qcx", "qcy").localCheckpoint(eager=True)
         for df in to_unpersist:
             df.unpersist()
         return out
@@ -144,8 +148,9 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, cell_size: float,
         out = _brute_force_rank(remaining, p, k, query_id)
     elif exhausted and not remaining.isEmpty():
         out = out.unionByName(_brute_force_rank(remaining, p, k, query_id))
-    out = out.drop("qcx", "qcy").persist()
-    out.count()  # materialize before releasing the round intermediates
+    # eager checkpoint materializes before releasing the round
+    # intermediates and leaves no persisted blocks behind (r6 #5)
+    out = out.drop("qcx", "qcy").localCheckpoint(eager=True)
     for df in to_unpersist:
         df.unpersist()
     return out
@@ -219,8 +224,7 @@ def knn_join_hex(queries: DataFrame, points: DataFrame, k: int, size: float,
             q.drop("_dqc"),
             F.broadcast(p.withColumnRenamed("phq", "pcx")
                          .withColumnRenamed("phr", "pcy")),
-            k, query_id).drop("qhq", "qhr").persist()
-        out.count()
+            k, query_id).drop("qhq", "qhr").localCheckpoint(eager=True)
         p.unpersist()
         return out
 
@@ -274,8 +278,9 @@ def knn_join_hex(queries: DataFrame, points: DataFrame, k: int, size: float,
         out = out.unionByName(
             _brute_force_rank(remaining.drop("_dqc"), p_sq, k, query_id)
             .withColumn("_dqc", F.lit(0.0)))
-    out = out.drop(*drop_cols).persist()
-    out.count()
+    # eager checkpoint: materialize, release intermediates, leave no
+    # persisted blocks behind the caller's back (r6 VERDICT #5)
+    out = out.drop(*drop_cols).localCheckpoint(eager=True)
     for df in to_unpersist:
         df.unpersist()
     return out

@@ -855,15 +855,24 @@ def bm25_topk(queries: DataFrame, docs: DataFrame, k: int = 10,
     df_ = F.col("df").cast("double")
     dl_ = F.col("dl").cast("double")
 
+    # dl needs no explode at all: the doc length is size() of the
+    # token array, a map-side projection — and the eager checkpoint
+    # (ONE row per doc, tiny vs the text) feeds n_docs, avgdl AND the
+    # final plan's dl join without ever re-reading the corpus. The r6
+    # shape re-ran the tokenize+explode corpus scan 3x (tot action,
+    # dl join, tf branch — r6 VERDICT #3).
+    dl = docs.select(
+        F.col(id_col).alias("_did"),
+        F.size(_bm25_tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long").alias("dl")).localCheckpoint(eager=True)
+    n_docs = dl.count()
+    tot = dl.agg(F.sum("dl")).first()[0] or 0
+    avgdl = float(tot) / float(n_docs) if n_docs else 1.0
+
     terms = docs.select(
         F.col(id_col).alias("_did"),
         F.explode(_bm25_tokens(F.coalesce(F.col(text_col),
                                           F.lit("")))).alias("term"))
-    dl = terms.groupBy("_did").agg(F.count("*").alias("dl"))
-    n_docs = docs.count()
-    tot = dl.agg(F.sum("dl")).first()[0] or 0
-    avgdl = float(tot) / float(n_docs) if n_docs else 1.0
-
     qterms = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.explode(_bm25_tokens(F.coalesce(F.col(q_text_col),
@@ -872,9 +881,15 @@ def bm25_topk(queries: DataFrame, docs: DataFrame, k: int = 10,
     qvocab = qterms.select("term").distinct()
 
     # posting lists restricted to the query vocabulary BEFORE any
-    # term-keyed aggregation: tf/df shuffle only the pruned postings
+    # term-keyed aggregation: tf/df shuffle only the pruned postings.
+    # tf (pruned: <= n_docs x |query vocab| rows) eager-checkpoints so
+    # the df branch reuses it instead of duplicating the corpus
+    # tokenize subtree — the FINAL plan reads the corpus text zero
+    # times; the whole operator reads it exactly twice (dl projection
+    # + this tokenize), verified by plan audit.
     tf = terms.join(F.broadcast(qvocab), on="term") \
-        .groupBy("_did", "term").agg(F.count("*").alias("tf"))
+        .groupBy("_did", "term").agg(F.count("*").alias("tf")) \
+        .localCheckpoint(eager=True)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     idf = F.log((F.lit(float(n_docs)) - df_ + 0.5) / (df_ + 0.5) + 1.0)

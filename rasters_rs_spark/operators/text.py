@@ -1413,32 +1413,53 @@ def remove_duplicated_spans(docs: DataFrame, k: int = 16,
                                    within_doc=within_doc) \
         .select(F.col(id_col).alias("_iid"), "start", "end")
     id_type = dict(docs.dtypes)[id_col]
+    # per-doc interval LISTS (the interval table is ~n_marked_docs
+    # rows, orders of magnitude below the corpus), LEFT-joined onto
+    # the docs: AQE sees the aggregation's true runtime size and
+    # broadcasts it, so the CORPUS TEXT never shuffles — the round-6
+    # cogroup keyed every <=4-row group to its own Python dispatch
+    # AND shuffled the full corpus by doc_id (r6 VERDICT #2; the
+    # same per-tiny-group anti-pattern as the r4 pyramid fix).
+    # array_sort on (start, end) structs == sort by start (intervals
+    # are disjoint), so the cut order is unchanged -> bit-identical.
+    ivagg = iv.groupBy("_iid").agg(
+        F.array_sort(F.collect_list(F.struct("start", "end")))
+        .alias("_ivs"))
+    joined = docs.select(id_col, text_col).join(
+        ivagg, on=F.col(id_col) == F.col("_iid"), how="left") \
+        .drop("_iid")
 
-    def cut(doc_pdf: pd.DataFrame, iv_pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        ivs = iv_pdf.sort_values("start") if len(iv_pdf) else iv_pdf
-        for row in doc_pdf.itertuples(index=False):
-            t = getattr(row, text_col) or ""
-            g = ivs[ivs["_iid"] == getattr(row, id_col)] if len(ivs) else ivs
-            if len(g) == 0:
-                out.append((getattr(row, id_col), t, 0, 0))
-                continue
-            pieces = []
-            cursor = 0
-            removed = 0
-            for s, e in zip(g["start"], g["end"]):
-                pieces.append(t[cursor:s])
-                removed += e - s
-                cursor = e
-            pieces.append(t[cursor:])
-            out.append((getattr(row, id_col), "".join(pieces),
-                        int(len(g)), int(removed)))
-        return pd.DataFrame(out, columns=[id_col, "text_clean",
-                                          "n_spans_removed",
-                                          "n_chars_removed"])
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col]
+            ivs_col = pdf["_ivs"]
+            clean = []
+            n_sp = np.zeros(len(pdf), dtype=np.int32)
+            n_ch = np.zeros(len(pdf), dtype=np.int32)
+            for i, (t, g) in enumerate(zip(texts, ivs_col)):
+                t = t or ""
+                if g is None or len(g) == 0:
+                    clean.append(t)
+                    continue
+                pieces = []
+                cursor = 0
+                removed = 0
+                for item in g:
+                    s, e = item["start"], item["end"]
+                    pieces.append(t[cursor:s])
+                    removed += e - s
+                    cursor = e
+                pieces.append(t[cursor:])
+                clean.append("".join(pieces))
+                n_sp[i] = len(g)
+                n_ch[i] = removed
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "text_clean": clean,
+                "n_spans_removed": n_sp,
+                "n_chars_removed": n_ch,
+            })
 
-    return docs.groupBy(id_col).cogroup(iv.groupBy("_iid")) \
-        .applyInPandas(lambda key, a, b: cut(a, b),
-                       schema=(f"{id_col} {id_type}, text_clean string, "
-                               f"n_spans_removed int, "
-                               f"n_chars_removed int"))
+    return joined.mapInPandas(
+        gen, schema=(f"{id_col} {id_type}, text_clean string, "
+                     f"n_spans_removed int, n_chars_removed int"))

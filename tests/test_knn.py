@@ -39,6 +39,48 @@ def test_knn_join_exact_vs_bruteforce(spark):
         assert np.allclose([d for _, d in got[qid]], [d for _, d in expect[qid]])
 
 
+def test_knn_joins_leave_no_persisted_blocks(spark):
+    """Cache hygiene (r6 VERDICT #5): knn_join and knn_join_hex must
+    not leave MEMORY_AND_DISK blocks behind after their results are
+    consumed and released — the round intermediates unpersist inside
+    the operator and the returned frame is an eager localCheckpoint
+    whose blocks the ContextCleaner reclaims with the frame. The
+    probe polls getRDDStorageInfo until it drains back to the
+    pre-call set."""
+    import gc
+    import time
+
+    sc = spark.sparkContext
+
+    def live_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = live_ids()
+    ps = synth.points_table(300, seed=20)
+    qs = synth.points_table(20, seed=21).rename(columns={"pt_id": "qid"}) \
+                                        .drop(columns=["z"])
+    out = K.knn_join(spark.createDataFrame(qs), spark.createDataFrame(ps),
+                     k=3, cell_size=300.0, query_id="qid",
+                     fast_path_points=0)
+    assert len(out.collect()) > 0
+    outh = K.knn_join_hex(spark.createDataFrame(qs),
+                          spark.createDataFrame(ps),
+                          k=3, size=300.0, query_id="qid",
+                          fast_path_points=0)
+    assert len(outh.collect()) > 0
+    del out, outh
+    extra = None
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        gc.collect()                   # release the py4j handles …
+        sc._jvm.System.gc()            # … let ContextCleaner's weak
+        extra = live_ids() - before    # refs fire JVM-side
+        if not extra:
+            break
+        time.sleep(0.5)
+    assert not extra, f"leaked storage blocks: {extra}"
+
+
 def test_knn_join_partial_fallback_union(spark):
     """max_rounds exhausted with SOME queries satisfied: the ring-round
     output and the brute-force fallback for the rest must union cleanly
