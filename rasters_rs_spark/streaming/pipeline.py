@@ -56,17 +56,22 @@ def run_corpus_curation(spark: SparkSession, root: str, sf_dir: str,
                         budget: int = 2048, dedup_threshold: float = 0.8,
                         sample_fracs: dict | None = None,
                         decon_k: int = 4, test_split: int = 490,
-                        span_k: int | None = None) -> dict:
+                        span_k: int | None = None,
+                        ppl_model: dict | None = None,
+                        max_avg_nll: float | None = None) -> dict:
     """The TRAINING-DATA half of the engine as a resumable pipeline:
-    documents -> quality-filter cascade -> benchmark decontamination
-    -> minhash near-dup pairs -> canonical keepers -> optional
-    duplicated-span removal (``span_k``) -> per-language stratified
-    sampling -> sequence packing. Every stage checkpoints
-    through the manifest (per-partition lineage + row/byte metrics);
-    re-running with the same ``root`` skips completed stages, and
-    deleting one stage's manifest recomputes exactly that stage while
-    downstream stages reload their checkpoints — the north rule's
-    idempotent-resume contract over the corpus-curation dataflow."""
+    documents -> quality-filter cascade -> optional CCNet-style
+    perplexity gate (``ppl_model`` + ``max_avg_nll``: keep docs whose
+    avg negative log-likelihood under the reference char-bigram model
+    is at most the bound) -> benchmark decontamination -> minhash
+    near-dup pairs -> canonical keepers -> optional duplicated-span
+    removal (``span_k``) -> per-language stratified sampling ->
+    sequence packing. Every stage checkpoints through the manifest
+    (per-partition lineage + row/byte metrics); re-running with the
+    same ``root`` skips completed stages, and deleting one stage's
+    manifest recomputes exactly that stage while downstream stages
+    reload their checkpoints — the north rule's idempotent-resume
+    contract over the corpus-curation dataflow."""
     from ..operators import dedup, text
 
     runner = CheckpointRunner(spark, root)
@@ -79,6 +84,17 @@ def run_corpus_curation(spark: SparkSession, root: str, sf_dir: str,
             text.filter_corpus(docs, min_tokens=30, max_rep=0.5,
                                langs=("en", "es", "de", "fr", "zh"))
             .select("doc_id"), on="doc_id"))
+
+    if ppl_model is not None and max_avg_nll is not None:
+        # LM quality gate (Wenzek et al. 2020): row-local scoring
+        # against the BROADCAST reference model — stage output keeps
+        # the document schema (score columns are recomputable)
+        gate_in = filtered
+        filtered = runner.run(
+            "perplexity_filter",
+            lambda: text.perplexity_filter(gate_in, ppl_model,
+                                           max_avg_nll)
+            .select(*gate_in.columns))
 
     # the training corpus is doc_id < test_split ONLY: the held-out
     # benchmark docs must not reach any downstream training stage
@@ -136,7 +152,7 @@ def run_corpus_curation(spark: SparkSession, root: str, sf_dir: str,
     return {
         "stages": runner.summary(),
         "input_docs": docs.count(),
-        "after_quality": filtered.count(),
+        "after_quality": filtered.count(),   # post LM gate if enabled
         "after_decontaminate": clean.count(),
         "dup_pairs": pairs.count(),
         "after_dedup": kept.count(),
@@ -151,7 +167,9 @@ def run_corpus_curation_streaming(spark: SparkSession, source_dir: str,
                                   dedup_threshold: float = 0.8,
                                   sample_fracs: dict | None = None,
                                   decon_k: int = 4,
-                                  max_files_per_trigger: int | None = None):
+                                  max_files_per_trigger: int | None = None,
+                                  ppl_model: dict | None = None,
+                                  max_avg_nll: float | None = None):
     """Streaming-ingest variant of run_corpus_curation (round-5
     VERDICT #9): documents arrive as micro-batches and each batch runs
     quality filter -> benchmark decontamination (static ``test_set``)
@@ -168,10 +186,19 @@ def run_corpus_curation_streaming(spark: SparkSession, source_dir: str,
     dropped, hence the register — reproduces precisely that drop set
     (checking only kept docs would diverge on dup chains A~B~C).
     Sampling is md5-row-local, so per-doc decisions are
-    batch-independent. Sequence packing stays an offline step over
-    the curated store (its output depends on global corpus order).
-    Returns the started StreamingQuery; tested streamed == batch on a
-    two-batch replay."""
+    batch-independent, and so is the optional perplexity gate
+    (``ppl_model`` + ``max_avg_nll``): the reference model is STATIC,
+    every doc scores alone, so streamed == batch exactly. Sequence
+    packing stays an offline step over the curated store (its output
+    depends on global corpus order), and so does duplicated-SPAN
+    removal: its canonical-occurrence rule is a GLOBAL min over every
+    occurrence of a window hash, which an append-only stream cannot
+    honor without rewriting already-emitted documents (a later batch
+    can contain the duplicate that marks an earlier doc's span) — run
+    it batch-side via ``run_corpus_curation(span_k=...)``, or
+    per-batch with the incremental-register pattern if within-stream
+    approximation is acceptable. Returns the started StreamingQuery;
+    tested streamed == batch on a two-batch replay."""
     import os
 
     from pyspark.sql import functions as SF
@@ -191,6 +218,10 @@ def run_corpus_curation_streaming(spark: SparkSession, source_dir: str,
             text.filter_corpus(batch_df, min_tokens=30, max_rep=0.5,
                                langs=("en", "es", "de", "fr", "zh"))
             .select("doc_id"), on="doc_id")
+        if ppl_model is not None and max_avg_nll is not None:
+            filtered = text.perplexity_filter(
+                filtered, ppl_model, max_avg_nll) \
+                .select(*batch_df.columns)
         clean = dedup.keep_uncontaminated(
             filtered, dedup.decontaminate(filtered, test_set,
                                           shingle_k=decon_k))

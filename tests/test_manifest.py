@@ -174,6 +174,70 @@ def test_corpus_curation_streaming_equals_batch(spark, tmp_path):
     assert got_ids == batch_ids and len(got_ids) > 0
 
 
+def _seed_lm_model():
+    from rasters_rs_spark.operators import text
+    import pandas as pd
+    seed = ("the quick brown fox jumps over the lazy dog while spark "
+            "merges partial aggregates before the final sorted write "
+            "every customer order joins the clean data line fast ") * 2
+    a, b, c = text._char_pairs_batch([seed])
+    return text.char_bigram_model(pd.DataFrame({"a": a, "b": b, "cnt": c}))
+
+
+def test_corpus_curation_perplexity_stage_and_streaming_parity(
+        spark, tmp_path):
+    """r6 VERDICT Next #7: the CCNet-style perplexity gate as a
+    checkpointed batch stage (appears in the manifest between quality
+    filter and decontamination, shrinks-or-holds the corpus, resumes
+    idempotently) AND in the streaming variant, where the static
+    model makes scoring row-local — streamed == batch exactly."""
+    from pyspark.sql import functions as F
+
+    from rasters_rs_spark.streaming.pipeline import (
+        run_corpus_curation, run_corpus_curation_streaming)
+
+    sf = "/root/testdata/sf0.001"
+    model = _seed_lm_model()
+    bound = 4.5          # permissive but real: gate must keep SOME docs
+    base = run_corpus_curation(spark, str(tmp_path / "plain"), sf,
+                               budget=512)
+    r = run_corpus_curation(spark, str(tmp_path / "ppl"), sf, budget=512,
+                            ppl_model=model, max_avg_nll=bound)
+    names = [s["stage"] for s in r["stages"]]
+    assert "perplexity_filter" in names
+    assert names.index("quality_filter") < names.index("perplexity_filter") \
+        < names.index("decontaminate")
+    assert 0 < r["after_quality"] <= base["after_quality"]
+    # resume skips the gate stage too
+    r2 = run_corpus_curation(spark, str(tmp_path / "ppl"), sf, budget=512,
+                             ppl_model=model, max_avg_nll=bound)
+    assert all(s["skipped"] for s in r2["stages"])
+    assert r2["total_tokens"] == r["total_tokens"]
+
+    # streaming parity with the gate on (two id-ordered batches)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    train = docs.where(F.col("doc_id") < 490)
+    tests_static = docs.where(F.col("doc_id") >= 490)
+    src = str(tmp_path / "ppl_src")
+    train.where("doc_id < 250").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    train.where("doc_id >= 250").coalesce(1) \
+        .write.mode("append").parquet(src)
+    out = str(tmp_path / "ppl_out")
+    schema = ", ".join(f"{n} {t}" for n, t in train.dtypes)
+    q = run_corpus_curation_streaming(spark, src, schema, out,
+                                      tests_static,
+                                      max_files_per_trigger=1,
+                                      ppl_model=model, max_avg_nll=bound)
+    q.awaitTermination(240)
+    got_ids = sorted(x["doc_id"] for x in spark.read.parquet(
+        f"{out}/curated").select("doc_id").collect())
+    batch_ids = sorted(x["doc_id"] for x in spark.read.parquet(
+        str(tmp_path / "ppl") + "/stratified_sample/data")
+        .select("doc_id").collect())
+    assert got_ids == batch_ids and len(got_ids) > 0
+
+
 def test_corpus_curation_span_removal_stage(spark, tmp_path):
     """span_k wires duplicated-span removal in as a checkpointed stage
     between keepers and sampling: the stage appears in the manifest,
