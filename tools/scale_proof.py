@@ -201,6 +201,14 @@ def main():
     timed("bm25_10x", lambda: similarity.bm25_topk(
         tq, docs10, k=10).count())
 
+    # SemDeDup at 10x embeddings: the replicated corpus is again the
+    # worst case — each cluster holds 10 exact copies of every member,
+    # so the within-cluster pair count is maximal for the volume and
+    # the salted self-join + Arrow pair-cosine kernel carry the load
+    timed("semdedup_10x", lambda: dedup.semantic_dedup(
+        emb10, similarity.lcg_centroids(8, 64),
+        threshold=0.4).where(~F.col("kept")).count())
+
     # --- PQ recall-vs-config sweep (round-5 VERDICT #8): trained
     # codebooks, exact cosine top-k as ground truth, so a user can
     # pick (m_sub, k_codes, rerank_factor) from measured evidence.
@@ -271,6 +279,12 @@ def main():
     timed("mosaic_tiles_10x", lambda: resample.mosaic_tiles(
         images10, [-2000.0, 2.0, 0.0, 2000.0, 0.0, -2.0], 2000, 2000,
         strip_height=256, tile_width=1024).count())
+    # ViT patchify over the same 10x image corpus: 256 8x8 patches per
+    # 128px image — one Arrow pass, zero shuffles; count() drives the
+    # full decode + reshape fan-out
+    from rasters_rs_spark.operators import multimodal
+    timed("patchify_10x", lambda: multimodal.patchify_images(
+        images10, patch=8).count())
     images10.unpersist()
 
     # --- catalog-scale PIP join (round-4 shuffled cogroup refine) -----
@@ -390,16 +404,17 @@ single points 2x+, hence best-of-3 with spreads shown).
 
 ## Dedup / ANN at 10x corpus
 
-| query | input rows | output rows | wall (s) |
-|---|---|---|---|
-| minhash_dedup (thr 0.8) | {n_docs10} docs | {results['minhash_10x']['rows']} | {results['minhash_10x']['sec']} |
-| simhash_dedup (ham 3) | {n_docs10} docs | {results['simhash_10x']['rows']} | {results['simhash_10x']['sec']} |
-| embedding_neardup (cos 0.95) | {n_emb10} vecs | {results['embedding_neardup_10x']['rows']} | {results['embedding_neardup_10x']['sec']} |
-| lsh_topk_det (8 queries) | {n_emb10} vecs | {results['ann_lsh_10x']['rows']} | {results['ann_lsh_10x']['sec']} |
-| ivf_topk_det (8 queries) | {n_emb10} vecs | {results['ann_ivf_10x']['rows']} | {results['ann_ivf_10x']['sec']} |
-| ann_pq ADC scan (8 queries) | {n_emb10} vecs | {results['ann_pq_10x']['rows']} | {results['ann_pq_10x']['sec']} |
-| remove_duplicated_spans k=16 (docs w/ cuts) | {n_docs10} docs | {results['span_removal_10x']['rows']} | {results['span_removal_10x']['sec']} |
-| bm25_topk (8 queries, k=10) | {n_docs10} docs | {results['bm25_10x']['rows']} | {results['bm25_10x']['sec']} |
+| query | input rows | output rows | wall (s) | spread (s) |
+|---|---|---|---|---|
+| minhash_dedup (thr 0.8) | {n_docs10} docs | {results['minhash_10x']['rows']} | {results['minhash_10x']['sec']} | {results['minhash_10x']['runs_sec']} |
+| simhash_dedup (ham 3) | {n_docs10} docs | {results['simhash_10x']['rows']} | {results['simhash_10x']['sec']} | {results['simhash_10x']['runs_sec']} |
+| embedding_neardup (cos 0.95) | {n_emb10} vecs | {results['embedding_neardup_10x']['rows']} | {results['embedding_neardup_10x']['sec']} | {results['embedding_neardup_10x']['runs_sec']} |
+| lsh_topk_det (8 queries) | {n_emb10} vecs | {results['ann_lsh_10x']['rows']} | {results['ann_lsh_10x']['sec']} | {results['ann_lsh_10x']['runs_sec']} |
+| ivf_topk_det (8 queries) | {n_emb10} vecs | {results['ann_ivf_10x']['rows']} | {results['ann_ivf_10x']['sec']} | {results['ann_ivf_10x']['runs_sec']} |
+| ann_pq ADC scan (8 queries) | {n_emb10} vecs | {results['ann_pq_10x']['rows']} | {results['ann_pq_10x']['sec']} | {results['ann_pq_10x']['runs_sec']} |
+| remove_duplicated_spans k=16 (docs w/ cuts) | {n_docs10} docs | {results['span_removal_10x']['rows']} | {results['span_removal_10x']['sec']} | {results['span_removal_10x']['runs_sec']} |
+| bm25_topk (8 queries, k=10) | {n_docs10} docs | {results['bm25_10x']['rows']} | {results['bm25_10x']['sec']} | {results['bm25_10x']['runs_sec']} |
+| semantic_dedup thr 0.4 (dropped rows) | {n_emb10} vecs | {results['semdedup_10x']['rows']} | {results['semdedup_10x']['sec']} | {results['semdedup_10x']['runs_sec']} |
 
 ## PQ recall vs config (trained codebooks, exact cosine ground truth)
 
@@ -415,12 +430,13 @@ recall knob. Pick configs from this table, not folklore.
 
 ## Distributed tiling / mosaic merge
 
-| stage | input | output rows | wall (s) |
-|---|---|---|---|
-| tile_index_manifest mode=distributed (per-level shuffle) | one 4096x4096 raster | {results['tiling_distributed_4kraster']['rows']} | {results['tiling_distributed_4kraster']['sec']} |
-| tile_index_manifest mode=local (fused), same raster | one 4096x4096 raster | {results['tiling_local_4kraster']['rows']} | {results['tiling_local_4kraster']['sec']} |
-| mosaic_tiles 2000x2000 target, (256, 1024)-tiled merge | {h['images_10x']} images | {results['mosaic_tiles_10x']['rows']} | {results['mosaic_tiles_10x']['sec']} |
-| cell_pip_join, SHUFFLED AOI catalog (cogroup refine) | 1,000,000 points x 64 AOIs | {results['pip_catalog_1m']['rows']} | {results['pip_catalog_1m']['sec']} |
+| stage | input | output rows | wall (s) | spread (s) |
+|---|---|---|---|---|
+| tile_index_manifest mode=distributed (per-level shuffle) | one 4096x4096 raster | {results['tiling_distributed_4kraster']['rows']} | {results['tiling_distributed_4kraster']['sec']} | {results['tiling_distributed_4kraster']['runs_sec']} |
+| tile_index_manifest mode=local (fused), same raster | one 4096x4096 raster | {results['tiling_local_4kraster']['rows']} | {results['tiling_local_4kraster']['sec']} | {results['tiling_local_4kraster']['runs_sec']} |
+| mosaic_tiles 2000x2000 target, (256, 1024)-tiled merge | {h['images_10x']} images | {results['mosaic_tiles_10x']['rows']} | {results['mosaic_tiles_10x']['sec']} | {results['mosaic_tiles_10x']['runs_sec']} |
+| patchify_images patch=8 (one Arrow pass, no shuffle) | {h['images_10x']} 128px images | {results['patchify_10x']['rows']} | {results['patchify_10x']['sec']} | {results['patchify_10x']['runs_sec']} |
+| cell_pip_join, SHUFFLED AOI catalog (cogroup refine) | 1,000,000 points x 64 AOIs | {results['pip_catalog_1m']['rows']} | {results['pip_catalog_1m']['sec']} | {results['pip_catalog_1m']['runs_sec']} |
 
 ## Distributed AOI / triangulation paths at catalog scale
 
