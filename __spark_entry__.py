@@ -1714,6 +1714,144 @@ def _patchify_sql() -> str:
     """
 
 
+def _q_clip_filter(spark, sf_dir):
+    """CLIP-style caption<->image alignment gate
+    (multimodal.clip_score_filter, the LAION curation rule) over the
+    planted fixture: aligned rows score exactly 1.0, fully-corrupted
+    captions 0.0, half-corrupted 0.5. The deterministic embedders are
+    one-hot, so the cosine is matches/16 with EXACT norms
+    (sqrt(16) = 4) — every score is dyadic and the gate is hash-hard
+    against the closed-form LCG oracle. Plan: one scan, one Arrow
+    stage, zero shuffles/joins."""
+    images = spark.createDataFrame(synth.clip_caption_table(48))
+    return multimodal.clip_score_filter(images, threshold=0.75)
+
+
+def _clip_filter_sql() -> str:
+    """Closed-form mirror of the whole gate: pixels from the LCG
+    formula -> exact dyadic 8x8-cell means -> fine-scale bucket
+    K = floor(mean*512) % 8 -> the fixture's corruption rule
+    (synth.clip_caption_table) -> score = matches/16."""
+    v = synth.lcg_sql_expr("m * 1024 + i * 32 + j")
+    return f"""
+        WITH g AS (
+          SELECT m.m, i.i, j.j, {v} AS v
+          FROM (SELECT unnest(generate_series(0, 47)) AS m) m,
+               (SELECT unnest(generate_series(0, 31)) AS i) i,
+               (SELECT unnest(generate_series(0, 31)) AS j) j),
+        cells AS (
+          SELECT m, (i // 8) * 4 + (j // 8) AS cell,
+                 CAST(FLOOR(sum(v) / 64.0 * 512) AS BIGINT) % 8 AS k
+          FROM g GROUP BY m, (i // 8) * 4 + (j // 8)),
+        cap AS (
+          SELECT m, cell,
+                 CASE WHEN m % 4 = 2 OR (m % 4 = 3 AND cell % 2 = 1)
+                      THEN (k + 1 + cell % 7) % 8 ELSE k END AS k
+          FROM cells),
+        dot AS (
+          SELECT c.m,
+                 SUM(CASE WHEN c.k = p.k THEN 1 ELSE 0 END) AS d
+          FROM cells c JOIN cap p ON p.m = c.m AND p.cell = c.cell
+          GROUP BY c.m)
+        SELECT printf('img_%08d', m) AS image_id,
+               ROUND(CAST(d AS DOUBLE) / 16.0, 9) AS clip_score,
+               CAST(d AS DOUBLE) / 16.0 >= 0.75 AS keep
+        FROM dot
+    """
+
+
+def _q_aspect_bucket(spark, sf_dir):
+    """SDXL aspect-ratio bucketing (multimodal.bucket_by_aspect) over
+    a deterministic (w, h) metadata grid: the argmin-over-buckets uses
+    integer cross products + one correctly-rounded DOUBLE division
+    (never ln(), which is not correctly rounded and can flip
+    near-boundary assignments across engines), so assignment AND
+    distance are hash-hard."""
+    imgs = spark.range(512).selectExpr(
+        "printf('img_%08d', id) AS image_id",
+        "cast(256 + (id * 37) % 1200 AS int) AS w",
+        "cast(256 + (id * 53) % 900 AS int) AS h")
+    return multimodal.bucket_by_aspect(imgs)
+
+
+def _aspect_bucket_sql() -> str:
+    from rasters_rs_spark.operators.multimodal import SDXL_BUCKETS
+    vals = ", ".join(f"({i}, {bw}, {bh})"
+                     for i, (bw, bh) in enumerate(SDXL_BUCKETS))
+    return f"""
+        WITH imgs AS (
+          SELECT printf('img_%08d', m) AS image_id,
+                 CAST(256 + (m * 37) % 1200 AS INT) AS w,
+                 CAST(256 + (m * 53) % 900 AS INT) AS h
+          FROM (SELECT unnest(generate_series(0, 511)) AS m)),
+        b(i, bw, bh) AS (VALUES {vals}),
+        scored AS (
+          SELECT image_id, w, h, b.i, b.bw, b.bh,
+                 CAST(GREATEST(w * b.bh, b.bw * h) AS DOUBLE)
+                 / LEAST(w * b.bh, b.bw * h) AS d,
+                 ROW_NUMBER() OVER (PARTITION BY image_id
+                                    ORDER BY CAST(GREATEST(w * b.bh, b.bw * h) AS DOUBLE)
+                                             / LEAST(w * b.bh, b.bw * h), b.i) AS rn
+          FROM imgs, b)
+        SELECT image_id, w, h, CAST(i AS INT) AS bucket_id,
+               CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h,
+               d AS aspect_dist
+        FROM scored WHERE rn = 1
+    """
+
+
+def _q_shuffle_rank(spark, sf_dir):
+    """Global deterministic training-order shuffle
+    (text.deterministic_shuffle): dense md5-order ranks via the
+    two-pass range-repartition + per-partition-window idiom (no
+    single-partition window). The oracle's ROW_NUMBER over the same
+    md5 key pins the entire permutation."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.deterministic_shuffle(docs, salt="sh1")
+
+
+_SHUFFLE_RANK_SQL = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(doc_id::VARCHAR || ':sh1') AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR || ':sh1'),
+                                   doc_id) - 1 AS BIGINT) AS shuffle_rank
+    FROM documents
+"""
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """Exponent-smoothed domain mixture sampling
+    (text.temperature_mixture_sample, the mBERT/XLM-R rebalancing
+    rule) at alpha=0.5: sqrt is IEEE-correctly rounded on both
+    engines and the share normalizer folds in sorted-source order on
+    both sides, so p_keep and every keep decision are bit-identical —
+    hash-hard."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.temperature_mixture_sample(
+        docs, alpha=0.5, target_frac=0.5, salt="mix1")
+
+
+def _mixture_sample_sql() -> str:
+    return f"""
+        WITH c AS (
+          SELECT source AS s, COUNT(*) AS n FROM documents GROUP BY source),
+        d AS (
+          SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY s)) AS dn,
+                 SUM(n) AS tot FROM c),
+        p AS (
+          SELECT s, LEAST(1.0, ({_dbl17(0.5)} * CAST(tot AS DOUBLE))
+                               * (sqrt(CAST(n AS DOUBLE)) / dn)
+                               / CAST(n AS DOUBLE)) AS pk
+          FROM c, d)
+        SELECT CAST(doc.doc_id AS BIGINT) AS doc_id, doc.source AS source,
+               p.pk AS p_keep,
+               (('0x' || substr(md5(doc.doc_id::VARCHAR || ':mix1'),
+                                1, 15))::BIGINT
+                / {_dbl17(float(1 << 60))}) < p.pk AS keep
+        FROM documents doc JOIN p ON p.s = doc.source
+    """
+
+
 def _q_repetition(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return text.repetition_stats(docs, n=2)
@@ -3205,6 +3343,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental_docs": _q_minhash_incremental,
         "phash_neardup_synth": _q_phash_neardup,
         "lcg_diff_chunked_both": _q_lcg_diff_chunked,
+        "clip_filter_synth": _q_clip_filter,
+        "aspect_bucket_synth": _q_aspect_bucket,
+        "shuffle_rank_docs": _q_shuffle_rank,
+        "mixture_sample_docs": _q_mixture_sample,
     }
 
 
@@ -4394,4 +4536,8 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
                    CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY event_type
         """,
+        "clip_filter_synth": _clip_filter_sql(),
+        "aspect_bucket_synth": _aspect_bucket_sql(),
+        "shuffle_rank_docs": _SHUFFLE_RANK_SQL,
+        "mixture_sample_docs": _mixture_sample_sql(),
     }

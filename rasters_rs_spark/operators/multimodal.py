@@ -353,3 +353,182 @@ def audio_features(audio: DataFrame, frame: int = 1024,
     return audio.mapInPandas(
         gen, schema="clip_id string, rms double, zcr double, peak double, "
                     "n_frames int")
+
+
+# ---------------------------------------------------------------------------
+# CLIP-style caption <-> image alignment gate
+# ---------------------------------------------------------------------------
+
+
+def image_grid_embedding(images: DataFrame, grid: int = 4, buckets: int = 8,
+                         allow_fake: bool = False,
+                         carry=()) -> DataFrame:
+    """Deterministic image-side embedding for the alignment gate: the
+    one-hot of the quantized per-cell mean, dim = grid*grid*buckets,
+    position cell*buckets + K with K = floor(cell_mean*buckets*64) %
+    buckets (the fine-scale fractional bucket — see
+    synth.clip_caption_table for why not the coarse floor). NaN cells
+    (all-no-data) contribute no position. One Arrow pass, zero
+    shuffles; ``carry`` columns ride through the stage untouched so a
+    caller can keep e.g. the caption on the same row (one scan, no
+    re-join). A REAL image encoder slots in by replacing this function
+    — clip_score_filter takes it as an injection point."""
+    dim = grid * grid * buckets
+    carry = list(carry)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                block = decode_any(row.bytes, row.h, row.w, row.fmt, allow_fake)
+                ch, cw = row.h // grid, row.w // grid
+                sub = block[:ch * grid, :cw * grid]
+                cells = sub.reshape(grid, ch, grid, cw)
+                with np.errstate(invalid="ignore"):
+                    means = np.nanmean(cells, axis=(1, 3))
+                emb = np.zeros(dim, dtype=np.float64)
+                for ci in range(grid):
+                    for cj in range(grid):
+                        mv = means[ci, cj]
+                        if not np.isnan(mv):
+                            k = int(mv * buckets * 64) % buckets
+                            emb[(ci * grid + cj) * buckets + k] = 1.0
+                out.append((row.image_id, emb.tolist(),
+                            *(getattr(row, c) for c in carry)))
+            cols = ["image_id", "img_emb"] + carry
+            yield pd.DataFrame(out, columns=cols)
+
+    carry_schema = "".join(
+        f", {c} string" for c in carry)   # caption-ish carries only
+    return images.mapInPandas(
+        gen, schema=f"image_id string, img_emb array<double>{carry_schema}")
+
+
+def caption_token_embedding(df: DataFrame, grid: int = 4, buckets: int = 8,
+                            text_col: str = "caption",
+                            out_col: str = "cap_emb") -> DataFrame:
+    """Caption-side embedding: parse ``c<cell>_<K>`` tokens back into
+    the same one-hot space as image_grid_embedding. Pure Catalyst
+    (split / regexp / transform — no Python): positions are projected
+    once per row, then the dense vector is a count-per-position
+    transform over sequence(0, dim-1). Unparseable tokens (try_cast
+    NULL under ANSI) drop out. A REAL text encoder slots in by
+    replacing this function."""
+    dim = grid * grid * buckets
+    pos = F.expr(
+        f"transform(split({text_col}, ' '), t -> "
+        f"try_cast(regexp_extract(t, '^c([0-9]+)_([0-9]+)$', 1) AS INT) "
+        f"* {buckets} + "
+        f"try_cast(regexp_extract(t, '^c([0-9]+)_([0-9]+)$', 2) AS INT))")
+    with_pos = df.withColumn("_pos", pos)
+    emb = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> cast(size(filter(_pos, p -> p = i)) AS DOUBLE))")
+    return with_pos.withColumn(out_col, emb).drop("_pos")
+
+
+def clip_score_filter(images: DataFrame, threshold: float = 0.5,
+                      grid: int = 4, buckets: int = 8,
+                      text_col: str = "caption",
+                      image_embeddings: DataFrame | None = None,
+                      caption_embeddings: DataFrame | None = None,
+                      id_col: str = "image_id",
+                      allow_fake: bool = False) -> DataFrame:
+    """CLIP-style caption<->image alignment gate — the LAION curation
+    rule (Schuhmann et al. 2021: keep pairs whose image/text embedding
+    cosine clears a threshold; LAION-400M used 0.3 with real CLIP).
+
+    Real CLIP inference is not available in this container, so the
+    default embedders are the deterministic grid-token pair
+    (image_grid_embedding / caption_token_embedding): their cosine is
+    exactly matches/(grid*grid) for fixture captions — dyadic, so the
+    whole gate is hash-hard against a closed-form SQL oracle. Both
+    sides are injection points: pass ``image_embeddings`` /
+    ``caption_embeddings`` DataFrames of (id, embedding) from a real
+    model and the same score + gate plan runs unchanged.
+
+    Plan shape (default embedders): ONE corpus scan -> one Arrow stage
+    (image side, caption string carried through) -> Catalyst caption
+    parse + cosine -> projection. Zero shuffles, zero joins — the
+    100 TB shape for a per-row gate. With external embedding tables it
+    becomes one equi-join on id (AQE/broadcast as sizes dictate).
+
+    Returns (id, clip_score, keep) for EVERY input row — the gate is a
+    projection, not a destructive filter (callers join or filter on
+    ``keep``). Zero-norm sides (no parseable tokens / all-no-data
+    image) score 0.0 and fail the gate."""
+    from . import similarity
+
+    if image_embeddings is None and caption_embeddings is None:
+        fused = image_grid_embedding(images, grid, buckets, allow_fake,
+                                     carry=(text_col,))
+        both = caption_token_embedding(fused, grid, buckets, text_col)
+        score = similarity.cosine_expr("img_emb", "cap_emb")
+    else:
+        img = image_embeddings if image_embeddings is not None else \
+            image_grid_embedding(images, grid, buckets, allow_fake) \
+            .withColumnRenamed("image_id", id_col)
+        cap = caption_embeddings if caption_embeddings is not None else \
+            caption_token_embedding(
+                images.select(id_col, text_col), grid, buckets, text_col) \
+            .select(id_col, "cap_emb")
+        img = img.select(F.col(id_col), F.col(img.columns[1]).alias("img_emb"))
+        cap = cap.select(F.col(id_col), F.col(cap.columns[1]).alias("cap_emb"))
+        both = img.join(cap, id_col)
+        score = similarity.cosine_expr("img_emb", "cap_emb")
+
+    sc = F.round(F.coalesce(score, F.lit(0.0)), 9)
+    return both.select(
+        F.col(id_col if image_embeddings is not None or
+              caption_embeddings is not None else "image_id").alias(id_col),
+        sc.alias("clip_score"),
+        (sc >= F.lit(float(threshold))).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing
+# ---------------------------------------------------------------------------
+
+# the SDXL training bucket list (Podell et al. 2023, appendix I —
+# multi-aspect buckets around 1024^2 pixels)
+SDXL_BUCKETS = (
+    (512, 2048), (576, 1664), (640, 1536), (704, 1344), (768, 1280),
+    (832, 1216), (896, 1152), (960, 1088), (1024, 1024), (1088, 960),
+    (1152, 896), (1216, 832), (1280, 768), (1344, 704), (1536, 640),
+    (1664, 576), (2048, 512))
+
+
+def bucket_by_aspect(images: DataFrame, buckets=SDXL_BUCKETS,
+                     id_col: str = "image_id") -> DataFrame:
+    """SDXL-style aspect-ratio bucketing (Podell et al. 2023): assign
+    every image to the bucket with the nearest aspect ratio, so
+    training batches can be formed per bucket without destructive
+    center-cropping.
+
+    "Nearest in log-aspect" is computed WITHOUT ln(): minimizing
+    |log(w/h) - log(bw/bh)| is equivalent to minimizing
+    max(w*bh, bw*h) / min(w*bh, bw*h), a single correctly-rounded
+    DOUBLE division of exact integer cross products — ln() is not
+    correctly rounded and can differ across engines in the last ulp,
+    which would flip near-boundary assignments and break the oracle.
+    Ties go to the lower bucket index.
+
+    Pure Catalyst (a transform over the literal bucket array + one
+    array_sort), zero shuffles — the per-row 100 TB shape. Returns
+    (id, w, h, bucket_id, bucket_w, bucket_h, aspect_dist)."""
+    scored = F.array(*[
+        F.struct(
+            (F.greatest(F.col("w") * bh, F.lit(bw) * F.col("h"))
+             .cast("double")
+             / F.least(F.col("w") * bh, F.lit(bw) * F.col("h")))
+            .alias("d"),
+            F.lit(i).alias("i"),
+            F.lit(bw).alias("bw"), F.lit(bh).alias("bh"))
+        for i, (bw, bh) in enumerate(buckets)])
+    best = F.array_sort(scored)[0]
+    return images.select(
+        F.col(id_col), F.col("w").cast("int").alias("w"),
+        F.col("h").cast("int").alias("h"),
+        best["i"].alias("bucket_id"),
+        best["bw"].alias("bucket_w"), best["bh"].alias("bucket_h"),
+        best["d"].alias("aspect_dist"))

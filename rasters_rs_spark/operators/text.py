@@ -1471,3 +1471,105 @@ def remove_duplicated_spans(docs: DataFrame, k: int = 16,
     return joined.mapInPandas(
         gen, schema=(f"{id_col} {id_type}, text_clean string, "
                      f"n_spans_removed int, n_chars_removed int"))
+
+
+# ---------------------------------------------------------------------------
+# training-order shuffle + temperature mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def deterministic_shuffle(docs: DataFrame, salt: str = "sh1",
+                          id_col: str = "doc_id",
+                          partitions: int = 64) -> DataFrame:
+    """Global deterministic training-order shuffle: every row gets a
+    dense rank 0..N-1 in md5(id || ':' || salt) order — the replayable
+    "global shuffle then stream sequentially" step of an LLM data
+    pipeline (re-salting re-shuffles; the same salt always reproduces
+    the same order, independent of partitioning or cluster size).
+
+    Rank assignment uses the two-pass zipWithIndex idiom
+    (pack_sequences): range-repartition on the shuffle key, window
+    ranks WITHIN each partition, add broadcast per-partition offsets —
+    no single-partition window anywhere, so the plan is one range
+    exchange at any scale (which a global permutation genuinely
+    requires; consumers that only need *an* order, not ranks, can
+    skip ranks and range-read by shuffle_key directly).
+    Returns (id, shuffle_key, shuffle_rank); ties on the 128-bit key
+    are broken by id. SQL-oracled."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+    d = (docs.select(F.col(id_col), key.alias("shuffle_key"))
+         .repartitionByRange(partitions, "shuffle_key", id_col)
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint(eager=True))   # pin rows: _pid feeds 2 consumers
+    counts = {int(r["_pid"]): int(r["n"]) for r in
+              d.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    acc, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = docs.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()] or [(0, 0)],
+        "_pid int, _off long")
+    win = Window.partitionBy("_pid").orderBy("shuffle_key", id_col)
+    return (d.join(F.broadcast(off_df), on="_pid")
+            .select(id_col, "shuffle_key",
+                    (F.row_number().over(win) - 1 + F.col("_off"))
+                    .cast("long").alias("shuffle_rank")))
+
+
+def temperature_mixture_sample(docs: DataFrame, alpha: float = 0.5,
+                               target_frac: float = 0.5,
+                               source_col: str = "source",
+                               id_col: str = "doc_id",
+                               salt: str = "mix1") -> DataFrame:
+    """Exponent-smoothed domain mixture sampling (the multilingual
+    rebalancing rule of mBERT / XLM-R, Devlin et al. 2019 /
+    Conneau et al. 2020): domain d with n_d rows gets target share
+    proportional to n_d^alpha, which UP-weights small domains relative
+    to their raw frequency (alpha < 1). Each row is kept i.i.d. and
+    deterministically — keep iff u(id, salt) < p_d with
+    p_d = min(1, target_total * share_d / n_d) — so the sample is
+    replayable and monotone in target_frac, like stratified_sample.
+
+    One count aggregate (#domains rows to the driver — domains are
+    categorically small; this is the bounded-collect pattern), then a
+    row-local Catalyst gate: no shuffle of the corpus itself.
+
+    alpha=0.5 computes via math.sqrt / SQL SQRT — IEEE-correctly
+    rounded on both engines, so p_d is bit-identical and the operator
+    is hash-hard-oracleable. Other alphas go through pow(), which is
+    not guaranteed correctly rounded cross-engine (last-ulp risk on a
+    keep decision only when u lands within ~1e-16 of p_d).
+
+    Returns (id, source, p_keep, keep) for every row — downstream
+    filters on ``keep``."""
+    import math
+
+    counts = {r["s"]: int(r["n"]) for r in
+              docs.groupBy(F.col(source_col).alias("s"))
+                  .agg(F.count("*").alias("n")).collect()}
+    if not counts:
+        return docs.select(
+            F.col(id_col), F.col(source_col).alias("source"),
+            F.lit(0.0).alias("p_keep"), F.lit(False).alias("keep"))
+
+    def smooth(n: int) -> float:
+        return math.sqrt(n) if alpha == 0.5 else float(n) ** alpha
+
+    total = sum(counts.values())
+    target_total = float(target_frac) * total
+    # fold the normalizer in sorted-source order: bit-reproducible in
+    # the SQL mirror (list_sum over the same ordered list)
+    denom = 0.0
+    for s in sorted(counts):
+        denom += smooth(counts[s])
+    p = {s: min(1.0, target_total * (smooth(n) / denom) / n)
+         for s, n in counts.items()}
+
+    u = _md5_uniform(id_col, salt)
+    p_col = F.lit(0.0)
+    for s in sorted(p):
+        p_col = F.when(F.col(source_col) == s, F.lit(p[s])).otherwise(p_col)
+    return docs.select(
+        F.col(id_col), F.col(source_col).alias("source"),
+        p_col.alias("p_keep"), (u < p_col).alias("keep"))

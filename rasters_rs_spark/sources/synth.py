@@ -269,3 +269,50 @@ def points_table(n: int, seed: int = 44, extent=DEFAULT_EXTENT) -> pd.DataFrame:
             "z": zs,
         }
     )
+
+
+def clip_caption_table(n: int = 48, w: int = 32, h: int = 32,
+                       grid: int = 4, buckets: int = 8) -> pd.DataFrame:
+    """LCG image+caption pairs for the CLIP-style alignment gate
+    (multimodal.clip_score_filter): the caption of image m DESCRIBES
+    its image as one token per grid cell, ``c<cell>_<K>`` with
+    K = floor(cell_mean * buckets * 64) % buckets — the FINE-scale
+    fractional part, because the plain floor(mean * buckets) of a
+    64-pixel uniform mean concentrates on the middle bucket (CLT) and
+    a chance match would score ~0.5 instead of ~1/buckets. Cell means
+    of dyadic LCG pixels are exact in f64 (and so is mean * 512), so
+    K — and therefore the whole caption — is SQL-derivable from the
+    pixel formula alone.
+
+    Planted misalignments corrupt the caption TOKENS directly rather
+    than swapping in a neighboring image's caption: the LCG is affine
+    in k, so adjacent images differ by a near-constant value shift and
+    their captions are heavily correlated (a swapped caption scored
+    anywhere from 0.0 to 0.5+ depending on the mod-2^20 wrap). The
+    corruption offset 1 + cell % (buckets-1) is never 0 mod buckets,
+    so corrupted cells NEVER match:
+
+    - m % 4 in (0, 1): aligned caption          -> score exactly 1.0
+    - m % 4 == 2: every cell corrupted          -> score exactly 0.0
+    - m % 4 == 3: odd cells corrupted           -> score exactly 0.5
+    """
+    base = lcg_image_table(n, w, h)
+    ch, cw = h // grid, w // grid
+
+    def tokens(m: int) -> str:
+        k0 = m * h * w
+        block = lcg_values(k0 + np.arange(h * w, dtype=np.int64)).reshape(h, w)
+        means = block.reshape(grid, ch, grid, cw).mean(axis=(1, 3))
+        ks = (means * buckets * 64).astype(np.int64) % buckets
+        toks = []
+        for ci in range(grid):
+            for cj in range(grid):
+                cell = ci * grid + cj
+                k = int(ks[ci, cj])
+                if m % 4 == 2 or (m % 4 == 3 and cell % 2 == 1):
+                    k = (k + 1 + cell % (buckets - 1)) % buckets
+                toks.append(f"c{cell}_{k}")
+        return " ".join(toks)
+
+    base["caption"] = [tokens(m) for m in range(n)]
+    return base

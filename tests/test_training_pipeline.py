@@ -1,0 +1,127 @@
+"""Aspect bucketing + training-order shuffle + mixture sampling tests."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from rasters_rs_spark.operators import multimodal as MM
+from rasters_rs_spark.operators import text as T
+
+
+# --- bucket_by_aspect ------------------------------------------------------
+
+
+def _meta(spark, rows):
+    return spark.createDataFrame(rows, "image_id string, w int, h int")
+
+
+def test_aspect_bucket_known_assignments(spark):
+    df = _meta(spark, [("a", 1024, 1024), ("b", 4000, 1000),
+                       ("c", 1000, 4000), ("d", 1100, 900)])
+    out = {r.image_id: r for r in MM.bucket_by_aspect(df).collect()}
+    assert (out["a"].bucket_w, out["a"].bucket_h) == (1024, 1024)
+    assert (out["b"].bucket_w, out["b"].bucket_h) == (2048, 512)
+    assert (out["c"].bucket_w, out["c"].bucket_h) == (512, 2048)
+    # 1100/900 = 1.222: nearest SDXL aspect is 1152/896 = 1.286
+    # (vs 1088/960 = 1.133: ratios 1.052 vs 1.078)
+    assert (out["d"].bucket_w, out["d"].bucket_h) == (1152, 896)
+
+
+def test_aspect_bucket_matches_log_argmin(spark):
+    """The rational max/min-cross-product argmin equals the ln-based
+    argmin everywhere off exact ties (the reason it exists is to avoid
+    ln's cross-engine last-ulp nondeterminism ON ties)."""
+    rows = [(f"i{m}", 256 + (m * 37) % 1200, 256 + (m * 53) % 900)
+            for m in range(300)]
+    out = {r.image_id: r.bucket_id
+           for r in MM.bucket_by_aspect(_meta(spark, rows)).collect()}
+    logs = [math.log(bw / bh) for bw, bh in MM.SDXL_BUCKETS]
+    for (iid, w, h) in rows:
+        d = [abs(math.log(w / h) - lb) for lb in logs]
+        best = min(range(len(d)), key=lambda i: (d[i], i))
+        assert out[iid] == best, (iid, w, h)
+
+
+def test_aspect_bucket_no_shuffle(spark):
+    plan = MM.bucket_by_aspect(
+        _meta(spark, [("a", 640, 480)]))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --- deterministic_shuffle -------------------------------------------------
+
+
+def test_shuffle_is_md5_permutation(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = T.deterministic_shuffle(docs, salt="sh1").collect()
+    n = len(rows)
+    assert sorted(r.shuffle_rank for r in rows) == list(range(n))
+    exp = sorted(rows, key=lambda r: (
+        hashlib.md5(f"{r.doc_id}:sh1".encode()).hexdigest(), r.doc_id))
+    for rank, r in enumerate(exp):
+        assert r.shuffle_rank == rank
+
+
+def test_shuffle_partition_invariant(spark, sf_dir):
+    """The permutation must not depend on the partition count — that's
+    the whole point of a deterministic shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r.doc_id: r.shuffle_rank for r in
+         T.deterministic_shuffle(docs, partitions=3).collect()}
+    b = {r.doc_id: r.shuffle_rank for r in
+         T.deterministic_shuffle(docs, partitions=16).collect()}
+    assert a == b
+
+
+def test_shuffle_resalting_reshuffles(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r.doc_id: r.shuffle_rank for r in
+         T.deterministic_shuffle(docs, salt="sh1").collect()}
+    b = {r.doc_id: r.shuffle_rank for r in
+         T.deterministic_shuffle(docs, salt="sh2").collect()}
+    assert a != b and sorted(a.values()) == sorted(b.values())
+
+
+# --- temperature_mixture_sample -------------------------------------------
+
+
+def test_mixture_upweights_small_domains(spark):
+    rows = ([(i, "big") for i in range(900)]
+            + [(900 + i, "small") for i in range(100)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = T.temperature_mixture_sample(docs, alpha=0.5, target_frac=0.5)
+    p = {r.source: r.p_keep for r in out.select("source", "p_keep")
+         .distinct().collect()}
+    # n^0.5 shares: 30/(30+10) vs 10/40 of 500 target ->
+    # p_big = 375/900, p_small = 125/100 capped at 1.0
+    assert p["small"] == 1.0
+    assert abs(p["big"] - 375.0 / 900.0) < 1e-12
+    kept = out.where("keep").groupBy("source").count().collect()
+    k = {r.source: r["count"] for r in kept}
+    assert k["small"] == 100                   # p=1: everything kept
+    assert 300 < k["big"] < 450                # ~375 expected
+
+
+def test_mixture_alpha1_is_uniform_rate(spark):
+    rows = ([(i, "a") for i in range(300)] + [(300 + i, "b")
+                                              for i in range(700)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = T.temperature_mixture_sample(docs, alpha=1.0, target_frac=0.4)
+    p = {r.source: r.p_keep for r in out.select("source", "p_keep")
+         .distinct().collect()}
+    assert abs(p["a"] - 0.4) < 1e-12 and abs(p["b"] - 0.4) < 1e-12
+
+
+def test_mixture_replayable_and_monotone(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo = {r.doc_id for r in T.temperature_mixture_sample(
+        docs, target_frac=0.3).where("keep").collect()}
+    lo2 = {r.doc_id for r in T.temperature_mixture_sample(
+        docs, target_frac=0.3).where("keep").collect()}
+    hi = {r.doc_id for r in T.temperature_mixture_sample(
+        docs, target_frac=0.6).where("keep").collect()}
+    assert lo == lo2          # replayable
+    assert lo <= hi           # raising the target only adds rows
