@@ -122,6 +122,9 @@ def main():
         "lm_score_docs", "span_removal_docs", "bm25_topk_docs",
         "hex_bin_events", "hex_kring_counts_events",
         "semdedup_embeddings", "patchify_stats_synth",
+        # round-7 additions
+        "clip_filter_synth", "aspect_bucket_synth",
+        "shuffle_rank_docs", "mixture_sample_docs",
     ]
     # best-of-N per query: the shared VM's noisy-neighbor spikes can
     # inflate a single shot 5-10x (measured), and the FIRST run also

@@ -516,12 +516,14 @@ def bucket_by_aspect(images: DataFrame, buckets=SDXL_BUCKETS,
     Pure Catalyst (a transform over the literal bucket array + one
     array_sort), zero shuffles — the per-row 100 TB shape. Returns
     (id, w, h, bucket_id, bucket_w, bucket_h, aspect_dist)."""
+    # long cross products: int32 * bucket-side would overflow (and
+    # THROW under ANSI) for w or h beyond ~2^31 / 2048
+    wl = F.col("w").cast("long")
+    hl = F.col("h").cast("long")
     scored = F.array(*[
         F.struct(
-            (F.greatest(F.col("w") * bh, F.lit(bw) * F.col("h"))
-             .cast("double")
-             / F.least(F.col("w") * bh, F.lit(bw) * F.col("h")))
-            .alias("d"),
+            (F.greatest(wl * bh, F.lit(bw) * hl).cast("double")
+             / F.least(wl * bh, F.lit(bw) * hl)).alias("d"),
             F.lit(i).alias("i"),
             F.lit(bw).alias("bw"), F.lit(bh).alias("bh"))
         for i, (bw, bh) in enumerate(buckets)])

@@ -272,7 +272,8 @@ def points_table(n: int, seed: int = 44, extent=DEFAULT_EXTENT) -> pd.DataFrame:
 
 
 def clip_caption_table(n: int = 48, w: int = 32, h: int = 32,
-                       grid: int = 4, buckets: int = 8) -> pd.DataFrame:
+                       grid: int = 4, buckets: int = 8,
+                       plant_neardups=()) -> pd.DataFrame:
     """LCG image+caption pairs for the CLIP-style alignment gate
     (multimodal.clip_score_filter): the caption of image m DESCRIBES
     its image as one token per grid cell, ``c<cell>_<K>`` with
@@ -295,13 +296,27 @@ def clip_caption_table(n: int = 48, w: int = 32, h: int = 32,
     - m % 4 in (0, 1): aligned caption          -> score exactly 1.0
     - m % 4 == 2: every cell corrupted          -> score exactly 0.0
     - m % 4 == 3: odd cells corrupted           -> score exactly 0.5
-    """
+
+    ``plant_neardups``: (dst, src) pairs — dst's block becomes src's
+    with one pooled phash cell bumped (image_table's planting rule),
+    so the pair's REAL phashes sit a few hamming bits apart for the
+    dedup stage; dst's caption/phash/bytes are all recomputed from
+    the modified block, so dst still passes the alignment gate (its
+    caption class follows dst's own m % 4)."""
     base = lcg_image_table(n, w, h)
     ch, cw = h // grid, w // grid
+    planted = dict(plant_neardups)
+
+    def block_of(m: int) -> np.ndarray:
+        src = planted.get(m, m)
+        k0 = src * h * w
+        block = lcg_values(k0 + np.arange(h * w, dtype=np.int64)).reshape(h, w)
+        if m in planted:
+            block[: max(h // 8, 1), : max(w // 8, 1)] += 1.0
+        return block
 
     def tokens(m: int) -> str:
-        k0 = m * h * w
-        block = lcg_values(k0 + np.arange(h * w, dtype=np.int64)).reshape(h, w)
+        block = block_of(m)
         means = block.reshape(grid, ch, grid, cw).mean(axis=(1, 3))
         ks = (means * buckets * 64).astype(np.int64) % buckets
         toks = []
@@ -315,4 +330,10 @@ def clip_caption_table(n: int = 48, w: int = 32, h: int = 32,
         return " ".join(toks)
 
     base["caption"] = [tokens(m) for m in range(n)]
+    # real content phashes (lcg_image_table stubs phash=0, which would
+    # make EVERY pair a phash near-dup downstream); planted rows also
+    # re-encode their modified bytes to keep the content invariant
+    base["phash"] = [np.int64(phash64(block_of(m))) for m in range(n)]
+    for m in planted:
+        base.loc[m, "bytes"] = codecs.encode_block(block_of(m), "raw")
     return base

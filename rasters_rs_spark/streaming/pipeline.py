@@ -249,3 +249,70 @@ def run_corpus_curation_streaming(spark: SparkSession, source_dir: str,
     return (stream.writeStream.foreachBatch(curate_batch)
             .option("checkpointLocation", f"{out_dir}/_ckpt")
             .trigger(availableNow=True).start())
+
+
+def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
+                       clip_threshold: float = 0.75, max_hamming: int = 6,
+                       plant_neardups=((5, 4), (13, 12))) -> dict:
+    """The IMAGE+caption half of the engine as a resumable pipeline —
+    the north-star input shape end-to-end: image+caption table ->
+    CLIP-style alignment gate (LAION rule) -> phash near-dup pairs ->
+    canonical keepers -> SDXL aspect buckets -> deterministic
+    training order. Every stage checkpoints through the manifest
+    (per-partition lineage + row/byte metrics); re-running with the
+    same ``root`` skips completed stages, and deleting one stage's
+    manifest recomputes exactly that stage — same idempotent-resume
+    contract as run_corpus_curation, over the multimodal dataflow.
+
+    The gate precedes dedup deliberately (the LAION/DataComp order):
+    misaligned pairs are the cheapest drop, and dedup then runs on
+    the smaller surviving corpus. The keeper rule is "smallest
+    image_id" — ids are fixed-width zero-padded, so the string
+    keeper of keep_canonical IS the numeric one (the corpus-pipeline
+    lexicographic-vs-numeric bug class does not arise)."""
+    from ..operators import dedup, multimodal, text
+
+    runner = CheckpointRunner(spark, root)
+    images = runner.run(
+        "images",
+        lambda: spark.createDataFrame(
+            synth.clip_caption_table(n_images,
+                                     plant_neardups=plant_neardups)))
+
+    gate = runner.run(
+        "clip_gate",
+        lambda: multimodal.clip_score_filter(images,
+                                             threshold=clip_threshold))
+    aligned = images.join(
+        gate.where(F.col("keep")).select("image_id"), on="image_id")
+
+    pairs = runner.run(
+        "phash_pairs",
+        lambda: dedup.phash_neardup(aligned, max_hamming=max_hamming))
+
+    kept = runner.run(
+        "canonical_keepers",
+        lambda: dedup.keep_canonical(aligned, pairs,
+                                     id_col="image_id"))
+
+    buckets = runner.run(
+        "aspect_buckets",
+        lambda: multimodal.bucket_by_aspect(kept))
+
+    order = runner.run(
+        "train_order",
+        lambda: text.deterministic_shuffle(kept, salt="img1",
+                                           id_col="image_id"))
+
+    return {
+        "stages": runner.summary(),
+        "input_images": images.count(),
+        "after_gate": aligned.count(),
+        "dup_pairs": pairs.count(),
+        "after_dedup": kept.count(),
+        "bucket_histogram": {
+            int(r["bucket_id"]): int(r["n"]) for r in
+            buckets.groupBy("bucket_id").agg(F.count("*").alias("n"))
+                   .collect()},
+        "train_order_rows": order.count(),
+    }

@@ -267,3 +267,54 @@ def test_corpus_curation_span_removal_stage(spark, tmp_path):
                              budget=512, span_k=16)
     assert all(s["skipped"] for s in r2["stages"])
     assert r2["total_tokens"] == r["total_tokens"]
+
+
+def test_image_curation_pipeline(spark, tmp_path):
+    """The image+caption dataflow (clip gate -> phash near-dup ->
+    keepers -> aspect buckets -> train order) through the checkpoint
+    manifest: planted misalignments dropped by the gate, planted
+    near-dups dropped by the keeper rule, resume skips every stage,
+    deleting one stage recomputes exactly that stage.
+
+    At max_hamming=10 the pair set is deterministic: the two planted
+    pairs (4,5) and (12,13) at hamming 8/9, plus (8,9) at hamming 7 —
+    consecutive LCG images are genuinely correlated (the affine-in-k
+    shift; the same correlation that forced the token-corruption
+    fixture design in synth.clip_caption_table)."""
+    import shutil
+
+    from rasters_rs_spark.streaming.pipeline import run_image_curation
+
+    root = str(tmp_path / "imgcur")
+    r1 = run_image_curation(spark, root, n_images=24, max_hamming=10,
+                            plant_neardups=((5, 4), (13, 12)))
+    assert r1["input_images"] == 24
+    # gate: exactly the 12 aligned-class rows (planted dsts 5 and 13
+    # are aligned classes too: captions recomputed from their blocks)
+    assert r1["after_gate"] == 12
+    assert r1["dup_pairs"] == 3
+    assert r1["after_dedup"] == 9
+    kept = spark.read.parquet(f"{root}/canonical_keepers/data")
+    ids = {r.image_id for r in kept.select("image_id").collect()}
+    for keeper in (4, 8, 12):
+        assert f"img_{keeper:08d}" in ids
+    for dropped in (5, 9, 13):
+        assert f"img_{dropped:08d}" not in ids
+    # 32x32 squares all land in the 1024x1024 bucket (index 8)
+    assert r1["bucket_histogram"] == {8: 9}
+    assert r1["train_order_rows"] == 9
+    order = spark.read.parquet(f"{root}/train_order/data")
+    assert sorted(r.shuffle_rank for r in order.collect()) == list(range(9))
+
+    r2 = run_image_curation(spark, root, n_images=24, max_hamming=10,
+                            plant_neardups=((5, 4), (13, 12)))
+    assert all(s["skipped"] for s in r2["stages"])
+    assert r2["after_dedup"] == r1["after_dedup"]
+
+    shutil.rmtree(str(tmp_path / "imgcur" / "aspect_buckets"))
+    r3 = run_image_curation(spark, root, n_images=24, max_hamming=10,
+                            plant_neardups=((5, 4), (13, 12)))
+    by_name = {s["stage"]: s for s in r3["stages"]}
+    assert not by_name["aspect_buckets"]["skipped"]
+    assert by_name["phash_pairs"]["skipped"]
+    assert r3["bucket_histogram"] == r1["bucket_histogram"]

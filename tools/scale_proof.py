@@ -416,6 +416,14 @@ single points 2x+, hence best-of-3 with spreads shown).
 | bm25_topk (8 queries, k=10) | {n_docs10} docs | {results['bm25_10x']['rows']} | {results['bm25_10x']['sec']} | {results['bm25_10x']['runs_sec']} |
 | semantic_dedup thr 0.4 (dropped rows) | {n_emb10} vecs | {results['semdedup_10x']['rows']} | {results['semdedup_10x']['sec']} | {results['semdedup_10x']['runs_sec']} |
 
+(semdedup's 10x work is QUADRATIC by construction here: the 10x corpus
+replicates every vector 10 times into the SAME clusters, so
+within-cluster pair count grows ~100x, not 10x — the wall should be
+read against ~100x 1x-work, i.e. sublinear per pair. Real corpora
+grow the cluster COUNT with n — the paper's 50k-cluster setting —
+keeping per-cluster pair density flat; the operator's n_clusters
+parameter is that knob.)
+
 ## PQ recall vs config (trained codebooks, exact cosine ground truth)
 
 recall@5 over 8 queries x {n_emb} DISTINCT vecs (the 10x replicas
