@@ -518,6 +518,25 @@ def _block_plan(total_bits: int, max_hamming: int, blocks: int | None):
     return plan
 
 
+def _block_rows(keyed: DataFrame, hash_col: str, max_hamming: int,
+                blocks: int | None) -> DataFrame:
+    """Exploded pigeonhole-block rows (id, hv, bi, bv) for the blocked
+    hamming join — shared by the batch and incremental variants."""
+    plan = _block_plan(64, max_hamming, blocks)
+    entries = F.array(*[
+        F.struct(
+            F.lit(i).alias("bi"),
+            (F.col(hash_col) if w == 64
+             else F.shiftrightunsigned(F.col(hash_col), s)
+                   .bitwiseAND(F.lit((1 << w) - 1))).alias("bv"))
+        for (i, s, w) in plan
+    ])
+    return keyed.select("id", F.col(hash_col).alias("hv"),
+                        F.explode(entries).alias("e")) \
+                .select("id", "hv", F.col("e.bi").alias("bi"),
+                        F.col("e.bv").alias("bv"))
+
+
 def _blocked_hamming_pairs(keyed: DataFrame, hash_col: str,
                            max_hamming: int, blocks: int | None,
                            hot_bucket_rows: int = 10_000,
@@ -528,23 +547,11 @@ def _blocked_hamming_pairs(keyed: DataFrame, hash_col: str,
     <= max_hamming by construction. Hot (block, value) buckets — e.g.
     N identical hashes — are salted so no task goes quadratic.
     Returns (id_a, id_b, hamming)."""
-    plan = _block_plan(64, max_hamming, blocks)
-    entries = F.array(*[
-        F.struct(
-            F.lit(i).alias("bi"),
-            (F.col(hash_col) if w == 64
-             else F.shiftrightunsigned(F.col(hash_col), s)
-                   .bitwiseAND(F.lit((1 << w) - 1))).alias("bv"))
-        for (i, s, w) in plan
-    ])
     # the exploded block rows feed the join's left side, right side,
     # AND the hot-bucket count — checkpoint so the upstream signature
     # aggregation (simhash's 64-wide agg) runs once, not three times
-    ex = keyed.select("id", F.col(hash_col).alias("hv"),
-                      F.explode(entries).alias("e")) \
-              .select("id", "hv", F.col("e.bi").alias("bi"),
-                      F.col("e.bv").alias("bv")) \
-              .localCheckpoint(eager=True)
+    ex = _block_rows(keyed, hash_col, max_hamming, blocks) \
+        .localCheckpoint(eager=True)
     left = ex.select(F.col("id").alias("id_a"), F.col("hv").alias("hv_a"),
                      "bi", "bv")
     right = ex.select(F.col("id").alias("id_b"), F.col("hv").alias("hv_b"),
@@ -590,6 +597,52 @@ def phash_neardup(images: DataFrame, max_hamming: int = 6,
                           F.col(hash_col).alias("ph"))
     return _blocked_hamming_pairs(keyed, "ph", max_hamming, blocks,
                                   hot_bucket_rows, hot_salt)
+
+
+def phash_neardup_incremental(new_images: DataFrame, corpus: DataFrame,
+                              max_hamming: int = 6,
+                              id_col: str = "image_id",
+                              hash_col: str = "phash",
+                              blocks: int | None = None,
+                              hot_bucket_rows: int = 10_000,
+                              hot_salt: int = 32) -> DataFrame:
+    """Near-dup image pairs for an APPEND-ONLY ingest: each new image
+    is checked against the existing corpus AND against the rest of its
+    batch, never corpus x corpus — minhash_dedup_incremental's shape
+    in phash-hamming space. Returns (id_a, id_b, hamming) with id_a
+    always NEW; replayed ids (already in the corpus) are superseded by
+    the batch version. Equals phash_neardup over (corpus UNION new)
+    restricted to pairs touching a new image (pinned by test).
+
+    Scale shape: only the batch's block rows are built per increment
+    against the corpus block rows (hashes are precomputed columns, so
+    the corpus side is a cheap 11-way explode of (id, phash) — or
+    persist the exploded rows alongside the register to skip even
+    that)."""
+    nk = new_images.select(F.col(id_col).cast("string").alias("id"),
+                           F.col(hash_col).alias("ph"))
+    ck = corpus.select(F.col(id_col).cast("string").alias("id"),
+                      F.col(hash_col).alias("ph"))
+    nb = _block_rows(nk, "ph", max_hamming, blocks) \
+        .localCheckpoint(eager=True)
+    new_ids = nb.select("id").distinct()
+    cb = _block_rows(ck.join(new_ids, on="id", how="left_anti"),
+                     "ph", max_hamming, blocks)
+    all_b = nb.withColumn("_corp", F.lit(False)) \
+        .unionByName(cb.withColumn("_corp", F.lit(True)))
+    left = nb.select(F.col("id").alias("id_a"), F.col("hv").alias("hv_a"),
+                     "bi", "bv")
+    right = all_b.select(F.col("id").alias("id_b"),
+                         F.col("hv").alias("hv_b"), "bi", "bv", "_corp")
+    cand = _salted_bucket_join(left, right, ["bi", "bv"],
+                               hot_bucket_rows, hot_salt, all_b) \
+        .where((F.col("id_a") != F.col("id_b"))
+               & (F.col("_corp") | (F.col("id_a") < F.col("id_b")))) \
+        .select("id_a", "id_b", "hv_a", "hv_b").distinct()
+    ham = F.bit_count(F.col("hv_a").bitwiseXOR(F.col("hv_b")))
+    return cand.withColumn("hamming", ham) \
+               .where(F.col("hamming") <= max_hamming) \
+               .select("id_a", "id_b", "hamming")
 
 
 def caption_dup_groups(images: DataFrame, id_col: str = "image_id",

@@ -316,3 +316,72 @@ def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
                    .collect()},
         "train_order_rows": order.count(),
     }
+
+
+def run_image_curation_streaming(spark: SparkSession, source_dir: str,
+                                 schema: str, out_dir: str,
+                                 clip_threshold: float = 0.75,
+                                 max_hamming: int = 6,
+                                 max_files_per_trigger: int | None = None):
+    """Streaming-ingest variant of run_image_curation: image+caption
+    rows arrive as micro-batches and each batch runs the CLIP-style
+    alignment gate (row-local: static deterministic embedders, so
+    streamed == batch per row) -> incremental phash near-dup against
+    EVERYTHING previously gated in (kept or dropped — the register) ->
+    greedy larger-id drop -> SDXL aspect buckets (row-local), with
+    keepers+buckets appended to ``out_dir/curated`` and the full gate
+    survivor set appended to ``out_dir/register``.
+
+    Parity with the batch pipeline is exact when batches arrive in
+    image_id order (ids are fixed-width zero-padded, so the string
+    order is the numeric one): batch keep_canonical drops the larger
+    id of every pair, and probing each new image against all prior
+    gate survivors reproduces precisely that drop set — probing only
+    KEPT images would diverge on dup chains A~B~C, the same argument
+    as the document pipeline. The deterministic training-order ranks
+    stay an offline step over the curated store (a global permutation
+    depends on the final corpus; run text.deterministic_shuffle over
+    ``curated`` once ingest settles). Returns the started
+    StreamingQuery; tested streamed == batch on a two-batch replay."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from ..operators import dedup, multimodal
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+    register = f"{out_dir}/register"
+    curated = f"{out_dir}/curated"
+
+    def curate_batch(batch_df, epoch_id):
+        gate = multimodal.clip_score_filter(batch_df,
+                                            threshold=clip_threshold)
+        aligned = batch_df.join(
+            gate.where(SF.col("keep")).select("image_id"),
+            on="image_id").localCheckpoint(eager=True)
+        if os.path.exists(register):
+            prior = spark.read.parquet(register)
+            pairs = dedup.phash_neardup_incremental(
+                aligned, prior, max_hamming=max_hamming)
+        else:
+            pairs = dedup.phash_neardup(aligned, max_hamming=max_hamming)
+        # batch keep_canonical == drop the larger id of every pair
+        # (id-ordered arrival makes every cross-batch pair's larger id
+        # the new image; ids are zero-padded so string max == numeric)
+        losers = pairs.select(
+            SF.greatest("id_a", "id_b").alias("image_id")).distinct()
+        kept = aligned.join(losers, on="image_id", how="left_anti")
+        bucketed = kept.join(
+            multimodal.bucket_by_aspect(kept)
+            .select("image_id", "bucket_id", "bucket_w", "bucket_h"),
+            on="image_id")
+        bucketed.write.mode("append").parquet(curated)
+        aligned.write.mode("append").parquet(register)
+
+    return (stream.writeStream.foreachBatch(curate_batch)
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .trigger(availableNow=True).start())

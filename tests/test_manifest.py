@@ -318,3 +318,72 @@ def test_image_curation_pipeline(spark, tmp_path):
     assert not by_name["aspect_buckets"]["skipped"]
     assert by_name["phash_pairs"]["skipped"]
     assert r3["bucket_histogram"] == r1["bucket_histogram"]
+
+
+def test_image_curation_streaming_equals_batch(spark, tmp_path):
+    """The streaming image ingest (per-batch clip gate -> incremental
+    phash vs the full gate-survivor register -> larger-id drop ->
+    aspect buckets) produces the SAME kept image set as the batch
+    pipeline on a two-batch replay in image_id order."""
+    from pyspark.sql import functions as F
+
+    from rasters_rs_spark.sources import synth
+    from rasters_rs_spark.streaming.pipeline import (
+        run_image_curation, run_image_curation_streaming)
+
+    plants = ((5, 4), (13, 12))
+    broot = str(tmp_path / "batch")
+    r = run_image_curation(spark, broot, n_images=24, max_hamming=10,
+                           plant_neardups=plants)
+    batch_ids = sorted(r0["image_id"] for r0 in spark.read.parquet(
+        f"{broot}/canonical_keepers/data").select("image_id").collect())
+    assert len(batch_ids) == r["after_dedup"] > 0
+
+    images = spark.createDataFrame(
+        synth.clip_caption_table(24, plant_neardups=plants))
+    src = str(tmp_path / "stream_src")
+    images.where("image_id < 'img_00000012'").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    images.where("image_id >= 'img_00000012'").coalesce(1) \
+        .write.mode("append").parquet(src)
+    out = str(tmp_path / "stream_out")
+    schema = ", ".join(f"{n} {t}" for n, t in images.dtypes)
+    q = run_image_curation_streaming(spark, src, schema, out,
+                                     max_hamming=10,
+                                     max_files_per_trigger=1)
+    q.awaitTermination(240)
+    got = spark.read.parquet(f"{out}/curated")
+    got_ids = sorted(r0["image_id"]
+                     for r0 in got.select("image_id").collect())
+    assert got_ids == batch_ids
+    # buckets ride along and match the batch stage
+    bb = {r0["image_id"]: r0["bucket_id"] for r0 in spark.read.parquet(
+        f"{broot}/aspect_buckets/data").collect()}
+    for r0 in got.select("image_id", "bucket_id").collect():
+        assert bb[r0["image_id"]] == r0["bucket_id"]
+
+
+def test_phash_incremental_equals_full(spark):
+    """phash_neardup_incremental == full phash_neardup over
+    (corpus UNION new) restricted to pairs touching a new image."""
+    from rasters_rs_spark.operators import dedup
+    from rasters_rs_spark.sources import synth
+
+    pdf = synth.clip_caption_table(24, plant_neardups=((5, 4), (13, 12)))
+    corpus = spark.createDataFrame(pdf.iloc[:12])
+    new = spark.createDataFrame(pdf.iloc[12:])
+    inc = {(r.id_a, r.id_b, r.hamming) for r in
+           dedup.phash_neardup_incremental(new, corpus,
+                                           max_hamming=12).collect()}
+    full = dedup.phash_neardup(spark.createDataFrame(pdf),
+                               max_hamming=12).collect()
+    new_ids = set(pdf.iloc[12:]["image_id"])
+    want = set()
+    for r in full:
+        if r.id_a in new_ids or r.id_b in new_ids:
+            # orient: id_a must be the new image
+            if r.id_a in new_ids:
+                want.add((r.id_a, r.id_b, r.hamming))
+            else:
+                want.add((r.id_b, r.id_a, r.hamming))
+    assert inc == want and len(want) > 0
