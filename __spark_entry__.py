@@ -1800,6 +1800,43 @@ def _aspect_bucket_sql() -> str:
     """
 
 
+def _q_image_filters(spark, sf_dir):
+    """DataComp-style basic image+caption filtering
+    (multimodal.basic_image_filters) over a deterministic metadata
+    grid: per-rule booleans + the AND gate, all integers/booleans —
+    hash-hard by construction. The caption strings are built by the
+    SAME repeat/trim recipe on both engines, so the operator's real
+    string->token parse is exercised, not bypassed."""
+    imgs = spark.range(512).selectExpr(
+        "printf('img_%08d', id) AS image_id",
+        "cast(32 + (id * 37) % 1200 AS int) AS w",
+        "cast(32 + (id * 53) % 900 AS int) AS h",
+        "trim(repeat('w ', cast(1 + (id * 11) % 300 AS int))) AS caption")
+    return multimodal.basic_image_filters(imgs)
+
+
+_IMAGE_FILTERS_SQL = """
+    WITH imgs AS (
+      SELECT printf('img_%08d', m) AS image_id,
+             CAST(32 + (m * 37) % 1200 AS INT) AS w,
+             CAST(32 + (m * 53) % 900 AS INT) AS h,
+             trim(repeat('w ', CAST(1 + (m * 11) % 300 AS INT))) AS caption
+      FROM (SELECT unnest(generate_series(0, 511)) AS m)),
+    f AS (
+      SELECT image_id, w, h,
+             CAST(len(string_split(caption, ' ')) AS INT) AS n_tokens,
+             (w >= 64 AND h >= 64) AS ok_size,
+             (CAST(GREATEST(w, h) AS DOUBLE)
+              <= 3.0e0 * LEAST(w, h)) AS ok_aspect
+      FROM imgs)
+    SELECT image_id, w, h, n_tokens, ok_size, ok_aspect,
+           (n_tokens >= 2 AND n_tokens <= 256) AS ok_caption,
+           (ok_size AND ok_aspect
+            AND n_tokens >= 2 AND n_tokens <= 256) AS keep
+    FROM f
+"""
+
+
 def _q_shuffle_rank(spark, sf_dir):
     """Global deterministic training-order shuffle
     (text.deterministic_shuffle): dense md5-order ranks via the
@@ -3345,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcg_diff_chunked_both": _q_lcg_diff_chunked,
         "clip_filter_synth": _q_clip_filter,
         "aspect_bucket_synth": _q_aspect_bucket,
+        "image_filters_synth": _q_image_filters,
         "shuffle_rank_docs": _q_shuffle_rank,
         "mixture_sample_docs": _q_mixture_sample,
     }
@@ -4538,6 +4576,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         """,
         "clip_filter_synth": _clip_filter_sql(),
         "aspect_bucket_synth": _aspect_bucket_sql(),
+        "image_filters_synth": _IMAGE_FILTERS_SQL,
         "shuffle_rank_docs": _SHUFFLE_RANK_SQL,
         "mixture_sample_docs": _mixture_sample_sql(),
     }

@@ -534,3 +534,36 @@ def bucket_by_aspect(images: DataFrame, buckets=SDXL_BUCKETS,
         best["i"].alias("bucket_id"),
         best["bw"].alias("bucket_w"), best["bh"].alias("bucket_h"),
         best["d"].alias("aspect_dist"))
+
+
+def basic_image_filters(images: DataFrame, min_px: int = 64,
+                        max_aspect: float = 3.0,
+                        min_caption_tokens: int = 2,
+                        max_caption_tokens: int = 256,
+                        id_col: str = "image_id",
+                        text_col: str = "caption") -> DataFrame:
+    """The DataComp/LAION "basic filtering" baseline (Gadre et al.
+    2023 §4): keep image+caption pairs with both sides above a minimum
+    size, aspect ratio within bounds, and a caption length inside a
+    token window. Returns (id, w, h, n_tokens, ok_size, ok_aspect,
+    ok_caption, keep) for every row — per-rule booleans so curation
+    reports can attribute drops to rules, keep = AND of all three.
+
+    Pure Catalyst projection, zero shuffles. The aspect test is
+    max(w, h) <= max_aspect * min(w, h) — one multiply of exact
+    integers against a dyadic literal, no division, no ln()."""
+    wl = F.col("w").cast("long")
+    hl = F.col("h").cast("long")
+    n_tok = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+    ok_size = (wl >= min_px) & (hl >= min_px)
+    ok_aspect = (F.greatest(wl, hl).cast("double")
+                 <= F.lit(float(max_aspect)) * F.least(wl, hl))
+    ok_caption = ((n_tok >= min_caption_tokens)
+                  & (n_tok <= max_caption_tokens))
+    return images.select(
+        F.col(id_col), F.col("w").cast("int").alias("w"),
+        F.col("h").cast("int").alias("h"),
+        n_tok.cast("int").alias("n_tokens"),
+        ok_size.alias("ok_size"), ok_aspect.alias("ok_aspect"),
+        ok_caption.alias("ok_caption"),
+        (ok_size & ok_aspect & ok_caption).alias("keep"))

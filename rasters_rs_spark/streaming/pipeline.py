@@ -253,12 +253,13 @@ def run_corpus_curation_streaming(spark: SparkSession, source_dir: str,
 
 def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
                        clip_threshold: float = 0.75, max_hamming: int = 6,
+                       min_px: int = 16,
                        plant_neardups=((5, 4), (13, 12))) -> dict:
     """The IMAGE+caption half of the engine as a resumable pipeline —
     the north-star input shape end-to-end: image+caption table ->
-    CLIP-style alignment gate (LAION rule) -> phash near-dup pairs ->
-    canonical keepers -> SDXL aspect buckets -> deterministic
-    training order. Every stage checkpoints through the manifest
+    DataComp basic metadata filters -> CLIP-style alignment gate
+    (LAION rule) -> phash near-dup pairs -> canonical keepers ->
+    SDXL aspect buckets -> deterministic training order. Every stage checkpoints through the manifest
     (per-partition lineage + row/byte metrics); re-running with the
     same ``root`` skips completed stages, and deleting one stage's
     manifest recomputes exactly that stage — same idempotent-resume
@@ -279,11 +280,19 @@ def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
             synth.clip_caption_table(n_images,
                                      plant_neardups=plant_neardups)))
 
+    # DataComp stage order: the cheap metadata gate first, the
+    # (embedding) alignment gate second on the survivors
+    basic = runner.run(
+        "basic_filters",
+        lambda: multimodal.basic_image_filters(images, min_px=min_px))
+    sized = images.join(
+        basic.where(F.col("keep")).select("image_id"), on="image_id")
+
     gate = runner.run(
         "clip_gate",
-        lambda: multimodal.clip_score_filter(images,
+        lambda: multimodal.clip_score_filter(sized,
                                              threshold=clip_threshold))
-    aligned = images.join(
+    aligned = sized.join(
         gate.where(F.col("keep")).select("image_id"), on="image_id")
 
     pairs = runner.run(
@@ -307,6 +316,7 @@ def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
     return {
         "stages": runner.summary(),
         "input_images": images.count(),
+        "after_basic": sized.count(),
         "after_gate": aligned.count(),
         "dup_pairs": pairs.count(),
         "after_dedup": kept.count(),
@@ -321,11 +331,12 @@ def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
 def run_image_curation_streaming(spark: SparkSession, source_dir: str,
                                  schema: str, out_dir: str,
                                  clip_threshold: float = 0.75,
-                                 max_hamming: int = 6,
+                                 max_hamming: int = 6, min_px: int = 16,
                                  max_files_per_trigger: int | None = None):
     """Streaming-ingest variant of run_image_curation: image+caption
-    rows arrive as micro-batches and each batch runs the CLIP-style
-    alignment gate (row-local: static deterministic embedders, so
+    rows arrive as micro-batches and each batch runs the DataComp
+    basic metadata gate + the CLIP-style alignment gate (both
+    row-local: static thresholds / deterministic embedders, so
     streamed == batch per row) -> incremental phash near-dup against
     EVERYTHING previously gated in (kept or dropped — the register) ->
     greedy larger-id drop -> SDXL aspect buckets (row-local), with
@@ -358,9 +369,14 @@ def run_image_curation_streaming(spark: SparkSession, source_dir: str,
     curated = f"{out_dir}/curated"
 
     def curate_batch(batch_df, epoch_id):
-        gate = multimodal.clip_score_filter(batch_df,
+        # same stage order as the batch pipeline (both gates are
+        # row-local, so streamed == batch per row)
+        basic = multimodal.basic_image_filters(batch_df, min_px=min_px)
+        sized = batch_df.join(
+            basic.where(SF.col("keep")).select("image_id"), on="image_id")
+        gate = multimodal.clip_score_filter(sized,
                                             threshold=clip_threshold)
-        aligned = batch_df.join(
+        aligned = sized.join(
             gate.where(SF.col("keep")).select("image_id"),
             on="image_id").localCheckpoint(eager=True)
         if os.path.exists(register):

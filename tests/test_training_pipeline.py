@@ -125,3 +125,36 @@ def test_mixture_replayable_and_monotone(spark, sf_dir):
         docs, target_frac=0.6).where("keep").collect()}
     assert lo == lo2          # replayable
     assert lo <= hi           # raising the target only adds rows
+
+
+# --- basic_image_filters ---------------------------------------------------
+
+
+def test_basic_image_filters_rules(spark):
+    df = _meta_cap(spark, [
+        ("tiny", 32, 500, "a fine caption"),          # fails size
+        ("narrow", 2000, 500, "a fine caption"),      # fails aspect (4:1)
+        ("nocap", 500, 500, "solo"),                  # 1 token: fails caption
+        ("longcap", 500, 500, " ".join(["w"] * 300)),  # fails caption
+        ("good", 1500, 500, "exactly at the 3:1 aspect bound"),
+    ])
+    out = {r.image_id: r for r in MM.basic_image_filters(df).collect()}
+    assert not out["tiny"].ok_size and not out["tiny"].keep
+    assert not out["narrow"].ok_aspect and not out["narrow"].keep
+    assert out["narrow"].ok_size
+    assert not out["nocap"].ok_caption and not out["nocap"].keep
+    assert not out["longcap"].ok_caption
+    assert out["good"].keep          # 3:1 inclusive at the bound
+    assert out["good"].n_tokens == 6
+
+
+def _meta_cap(spark, rows):
+    return spark.createDataFrame(
+        rows, "image_id string, w int, h int, caption string")
+
+
+def test_basic_image_filters_no_shuffle(spark):
+    plan = MM.basic_image_filters(
+        _meta_cap(spark, [("a", 640, 480, "x y")]))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
