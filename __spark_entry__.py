@@ -1837,6 +1837,41 @@ _IMAGE_FILTERS_SQL = """
 """
 
 
+def _q_assign_shards(spark, sf_dir):
+    """WebDataset-style shard assignment (multimodal.assign_shards)
+    over deterministic binary payloads: the start-offset rule
+    (shard = exclusive byte cumsum div budget) is a window cumsum in
+    SQL — integers only, hash-hard. The Spark side measures REAL
+    binary lengths (repeat('x', n) cast to binary), the oracle the
+    generating formula."""
+    imgs = spark.range(512).selectExpr(
+        "printf('img_%08d', id) AS image_id",
+        "cast(repeat('x', cast(1000 + (id * 97) % 4096 AS int)) "
+        "AS binary) AS bytes")
+    return multimodal.assign_shards(imgs, shard_bytes=65536)
+
+
+_ASSIGN_SHARDS_SQL = """
+    WITH imgs AS (
+      SELECT printf('img_%08d', m) AS image_id,
+             CAST(1000 + (m * 97) % 4096 AS BIGINT) AS n_bytes
+      FROM (SELECT unnest(generate_series(0, 511)) AS m)),
+    c AS (
+      SELECT image_id, n_bytes,
+             CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY image_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start
+      FROM imgs)
+    SELECT image_id, n_bytes,
+           CAST(start // 65536 AS BIGINT) AS shard_id,
+           CAST(start % 65536 AS BIGINT) AS shard_offset,
+           CAST(CASE WHEN n_bytes > 0
+                THEN (start + n_bytes - 1) // 65536 - start // 65536 + 1
+                ELSE 0 END AS BIGINT) AS n_shards_spanned
+    FROM c
+"""
+
+
 def _q_shuffle_rank(spark, sf_dir):
     """Global deterministic training-order shuffle
     (text.deterministic_shuffle): dense md5-order ranks via the
@@ -3383,6 +3418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_filter_synth": _q_clip_filter,
         "aspect_bucket_synth": _q_aspect_bucket,
         "image_filters_synth": _q_image_filters,
+        "assign_shards_synth": _q_assign_shards,
         "shuffle_rank_docs": _q_shuffle_rank,
         "mixture_sample_docs": _q_mixture_sample,
     }
@@ -4577,6 +4613,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "clip_filter_synth": _clip_filter_sql(),
         "aspect_bucket_synth": _aspect_bucket_sql(),
         "image_filters_synth": _IMAGE_FILTERS_SQL,
+        "assign_shards_synth": _ASSIGN_SHARDS_SQL,
         "shuffle_rank_docs": _SHUFFLE_RANK_SQL,
         "mixture_sample_docs": _mixture_sample_sql(),
     }

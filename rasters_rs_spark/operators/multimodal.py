@@ -567,3 +567,36 @@ def basic_image_filters(images: DataFrame, min_px: int = 64,
         ok_size.alias("ok_size"), ok_aspect.alias("ok_aspect"),
         ok_caption.alias("ok_caption"),
         (ok_size & ok_aspect & ok_caption).alias("keep"))
+
+
+def assign_shards(images: DataFrame, shard_bytes: int = 1 << 28,
+                  id_col: str = "image_id",
+                  bytes_col: str = "bytes") -> DataFrame:
+    """WebDataset-style shard assignment for a binary corpus: samples
+    in id order stream into fixed-byte-budget shards; a sample belongs
+    to the shard containing its STARTING byte (shard_id =
+    exclusive-cumsum(bytes) div shard_bytes).
+
+    This start-offset rule is deliberately NOT greedy first-fit (the
+    tar-writer default): greedy fill is a sequential fold whose carry
+    depends on every prior sample, which has no closed form — at
+    corpus scale it forces a second pass with per-partition carry
+    chains. The div rule is a pure function of the global cumsum (the
+    same two-pass zipWithIndex idiom as pack_sequences — one range
+    exchange, no single-partition window), at the cost of shards
+    overshooting the budget by at most one sample (writers emit the
+    straddling sample into its starting shard). Returns
+    (id, n_bytes, shard_id, shard_offset, n_shards_spanned)."""
+    from . import text
+
+    sized = images.select(
+        F.col(id_col),
+        F.length(F.col(bytes_col)).cast("long").alias("n_bytes"))
+    packed = text.pack_sequences(sized, budget=shard_bytes, id_col=id_col,
+                                 count_col="n_bytes")
+    return packed.select(
+        F.col("doc_id").alias(id_col),
+        F.col("n_tokens").alias("n_bytes"),
+        F.col("seq_id").alias("shard_id"),
+        F.col("seq_offset").alias("shard_offset"),
+        F.col("n_seqs").alias("n_shards_spanned"))

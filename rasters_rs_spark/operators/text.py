@@ -874,6 +874,7 @@ def stratified_sample(df: DataFrame, fractions: dict,
 
 def pack_sequences(docs: DataFrame, budget: int, id_col: str = "doc_id",
                    text_col: str = "text", tokens_col: str | None = None,
+                   count_col: str | None = None,
                    partitions: int = 64) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: documents ordered
     by id concatenate into one global token stream that is cut at
@@ -896,9 +897,13 @@ def pack_sequences(docs: DataFrame, budget: int, id_col: str = "doc_id",
 
     if budget <= 0:
         raise ValueError("pack_sequences: budget must be positive")
-    n_tok = (F.size(F.col(tokens_col)).cast("long") if tokens_col
-             else F.size(F.split(F.coalesce(F.col(text_col), F.lit("")),
-                                 " ")).cast("long"))
+    if count_col:                      # precomputed per-row size
+        n_tok = F.col(count_col).cast("long")
+    elif tokens_col:
+        n_tok = F.size(F.col(tokens_col)).cast("long")
+    else:
+        n_tok = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                               " ")).cast("long")
     d = (docs.select(F.col(id_col).alias("doc_id"),
                      n_tok.alias("n_tokens"))
          .repartitionByRange(partitions, "doc_id")

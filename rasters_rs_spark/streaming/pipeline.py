@@ -253,13 +253,14 @@ def run_corpus_curation_streaming(spark: SparkSession, source_dir: str,
 
 def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
                        clip_threshold: float = 0.75, max_hamming: int = 6,
-                       min_px: int = 16,
+                       min_px: int = 16, shard_bytes: int = 1 << 16,
                        plant_neardups=((5, 4), (13, 12))) -> dict:
     """The IMAGE+caption half of the engine as a resumable pipeline —
     the north-star input shape end-to-end: image+caption table ->
     DataComp basic metadata filters -> CLIP-style alignment gate
     (LAION rule) -> phash near-dup pairs -> canonical keepers ->
-    SDXL aspect buckets -> deterministic training order. Every stage checkpoints through the manifest
+    SDXL aspect buckets -> deterministic training order ->
+    WebDataset-style shard assignment in that training order. Every stage checkpoints through the manifest
     (per-partition lineage + row/byte metrics); re-running with the
     same ``root`` skips completed stages, and deleting one stage's
     manifest recomputes exactly that stage — same idempotent-resume
@@ -313,6 +314,19 @@ def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
         lambda: text.deterministic_shuffle(kept, salt="img1",
                                            id_col="image_id"))
 
+    # shard in TRAINING order (WebDataset writers consume shards
+    # sequentially): the shuffle rank is the ordering key, so shard
+    # contents follow the deterministic shuffle, not ingest order
+    def shard_stage():
+        ranked = kept.join(order.select("image_id", "shuffle_rank"),
+                           on="image_id")
+        return multimodal.assign_shards(
+            ranked, shard_bytes=shard_bytes, id_col="shuffle_rank") \
+            .join(ranked.select("image_id", "shuffle_rank"),
+                  on="shuffle_rank")
+
+    shards = runner.run("shards", shard_stage)
+
     return {
         "stages": runner.summary(),
         "input_images": images.count(),
@@ -325,6 +339,7 @@ def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
             buckets.groupBy("bucket_id").agg(F.count("*").alias("n"))
                    .collect()},
         "train_order_rows": order.count(),
+        "n_shards": int(shards.agg(F.max("shard_id")).first()[0] or 0) + 1,
     }
 
 

@@ -158,3 +158,43 @@ def test_basic_image_filters_no_shuffle(spark):
         _meta_cap(spark, [("a", 640, 480, "x y")]))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- assign_shards ---------------------------------------------------------
+
+
+def test_assign_shards_start_offset_rule(spark):
+    rows = [(f"i{m:03d}", bytes(b"x" * (100 + m * 10))) for m in range(40)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = sorted(MM.assign_shards(df, shard_bytes=1000).collect(),
+                 key=lambda r: r.image_id)
+    start = 0
+    for m, r in enumerate(out):
+        assert r.n_bytes == 100 + m * 10
+        assert r.shard_id == start // 1000
+        assert r.shard_offset == start % 1000
+        assert r.n_shards_spanned == \
+            (start + r.n_bytes - 1) // 1000 - start // 1000 + 1
+        start += r.n_bytes
+    # shards are contiguous 0..max with no gaps
+    sids = sorted({r.shard_id for r in out})
+    assert sids == list(range(sids[-1] + 1))
+
+
+def test_image_pipeline_shards_follow_training_order(spark, tmp_path):
+    from rasters_rs_spark.streaming.pipeline import run_image_curation
+
+    root = str(tmp_path / "imgcur_shard")
+    r = run_image_curation(spark, root, n_images=24, max_hamming=10,
+                           shard_bytes=4096,
+                           plant_neardups=((5, 4), (13, 12)))
+    assert r["n_shards"] >= 2          # 9 kept * 8KiB raw blocks
+    shards = spark.read.parquet(f"{root}/shards/data").collect()
+    order = {row.image_id: row.shuffle_rank for row in spark.read.parquet(
+        f"{root}/train_order/data").collect()}
+    # byte offsets must be monotone in TRAINING order, not ingest order
+    by_rank = sorted(shards, key=lambda row: order[row.image_id])
+    global_starts = [row.shard_id * 4096 + row.shard_offset
+                     for row in by_rank]
+    assert global_starts == sorted(global_starts)
+    assert global_starts[0] == 0
