@@ -285,6 +285,16 @@ def main():
     from rasters_rs_spark.operators import multimodal
     timed("patchify_10x", lambda: multimodal.patchify_images(
         images10, patch=8).count())
+    # round-7 curation ops at the same 10x volume: the CLIP-style gate
+    # (decode + grid-pool + caption parse + cosine, one Arrow pass,
+    # zero shuffles — make_caption strings parse to zero grid tokens,
+    # so every row scores 0.0; throughput is what's measured) and
+    # start-offset shard assignment over the real payload bytes (one
+    # range exchange + per-partition cumsum windows)
+    timed("clip_gate_10x", lambda: multimodal.clip_score_filter(
+        images10).count())
+    timed("assign_shards_10x", lambda: multimodal.assign_shards(
+        images10, shard_bytes=1 << 24).count())
     images10.unpersist()
 
     # --- catalog-scale PIP join (round-4 shuffled cogroup refine) -----
@@ -444,6 +454,8 @@ recall knob. Pick configs from this table, not folklore.
 | tile_index_manifest mode=local (fused), same raster | one 4096x4096 raster | {results['tiling_local_4kraster']['rows']} | {results['tiling_local_4kraster']['sec']} | {results['tiling_local_4kraster']['runs_sec']} |
 | mosaic_tiles 2000x2000 target, (256, 1024)-tiled merge | {h['images_10x']} images | {results['mosaic_tiles_10x']['rows']} | {results['mosaic_tiles_10x']['sec']} | {results['mosaic_tiles_10x']['runs_sec']} |
 | patchify_images patch=8 (one Arrow pass, no shuffle) | {h['images_10x']} 128px images | {results['patchify_10x']['rows']} | {results['patchify_10x']['sec']} | {results['patchify_10x']['runs_sec']} |
+| clip_score_filter (decode + pool + parse + cosine, no shuffle) | {h['images_10x']} 128px images | {results['clip_gate_10x']['rows']} | {results['clip_gate_10x']['sec']} | {results['clip_gate_10x']['runs_sec']} |
+| assign_shards 16MiB budget (range cumsum over payload bytes) | {h['images_10x']} 128px images | {results['assign_shards_10x']['rows']} | {results['assign_shards_10x']['sec']} | {results['assign_shards_10x']['runs_sec']} |
 | cell_pip_join, SHUFFLED AOI catalog (cogroup refine) | 1,000,000 points x 64 AOIs | {results['pip_catalog_1m']['rows']} | {results['pip_catalog_1m']['sec']} | {results['pip_catalog_1m']['runs_sec']} |
 
 ## Distributed AOI / triangulation paths at catalog scale
