@@ -456,7 +456,11 @@ def clip_score_filter(images: DataFrame, threshold: float = 0.5,
     Returns (id, clip_score, keep) for EVERY input row — the gate is a
     projection, not a destructive filter (callers join or filter on
     ``keep``). Zero-norm sides (no parseable tokens / all-no-data
-    image) score 0.0 and fail the gate."""
+    image) score 0.0 and fail the gate.
+
+    The fused default path expects the input_hint image schema
+    (image_id, bytes, w, h, fmt, caption); ``id_col`` only renames
+    the id on the external-embeddings join path."""
     from . import similarity
 
     if image_embeddings is None and caption_embeddings is None:
