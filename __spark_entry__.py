@@ -3331,7 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcg_zonal_rects": _q_lcg_zonal_rects,
         "lcg_diff_stats": _q_lcg_diff_stats,
         "focal_grad_synth": _q_focal_grad,
-        "rasterize_synth": _q_rasterize,
+        "clip_filter_synth": _q_clip_filter,
         "rasterize_dist_synth": _q_rasterize_dist,
         "chunk_plan_parts": _q_chunk_plan,
         "tile_assignment_synth": _q_tile_assignment,
@@ -3357,7 +3357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_bigram_counts_docs": _q_char_bigram_counts,
         "lm_score_docs": _q_lm_score,
         "sibson_discrete_synth": _q_sibson_discrete,
-        "lcg_image_stats": _q_lcg_image_stats,
+        "assign_shards_synth": _q_assign_shards,
         # --- below the driver's 50-key cap: long-stable rows
         # driver-green in earlier rounds plus the three rows-only
         # continuous Sibson fills (their hash-hard siblings
@@ -3415,10 +3415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental_docs": _q_minhash_incremental,
         "phash_neardup_synth": _q_phash_neardup,
         "lcg_diff_chunked_both": _q_lcg_diff_chunked,
-        "clip_filter_synth": _q_clip_filter,
+        "rasterize_synth": _q_rasterize,
+        "lcg_image_stats": _q_lcg_image_stats,
         "aspect_bucket_synth": _q_aspect_bucket,
         "image_filters_synth": _q_image_filters,
-        "assign_shards_synth": _q_assign_shards,
         "shuffle_rank_docs": _q_shuffle_rank,
         "mixture_sample_docs": _q_mixture_sample,
     }
