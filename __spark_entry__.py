@@ -1452,6 +1452,42 @@ def _q_phash_neardup(spark, sf_dir):
                 .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def _q_image_dup_components(spark, sf_dir):
+    """Transitive image dup clusters: connected_components (iterative
+    min-label propagation, the engine's PageRank-shaped surface) over
+    phash near-dup pairs of the clip fixture at hamming <= 10 — the
+    deterministic pair set is the two planted pairs plus the genuine
+    LCG-adjacency pair (8,9) (FIXTURES.md §7), so the components are
+    non-trivial. Oracle: the same pairs from inlined VALUES phashes +
+    a recursive reachability CTE."""
+    images = spark.createDataFrame(synth.clip_caption_table(
+        24, plant_neardups=((5, 4), (13, 12))))
+    pairs = dedup.phash_neardup(images, max_hamming=10)
+    return dedup.connected_components(pairs)
+
+
+def _image_dup_components_sql() -> str:
+    pdf = synth.clip_caption_table(24, plant_neardups=((5, 4), (13, 12)))
+    vals = ", ".join(f"('{r.image_id}', CAST({int(r.phash)} AS BIGINT))"
+                     for r in pdf.itertuples(index=False))
+    return f"""
+        WITH RECURSIVE p(id, ph) AS (VALUES {vals}),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM p a JOIN p b ON a.id < b.id
+          WHERE bit_count(xor(a.ph, b.ph)) <= 10),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(node, lab) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node)
+        SELECT node, min(lab) AS component FROM reach GROUP BY node
+    """
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF ANN with deterministic LCG centroids (argmin assignment,
     nprobe nearest lists, exact rerank) — SQL-oracled variant of the
@@ -3419,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcg_image_stats": _q_lcg_image_stats,
         "aspect_bucket_synth": _q_aspect_bucket,
         "image_filters_synth": _q_image_filters,
+        "image_dup_components_synth": _q_image_dup_components,
         "shuffle_rank_docs": _q_shuffle_rank,
         "mixture_sample_docs": _q_mixture_sample,
     }
@@ -4614,6 +4651,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "aspect_bucket_synth": _aspect_bucket_sql(),
         "image_filters_synth": _IMAGE_FILTERS_SQL,
         "assign_shards_synth": _ASSIGN_SHARDS_SQL,
+        "image_dup_components_synth": _image_dup_components_sql(),
         "shuffle_rank_docs": _SHUFFLE_RANK_SQL,
         "mixture_sample_docs": _mixture_sample_sql(),
     }
