@@ -3336,6 +3336,87 @@ def _q_chunk_plan(spark, sf_dir):
                                        "load_start long, load_end long"))
 
 
+def _q_retrieval_eval(spark, sf_dir):
+    """CLIP-protocol retrieval eval (similarity.retrieval_rank_eval):
+    rank of each query's TRUE image among the full corpus by exact
+    cosine. The caption-side test double is deterministic and exactly
+    SQL-mirrorable: query vec_id's embedding with dims 0..39 rotated
+    by 7 (dims 40..63 kept) plus a dyadic ((vec_id*64+d)%16)/64
+    perturbation — measured at sf0.01: R@1 = 8/32, R@5 = 19/32,
+    R@10 = 23/32, ranks 1..157, so every hit column is non-constant
+    and ranks spread over the corpus; every arithmetic step (element
+    pick, dyadic add, strict-fold cosine) is bit-identical across
+    engines. 32-query sample, the refusal-capped eval shape."""
+    emb = _tbl(spark, sf_dir, "embeddings") \
+        .selectExpr("cast(vec_id as bigint) vec_id",
+                    "transform(embedding, v -> cast(v as double)) embedding")
+    qs = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("q_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: F.when(
+                d < 40,
+                F.element_at(F.col("embedding"),
+                             ((d + F.lit(7)) % 64 + 1).cast("int")))
+            .otherwise(F.element_at(F.col("embedding"),
+                                    (d + 1).cast("int")))
+            + ((F.col("vec_id") * 64 + d) % 16).cast("double")
+            / F.lit(64.0)).alias("q_vec"))
+    out = similarity.retrieval_rank_eval(qs, emb, hits_at=(1, 5, 10))
+    return out.select("q_id", F.round("true_cosine", 9).alias("true_cosine"),
+                      "true_rank", "hit_at_1", "hit_at_5", "hit_at_10")
+
+
+def _retrieval_eval_sql(n_queries: int = 32) -> str:
+    """Mirror of retrieval_rank_eval over the rotated-dyadic caption
+    double: folds are list_reduce left folds (== cosine_expr's
+    zip_with/aggregate), denom is sqrt(na)*sqrt(nb) in that exact
+    association, NULL cosine never beats, rank = 1 + count(beats)."""
+    def fold(expr):
+        return (f"list_reduce(list_transform(range(1, 65), "
+                f"i -> {expr}), (a, b) -> a + b)")
+    qn = f"sqrt({fold('t.qv[i] * t.qv[i]')})"
+    tn = f"sqrt({fold('t.tv[i] * t.tv[i]')})"
+    tdot = fold('t.qv[i] * t.tv[i]')
+    cn = f"sqrt({fold('c.cv[i] * c.cv[i]')})"
+    cdot = fold('t.qv[i] * c.cv[i]')
+    return f"""
+        WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        q AS (SELECT id AS q_id,
+                     list_transform(range(0, 64),
+                       d -> CASE WHEN d < 40 THEN v[((d + 7) % 64) + 1]
+                                 ELSE v[d + 1] END
+                            + ((id * 64 + d) % 16) / 64.0) AS qv
+              FROM e WHERE id < {n_queries}),
+        truth AS (
+          SELECT * FROM (
+            SELECT t.q_id, t.qv,
+                   CASE WHEN {qn} * {tn} <> 0
+                        THEN {tdot} / ({qn} * {tn}) END AS true_cos
+            FROM (SELECT q.q_id, q.qv, e.v AS tv
+                  FROM q JOIN e ON e.id = q.q_id) t)
+          WHERE true_cos IS NOT NULL),
+        sc AS (
+          SELECT t.q_id, t.true_cos, c.id AS cid,
+                 CASE WHEN {qn} * {cn} <> 0
+                      THEN {cdot} / ({qn} * {cn}) END AS cos
+          FROM (SELECT q_id, qv, true_cos FROM truth) t
+          CROSS JOIN (SELECT id, v AS cv FROM e) c),
+        ranked AS (
+          SELECT q_id, true_cos,
+                 CAST(1 + count(*) FILTER (WHERE cos > true_cos
+                      OR (cos = true_cos AND cid < q_id)) AS BIGINT)
+                   AS true_rank
+          FROM sc GROUP BY q_id, true_cos)
+        SELECT q_id, round(true_cos, 9) AS true_cosine, true_rank,
+               CAST(true_rank <= 1 AS INT) AS hit_at_1,
+               CAST(true_rank <= 5 AS INT) AS hit_at_5,
+               CAST(true_rank <= 10 AS INT) AS hit_at_10
+        FROM ranked
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver-covered set: the correctness snapshot caps at
@@ -3458,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_components_synth": _q_image_dup_components,
         "shuffle_rank_docs": _q_shuffle_rank,
         "mixture_sample_docs": _q_mixture_sample,
+        "retrieval_eval_embeddings": _q_retrieval_eval,
     }
 
 
@@ -4654,4 +4736,5 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "image_dup_components_synth": _image_dup_components_sql(),
         "shuffle_rank_docs": _SHUFFLE_RANK_SQL,
         "mixture_sample_docs": _mixture_sample_sql(),
+        "retrieval_eval_embeddings": _retrieval_eval_sql(),
     }

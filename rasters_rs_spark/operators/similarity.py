@@ -978,3 +978,63 @@ def rrf_fuse(*hit_lists: DataFrame, k: int = 10, k_rrf: float = 60.0,
         .where(F.col("rank") <= k) \
         .select("q_id", F.col("_did").alias(id_col),
                 "rrf_score", "n_lists", "rank")
+
+
+def retrieval_rank_eval(queries: DataFrame, corpus: DataFrame,
+                        hits_at: tuple = (1, 5, 10),
+                        q_id: str = "q_id", c_id: str = "vec_id",
+                        q_vec: str = "q_vec", c_vec: str = "embedding",
+                        max_queries: int = 100_000) -> DataFrame:
+    """CLIP-style retrieval evaluation — the standard check on an
+    image<->caption alignment model (Radford et al. 2021 report
+    text->image R@1/5/10 this way): for each query (the caption-side
+    embedding), find the rank of its TRUE image (ground truth pairing:
+    ``q_id == c_id``) among the full corpus by exact cosine, ties to
+    the lower corpus id (the same total order every top-k operator in
+    this module uses). Returns one row per rankable query:
+    (q_id, true_cosine, true_rank, hit_at_K ...) — aggregate the
+    hit_at_K columns for recall@K.
+
+    Scale shape: the eval set is a SAMPLE (5-30k pairs in the CLIP /
+    LAION protocol), refusal-capped like cosine_topk, and rides
+    broadcast: pass 1 equi-joins queries to their true image (nq rows,
+    eager-checkpointed so the corpus is not re-derived), pass 2 scans
+    the corpus once against the broadcast (query, true_cosine) table
+    and counts, per query, the corpus rows that BEAT the true pair —
+    ``cos > true_cos OR (cos == true_cos AND c_id < q_id)``. The rank
+    is that count + 1: an aggregation with map-side partial combine,
+    never a window sort over nq x nc scored rows. Two corpus scans,
+    one nq-row shuffle, nothing else.
+
+    Zero-norm edge: cosine is NULL for zero-norm vectors (see
+    cosine_expr); a NULL never beats, and queries whose TRUE pair has
+    NULL cosine (or no corpus row) are dropped — they have no defined
+    rank. Every comparison is between doubles produced by the same
+    strict-left-fold expression on both engines, so ranks are
+    bit-stable vs the DuckDB mirror (retrieval_eval_embeddings row)."""
+    n = queries.select(queries.columns[0]).limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"retrieval_rank_eval scans corpus x queries; the query "
+            f"table exceeds max_queries={max_queries}. Evaluate on a "
+            f"sample (the CLIP/LAION protocol), or raise the cap "
+            f"explicitly.")
+    truth = queries.join(
+        corpus.select(F.col(c_id).alias(q_id), F.col(c_vec).alias("_tv")),
+        on=q_id) \
+        .withColumn("_true_cos", cosine_expr(q_vec, "_tv")) \
+        .where(F.col("_true_cos").isNotNull()) \
+        .select(q_id, q_vec, "_true_cos") \
+        .localCheckpoint(eager=True)
+    scored = corpus.crossJoin(F.broadcast(truth)) \
+        .withColumn("_cos", cosine_expr(q_vec, c_vec))
+    beats = (F.col("_cos") > F.col("_true_cos")) | \
+        ((F.col("_cos") == F.col("_true_cos")) &
+         (F.col(c_id) < F.col(q_id)))
+    ranked = scored.groupBy(q_id, "_true_cos").agg(
+        (F.sum(F.coalesce(beats, F.lit(False)).cast("bigint"))
+         + F.lit(1)).alias("true_rank"))
+    return ranked.select(
+        q_id, F.col("_true_cos").alias("true_cosine"), "true_rank",
+        *[(F.col("true_rank") <= k).cast("int").alias(f"hit_at_{k}")
+          for k in hits_at])

@@ -1111,3 +1111,66 @@ def test_window_overlap_and_rrf_fusion(spark):
     assert out[2]["rank"] == 1 and out[1]["rank"] == 2   # 3 hits beat 2
     with _pt.raises(ValueError, match="two"):
         SIM.rrf_fuse(a)
+
+
+def test_retrieval_rank_eval_matches_window_rank(spark, emb):
+    """Aggregation-form rank (count of corpus rows beating the true
+    pair) == the window-sort rank from cosine_topk with k=n, under the
+    shared (cosine desc, id asc) total order; hit flags consistent."""
+    df, pdf = emb
+    corpus = df.selectExpr(
+        "cast(vec_id as bigint) vec_id",
+        "transform(embedding, x -> cast(x as double)) embedding")
+    n = corpus.count()
+    # caption-side double: dims 0..39 rotated by 7 + dyadic (k%16)/64
+    # noise — the contract fixture's derivation, ranks spread over
+    # the corpus with some true pairs still in the top K
+    from pyspark.sql import functions as F
+    qs = corpus.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: F.when(
+                d < 40,
+                F.element_at(F.col("embedding"),
+                             ((d + F.lit(7)) % 64 + 1).cast("int")))
+            .otherwise(F.element_at(F.col("embedding"),
+                                    (d + 1).cast("int")))
+            + ((F.col("vec_id") * 64 + d) % 16).cast("double")
+            / F.lit(64.0)).alias("q_vec"))
+    got = {r["q_id"]: r for r in
+           SIM.retrieval_rank_eval(qs, corpus, hits_at=(1, 5, 10))
+           .collect()}
+    assert len(got) == 16
+    full = SIM.cosine_topk(qs, corpus, k=n)
+    expect = {r["q_id"]: r for r in
+              full.where(F.col("vec_id") == F.col("q_id")).collect()}
+    assert set(got) == set(expect)
+    for q, e in expect.items():
+        g = got[q]
+        assert g["true_rank"] == e["rank"], q
+        assert g["true_cosine"] == e["cosine"], q
+        for k in (1, 5, 10):
+            assert g[f"hit_at_{k}"] == int(g["true_rank"] <= k)
+    # non-vacuous: the perturbed queries must not all sit at rank 1
+    ranks = sorted(r["true_rank"] for r in got.values())
+    assert ranks[-1] > 1
+
+
+def test_retrieval_rank_eval_edges(spark):
+    """Unrankable queries drop (zero-norm true vector, id absent from
+    the corpus); the brute-force surface refuses oversized eval sets."""
+    from pyspark.sql import functions as F  # noqa: F401
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id bigint, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.1]),   # rankable
+         (1, [1.0, 1.0]),   # true vector zero-norm -> dropped
+         (9, [1.0, 1.0])],  # no corpus row 9 -> dropped
+        "q_id bigint, q_vec array<double>")
+    rows = SIM.retrieval_rank_eval(qs, corpus, hits_at=(1,)).collect()
+    assert [r["q_id"] for r in rows] == [0]
+    assert rows[0]["true_rank"] == 1 and rows[0]["hit_at_1"] == 1
+    with pytest.raises(ValueError, match="max_queries"):
+        SIM.retrieval_rank_eval(qs, corpus, max_queries=2)

@@ -209,6 +209,26 @@ def main():
         emb10, similarity.lcg_centroids(8, 64),
         threshold=0.4).where(~F.col("kept")).count())
 
+    # SemDeDup density-flat counterpart (the paper's operating regime):
+    # cluster count grows WITH the corpus — Abbas et al. run 50k
+    # clusters at 5B embeddings — so per-cluster size, and with it the
+    # within-cluster pair density, stays constant as n grows.  Measure
+    # 1x at 8 clusters against 10x at 80 clusters, centroids TRAINED
+    # by the distributed k-means (data-point init keeps all clusters
+    # alive; the deterministic LCG centroids leave 51 of 80 empty on
+    # this data and re-skew the pairwork — measured before switching);
+    # training (5 Lloyd passes, map-side partial sums) is timed INSIDE
+    # the row since the paper's clustering is part of the dedup cost.
+    # numpy pre-sim on this corpus: pairwork ratio 10.3 for 10x volume.
+    timed("semdedup_1x_8c", lambda: dedup.semantic_dedup(
+        emb, similarity.train_ivf_centroids_distributed(
+            emb, dim=64, n_lists=8),
+        threshold=0.4).where(~F.col("kept")).count())
+    timed("semdedup_10x_80c", lambda: dedup.semantic_dedup(
+        emb10, similarity.train_ivf_centroids_distributed(
+            emb10, dim=64, n_lists=80),
+        threshold=0.4).where(~F.col("kept")).count())
+
     # --- PQ recall-vs-config sweep (round-5 VERDICT #8): trained
     # codebooks, exact cosine top-k as ground truth, so a user can
     # pick (m_sub, k_codes, rerank_factor) from measured evidence.
@@ -391,6 +411,10 @@ def main():
         f"| {p['m_sub']} | {p['k_codes']} | {p['rerank_factor']} "
         f"| {p['recall_at_5']} | {p['sec']} | {p['runs_sec']} |"
         for p in results["pq_recall_sweep"])
+    semdedup_flat_ratio = round(
+        results["semdedup_10x_80c"]["sec"]
+        / max(results["semdedup_1x_8c"]["sec"], 1e-9), 2)
+    results["semdedup_densityflat_wall_ratio"] = semdedup_flat_ratio
     with open(path, "w") as f:
         f.write(f"""# 10x scale proof
 
@@ -424,15 +448,36 @@ single points 2x+, hence best-of-3 with spreads shown).
 | ann_pq ADC scan (8 queries) | {n_emb10} vecs | {results['ann_pq_10x']['rows']} | {results['ann_pq_10x']['sec']} | {results['ann_pq_10x']['runs_sec']} |
 | remove_duplicated_spans k=16 (docs w/ cuts) | {n_docs10} docs | {results['span_removal_10x']['rows']} | {results['span_removal_10x']['sec']} | {results['span_removal_10x']['runs_sec']} |
 | bm25_topk (8 queries, k=10) | {n_docs10} docs | {results['bm25_10x']['rows']} | {results['bm25_10x']['sec']} | {results['bm25_10x']['runs_sec']} |
-| semantic_dedup thr 0.4 (dropped rows) | {n_emb10} vecs | {results['semdedup_10x']['rows']} | {results['semdedup_10x']['sec']} | {results['semdedup_10x']['runs_sec']} |
+| semantic_dedup thr 0.4, 8 clusters (dropped rows) | {n_emb10} vecs | {results['semdedup_10x']['rows']} | {results['semdedup_10x']['sec']} | {results['semdedup_10x']['runs_sec']} |
 
-(semdedup's 10x work is QUADRATIC by construction here: the 10x corpus
-replicates every vector 10 times into the SAME clusters, so
+(semdedup's fixed-8-cluster 10x row is QUADRATIC by construction: the
+10x corpus replicates every vector 10 times into the SAME clusters, so
 within-cluster pair count grows ~100x, not 10x — the wall should be
 read against ~100x 1x-work, i.e. sublinear per pair. Real corpora
 grow the cluster COUNT with n — the paper's 50k-cluster setting —
 keeping per-cluster pair density flat; the operator's n_clusters
-parameter is that knob.)
+parameter is that knob. Measured in that regime below: 10x corpus at
+10x clusters, per-cluster size constant.)
+
+### SemDeDup density-flat scaling (cluster count grows with corpus)
+
+Centroids TRAINED per row by the distributed k-means (data-point
+init, 5 Lloyd map-side-partial-sum passes, timed inside the row —
+the paper's clustering is part of the dedup cost). The deterministic
+LCG centroids were measured first and rejected for this experiment:
+they leave 51 of 80 clusters empty on this data, re-skewing pairwork
+(~30x predicted instead of ~10x).
+
+| volume | clusters | input rows | dropped rows | wall (s) | spread (s) |
+|---|---|---|---|---|---|
+| 1x | 8 | {n_emb} | {results['semdedup_1x_8c']['rows']} | {results['semdedup_1x_8c']['sec']} | {results['semdedup_1x_8c']['runs_sec']} |
+| 10x | 80 | {n_emb10} | {results['semdedup_10x_80c']['rows']} | {results['semdedup_10x_80c']['sec']} | {results['semdedup_10x_80c']['runs_sec']} |
+
+wall(10x, 80c) / wall(1x, 8c) = **{semdedup_flat_ratio}** for 10x the
+volume (~10 means per-pair cost is flat and total work scales linearly
+in n when clusters track corpus size — the SemDeDup deployment shape;
+replica-identity pairs keep each 10x cluster slightly denser than its
+1x counterpart, so a ratio modestly above 10 is expected).
 
 ## PQ recall vs config (trained codebooks, exact cosine ground truth)
 
