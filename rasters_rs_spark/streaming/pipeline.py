@@ -260,7 +260,9 @@ def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
     DataComp basic metadata filters -> CLIP-style alignment gate
     (LAION rule) -> phash near-dup pairs -> canonical keepers ->
     SDXL aspect buckets -> deterministic training order ->
-    WebDataset-style shard assignment in that training order. Every stage checkpoints through the manifest
+    WebDataset-style shard assignment in that training order ->
+    retrieval-eval QA (text->image recall on input vs curated — the
+    metric a curation run is judged by). Every stage checkpoints through the manifest
     (per-partition lineage + row/byte metrics); re-running with the
     same ``root`` skips completed stages, and deleting one stage's
     manifest recomputes exactly that stage — same idempotent-resume
@@ -327,8 +329,48 @@ def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
 
     shards = runner.run("shards", shard_stage)
 
+    # post-curation QA (batch-only: a global metric over the final
+    # set): CLIP-protocol text->image retrieval eval on the raw input
+    # vs the curated keepers — the practice of validating a curation
+    # run by its retrieval metrics, not only by row counts. Misaligned
+    # captions rank their true image off the top (recall@1 < 1 on the
+    # input); curation lifts both R@1 and R@5. Residual R@1 ties on
+    # the curated set are the fixture's period-16 SEMANTIC TWINS
+    # (grid K = floor(mean*512) % 8 is invariant under m -> m+16: the
+    # exact mean*512 shift is 360 - 8*wraps, always 0 mod 8 — distinct
+    # pixels and phashes, identical embedding AND caption), i.e. the
+    # irreducible-tie case real text->image retrieval also has.
+    def eval_stage():
+        from ..operators import similarity
+
+        def metrics(df, label):
+            qs = multimodal.caption_token_embedding(
+                df.select("image_id", "caption")).select(
+                F.col("image_id").alias("q_id"),
+                F.col("cap_emb").alias("q_vec"))
+            corpus = multimodal.image_grid_embedding(df).select(
+                F.col("image_id").alias("vec_id"),
+                F.col("img_emb").alias("embedding"))
+            ev = similarity.retrieval_rank_eval(qs, corpus,
+                                                hits_at=(1, 5))
+            return ev.agg(
+                F.count("*").alias("n_rankable"),
+                F.sum("hit_at_1").cast("bigint").alias("hits_at_1"),
+                F.sum("hit_at_5").cast("bigint").alias("hits_at_5")) \
+                .select(F.lit(label).alias("dataset"), "*")
+
+        return metrics(images, "input") \
+            .unionByName(metrics(kept, "curated"))
+
+    ev = runner.run("retrieval_eval", eval_stage)
+
     return {
         "stages": runner.summary(),
+        "retrieval_eval": {
+            r["dataset"]: {"n_rankable": int(r["n_rankable"]),
+                           "hits_at_1": int(r["hits_at_1"]),
+                           "hits_at_5": int(r["hits_at_5"])}
+            for r in ev.collect()},
         "input_images": images.count(),
         "after_basic": sized.count(),
         "after_gate": aligned.count(),

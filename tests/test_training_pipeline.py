@@ -198,3 +198,36 @@ def test_image_pipeline_shards_follow_training_order(spark, tmp_path):
                      for row in by_rank]
     assert global_starts == sorted(global_starts)
     assert global_starts[0] == 0
+
+
+def test_image_pipeline_retrieval_eval_stage(spark, tmp_path):
+    """The post-curation QA stage: text->image retrieval metrics on
+    the raw input vs the curated keepers. Misaligned captions (m%4 in
+    (2,3)) depress input recall; curation lifts BOTH metrics, and the
+    curated set reaches full recall@5. The three curated rank-2 rows
+    are the fixture's period-16 semantic twins (identical grid
+    embedding AND caption at different pixels/phashes — K is invariant
+    under m -> m+16), the irreducible tie real retrieval also has."""
+    from rasters_rs_spark.streaming.pipeline import run_image_curation
+
+    root = str(tmp_path / "imgcur_eval")
+    r = run_image_curation(spark, root, n_images=24, max_hamming=10,
+                           plant_neardups=((5, 4), (13, 12)))
+    ev = r["retrieval_eval"]
+    assert ev["input"] == {"n_rankable": 24, "hits_at_1": 11,
+                           "hits_at_5": 18}
+    assert ev["curated"] == {"n_rankable": 9, "hits_at_1": 6,
+                             "hits_at_5": 9}
+    # the qualitative claims, independent of the pinned values:
+    # curation improves both fractions, curated recall@5 is full
+    assert (ev["curated"]["hits_at_1"] / ev["curated"]["n_rankable"]
+            > ev["input"]["hits_at_1"] / ev["input"]["n_rankable"])
+    assert ev["curated"]["hits_at_5"] == ev["curated"]["n_rankable"]
+    # stage artifact on disk + resume: re-run skips the eval stage too
+    ondisk = spark.read.parquet(f"{root}/retrieval_eval/data").collect()
+    assert {row["dataset"] for row in ondisk} == {"input", "curated"}
+    r2 = run_image_curation(spark, root, n_images=24, max_hamming=10,
+                            plant_neardups=((5, 4), (13, 12)))
+    by_name = {s["stage"]: s for s in r2["stages"]}
+    assert by_name["retrieval_eval"]["skipped"]
+    assert r2["retrieval_eval"] == ev
