@@ -3417,6 +3417,47 @@ def _retrieval_eval_sql(n_queries: int = 32) -> str:
     """
 
 
+def _q_bucket_batches(spark, sf_dir):
+    """SDXL bucketed-batch assembly (multimodal.bucket_batches) over a
+    hash-hard derivation: bucket = doc_id % 7, order = md5(doc_id) —
+    the deterministic-shuffle key, cross-engine-exact — batch_size 16
+    with drop_last, so every emitted batch is full and every column is
+    an integer or the input id. The operator ranks within buckets via
+    the two-pass range-repartition idiom (never a bucket-keyed global
+    window: buckets are categorical, <= n_buckets tasks otherwise)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (F.col("doc_id").cast("bigint") % 7).cast("int").alias("bucket_id"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"))
+    out = multimodal.bucket_batches(
+        d, batch_size=16, bucket_col="bucket_id",
+        order_col="ord", id_col="doc_id")
+    return out.select(
+        "doc_id", "bucket_id",
+        F.col("rank_in_bucket").cast("bigint").alias("rank_in_bucket"),
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+        F.col("pos_in_batch").cast("bigint").alias("pos_in_batch"))
+
+
+_BUCKET_BATCHES_SQL = """
+    WITH d AS (SELECT doc_id::BIGINT AS id,
+                      CAST(doc_id % 7 AS INT) AS bucket,
+                      md5(CAST(doc_id AS VARCHAR)) AS ord
+               FROM documents),
+    r AS (SELECT id, bucket,
+                 row_number() OVER (PARTITION BY bucket
+                                    ORDER BY ord, id) - 1 AS rk,
+                 count(*) OVER (PARTITION BY bucket) AS n
+          FROM d)
+    SELECT id AS doc_id, bucket AS bucket_id,
+           CAST(rk AS BIGINT) AS rank_in_bucket,
+           CAST(rk // 16 AS BIGINT) AS batch_id,
+           CAST(rk % 16 AS BIGINT) AS pos_in_batch
+    FROM r WHERE rk < (n // 16) * 16
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver-covered set: the correctness snapshot caps at
@@ -3540,6 +3581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_rank_docs": _q_shuffle_rank,
         "mixture_sample_docs": _q_mixture_sample,
         "retrieval_eval_embeddings": _q_retrieval_eval,
+        "bucket_batches_docs": _q_bucket_batches,
     }
 
 
@@ -4737,4 +4779,5 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "shuffle_rank_docs": _SHUFFLE_RANK_SQL,
         "mixture_sample_docs": _mixture_sample_sql(),
         "retrieval_eval_embeddings": _retrieval_eval_sql(),
+        "bucket_batches_docs": _BUCKET_BATCHES_SQL,
     }

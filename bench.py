@@ -126,7 +126,7 @@ def main():
         "clip_filter_synth", "aspect_bucket_synth",
         "shuffle_rank_docs", "mixture_sample_docs",
         "image_filters_synth", "assign_shards_synth",
-        "retrieval_eval_embeddings",
+        "retrieval_eval_embeddings", "bucket_batches_docs",
     ]
     # best-of-N per query: the shared VM's noisy-neighbor spikes can
     # inflate a single shot 5-10x (measured), and the FIRST run also

@@ -604,3 +604,71 @@ def assign_shards(images: DataFrame, shard_bytes: int = 1 << 28,
         F.col("seq_id").alias("shard_id"),
         F.col("seq_offset").alias("shard_offset"),
         F.col("n_seqs").alias("n_shards_spanned"))
+
+
+def bucket_batches(df: DataFrame, batch_size: int,
+                   bucket_col: str = "bucket_id",
+                   order_col: str = "shuffle_rank",
+                   id_col: str = "image_id",
+                   drop_last: bool = True,
+                   partitions: int = 64) -> DataFrame:
+    """SDXL-style aspect-bucketed batch assembly: every training batch
+    must hold same-resolution rows, so batches are cut WITHIN each
+    aspect bucket in training order (Podell et al. 2023 train SDXL
+    with bucketed batching; NovelAI's aspect-bucketing writeup is the
+    origin of the rule). Returns (id, bucket, rank_in_bucket,
+    batch_id, pos_in_batch); ``drop_last=True`` (the training-loader
+    default) drops each bucket's trailing partial batch. ``batch_id``
+    is per-bucket — a loader key is the (bucket, batch_id) pair.
+
+    Scale shape: rank-in-bucket uses the same two-pass
+    range-repartition idiom as deterministic_shuffle/pack_sequences —
+    ONE range exchange on (bucket, order), per-partition windows,
+    broadcast (partition, bucket) offsets — NEVER a
+    Window.partitionBy(bucket) over the raw table: buckets are
+    categorical (SDXL has 17), so a bucket-keyed global window would
+    funnel the whole corpus through <= n_buckets tasks. The driver
+    sees only partitions x buckets count rows (bounded collect), and
+    range partitioning keeps each bucket's rows contiguous-ordered so
+    the per-partition window never crosses bucket boundaries out of
+    order. SQL-oracled (bucket_batches_docs)."""
+    from pyspark.sql import Window
+
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    d = (df.select(id_col, bucket_col, order_col)
+         .repartitionByRange(partitions, bucket_col, order_col, id_col)
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint(eager=True))   # pin rows: _pid feeds 2 consumers
+    counts = d.groupBy("_pid", bucket_col).agg(
+        F.count("*").alias("n")).collect()
+    acc: dict = {}
+    off_rows = []
+    for r in sorted(counts, key=lambda r: (r[bucket_col], r["_pid"])):
+        b = r[bucket_col]
+        off_rows.append((int(r["_pid"]), b, acc.get(b, 0)))
+        acc[b] = acc.get(b, 0) + int(r["n"])
+    spark = df.sparkSession
+    b_type = dict(d.dtypes)[bucket_col]
+    off_df = spark.createDataFrame(
+        off_rows or [(0, None, 0)],
+        f"_pid int, {bucket_col} {b_type}, _off long")
+    full_df = spark.createDataFrame(
+        [(b, (n // batch_size) * batch_size) for b, n in acc.items()]
+        or [(None, 0)],
+        f"{bucket_col} {b_type}, _nfull long")
+    win = Window.partitionBy("_pid", bucket_col) \
+                .orderBy(order_col, id_col)
+    ranked = (d.join(F.broadcast(off_df), on=["_pid", bucket_col])
+              .withColumn("rank_in_bucket",
+                          (F.row_number().over(win) - 1
+                           + F.col("_off")).cast("long")))
+    if drop_last:
+        ranked = ranked.join(F.broadcast(full_df), on=bucket_col) \
+            .where(F.col("rank_in_bucket") < F.col("_nfull"))
+    return ranked.select(
+        id_col, bucket_col, "rank_in_bucket",
+        F.expr(f"rank_in_bucket div {int(batch_size)}")
+        .cast("long").alias("batch_id"),
+        (F.col("rank_in_bucket") % batch_size).cast("long")
+        .alias("pos_in_batch"))

@@ -254,6 +254,7 @@ def run_corpus_curation_streaming(spark: SparkSession, source_dir: str,
 def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
                        clip_threshold: float = 0.75, max_hamming: int = 6,
                        min_px: int = 16, shard_bytes: int = 1 << 16,
+                       train_batch_size: int = 4,
                        plant_neardups=((5, 4), (13, 12))) -> dict:
     """The IMAGE+caption half of the engine as a resumable pipeline —
     the north-star input shape end-to-end: image+caption table ->
@@ -261,8 +262,10 @@ def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
     (LAION rule) -> phash near-dup pairs -> canonical keepers ->
     SDXL aspect buckets -> deterministic training order ->
     WebDataset-style shard assignment in that training order ->
-    retrieval-eval QA (text->image recall on input vs curated — the
-    metric a curation run is judged by). Every stage checkpoints through the manifest
+    SDXL bucketed train batches (full same-bucket batches in training
+    order, trailing partials dropped) -> retrieval-eval QA
+    (text->image recall on input vs curated — the metric a curation
+    run is judged by). Every stage checkpoints through the manifest
     (per-partition lineage + row/byte metrics); re-running with the
     same ``root`` skips completed stages, and deleting one stage's
     manifest recomputes exactly that stage — same idempotent-resume
@@ -329,6 +332,20 @@ def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
 
     shards = runner.run("shards", shard_stage)
 
+    # SDXL-style bucketed train batches: full same-aspect-bucket
+    # batches cut in training order (trailing partials dropped — the
+    # training-loader rule); batch_id is per-bucket, the loader key is
+    # (bucket_id, batch_id)
+    batches = runner.run(
+        "bucket_batches",
+        lambda: multimodal.bucket_batches(
+            kept.select("image_id")
+                .join(buckets.select("image_id", "bucket_id"),
+                      on="image_id")
+                .join(order.select("image_id", "shuffle_rank"),
+                      on="image_id"),
+            batch_size=train_batch_size))
+
     # post-curation QA (batch-only: a global metric over the final
     # set): CLIP-protocol text->image retrieval eval on the raw input
     # vs the curated keepers — the practice of validating a curation
@@ -382,6 +399,10 @@ def run_image_curation(spark: SparkSession, root: str, n_images: int = 48,
                    .collect()},
         "train_order_rows": order.count(),
         "n_shards": int(shards.agg(F.max("shard_id")).first()[0] or 0) + 1,
+        "train_batches": {
+            (int(r["bucket_id"]), int(r["batch_id"])): int(r["n"])
+            for r in batches.groupBy("bucket_id", "batch_id")
+                            .agg(F.count("*").alias("n")).collect()},
     }
 
 

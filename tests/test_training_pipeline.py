@@ -223,6 +223,9 @@ def test_image_pipeline_retrieval_eval_stage(spark, tmp_path):
     assert (ev["curated"]["hits_at_1"] / ev["curated"]["n_rankable"]
             > ev["input"]["hits_at_1"] / ev["input"]["n_rankable"])
     assert ev["curated"]["hits_at_5"] == ev["curated"]["n_rankable"]
+    # bucketed train batches: 9 kept rows, one aspect bucket (8),
+    # batch_size 4 -> two full batches, trailing single dropped
+    assert r["train_batches"] == {(8, 0): 4, (8, 1): 4}
     # stage artifact on disk + resume: re-run skips the eval stage too
     ondisk = spark.read.parquet(f"{root}/retrieval_eval/data").collect()
     assert {row["dataset"] for row in ondisk} == {"input", "curated"}
@@ -231,3 +234,49 @@ def test_image_pipeline_retrieval_eval_stage(spark, tmp_path):
     by_name = {s["stage"]: s for s in r2["stages"]}
     assert by_name["retrieval_eval"]["skipped"]
     assert r2["retrieval_eval"] == ev
+
+
+def test_bucket_batches_matches_single_window_and_invariances(spark):
+    """bucket_batches' two-pass range-repartition rank equals the
+    naive single-window rank; output is invariant to the partitions
+    knob; drop_last semantics and batch shapes hold."""
+    from pyspark.sql import Window, functions as F
+
+    rows = [(i, i % 5, hashlib.md5(f"{i}:bb".encode()).hexdigest())
+            for i in range(203)]
+    df = spark.createDataFrame(rows, "id bigint, b int, ord string")
+
+    got = {tuple(r) for r in MM.bucket_batches(
+        df, batch_size=8, bucket_col="b", order_col="ord",
+        id_col="id").collect()}
+    # naive oracle: one global window per bucket
+    w = Window.partitionBy("b").orderBy("ord", "id")
+    naive = df.withColumn("rk", F.row_number().over(w) - 1) \
+        .withColumn("n", F.count("*").over(Window.partitionBy("b")))
+    exp = {(r["id"], r["b"], r["rk"], r["rk"] // 8, r["rk"] % 8)
+           for r in naive.collect() if r["rk"] < (r["n"] // 8) * 8}
+    assert got == exp and len(got) > 0
+
+    # partitions knob must not change a single row
+    got3 = {tuple(r) for r in MM.bucket_batches(
+        df, batch_size=8, bucket_col="b", order_col="ord",
+        id_col="id", partitions=3).collect()}
+    assert got3 == got
+
+    # drop_last=False keeps every row; per-bucket trailing batch is
+    # the only one allowed to be short
+    full = MM.bucket_batches(df, batch_size=8, bucket_col="b",
+                             order_col="ord", id_col="id",
+                             drop_last=False).collect()
+    assert len(full) == 203
+    from collections import Counter
+    sizes = Counter((r["b"], r["batch_id"]) for r in full)
+    for b in range(5):
+        batch_ids = sorted(bid for (bb, bid) in sizes if bb == b)
+        for bid in batch_ids[:-1]:
+            assert sizes[(b, bid)] == 8
+        assert 1 <= sizes[(b, batch_ids[-1])] <= 8
+
+    with pytest.raises(ValueError, match="batch_size"):
+        MM.bucket_batches(df, batch_size=0, bucket_col="b",
+                          order_col="ord", id_col="id")
