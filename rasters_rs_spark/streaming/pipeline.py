@@ -430,8 +430,15 @@ def run_image_curation_streaming(spark: SparkSession, source_dir: str,
     as the document pipeline. The deterministic training-order ranks
     stay an offline step over the curated store (a global permutation
     depends on the final corpus; run text.deterministic_shuffle over
-    ``curated`` once ingest settles). Returns the started
-    StreamingQuery; tested streamed == batch on a two-batch replay."""
+    ``curated`` once ingest settles) — and so do the downstream
+    consumers of that order (multimodal.assign_shards,
+    multimodal.bucket_batches: global cumsums/ranks over the final
+    set) and the retrieval-eval QA (a global metric whose corpus side
+    is the final keeper set). All four are deliberately BATCH-ONLY
+    stages, not streaming gaps: each is a function of the settled
+    corpus that an append-only stream cannot finalize row-by-row.
+    Returns the started StreamingQuery; tested streamed == batch on a
+    two-batch replay."""
     import os
 
     from pyspark.sql import functions as SF
