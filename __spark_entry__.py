@@ -1960,6 +1960,175 @@ def _mixture_sample_sql() -> str:
     """
 
 
+# Deterministic multi-line fixture text for the Gopher / C4 rows —
+# ONE SQL template evaluated by BOTH engines (Spark selectExpr and the
+# DuckDB WITH clause), so the input strings are identical by
+# construction and the oracle tests the OPERATOR, not the fixture.
+# Branches are chosen so every rule fires both ways across m=0..399:
+# full-bullet docs (m%17=0), ellipsis-heavy docs (m%17=1), long words
+# (m%5=0), digit-word lines (m%4 in 2,3), '#' runs (m%11=0), '...'
+# runs (m%6=2), stopword presence tiers (m%3).
+def _gopher_fixture_text(m: str) -> str:
+    return f"""
+      CASE WHEN {m} % 17 = 0 THEN
+             '- one' || chr(10) || '- two' || chr(10) ||
+             '- three' || chr(10) || '- four'
+           WHEN {m} % 17 = 1 THEN
+             'so...' || chr(10) || 'maybe...' || chr(10) ||
+             'yes...' || chr(10) || 'no.'
+           ELSE concat(
+             trim(repeat('word ', CAST(1 + ({m} * 7) % 120 AS INT))),
+             CASE WHEN {m} % 5 = 0
+                  THEN concat(' ', trim(repeat('supercalifragilistic ',
+                                              CAST(1 + {m} % 7 AS INT))))
+                  ELSE '' END,
+             CASE WHEN {m} % 3 = 0 THEN ' the of and'
+                  WHEN {m} % 3 = 1 THEN ' the' ELSE '' END,
+             chr(10),
+             CASE WHEN {m} % 4 = 0 THEN '- bullet item'
+                  WHEN {m} % 4 = 1 THEN '* starred item'
+                  ELSE trim(repeat('123 ', CAST(1 + ({m} * 2) % 40 AS INT)))
+                  END,
+             CASE WHEN {m} % 11 = 0
+                  THEN repeat(' #', CAST({m} % 13 AS INT)) ELSE '' END,
+             chr(10),
+             CASE WHEN {m} % 6 < 2 THEN 'trailing thought...'
+                  WHEN {m} % 6 = 2
+                  THEN concat('dots', repeat('.', CAST({m} % 7 AS INT)),
+                              ' here.')
+                  ELSE 'the end of it.' END)
+      END
+    """
+
+
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rules (text.gopher_quality_filter, Rae
+    et al. 2021 App. A1.1): all seven rules integerized (ratio
+    thresholds as cross-multiplications), so every output is an
+    int/boolean and the row is hash-hard by construction. The fixture
+    text is built by the same SQL template on both engines; the
+    DuckDB mirror re-implements the RULES independently
+    (regexp_split + list_filter lambdas)."""
+    docs = spark.range(400).selectExpr(
+        "printf('doc_%05d', id) AS doc_id",
+        _gopher_fixture_text("id") + " AS text")
+    return text.gopher_quality_filter(docs)
+
+
+def _gopher_rules_sql() -> str:
+    req = ", ".join(f"'{w}'" for w in text.GOPHER_REQUIRED_WORDS)
+    return f"""
+        WITH docs AS (
+          SELECT printf('doc_%05d', m) AS doc_id,
+                 {_gopher_fixture_text('m')} AS text
+          FROM (SELECT unnest(generate_series(0, 399)) AS m)),
+        f AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '[ \n]'),
+                             w -> w != '') AS words,
+                 string_split(text, chr(10)) AS lines
+          FROM docs),
+        g AS (
+          SELECT doc_id, len(words) AS n_words, len(lines) AS n_lines,
+                 COALESCE(list_sum(list_transform(words, w -> length(w))),
+                          0) AS n_nospace,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(replace(text, '...', ''))) // 3
+                   AS n_ell,
+                 len(list_filter(lines, l ->
+                     starts_with(l, '- ') OR starts_with(l, '* ')
+                     OR starts_with(l, '•'))) AS n_bullet,
+                 len(list_filter(lines, l -> ends_with(l, '...')))
+                   AS n_ell_lines,
+                 len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS n_alpha,
+                 len(list_filter([{req}], r -> list_contains(words, r)))
+                   AS n_stop
+          FROM f)
+        SELECT doc_id, CAST(n_words AS INT) AS n_words,
+               CAST(n_lines AS INT) AS n_lines,
+               (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+               (3 * n_words <= n_nospace AND n_nospace <= 10 * n_words)
+                 AS ok_mean_len,
+               (10 * (n_hash + n_ell) <= n_words) AS ok_symbol,
+               (10 * n_bullet <= 9 * n_lines) AS ok_bullet,
+               (10 * n_ell_lines <= 3 * n_lines) AS ok_ellipsis,
+               (10 * n_alpha >= 8 * n_words) AS ok_alpha,
+               (n_stop >= 2) AS ok_stop,
+               ((n_words >= 50 AND n_words <= 100000)
+                AND 3 * n_words <= n_nospace AND n_nospace <= 10 * n_words
+                AND 10 * (n_hash + n_ell) <= n_words
+                AND 10 * n_bullet <= 9 * n_lines
+                AND 10 * n_ell_lines <= 3 * n_lines
+                AND 10 * n_alpha >= 8 * n_words
+                AND n_stop >= 2) AS keep
+        FROM g
+    """
+
+
+def _c4_fixture_text(m: str) -> str:
+    return f"""
+      concat(
+        CASE WHEN {m} % 13 = 0 THEN 'Lorem ipsum dolor sit amet.'
+             ELSE 'A solid opening line right here.' END,
+        chr(10),
+        CASE WHEN {m} % 4 = 0 THEN 'tiny line'
+             WHEN {m} % 4 = 1
+             THEN concat('A middle line with ',
+                         repeat('filler ', CAST(1 + {m} % 9 AS INT)),
+                         'words.')
+             WHEN {m} % 4 = 2 THEN 'Enable javascript to continue browsing.'
+             ELSE 'No terminal punctuation on this one' END,
+        chr(10),
+        CASE WHEN {m} % 7 = 0 THEN 'if (x) {{ return y; }}'
+             ELSE 'The closing line wraps it up!' END,
+        chr(10),
+        CASE WHEN {m} % 3 = 0 THEN 'An extra line for good measure?'
+             WHEN {m} % 3 = 1 THEN 'short one.'
+             ELSE trim(repeat('pad ', CAST(2 + {m} % 5 AS INT))) END)
+    """
+
+
+def _q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (text.c4_clean, Raffel et al. 2020
+    section 2.2): terminal-punctuation / min-word / javascript line
+    filters + the lorem-ipsum / brace / min-kept-lines page gate. The
+    REBUILT text column is part of the contract row — the oracle's
+    list_filter + array_to_string computes the identical string, so
+    the hash pins the cleaner's full output, not just counts."""
+    docs = spark.range(400).selectExpr(
+        "printf('doc_%05d', id) AS doc_id",
+        _c4_fixture_text("id") + " AS text")
+    return text.c4_clean(docs)
+
+
+def _c4_clean_sql() -> str:
+    return f"""
+        WITH docs AS (
+          SELECT printf('doc_%05d', m) AS doc_id,
+                 {_c4_fixture_text('m')} AS text
+          FROM (SELECT unnest(generate_series(0, 399)) AS m)),
+        f AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+                 list_filter(string_split(text, chr(10)), l ->
+                   (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                    OR ends_with(rtrim(l), '?')
+                    OR ends_with(rtrim(l), '"'))
+                   AND len(list_filter(string_split(l, ' '),
+                                       w -> w != '')) >= 3
+                   AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM docs)
+        SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_kept_lines,
+               array_to_string(kept, chr(10)) AS cleaned_text,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{{') AS has_brace,
+               (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{{')) AS keep
+        FROM f
+    """
+
+
 def _q_repetition(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return text.repetition_stats(docs, n=2)
@@ -3495,6 +3664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment_synth": _q_tile_assignment,
         "bpe_tokens_docs": _q_bpe_tokens,
         "repetition_docs": _q_repetition,
+        "gopher_rules_docs": _q_gopher_rules,
+        "c4_clean_docs": _q_c4_clean,
         "augment_pixels_synth": _q_augment,
         "patchify_stats_synth": _q_patchify,
         "filter_corpus_docs": _q_filter_corpus,
@@ -4711,6 +4882,8 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS first_doc
             FROM documents GROUP BY ROLLUP (lang, source)
         """,
+        "gopher_rules_docs": _gopher_rules_sql(),
+        "c4_clean_docs": _c4_clean_sql(),
         "filter_corpus_docs": f"""
             WITH rep AS (
               SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio

@@ -1578,3 +1578,146 @@ def temperature_mixture_sample(docs: DataFrame, alpha: float = 0.5,
     return docs.select(
         F.col(id_col), F.col(source_col).alias("source"),
         p_col.alias("p_keep"), (u < p_col).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A1.1)
+# ---------------------------------------------------------------------------
+
+# the paper's required-word list: a document must contain >= 2 of these
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and",
+                         "that", "have", "with")
+GOPHER_BULLETS = ("- ", "* ", "•")
+
+
+def gopher_quality_filter(docs: DataFrame, min_words: int = 50,
+                          max_words: int = 100000,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021 App. A1.1
+    — the MassiveWeb filter reused by Chinchilla, RefinedWeb and
+    FineWeb): per-rule booleans + the AND gate, one row per document.
+
+    Rules, all integerized so every test is exact integer arithmetic
+    (ratio thresholds become cross-multiplications — no float ratio
+    ever exists, so the DuckDB oracle is hash-hard by construction):
+
+    - ok_word_count:  min_words <= n_words <= max_words
+    - ok_mean_len:    mean word length in [3, 10]
+                      == 3*n_words <= n_nospace <= 10*n_words
+    - ok_symbol:      (#'#' chars + #'...' occurrences) / n_words <= .1
+                      == 10*n_sym <= n_words
+    - ok_bullet:      <= 90% of lines start with a bullet
+                      == 10*n_bullet <= 9*n_lines
+    - ok_ellipsis:    <= 30% of lines end with '...'
+                      == 10*n_ell <= 3*n_lines
+    - ok_alpha:       >= 80% of words contain an alphabetic char
+                      == 10*n_alpha >= 8*n_words
+    - ok_stop:        >= 2 of GOPHER_REQUIRED_WORDS present
+
+    Pure Catalyst projection (split/filter/length — whole-stage
+    codegen), zero shuffles, zero UDFs. Words are split on
+    space-or-newline and empty tokens dropped; lines split on
+    newline. '...' occurrences counted via literal replace (both
+    engines scan left-to-right non-overlapping, so '.....'
+    counts once in each). Returns (id, n_words, n_lines, the seven
+    booleans, keep)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, "[ \n]"), lambda w: w != "")
+    lines = F.split(t, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    n_nospace = F.aggregate(F.transform(words, F.length),
+                            F.lit(0), lambda a, x: a + x)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t)
+             - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    n_sym = (n_hash + n_ell).cast("int")
+    n_bullet = F.size(F.filter(lines, lambda l: _any_prefix(l, GOPHER_BULLETS)))
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        lambda r: F.array_contains(words, r)))
+    ok_word_count = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean_len = ((3 * n_words <= n_nospace)
+                   & (n_nospace <= 10 * n_words))
+    ok_symbol = 10 * n_sym <= n_words
+    ok_bullet = 10 * n_bullet <= 9 * n_lines
+    ok_ellipsis = 10 * n_ell_lines <= 3 * n_lines
+    ok_alpha = 10 * n_alpha >= 8 * n_words
+    ok_stop = n_stop >= 2
+    return docs.select(
+        F.col(id_col), n_words.cast("int").alias("n_words"),
+        n_lines.cast("int").alias("n_lines"),
+        ok_word_count.alias("ok_word_count"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_symbol.alias("ok_symbol"), ok_bullet.alias("ok_bullet"),
+        ok_ellipsis.alias("ok_ellipsis"), ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_word_count & ok_mean_len & ok_symbol & ok_bullet
+         & ok_ellipsis & ok_alpha & ok_stop).alias("keep"))
+
+
+def _any_prefix(col, prefixes):
+    out = F.lit(False)
+    for p in prefixes:
+        out = out | col.startswith(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020, section 2.2)
+# ---------------------------------------------------------------------------
+
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_clean(docs: DataFrame, min_line_words: int = 3,
+             min_kept_lines: int = 3,
+             id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """C4's line-level cleaning (Raffel et al. 2020 section 2.2): keep
+    only lines that (a) end in terminal punctuation ('.', '!', '?',
+    '"'), (b) have >= min_line_words whitespace words, (c) don't
+    mention 'javascript' (case-insensitive); then gate the page:
+    drop it when fewer than min_kept_lines lines survive, when it
+    contains 'lorem ipsum' (case-insensitive), or when it contains
+    a '{' (the paper's code-page heuristic). The paper's
+    three-sentence-span corpus dedup is the separate
+    remove_duplicated_spans operator.
+
+    Row-local array ops only (split -> filter lambda -> array_join):
+    pure Catalyst, zero shuffles, no UDFs; the cleaned text string is
+    byte-identical to the DuckDB mirror (same split/filter/join
+    semantics), so the contract row is hash-hard including the
+    rebuilt text column. Returns (id, n_lines, n_kept_lines,
+    cleaned_text, has_lorem, has_brace, keep)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+
+    def line_ok(l):
+        lt = F.rtrim(l)
+        end_ok = _any_suffix(lt, C4_TERMINAL)
+        n_w = F.size(F.filter(F.split(l, " "), lambda w: w != ""))
+        no_js = ~F.lower(l).contains("javascript")
+        return end_ok & (n_w >= min_line_words) & no_js
+
+    kept = F.filter(lines, line_ok)
+    n_kept = F.size(kept)
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    keep = (n_kept >= min_kept_lines) & ~has_lorem & ~has_brace
+    return docs.select(
+        F.col(id_col), F.size(lines).cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+        has_lorem.alias("has_lorem"), has_brace.alias("has_brace"),
+        keep.alias("keep"))
+
+
+def _any_suffix(col, suffixes):
+    out = F.lit(False)
+    for s in suffixes:
+        out = out | col.endswith(s)
+    return out

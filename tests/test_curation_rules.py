@@ -1,0 +1,127 @@
+"""Gopher quality rules + C4 line cleaning: exact cross-checks of the
+Spark operators against independent pure-Python re-implementations of
+the published rule sets, over the same deterministic fixture text the
+contract rows use (both engines build it from one SQL template)."""
+
+import re
+
+import __spark_entry__ as entrymod
+from rasters_rs_spark.operators import text as T
+
+
+def _fixture_docs(spark, n=400):
+    return spark.range(n).selectExpr(
+        "printf('doc_%05d', id) AS doc_id",
+        entrymod._gopher_fixture_text("id") + " AS text")
+
+
+def _py_gopher(text, min_words=50, max_words=100000):
+    words = [w for w in re.split("[ \n]", text) if w != ""]
+    lines = text.split("\n")
+    n_words, n_lines = len(words), len(lines)
+    n_nospace = sum(len(w) for w in words)
+    n_hash = text.count("#")
+    n_ell = (len(text) - len(text.replace("...", ""))) // 3
+    n_bullet = sum(1 for l in lines
+                   if l.startswith(("- ", "* ")) or l.startswith("•"))
+    n_ell_lines = sum(1 for l in lines if l.endswith("..."))
+    n_alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+    n_stop = sum(1 for r in T.GOPHER_REQUIRED_WORDS if r in words)
+    rules = {
+        "ok_word_count": min_words <= n_words <= max_words,
+        "ok_mean_len": 3 * n_words <= n_nospace <= 10 * n_words,
+        "ok_symbol": 10 * (n_hash + n_ell) <= n_words,
+        "ok_bullet": 10 * n_bullet <= 9 * n_lines,
+        "ok_ellipsis": 10 * n_ell_lines <= 3 * n_lines,
+        "ok_alpha": 10 * n_alpha >= 8 * n_words,
+        "ok_stop": n_stop >= 2,
+    }
+    return {"n_words": n_words, "n_lines": n_lines, **rules,
+            "keep": all(rules.values())}
+
+
+def test_gopher_matches_python_reference(spark):
+    docs = _fixture_docs(spark)
+    got = {r["doc_id"]: r.asDict()
+           for r in T.gopher_quality_filter(docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(got) == 400
+    for did, text in texts.items():
+        want = _py_gopher(text)
+        have = {k: got[did][k] for k in want}
+        assert have == want, f"{did}: {have} != {want}\ntext={text!r}"
+
+
+def test_gopher_every_rule_fires_both_ways(spark):
+    rows = T.gopher_quality_filter(_fixture_docs(spark)).collect()
+    for col in ["ok_word_count", "ok_mean_len", "ok_symbol", "ok_bullet",
+                "ok_ellipsis", "ok_alpha", "ok_stop", "keep"]:
+        vals = {r[col] for r in rows}
+        assert vals == {True, False}, f"{col} never flips: {vals}"
+
+
+def test_gopher_on_documents_table(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = T.gopher_quality_filter(docs, min_words=5)
+    assert out.count() == docs.count()
+    got = {r["doc_id"]: r for r in out.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, text in list(texts.items())[:50]:
+        want = _py_gopher(text, min_words=5)
+        assert {k: got[did][k] for k in want} == want
+
+
+def _c4_fixture_docs(spark, n=400):
+    return spark.range(n).selectExpr(
+        "printf('doc_%05d', id) AS doc_id",
+        entrymod._c4_fixture_text("id") + " AS text")
+
+
+def _py_c4(text, min_line_words=3, min_kept_lines=3):
+    lines = text.split("\n")
+
+    def ok(l):
+        lt = l.rstrip()
+        return (lt.endswith((".", "!", "?", '"'))
+                and len([w for w in l.split(" ") if w]) >= min_line_words
+                and "javascript" not in l.lower())
+
+    kept = [l for l in lines if ok(l)]
+    has_lorem = "lorem ipsum" in text.lower()
+    has_brace = "{" in text
+    return {"n_lines": len(lines), "n_kept_lines": len(kept),
+            "cleaned_text": "\n".join(kept), "has_lorem": has_lorem,
+            "has_brace": has_brace,
+            "keep": len(kept) >= min_kept_lines
+            and not has_lorem and not has_brace}
+
+
+def test_c4_matches_python_reference(spark):
+    docs = _c4_fixture_docs(spark)
+    got = {r["doc_id"]: r.asDict() for r in T.c4_clean(docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, text in texts.items():
+        want = _py_c4(text)
+        have = {k: got[did][k] for k in want}
+        assert have == want, f"{did}: {have} != {want}\ntext={text!r}"
+
+
+def test_c4_gates_fire_both_ways(spark):
+    rows = T.c4_clean(_c4_fixture_docs(spark)).collect()
+    for col in ["has_lorem", "has_brace", "keep"]:
+        assert {r[col] for r in rows} == {True, False}, col
+    # the cleaner actually removes lines somewhere (and keeps some)
+    assert any(r["n_kept_lines"] < r["n_lines"] for r in rows)
+    assert any(r["n_kept_lines"] > 0 for r in rows)
+
+
+def test_c4_null_and_empty_text(spark):
+    docs = spark.createDataFrame(
+        [("a", None), ("b", "")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in T.c4_clean(docs).collect()}
+    for k in ("a", "b"):
+        assert rows[k]["keep"] is False
+        assert rows[k]["cleaned_text"] == ""
+    g = {r["doc_id"]: r for r in T.gopher_quality_filter(docs).collect()}
+    for k in ("a", "b"):
+        assert g[k]["keep"] is False
