@@ -2889,6 +2889,114 @@ def _q_focal_grad(spark, sf_dir):
     return _q_focal(spark, "grad_mag")
 
 
+def _q_polygonize(spark, sf_dir):
+    """Distributed polygonize (vectorize.polygonize_chunked): per-strip
+    vectorized CCL + cross-strip merge on the boundary-label graph
+    only (pixels never shuffle), over the blocky LCG class field whose
+    regions span strips. Region labels are canonical (global row-major
+    pixel id of the smallest member), so the recursive-CTE oracle pins
+    every region, count, and bbox exactly — all integers, hash-hard."""
+    from rasters_rs_spark.operators import vectorize as VE
+    from rasters_rs_spark.operators.chunked import chunk_images
+    imgs = spark.createDataFrame(synth.blocky_lcg_image_table(2, 32, 32))
+    chunks = chunk_images(imgs, min_data_size=32 * 8, padding=0)
+    return VE.polygonize_chunked(chunks)
+
+
+def _polygonize_sql() -> str:
+    cls = synth.blocky_cls_sql_expr("m", "i", "j")
+    return f"""
+        WITH RECURSIVE px AS (
+          SELECT m, i, j, i * 32 + j AS pid, {cls} AS cls
+          FROM (SELECT unnest(range(0, 2)) AS m) ms,
+               (SELECT unnest(range(0, 32)) AS i) ii,
+               (SELECT unnest(range(0, 32)) AS j) jj),
+        e0 AS (
+          SELECT a.m, a.pid AS pa, b.pid AS pb
+          FROM px a JOIN px b ON a.m = b.m AND a.cls = b.cls
+           AND ((b.i = a.i AND b.j = a.j + 1)
+                OR (b.i = a.i + 1 AND b.j = a.j))),
+        edges AS (SELECT m, pa, pb FROM e0
+                  UNION SELECT m, pb, pa FROM e0),
+        reach(m, node, lab) AS (
+          SELECT m, pid, pid FROM px
+          UNION
+          SELECT e.m, e.pa, r.lab
+          FROM edges e JOIN reach r ON e.m = r.m AND e.pb = r.node),
+        comp AS (SELECT m, node, MIN(lab) AS root
+                 FROM reach GROUP BY m, node)
+        SELECT printf('img_%08d', p.m) AS image_id,
+               CAST(c.root AS BIGINT) AS region_label,
+               CAST(MIN(p.cls) AS INT) AS cls,
+               CAST(COUNT(*) AS BIGINT) AS n_pixels,
+               CAST(MIN(p.i) AS BIGINT) AS min_i,
+               CAST(MIN(p.j) AS BIGINT) AS min_j,
+               CAST(MAX(p.i) AS BIGINT) AS max_i,
+               CAST(MAX(p.j) AS BIGINT) AS max_j
+        FROM px p JOIN comp c ON c.m = p.m AND c.node = p.pid
+        GROUP BY p.m, c.root
+    """
+
+
+def _q_contour(spark, sf_dir):
+    """Marching-squares cell table (vectorize.contour_cases) at level
+    0.5 over one radial field (smooth — every non-saddle case) and one
+    per-pixel LCG image (checkerboard-heavy — both saddles): case
+    index, segment count, four exact-IEEE edge-crossing parameters and
+    the center-mean saddle bit, every cell, NULLs where no crossing —
+    the full table is hash-compared including the doubles (dyadic
+    corner values make each t an exact division on both engines)."""
+    from rasters_rs_spark.operators import vectorize as VE
+    imgs = spark.createDataFrame(pd.concat(
+        [synth.radial_image_table(1, 32, 32),
+         synth.lcg_image_table(1, 32, 32)], ignore_index=True))
+    return VE.contour_cases(imgs, level=0.5)
+
+
+def _contour_sql() -> str:
+    lvl = _dbl17(0.5)
+
+    def part(image_id_sql: str, vfn) -> str:
+        v00, v01 = vfn("i", "j"), vfn("i", "j + 1")
+        v10, v11 = vfn("i + 1", "j"), vfn("i + 1", "j + 1")
+        b = [f"(CASE WHEN {v} >= {lvl} THEN 1 ELSE 0 END)"
+             for v in (v00, v01, v11, v10)]  # TL, TR, BR, BL
+        case = f"({b[0]} + 2 * {b[1]} + 4 * {b[2]} + 8 * {b[3]})"
+
+        def t(va, vb, ba, bb):
+            return (f"CASE WHEN {ba} != {bb} "
+                    f"THEN ({lvl} - {va}) / ({vb} - {va}) "
+                    f"ELSE NULL END")
+
+        return f"""
+          SELECT {image_id_sql} AS image_id,
+                 CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                 CAST({case} AS BIGINT) AS case_idx,
+                 CAST(CASE WHEN {case} IN (0, 15) THEN 0
+                           WHEN {case} IN (5, 10) THEN 2
+                           ELSE 1 END AS BIGINT) AS n_segments,
+                 {t(v00, v01, b[0], b[1])} AS t_top,
+                 {t(v01, v11, b[1], b[2])} AS t_right,
+                 {t(v10, v11, b[3], b[2])} AS t_bottom,
+                 {t(v00, v10, b[0], b[3])} AS t_left,
+                 CASE WHEN {case} IN (5, 10)
+                      THEN (({v00} + {v01} + {v10} + {v11}) / 4.0 >= {lvl})
+                      ELSE NULL END AS saddle_high
+          FROM (SELECT unnest(range(0, 31)) AS i) ii,
+               (SELECT unnest(range(0, 31)) AS j) jj
+        """
+
+    def rad(i, j):
+        return (f"(CAST((({i} - 16) * ({i} - 16) "
+                f"+ ({j} - 16) * ({j} - 16)) AS DOUBLE) / 512.0)")
+
+    def lcg(i, j):
+        return "(" + synth.lcg_sql_expr(f"({i}) * 32 + ({j})") + ")"
+
+    return (part("'rad_00000000'", rad)
+            + " UNION ALL " + part("'img_00000000'", lcg))
+
+
 _RZ_GT = [-1100.0, 25.0, 0.0, 1100.0, 0.0, -25.0]
 
 
@@ -3658,6 +3766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcg_zonal_rects": _q_lcg_zonal_rects,
         "lcg_diff_stats": _q_lcg_diff_stats,
         "focal_grad_synth": _q_focal_grad,
+        "polygonize_regions_synth": _q_polygonize,
+        "contour_cases_synth": _q_contour,
         "clip_filter_synth": _q_clip_filter,
         "rasterize_dist_synth": _q_rasterize_dist,
         "chunk_plan_parts": _q_chunk_plan,
@@ -4760,6 +4870,8 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "lcg_diff_chunked_both": _lcg_diff_sql(),
         "focal_mean_synth": _focal_sql("mean3"),
         "focal_grad_synth": _focal_sql("grad_mag"),
+        "polygonize_regions_synth": _polygonize_sql(),
+        "contour_cases_synth": _contour_sql(),
         "rasterize_synth": _rasterize_sql(),
         "rasterize_dist_synth": _rasterize_sql(),
         "lcg_mask_counts": _lcg_mask_sql(),

@@ -337,3 +337,75 @@ def clip_caption_table(n: int = 48, w: int = 32, h: int = 32,
     for m in planted:
         base.loc[m, "bytes"] = codecs.encode_block(block_of(m), "raw")
     return base
+
+
+def blocky_lcg_image_table(n: int, w: int = 32, h: int = 32,
+                           cell: int = 4, n_classes: int = 4,
+                           pixel_size: float = 2.0) -> pd.DataFrame:
+    """Spatially-correlated class field for region-extraction fixtures
+    (per-pixel LCG is useless for polygonize: consecutive values jump
+    by ~0.51, so no two 4-neighbors ever share a class). Pixel (i, j)
+    of image m takes its CELL's LCG class — cell index
+    kc = m * 100000 + (i // cell) * 256 + (j // cell), class =
+    (((A*kc + C) mod 2^31) mod 2^20) // (2^20 / n_classes) — the HIGH
+    bits of the value grid, NOT mod n_classes: A = 1 and C = 1 mod 4,
+    so low bits collapse to (kc+1) mod 4 and the field degenerates to
+    vertical stripes (rows enter kc times 256). The high-bit form
+    gives irregular multi-cell blobs whose components span chunk
+    strips. Both the class and the value are exact dyadics and the
+    whole construction is one integer expression in SQL."""
+    rows = []
+    for m in range(n):
+        ii = np.arange(h, dtype=np.int64)[:, None] // cell
+        jj = np.arange(w, dtype=np.int64)[None, :] // cell
+        kc = m * 100000 + ii * 256 + jj
+        cls = ((LCG_A * kc + LCG_C) % LCG_M % LCG_Q) // (LCG_Q // n_classes)
+        block = cls.astype(np.float64) / n_classes
+        gx = -1000.0 + (m % 8) * 120.0
+        gy = 1000.0 - (m // 8) * 120.0
+        rows.append({
+            "image_id": f"img_{m:08d}",
+            "bytes": codecs.encode_block(block, "raw"),
+            "w": np.int32(w), "h": np.int32(h), "fmt": "raw",
+            "caption": f"blocky {m}", "phash": np.int64(0),
+            "gt": [gx, pixel_size, 0.0, gy, 0.0, -pixel_size],
+            "crs": "EPSG:3857", "no_val": float("nan"),
+            "bands": np.int32(1),
+        })
+    return pd.DataFrame(rows)
+
+
+def blocky_cls_sql_expr(m: str, i: str, j: str, cell: int = 4,
+                        n_classes: int = 4) -> str:
+    """DuckDB mirror of blocky_lcg_image_table's class formula."""
+    kc = f"(({m}) * 100000 + (({i}) // {cell}) * 256 + ({j}) // {cell})"
+    return (f"(((1103515245 * {kc} + 12345) % 2147483648) % 1048576 "
+            f"// {1048576 // n_classes})")
+
+
+def radial_image_table(n: int = 1, w: int = 32, h: int = 32,
+                       pixel_size: float = 2.0,
+                       k_offset: int = 0) -> pd.DataFrame:
+    """Smooth radial field for contour fixtures: v(i, j) =
+    ((i-16)^2 + (j-16)^2) / 512 — exact dyadic, monotone from 0 at the
+    center to 1.0 at the corners, so the 0.5 level set is a circle and
+    every non-saddle marching-squares case appears. Image m shifts the
+    center by m pixels (k_offset unused, reserved)."""
+    rows = []
+    for m in range(n):
+        ci, cj = 16 + m, 16 - m
+        ii = np.arange(h, dtype=np.float64)[:, None]
+        jj = np.arange(w, dtype=np.float64)[None, :]
+        block = ((ii - ci) ** 2 + (jj - cj) ** 2) / 512.0
+        gx = -1000.0 + (m % 8) * 120.0
+        gy = 1000.0 - (m // 8) * 120.0
+        rows.append({
+            "image_id": f"rad_{m:08d}",
+            "bytes": codecs.encode_block(block, "raw"),
+            "w": np.int32(w), "h": np.int32(h), "fmt": "raw",
+            "caption": f"radial {m}", "phash": np.int64(0),
+            "gt": [gx, pixel_size, 0.0, gy, 0.0, -pixel_size],
+            "crs": "EPSG:3857", "no_val": float("nan"),
+            "bands": np.int32(1),
+        })
+    return pd.DataFrame(rows)

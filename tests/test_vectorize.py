@@ -1,0 +1,148 @@
+"""Polygonize + marching squares: exact cross-checks against
+brute-force flood fill / a per-cell python reference, and the
+chunked-vs-whole identity that pins the cross-strip merge."""
+
+import numpy as np
+import pytest
+
+from rasters_rs_spark.functions import codecs
+from rasters_rs_spark.operators import vectorize as V
+from rasters_rs_spark.operators.chunked import chunk_images
+from rasters_rs_spark.sources import synth
+
+
+def _flood_regions(cls):
+    """Brute-force 4-connectivity flood fill; label = min flat index."""
+    h, w = cls.shape
+    seen = np.full((h, w), False)
+    out = {}
+    for si in range(h):
+        for sj in range(w):
+            if seen[si, sj]:
+                continue
+            stack, members = [(si, sj)], []
+            seen[si, sj] = True
+            while stack:
+                i, j = stack.pop()
+                members.append((i, j))
+                for ni, nj in ((i - 1, j), (i + 1, j), (i, j - 1),
+                               (i, j + 1)):
+                    if (0 <= ni < h and 0 <= nj < w and not seen[ni, nj]
+                            and cls[ni, nj] == cls[i, j]):
+                        seen[ni, nj] = True
+                        stack.append((ni, nj))
+            label = min(i * w + j for i, j in members)
+            out[label] = (int(cls[si, sj]), len(members),
+                          min(i for i, _ in members),
+                          min(j for _, j in members),
+                          max(i for i, _ in members),
+                          max(j for _, j in members))
+    return out
+
+
+def test_ccl_matches_flood_fill_random():
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        cls = rng.integers(0, 3, size=(17, 13))
+        lab = V.ccl_min_labels(cls).reshape(17, 13)
+        want = _flood_regions(cls)
+        got_labels = {}
+        for i in range(17):
+            for j in range(13):
+                got_labels.setdefault(int(lab[i, j]), []).append((i, j))
+        assert set(got_labels) == set(want)
+        for label, members in got_labels.items():
+            assert want[label][1] == len(members)
+
+
+def test_ccl_single_class_and_single_pixel():
+    assert V.ccl_min_labels(np.zeros((4, 4), dtype=int)).max() == 0
+    assert list(V.ccl_min_labels(np.array([[2]]))) == [0]
+
+
+def test_polygonize_matches_flood_fill(spark):
+    pdf = synth.blocky_lcg_image_table(2, 32, 32)
+    imgs = spark.createDataFrame(pdf)
+    rows = V.polygonize(imgs, n_classes=4).collect()
+    for m in range(2):
+        block = codecs.decode_block(pdf.bytes[m], 32, 32, "raw")
+        want = _flood_regions(V.quantize_classes(block, 4))
+        got = {r["region_label"]: (r["cls"], r["n_pixels"], r["min_i"],
+                                   r["min_j"], r["max_i"], r["max_j"])
+               for r in rows if r["image_id"] == f"img_{m:08d}"}
+        assert got == want
+
+
+@pytest.mark.parametrize("min_rows", [1, 3, 8, 32])
+def test_polygonize_chunked_equals_whole(spark, min_rows):
+    imgs = spark.createDataFrame(synth.blocky_lcg_image_table(2, 32, 32))
+    whole = sorted(tuple(r) for r in V.polygonize(imgs).collect())
+    chunks = chunk_images(imgs, min_data_size=32 * min_rows, padding=0)
+    ch = sorted(tuple(r)
+                for r in V.polygonize_chunked(chunks).collect())
+    assert whole == ch
+    # every pixel accounted for exactly once
+    per_img = {}
+    for r in whole:
+        per_img[r[0]] = per_img.get(r[0], 0) + r[3]
+    assert per_img == {"img_00000000": 1024, "img_00000001": 1024}
+
+
+def _py_contour_cell(v, i, j, level=0.5):
+    tl, tr = v[i, j], v[i, j + 1]
+    bl, br = v[i + 1, j], v[i + 1, j + 1]
+    b = [int(x >= level) for x in (tl, tr, br, bl)]
+    case = b[0] + 2 * b[1] + 4 * b[2] + 8 * b[3]
+    nseg = 0 if case in (0, 15) else 2 if case in (5, 10) else 1
+
+    def t(va, vb, ba, bb):
+        return (level - va) / (vb - va) if ba != bb else None
+
+    return {"case_idx": case, "n_segments": nseg,
+            "t_top": t(tl, tr, b[0], b[1]),
+            "t_right": t(tr, br, b[1], b[2]),
+            "t_bottom": t(bl, br, b[3], b[2]),
+            "t_left": t(tl, bl, b[0], b[3]),
+            "saddle_high": ((tl + tr + bl + br) / 4.0 >= level)
+            if case in (5, 10) else None}
+
+
+def test_contour_matches_python_reference(spark):
+    pdf = synth.radial_image_table(1, 32, 32)
+    imgs = spark.createDataFrame(pdf)
+    v = codecs.decode_block(pdf.bytes[0], 32, 32, "raw")
+    got = {(r["i"], r["j"]): r
+           for r in V.contour_cases(imgs, level=0.5).collect()}
+    assert len(got) == 31 * 31
+    cases = set()
+    for i in range(31):
+        for j in range(31):
+            want = _py_contour_cell(v, i, j)
+            r = got[(i, j)]
+            for k, wv in want.items():
+                assert r[k] == wv, (i, j, k, r[k], wv)
+            cases.add(want["case_idx"])
+    assert {0, 15} <= cases  # smooth field has full/empty cells
+
+
+def test_contour_shared_edges_consistent(spark):
+    """The crossing parameter on an edge shared by two cells must be
+    the same number from both sides: cell (i,j)'s bottom edge is cell
+    (i+1,j)'s top edge; its right edge is (i,j+1)'s left edge."""
+    imgs = spark.createDataFrame(synth.lcg_image_table(1, 32, 32))
+    got = {(r["i"], r["j"]): r
+           for r in V.contour_cases(imgs, level=0.5).collect()}
+    for i in range(30):
+        for j in range(30):
+            assert got[(i, j)]["t_bottom"] == got[(i + 1, j)]["t_top"]
+            assert got[(i, j)]["t_right"] == got[(i, j + 1)]["t_left"]
+
+
+def test_contour_saddles_present_on_lcg(spark):
+    imgs = spark.createDataFrame(synth.lcg_image_table(1, 32, 32))
+    rows = V.contour_cases(imgs, level=0.5).collect()
+    saddles = [r for r in rows if r["case_idx"] in (5, 10)]
+    assert saddles, "per-pixel LCG zigzag should be saddle-rich"
+    assert all(r["saddle_high"] is not None for r in saddles)
+    assert all(r["saddle_high"] is None
+               for r in rows if r["case_idx"] not in (5, 10))
