@@ -2129,6 +2129,64 @@ def _c4_clean_sql() -> str:
     """
 
 
+def _q_unimax(spark, sf_dir):
+    """UniMax sampling (text.unimax_sample, Chung et al. 2023): the
+    epoch-capped waterfilling allocation in closed form (capacity-
+    sorted window cumsum -> capped prefix -> waterline division),
+    materialized per document (full epochs + md5-Bernoulli fractional
+    copy). The fixture deskews the uniform documents table with a
+    doc_id-mod predicate so both capped (rate == max_epochs exactly)
+    and waterlined (fractional rate) sources appear; every rate is an
+    exact IEEE division of exact integers — hash-hard doubles."""
+    docs = _tbl(spark, sf_dir, "documents") \
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+    skew = docs.where(
+        (F.col("doc_id") % (F.expr("cast(substring(source, 4) as int)")
+                            + 2)) == 0)
+    return text.unimax_sample(skew, budget=100, max_epochs=3, salt="um1")
+
+
+_UNIMAX_SQL = """
+    WITH d AS (
+      SELECT CAST(doc_id AS BIGINT) doc_id, source
+      FROM documents
+      WHERE CAST(doc_id AS BIGINT)
+            % (CAST(substr(source, 4, 10) AS INT) + 2) = 0),
+    c AS (SELECT source s, COUNT(*) n, CAST(3 * COUNT(*) AS BIGINT) cap
+          FROM d GROUP BY source),
+    w AS (SELECT s, n, cap,
+            CAST(SUM(cap) OVER (ORDER BY cap, s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) sp,
+            CAST(ROW_NUMBER() OVER (ORDER BY cap, s) AS BIGINT) r,
+            CAST(COUNT(*) OVER () AS BIGINT) nl
+          FROM c),
+    t AS (SELECT *, (cap * (nl - r) + sp <= 100) AS capped FROM w),
+    k AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN 1 ELSE 0 END),
+                               0) AS BIGINT) k,
+                 CAST(COALESCE(SUM(CASE WHEN capped THEN cap ELSE 0 END),
+                               0) AS BIGINT) sk
+          FROM t),
+    a AS (SELECT s, n,
+            (CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                  ELSE CAST(100 - sk AS DOUBLE) / (nl - k) END)
+            / n AS rate
+          FROM t, k)
+    SELECT d.doc_id AS doc_id, d.source AS source, a.rate AS rate,
+           CAST(FLOOR(a.rate) AS INT) AS n_full,
+           ((('0x' || substr(md5(d.doc_id::VARCHAR || ':um1'), 1, 15))
+             ::BIGINT / 1152921504606846976.0) < a.rate - FLOOR(a.rate))
+             AS extra,
+           CAST(FLOOR(a.rate)
+                + CASE WHEN (('0x' || substr(md5(d.doc_id::VARCHAR
+                                || ':um1'), 1, 15))::BIGINT
+                             / 1152921504606846976.0)
+                            < a.rate - FLOOR(a.rate)
+                       THEN 1 ELSE 0 END AS INT) AS copies
+    FROM d JOIN a ON a.s = d.source
+"""
+
+
 def _q_repetition(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return text.repetition_stats(docs, n=2)
@@ -3775,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens_docs": _q_bpe_tokens,
         "repetition_docs": _q_repetition,
         "gopher_rules_docs": _q_gopher_rules,
+        "unimax_docs": _q_unimax,
         "c4_clean_docs": _q_c4_clean,
         "augment_pixels_synth": _q_augment,
         "patchify_stats_synth": _q_patchify,
@@ -4995,6 +5054,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
             FROM documents GROUP BY ROLLUP (lang, source)
         """,
         "gopher_rules_docs": _gopher_rules_sql(),
+        "unimax_docs": _UNIMAX_SQL,
         "c4_clean_docs": _c4_clean_sql(),
         "filter_corpus_docs": f"""
             WITH rep AS (

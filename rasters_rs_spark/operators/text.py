@@ -1721,3 +1721,87 @@ def _any_suffix(col, suffixes):
     for s in suffixes:
         out = out | col.endswith(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# UniMax sampling (Chung et al. 2023)
+# ---------------------------------------------------------------------------
+
+def unimax_allocation(docs: DataFrame, budget: int, max_epochs: int = 4,
+                      source_col: str = "source") -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): spread a total
+    budget of ``budget`` documents as uniformly as possible across
+    sources, capping every source at ``max_epochs`` passes over its
+    n_docs. The paper's iterative waterfilling has a closed form over
+    the capacity-sorted source list: with capacities c_r ascending and
+    prefix sums S_r, source r is CAPPED iff c_r*(n_sources - r) + S_r
+    <= budget (monotone in r, so the capped set is a prefix); uncapped
+    sources share the waterline theta = (budget - S_k)/(n_sources - k)
+    where k = #capped. That closed form is one window cumsum — both
+    engines fold it over the identical (capacity, source) order, so
+    every allocation (exact integer for capped, one exact IEEE
+    division for the waterline) is bit-identical and the row is
+    hash-hard.
+
+    Scale shape: one groupBy(source) aggregation pass over the corpus;
+    the window runs on the per-source table (n_sources rows — the same
+    driver-bounded shape as the BPE pair-count table), never on the
+    corpus. Returns (source, n_docs, capacity, capped, alloc_docs)."""
+    c = docs.groupBy(F.col(source_col).alias("source")) \
+            .agg(F.count("*").alias("n_docs")) \
+            .withColumn("capacity",
+                        (F.lit(int(max_epochs)) * F.col("n_docs"))
+                        .cast("long"))
+    w = Window.orderBy("capacity", "source")
+    t = (c.withColumn("s_prefix", F.sum("capacity").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+         .withColumn("r", F.row_number().over(w))
+         .withColumn("nl", F.count("*").over(
+             Window.partitionBy(F.lit(1)))))
+    t = t.withColumn(
+        "capped",
+        F.col("capacity") * (F.col("nl") - F.col("r"))
+        + F.col("s_prefix") <= F.lit(int(budget)))
+    agg = t.agg(
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("k"),
+        F.sum(F.when(F.col("capped"), F.col("capacity")).otherwise(0))
+        .cast("long").alias("s_k"))
+    out = t.crossJoin(F.broadcast(agg)).withColumn(
+        "alloc_docs",
+        F.when(F.col("capped"), F.col("capacity").cast("double"))
+        .otherwise((F.lit(int(budget)) - F.col("s_k")).cast("double")
+                   / (F.col("nl") - F.col("k"))))
+    return out.select("source", "n_docs", "capacity", "capped",
+                      "alloc_docs")
+
+
+def unimax_sample(docs: DataFrame, budget: int, max_epochs: int = 4,
+                  id_col: str = "doc_id", source_col: str = "source",
+                  salt: str = "um1") -> DataFrame:
+    """Materialize the UniMax allocation per document: each doc of
+    source r gets rate = alloc_r / n_r passes — n_full = floor(rate)
+    guaranteed copies plus one extra copy with probability
+    rate - n_full, decided by the engine's row-local md5-Bernoulli
+    (replayable, shuffle-free: the per-source rate table broadcasts).
+    Returns (id, source, rate, n_full, extra, copies); a loader
+    materializes copies via posexplode(sequence(1, copies)).
+
+    Capped sources get rate == max_epochs exactly (an exact integer
+    division); uncapped rates come from one IEEE division of the
+    waterline — bit-identical cross-engine, so keep decisions are
+    hash-hard like temperature_mixture_sample's."""
+    alloc = unimax_allocation(docs, budget, max_epochs, source_col)
+    rate = alloc.select(
+        "source",
+        (F.col("alloc_docs") / F.col("n_docs")).alias("rate"))
+    u = _md5_uniform(id_col, salt)
+    d = docs.join(F.broadcast(rate),
+                  docs[source_col] == rate["source"]) \
+            .drop(rate["source"])
+    n_full = F.floor(F.col("rate")).cast("int")
+    extra = u < (F.col("rate") - n_full)
+    return d.select(
+        F.col(id_col), F.col(source_col).alias("source"),
+        F.col("rate"), n_full.alias("n_full"), extra.alias("extra"),
+        (n_full + extra.cast("int")).alias("copies"))

@@ -125,3 +125,77 @@ def test_c4_null_and_empty_text(spark):
     g = {r["doc_id"]: r for r in T.gopher_quality_filter(docs).collect()}
     for k in ("a", "b"):
         assert g[k]["keep"] is False
+
+
+def _py_waterfill(counts, budget, max_epochs):
+    """The paper's iterative waterfilling (Chung et al. 2023): repeat
+    'split remaining budget evenly; cap any source whose capacity is
+    below its share' until no new caps."""
+    caps = {s: max_epochs * n for s, n in counts.items()}
+    alloc = {}
+    remaining = dict(caps)
+    b = budget
+    while remaining:
+        share = b / len(remaining)
+        below = {s for s, c in remaining.items() if c <= share}
+        if not below:
+            for s in remaining:
+                alloc[s] = share
+            return alloc
+        for s in below:
+            alloc[s] = float(remaining.pop(s))
+            b -= alloc[s]
+    return alloc
+
+
+def test_unimax_allocation_matches_iterative_waterfill(spark):
+    import random
+    rng = random.Random(3)
+    for trial in range(4):
+        rows = []
+        did = 0
+        counts = {}
+        for s in range(6):
+            n = rng.randint(1, 40)
+            counts[f"s{s}"] = n
+            for _ in range(n):
+                rows.append((did, f"s{s}"))
+                did += 1
+        budget = rng.randint(10, 3 * sum(counts.values()) + 20)
+        docs = spark.createDataFrame(rows, ["doc_id", "source"])
+        got = {r["source"]: r for r in
+               T.unimax_allocation(docs, budget, max_epochs=3).collect()}
+        want = _py_waterfill(counts, budget, 3)
+        assert set(got) == set(want)
+        for s in want:
+            assert abs(got[s]["alloc_docs"] - want[s]) < 1e-9, \
+                (trial, s, got[s]["alloc_docs"], want[s])
+            assert got[s]["capped"] == (
+                abs(want[s] - 3 * counts[s]) < 1e-12) or \
+                got[s]["alloc_docs"] <= 3 * counts[s] + 1e-9
+        total = sum(r["alloc_docs"] for r in got.values())
+        assert abs(total - min(budget, 3 * sum(counts.values()))) < 1e-6
+
+
+def test_unimax_sample_consistency(spark):
+    rows = [(i, f"s{i % 3}") for i in range(60)] + \
+           [(100 + i, "s_big") for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    # caps (E=2): 40/40/40 for the small sources, 400 for s_big; at
+    # budget 300 the smalls are capped (40*(4-r)+S_r <= 300) and s_big
+    # waterlines at (300-120)/1 = 180 docs -> rate 0.9
+    out = T.unimax_sample(docs, budget=300, max_epochs=2).collect()
+    assert len(out) == 260
+    for r in out:
+        assert r["copies"] == r["n_full"] + int(r["extra"])
+        assert 0 <= r["rate"] <= 2.0 + 1e-12
+    # capped sources get exactly the epoch cap, n_full == cap, no coin
+    capped = [r for r in out if r["source"] != "s_big"]
+    assert all(r["rate"] == 2.0 and r["n_full"] == 2 and not r["extra"]
+               for r in capped)
+    big = [r for r in out if r["source"] == "s_big"]
+    assert all(r["rate"] == 0.9 and r["n_full"] == 0 for r in big)
+    assert 0 < sum(r["extra"] for r in big) < len(big)
+    # replayable: same salt, same decisions
+    again = T.unimax_sample(docs, budget=300, max_epochs=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
