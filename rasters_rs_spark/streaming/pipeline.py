@@ -58,9 +58,15 @@ def run_corpus_curation(spark: SparkSession, root: str, sf_dir: str,
                         decon_k: int = 4, test_split: int = 490,
                         span_k: int | None = None,
                         ppl_model: dict | None = None,
-                        max_avg_nll: float | None = None) -> dict:
+                        max_avg_nll: float | None = None,
+                        c4: bool = False,
+                        gopher_min_words: int | None = None) -> dict:
     """The TRAINING-DATA half of the engine as a resumable pipeline:
-    documents -> quality-filter cascade -> optional CCNet-style
+    documents -> optional C4 line cleaning (``c4=True``: rebuild every
+    doc from its surviving lines, drop pages the C4 gate rejects) ->
+    quality-filter cascade -> optional Gopher rule gate
+    (``gopher_min_words``: the Rae et al. 2021 A1.1 rule set with the
+    word-count floor adapted to the corpus) -> optional CCNet-style
     perplexity gate (``ppl_model`` + ``max_avg_nll``: keep docs whose
     avg negative log-likelihood under the reference char-bigram model
     is at most the bound) -> benchmark decontamination -> minhash
@@ -76,14 +82,40 @@ def run_corpus_curation(spark: SparkSession, root: str, sf_dir: str,
 
     runner = CheckpointRunner(spark, root)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_raw = docs
+    # the held-out benchmark set is the RAW documents — cleaning must
+    # not touch what decontamination protects against
     tests = docs.where(F.col("doc_id") >= test_split)
 
+    if c4:
+        # line-level cleanup FIRST (C4 runs before any doc-level
+        # signal: dropped boilerplate lines shouldn't feed token
+        # counts, repetition, or dedup shingles); row-local, keeps the
+        # document schema with text rebuilt from surviving lines
+        raw = docs
+        docs = runner.run(
+            "c4_clean",
+            lambda: raw.drop("text").join(
+                text.c4_clean(raw).where(F.col("keep"))
+                .select("doc_id", F.col("cleaned_text").alias("text")),
+                on="doc_id"))
+
+    docs_q = docs
     filtered = runner.run(
         "quality_filter",
-        lambda: docs.join(
-            text.filter_corpus(docs, min_tokens=30, max_rep=0.5,
+        lambda: docs_q.join(
+            text.filter_corpus(docs_q, min_tokens=30, max_rep=0.5,
                                langs=("en", "es", "de", "fr", "zh"))
             .select("doc_id"), on="doc_id"))
+
+    if gopher_min_words is not None:
+        g_in = filtered
+        filtered = runner.run(
+            "gopher_rules",
+            lambda: g_in.join(
+                text.gopher_quality_filter(
+                    g_in, min_words=gopher_min_words)
+                .where(F.col("keep")).select("doc_id"), on="doc_id"))
 
     if ppl_model is not None and max_avg_nll is not None:
         # LM quality gate (Wenzek et al. 2020): row-local scoring
@@ -151,7 +183,7 @@ def run_corpus_curation(spark: SparkSession, root: str, sf_dir: str,
 
     return {
         "stages": runner.summary(),
-        "input_docs": docs.count(),
+        "input_docs": docs_raw.count(),
         "after_quality": filtered.count(),   # post LM gate if enabled
         "after_decontaminate": clean.count(),
         "dup_pairs": pairs.count(),
@@ -169,7 +201,9 @@ def run_corpus_curation_streaming(spark: SparkSession, source_dir: str,
                                   decon_k: int = 4,
                                   max_files_per_trigger: int | None = None,
                                   ppl_model: dict | None = None,
-                                  max_avg_nll: float | None = None):
+                                  max_avg_nll: float | None = None,
+                                  c4: bool = False,
+                                  gopher_min_words: int | None = None):
     """Streaming-ingest variant of run_corpus_curation (round-5
     VERDICT #9): documents arrive as micro-batches and each batch runs
     quality filter -> benchmark decontamination (static ``test_set``)
@@ -214,6 +248,20 @@ def run_corpus_curation_streaming(spark: SparkSession, source_dir: str,
     curated = f"{out_dir}/curated"
 
     def curate_batch(batch_df, epoch_id):
+        # C4 cleaning and the Gopher gate are row-local (each doc
+        # decides alone), so applying them per micro-batch is exactly
+        # the batch pipeline's semantics — streamed == batch holds
+        if c4:
+            batch_df = batch_df.drop("text").join(
+                text.c4_clean(batch_df).where(SF.col("keep"))
+                .select("doc_id",
+                        SF.col("cleaned_text").alias("text")),
+                on="doc_id")
+        if gopher_min_words is not None:
+            batch_df = batch_df.join(
+                text.gopher_quality_filter(
+                    batch_df, min_words=gopher_min_words)
+                .where(SF.col("keep")).select("doc_id"), on="doc_id")
         filtered = batch_df.join(
             text.filter_corpus(batch_df, min_tokens=30, max_rep=0.5,
                                langs=("en", "es", "de", "fr", "zh"))

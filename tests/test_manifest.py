@@ -387,3 +387,98 @@ def test_phash_incremental_equals_full(spark):
             else:
                 want.add((r.id_b, r.id_a, r.hamming))
     assert inc == want and len(want) > 0
+
+
+def _punctuated_corpus(spark, tmp_path):
+    """sf0.001 documents reshaped for the line-level gates: each doc
+    becomes three '.'-terminated lines plus a stopword tail (so C4
+    keeps 3 lines and Gopher's required-word rule can pass), plus two
+    planted failures — doc 900 all-short lines (C4 page drop), doc
+    901 stopword-free (Gopher drop). Returns the corpus dir."""
+    import pandas as pd
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def relines(t):
+        ws = t.split(" ")
+        k = max(1, len(ws) // 3)
+        chunks = [ws[:k], ws[k:2 * k], ws[2 * k:]]
+        return "\n".join(" ".join(c) + " the of and." for c in chunks)
+
+    pdf["text"] = pdf["text"].map(relines)
+    extra = pd.DataFrame({
+        "doc_id": [900, 901],
+        "text": ["so tiny.\nme too.\nshort one.\nyes.",
+                 "alpha beta gamma delta epsilon zeta eta theta " * 8
+                 + "iota.\nkappa mu nu xi omicron pi rho sigma tau.\n"
+                 "upsilon phi chi psi omega alpha beta gamma delta."],
+        "lang": ["en", "en"], "source": ["src0", "src0"],
+        "n_chars": [10, 10]})
+    extra["doc_id"] = extra["doc_id"].astype(pdf["doc_id"].dtype)
+    extra["n_chars"] = extra["n_chars"].astype(pdf["n_chars"].dtype)
+    out = pd.concat([pdf, extra], ignore_index=True)
+    d = str(tmp_path / "punct_corpus")
+    import os
+    os.makedirs(d, exist_ok=True)
+    out.to_parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_corpus_curation_c4_and_gopher_stages(spark, tmp_path):
+    """C4 line cleaning and the Gopher rule gate as checkpointed
+    pipeline stages: ordered before/around the quality filter, both
+    actually drop their planted failure docs, resume skips them, and
+    the streaming variant (both gates are row-local) matches batch
+    exactly on a two-batch replay."""
+    from pyspark.sql import functions as F
+
+    from rasters_rs_spark.streaming.pipeline import (
+        run_corpus_curation, run_corpus_curation_streaming)
+
+    sf = _punctuated_corpus(spark, tmp_path)
+    # planted failures sit below test_split so the gates see them;
+    # test_split above 901 keeps a held-out tail anyway (ids 490+)
+    r = run_corpus_curation(spark, str(tmp_path / "b"), sf, budget=512,
+                            test_split=490, c4=True, gopher_min_words=5)
+    names = [s["stage"] for s in r["stages"]]
+    assert names.index("c4_clean") < names.index("quality_filter") \
+        < names.index("gopher_rules") < names.index("decontaminate")
+    c4_ids = {x["doc_id"] for x in spark.read.parquet(
+        str(tmp_path / "b") + "/c4_clean/data").select("doc_id").collect()}
+    assert 900 not in c4_ids and 901 in c4_ids
+    gop_ids = {x["doc_id"] for x in spark.read.parquet(
+        str(tmp_path / "b") + "/gopher_rules/data")
+        .select("doc_id").collect()}
+    assert 901 not in gop_ids and len(gop_ids) > 0
+    # cleaned text actually drives downstream stages
+    assert r["after_quality"] <= r["input_docs"] - 2
+
+    r2 = run_corpus_curation(spark, str(tmp_path / "b"), sf, budget=512,
+                             test_split=490, c4=True, gopher_min_words=5)
+    assert all(s["skipped"] for s in r2["stages"])
+    assert r2["total_tokens"] == r["total_tokens"]
+
+    # streaming parity (doc 900/901 < 250? no — they stream in batch 2)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    train = docs.where(F.col("doc_id") < 490) \
+        .unionByName(docs.where(F.col("doc_id") >= 900))
+    tests_static = docs.where((F.col("doc_id") >= 490)
+                              & (F.col("doc_id") < 900))
+    src = str(tmp_path / "src")
+    train.where("doc_id < 250").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    train.where("doc_id >= 250").coalesce(1) \
+        .write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    schema = ", ".join(f"{n} {t}" for n, t in train.dtypes)
+    q = run_corpus_curation_streaming(spark, src, schema, out,
+                                      tests_static,
+                                      max_files_per_trigger=1,
+                                      c4=True, gopher_min_words=5)
+    q.awaitTermination(240)
+    got_ids = sorted(x["doc_id"] for x in spark.read.parquet(
+        f"{out}/curated").select("doc_id").collect())
+    batch_ids = sorted(x["doc_id"] for x in spark.read.parquet(
+        str(tmp_path / "b") + "/stratified_sample/data")
+        .select("doc_id").collect())
+    assert got_ids == batch_ids and len(got_ids) > 0
