@@ -2868,6 +2868,65 @@ def _q_lcg_zonal_rects(spark, sf_dir):
     return stats.zonal_stats(images, _lcg_rect_aois())
 
 
+# weighted-zonal fixture rects: INTEGER corners (odd, so they bisect
+# the even-integer pixel edges -> genuine fractional coverage) keep
+# frac on the 1/4 grid and every frac*v*v sum inside f64's 53-bit
+# exactness budget (2^-42 granularity x 2^10 magnitude)
+_WZ_RECTS = [
+    ("z0", -951.0, 701.0, -501.0, 981.0),
+    ("z1", -701.0, 591.0, -151.0, 915.0),
+    ("z2", -1051.0, 551.0, -891.0, 1051.0),
+]
+
+
+def _q_zonal_rect_weighted(spark, sf_dir):
+    """Area-weighted zonal statistics (stats.zonal_stats_rect_weighted,
+    the exactextract coverage-fraction semantics) over the LCG image
+    grid: edge pixels contribute their exact pixel∩rect area fraction
+    instead of center-in/out. Closed-form clamped-overlap fractions on
+    a dyadic lattice make every Σfrac, Σfrac·v, Σfrac·v² exact, so the
+    doubles hash-match the SQL mirror bit-for-bit."""
+    import pandas as _pd
+    images = spark.createDataFrame(synth.lcg_image_table(32))
+    rects = _pd.DataFrame(_WZ_RECTS,
+                          columns=["aoi_id", "x0", "y0", "x1", "y1"])
+    return stats.zonal_stats_rect_weighted(images, rects)
+
+
+def _zonal_rect_weighted_sql() -> str:
+    v = _LCG_SQL("m*1024 + i*32 + j")
+    rects = ", ".join(f"('{a}', {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+                      for (a, x0, y0, x1, y1) in _WZ_RECTS)
+    return f"""
+        WITH px AS (
+          SELECT m.m, ij.idx // 32 AS i, ij.idx % 32 AS j
+          FROM (SELECT unnest(generate_series(0, 31)) AS m) m,
+               (SELECT unnest(generate_series(0, 1023)) AS idx) ij),
+        pts AS (
+          SELECT m, i, j, {v} AS v,
+                 (-1000.0 + (m % 8) * 120.0) + j * 2.0 AS pxl,
+                 (-1000.0 + (m % 8) * 120.0) + (j + 1) * 2.0 AS pxr,
+                 (1000.0 - (m // 8) * 120.0) - (i + 1) * 2.0 AS ylo,
+                 (1000.0 - (m // 8) * 120.0) - i * 2.0 AS yhi
+          FROM px),
+        aoi(aoi_id, x0, y0, x1, y1) AS (VALUES {rects}),
+        cov AS (
+          SELECT aoi_id, v,
+                 GREATEST(LEAST(pxr, x1) - GREATEST(pxl, x0), 0.0)
+                 * GREATEST(LEAST(yhi, y1) - GREATEST(ylo, y0), 0.0)
+                 / 4.0 AS frac
+          FROM pts, aoi)
+        SELECT aoi_id,
+               sum(frac) AS w_count,
+               min(v) AS min, max(v) AS max,
+               sum(frac * v) AS w_sum,
+               sum(frac * v * v) AS w_sum_2,
+               sum(frac * v) / sum(frac) AS mean
+        FROM cov WHERE frac > 0.0
+        GROUP BY aoi_id
+    """
+
+
 def _q_lcg_diff_stats(spark, sf_dir):
     a = spark.createDataFrame(synth.lcg_image_table(32, 32, 32, 2.0))
     b = spark.createDataFrame(
@@ -3801,8 +3860,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # discrete-Sibson + C1 rows) and the bit-exact P1/J4
         # mirrors sit here; long-stable rows driver-green in r05
         # follow and stay judge-verified ---
-        "hex_cell_events": _q_hex_cell,
-        "hex_bin_events": _q_hex_bin,
         "hex_kring_counts_events": _q_hex_kring,
         "s2_cell_events": _q_s2_cell,
         "knn_topk_embeddings": _q_knn_topk,
@@ -3815,14 +3872,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hex_synth": _q_knn_hex,
         "fill_idw_synth": _q_fill_idw,
         "fill_barycentric_synth": _q_fill_barycentric,
-        "fill_barycentric_dist_synth": _q_fill_barycentric_dist,
         "fill_barycentric_chunked_synth": _q_fill_barycentric_chunked,
         "minhash_pairs_docs": _q_minhash_pairs,
         "simhash_docs": _q_simhash,
         "ann_lsh_embeddings": _q_ann_lsh,
         "ann_ivf_embeddings": _q_ann_ivf,
-        "lcg_zonal_rects": _q_lcg_zonal_rects,
         "lcg_diff_stats": _q_lcg_diff_stats,
+        "zonal_rect_weighted_synth": _q_zonal_rect_weighted,
         "focal_grad_synth": _q_focal_grad,
         "polygonize_regions_synth": _q_polygonize,
         "contour_cases_synth": _q_contour,
@@ -3851,11 +3907,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_removal_intra_docs": _q_span_removal_intra,
         "bm25_topk_docs": _q_bm25,
         "overlap_topk_docs": _q_overlap,
-        "rrf_hybrid_docs": _q_rrf,
-        "char_bigram_counts_docs": _q_char_bigram_counts,
         "lm_score_docs": _q_lm_score,
         "sibson_discrete_synth": _q_sibson_discrete,
         "assign_shards_synth": _q_assign_shards,
+        "hex_bin_events": _q_hex_bin,
+        "hex_cell_events": _q_hex_cell,
+        "fill_barycentric_dist_synth": _q_fill_barycentric_dist,
+        "lcg_zonal_rects": _q_lcg_zonal_rects,
+        "rrf_hybrid_docs": _q_rrf,
+        "char_bigram_counts_docs": _q_char_bigram_counts,
         # --- below the driver's 50-key cap: long-stable rows
         # driver-green in earlier rounds plus the three rows-only
         # continuous Sibson fills (their hash-hard siblings
@@ -4925,6 +4985,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "tile_pyramid_synth": _tile_pyramid_sql(),
         "lcg_image_stats": _lcg_stats_sql(),
         "lcg_zonal_rects": _lcg_zonal_sql(),
+        "zonal_rect_weighted_synth": _zonal_rect_weighted_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),
         "lcg_diff_chunked_both": _lcg_diff_sql(),
         "focal_mean_synth": _focal_sql("mean3"),

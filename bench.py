@@ -127,6 +127,9 @@ def main():
         "shuffle_rank_docs", "mixture_sample_docs",
         "image_filters_synth", "assign_shards_synth",
         "retrieval_eval_embeddings", "bucket_batches_docs",
+        # round-7 session-4 additions
+        "gopher_rules_docs", "c4_clean_docs", "unimax_docs",
+        "polygonize_regions_synth", "contour_cases_synth",
     ]
     # best-of-N per query: the shared VM's noisy-neighbor spikes can
     # inflate a single shot 5-10x (measured), and the FIRST run also

@@ -179,3 +179,80 @@ def test_column_percentiles_matches_numpy(spark):
     row = S.column_percentiles(df, "v", ps=(0.5, 0.9)).collect()[0]
     assert abs(row["p50"] - np.percentile(vals, 50)) < 1e-12
     assert abs(row["p90"] - np.percentile(vals, 90)) < 1e-12
+
+
+def test_zonal_rect_weighted_vs_supersample(spark):
+    """Coverage-fraction zonal vs a 50x50-supersampled approximation
+    (frac ~ fraction of subsample centers inside the rect): exact
+    fractions must agree to the subsampling resolution; w_count sits
+    between the strict-interior and touched-pixel counts of the
+    center rule."""
+    import numpy as np
+    import pandas as pd
+
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.operators import stats as S
+    from rasters_rs_spark.sources import synth
+
+    pdf = synth.lcg_image_table(4)
+    imgs = spark.createDataFrame(pdf)
+    rects = pd.DataFrame(
+        [("r0", -951.0, 841.0, -875.0, 981.0),
+         ("r1", -999.5, 900.25, -900.5, 999.75)],   # quarter-pixel edges
+        columns=["aoi_id", "x0", "y0", "x1", "y1"])
+    got = {r["aoi_id"]: r for r in
+           S.zonal_stats_rect_weighted(imgs, rects).collect()}
+
+    n = 50
+    for _, rect in rects.iterrows():
+        w_count = w_sum = 0.0
+        touched = inner = 0
+        vmin, vmax = np.inf, -np.inf
+        for m in range(4):
+            block = codecs.decode_block(pdf.bytes[m], 32, 32, "raw")
+            gx, gy = pdf["gt"][m][0], pdf["gt"][m][3]
+            for i in range(32):
+                for j in range(32):
+                    pxl, pxr = gx + 2 * j, gx + 2 * (j + 1)
+                    ylo, yhi = gy - 2 * (i + 1), gy - 2 * i
+                    ox = max(0.0, min(pxr, rect.x1) - max(pxl, rect.x0))
+                    oy = max(0.0, min(yhi, rect.y1) - max(ylo, rect.y0))
+                    frac = ox * oy / 4.0
+                    # supersample check of the closed form
+                    xs = pxl + (np.arange(n) + 0.5) * 2.0 / n
+                    ys = ylo + (np.arange(n) + 0.5) * 2.0 / n
+                    ins = ((xs[None, :] > rect.x0) & (xs[None, :] < rect.x1)
+                           & (ys[:, None] > rect.y0)
+                           & (ys[:, None] < rect.y1))
+                    assert abs(frac - ins.mean()) < 2.0 / n, (m, i, j)
+                    if frac > 0:
+                        v = block[i, j]
+                        w_count += frac
+                        w_sum += frac * v
+                        touched += 1
+                        vmin, vmax = min(vmin, v), max(vmax, v)
+                        if frac == 1.0:
+                            inner += 1
+        r = got[rect.aoi_id]
+        assert abs(r["w_count"] - w_count) < 1e-9
+        assert abs(r["w_sum"] - w_sum) < 1e-9
+        assert r["min"] == vmin and r["max"] == vmax
+        assert inner <= r["w_count"] <= touched
+        assert abs(r["mean"] - w_sum / w_count) < 1e-12
+
+
+def test_zonal_rect_weighted_full_cover_equals_unweighted_count(spark):
+    """A rect covering whole images exactly: w_count == pixel count and
+    w_sum == plain sum (every frac == 1)."""
+    import pandas as pd
+
+    from rasters_rs_spark.operators import stats as S
+    from rasters_rs_spark.sources import synth
+
+    imgs = spark.createDataFrame(synth.lcg_image_table(2))
+    # image 0 spans x [-1000, -936], y [936, 1000]
+    rects = pd.DataFrame([("all0", -1000.0, 936.0, -936.0, 1000.0)],
+                         columns=["aoi_id", "x0", "y0", "x1", "y1"])
+    r = S.zonal_stats_rect_weighted(imgs, rects).collect()[0]
+    assert r["w_count"] == 1024.0
+    assert abs(r["mean"] - r["w_sum"] / 1024.0) == 0.0
