@@ -2868,6 +2868,76 @@ def _q_lcg_zonal_rects(spark, sf_dir):
     return stats.zonal_stats(images, _lcg_rect_aois())
 
 
+_POLYFILL_AOIS = [
+    ("rect", [-900.5, -400.5, -400.5, -900.5],
+             [600.5, 600.5, 950.25, 950.25]),
+    ("tri", [-1000.0, -600.0, -800.0], [100.0, 120.0, 500.0]),
+    ("concave", [-300.0, 0.0, 0.0, -150.0, -300.0],
+                [0.0, 0.0, 300.0, 100.0, 300.0]),
+]
+
+
+def _q_hex_polyfill(spark, sf_dir):
+    """H3 polygon_to_cells (hexgrid.hex_polyfill): center-containment
+    polyfill as a PURE Catalyst expression tree — nested sequence
+    explodes for the axial bbox lattice, even-odd PIP as a
+    higher-order array filter over the packed coordinate arrays, zero
+    UDFs. The concave AOI exercises the even-odd rule; every center
+    is an exact IEEE expression both engines evaluate identically, so
+    cells AND centers are hash-hard."""
+    aois = spark.createDataFrame(_POLYFILL_AOIS, ["aoi_id", "xs", "ys"])
+    return hexgrid.hex_polyfill(aois, size=37.5)
+
+
+def _hex_polyfill_sql() -> str:
+    from rasters_rs_spark.functions.hexgrid import SQRT3
+    s = 37.5
+    sl = f"{s:.17e}"
+    s3 = f"{SQRT3:.17e}"
+    vals = ", ".join(
+        f"('{a}', {xs!r}, {ys!r})" for (a, xs, ys) in _POLYFILL_AOIS)
+    return f"""
+        WITH aoi(aoi_id, xs, ys) AS (VALUES {vals}),
+        bb AS (
+          SELECT aoi_id, xs, ys,
+                 list_min(xs) x0, list_max(xs) x1,
+                 list_min(ys) y0, list_max(ys) y1
+          FROM aoi),
+        rws AS (
+          SELECT aoi_id, xs, ys, x0, x1,
+                 unnest(range(CAST(FLOOR(y0 / (1.5e0 * {sl})) AS BIGINT)
+                                - 1,
+                              CAST(FLOOR(y1 / (1.5e0 * {sl})) AS BIGINT)
+                                + 3)) AS hr
+          FROM bb),
+        cells AS (
+          SELECT aoi_id, xs, ys, hr,
+                 unnest(range(
+                   CAST(FLOOR(x0 / ({s3} * {sl})
+                              - CAST(hr AS DOUBLE) / 2.0) AS BIGINT) - 1,
+                   CAST(FLOOR(x1 / ({s3} * {sl})
+                              - CAST(hr AS DOUBLE) / 2.0) AS BIGINT) + 3))
+                   AS hq
+          FROM rws),
+        ctr AS (
+          SELECT aoi_id, xs, ys, hq, hr,
+                 {sl} * ({s3} * CAST(hq AS DOUBLE)
+                         + {s3} / 2.0 * CAST(hr AS DOUBLE)) AS cx,
+                 {sl} * (1.5e0 * CAST(hr AS DOUBLE)) AS cy
+          FROM cells)
+        SELECT aoi_id, CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+               cx, cy
+        FROM ctr
+        WHERE len(list_filter(range(0, len(xs)), i ->
+                ((ys[i + 1] > cy) != (ys[(i + 1) % len(xs) + 1] > cy))
+                AND cx < xs[i + 1]
+                      + (xs[(i + 1) % len(xs) + 1] - xs[i + 1])
+                        * ((cy - ys[i + 1])
+                           / (ys[(i + 1) % len(xs) + 1] - ys[i + 1]))
+              )) % 2 = 1
+    """
+
+
 # weighted-zonal fixture rects: INTEGER corners (odd, so they bisect
 # the even-integer pixel edges -> genuine fractional coverage) keep
 # frac on the 1/4 grid and every frac*v*v sum inside f64's 53-bit
@@ -3861,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mirrors sit here; long-stable rows driver-green in r05
         # follow and stay judge-verified ---
         "hex_kring_counts_events": _q_hex_kring,
+        "hex_polyfill_synth": _q_hex_polyfill,
         "s2_cell_events": _q_s2_cell,
         "knn_topk_embeddings": _q_knn_topk,
         "cell_index_events": _q_cell_index,
@@ -3897,7 +3968,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sibson_c1_discrete_synth": _q_sibson_c1_discrete,
         "bpe_tokenize_docs": _q_bpe_tokenize,
         "pack_sequences_docs": _q_pack_sequences,
-        "stratified_sample_docs": _q_stratified_sample,
         "ann_pq_embeddings": _q_ann_pq,
         "ann_ivfpq_embeddings": _q_ann_ivfpq,
         "decontaminate_docs": _q_decontaminate,
@@ -3910,6 +3980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": _q_lm_score,
         "sibson_discrete_synth": _q_sibson_discrete,
         "assign_shards_synth": _q_assign_shards,
+        "stratified_sample_docs": _q_stratified_sample,
         "hex_bin_events": _q_hex_bin,
         "hex_cell_events": _q_hex_cell,
         "fill_barycentric_dist_synth": _q_fill_barycentric_dist,
@@ -4986,6 +5057,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "lcg_image_stats": _lcg_stats_sql(),
         "lcg_zonal_rects": _lcg_zonal_sql(),
         "zonal_rect_weighted_synth": _zonal_rect_weighted_sql(),
+        "hex_polyfill_synth": _hex_polyfill_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),
         "lcg_diff_chunked_both": _lcg_diff_sql(),
         "focal_mean_synth": _focal_sql("mean3"),

@@ -130,6 +130,7 @@ def main():
         # round-7 session-4 additions
         "gopher_rules_docs", "c4_clean_docs", "unimax_docs",
         "polygonize_regions_synth", "contour_cases_synth",
+        "zonal_rect_weighted_synth", "hex_polyfill_synth",
     ]
     # best-of-N per query: the shared VM's noisy-neighbor spikes can
     # inflate a single shot 5-10x (measured), and the FIRST run also

@@ -237,3 +237,67 @@ def hex_kring_join(queries: DataFrame, points: DataFrame,
         pcells, (F.col("nq") == F.col("pq")) & (F.col("nr") == F.col("pr")))
     return joined.groupBy("hq", "hr", "ring").agg(
         F.count("*").cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# polyfill (H3 polygon_to_cells semantics: center containment)
+# ---------------------------------------------------------------------------
+
+def hex_polyfill(aois: DataFrame, size: float = 250.0,
+                 id_col: str = "aoi_id", xs_col: str = "xs",
+                 ys_col: str = "ys") -> DataFrame:
+    """H3 ``polygon_to_cells`` (polyfill) for single-ring polygons:
+    every hex cell whose CENTER lies inside the polygon (H3's
+    centroid-containment rule — polyfill is an assignment partition,
+    not a covering). Returns (id, hq, hr, cx, cy).
+
+    Pure Catalyst, zero UDFs, zero shuffles: candidate cells come from
+    two nested ``sequence`` explodes over the polygon's bbox in axial
+    coordinates (row range from the bbox y-span, per-row column range
+    from the x-span shifted by the axial shear, each padded one cell
+    for rounding), and the even-odd point-in-polygon test runs as a
+    higher-order array expression over the packed coordinate arrays
+    (filter over edge indices counting ray crossings, element_at
+    lookups — the same even-odd rule the zonal oracle mirrors
+    edge-for-edge). Candidate count is O(area / cell_area) per
+    polygon and AOI rows fan out independently, so the operator
+    scales as a generator stage on the AOI table; the giant side of
+    any polyfill-driven join equi-joins on (hq, hr) downstream.
+
+    Multi-ring AOIs (holes) would extend the crossing count over all
+    rings — the even-odd rule already handles holes; single ring kept
+    here to match the packed single-ring fixtures."""
+    s = float(size)
+    xs, ys = F.col(xs_col), F.col(ys_col)
+    xmin, xmax = F.array_min(xs), F.array_max(xs)
+    ymin, ymax = F.array_min(ys), F.array_max(ys)
+    r0 = F.floor(ymin / F.lit(1.5 * s)).cast("long") - F.lit(1)
+    r1 = F.floor(ymax / F.lit(1.5 * s)).cast("long") + F.lit(2)
+    d = aois.select(F.col(id_col), xs.alias("_xs"), ys.alias("_ys"),
+                    xmin.alias("_x0"), xmax.alias("_x1"),
+                    F.explode(F.sequence(r0, r1)).alias("hr"))
+    ro2 = F.col("hr").cast("double") / F.lit(2.0)
+    q0 = (F.floor(F.col("_x0") / F.lit(SQRT3 * s) - ro2).cast("long")
+          - F.lit(1))
+    q1 = (F.floor(F.col("_x1") / F.lit(SQRT3 * s) - ro2).cast("long")
+          + F.lit(2))
+    d = d.withColumn("hq", F.explode(F.sequence(q0, q1)))
+    cx, cy = hex_center_exprs("hq", "hr", s)
+    d = d.withColumn("_cx", cx).withColumn("_cy", cy)
+    n = F.size(F.col("_xs"))
+    idx = F.sequence(F.lit(0), n - F.lit(1))
+
+    def crossing(i):
+        xi = F.element_at(F.col("_xs"), i + 1)
+        yi = F.element_at(F.col("_ys"), i + 1)
+        j = (i + 1) % n
+        xj = F.element_at(F.col("_xs"), j + 1)
+        yj = F.element_at(F.col("_ys"), j + 1)
+        straddles = (yi > F.col("_cy")) != (yj > F.col("_cy"))
+        t = (F.col("_cy") - yi) / (yj - yi)
+        return straddles & (F.col("_cx") < xi + (xj - xi) * t)
+
+    inside = F.size(F.filter(idx, crossing)) % 2 == 1
+    return (d.where(inside)
+            .select(F.col(id_col), F.col("hq"), F.col("hr"),
+                    F.col("_cx").alias("cx"), F.col("_cy").alias("cy")))
