@@ -3125,6 +3125,19 @@ def _polygonize_sql() -> str:
     """
 
 
+def _q_contour_polylines(spark, sf_dir):
+    """Assembled marching-squares polylines (vectorize.contour_polylines)
+    over the radial + LCG images — rows-only entry: the cell table it
+    assembles is the hash-hard surface (contour_cases_synth); chain
+    geometry is pinned by pytest goldens (circle/plane/clipped arcs,
+    segment-count conservation, determinism)."""
+    from rasters_rs_spark.operators import vectorize as VE
+    imgs = spark.createDataFrame(pd.concat(
+        [synth.radial_image_table(1, 32, 32),
+         synth.lcg_image_table(1, 32, 32)], ignore_index=True))
+    return VE.contour_polylines(imgs, level=0.5)
+
+
 def _q_contour(spark, sf_dir):
     """Marching-squares cell table (vectorize.contour_cases) at level
     0.5 over one radial field (smooth — every non-saddle case) and one
@@ -4053,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": _q_mixture_sample,
         "retrieval_eval_embeddings": _q_retrieval_eval,
         "bucket_batches_docs": _q_bucket_batches,
+        "contour_polylines_synth": _q_contour_polylines,
     }
 
 

@@ -293,3 +293,166 @@ def contour_cases(images: DataFrame, level: float = 0.5) -> DataFrame:
               "n_segments long, t_top double, t_right double, "
               "t_bottom double, t_left double, saddle_high boolean")
     return images.mapInPandas(gen, schema=schema)
+
+
+# marching-squares segment table: case -> list of (edge_a, edge_b)
+# pairs, edges coded T/R/B/L; saddles (5, 10) resolved at runtime by
+# the center-mean rule (same rule contour_cases reports)
+_MS_SEGMENTS = {
+    0: [], 15: [],
+    1: [("L", "T")], 2: [("T", "R")], 3: [("L", "R")],
+    4: [("R", "B")], 6: [("T", "B")], 7: [("L", "B")],
+    8: [("B", "L")], 9: [("T", "B")], 11: [("R", "B")],
+    12: [("R", "L")], 13: [("T", "R")], 14: [("L", "T")],
+}
+
+
+def _cell_edges(i, j, case, center_high):
+    if case == 5:
+        # TL+BR high: center high joins them -> isolate TR and BL
+        return [("T", "R"), ("B", "L")] if center_high \
+            else [("T", "L"), ("R", "B")]
+    if case == 10:
+        return [("T", "L"), ("R", "B")] if center_high \
+            else [("T", "R"), ("B", "L")]
+    return _MS_SEGMENTS[case]
+
+
+def _edge_key(i, j, e):
+    """Global id of a cell-edge: horizontal crossing edges H(i,j) sit
+    between pixels (i,j)-(i,j+1); vertical V(i,j) between
+    (i,j)-(i+1,j). Cell (i,j)'s T = H(i,j), B = H(i+1,j), L = V(i,j),
+    R = V(i,j+1) — shared edges get one key from both sides."""
+    if e == "T":
+        return ("H", i, j)
+    if e == "B":
+        return ("H", i + 1, j)
+    if e == "L":
+        return ("V", i, j)
+    return ("V", i, j + 1)
+
+
+def assemble_polylines_block(v: np.ndarray, level: float):
+    """Marching-squares polylines for one decoded block, pixel-space
+    coords (x = column, y = row). Returns a list of dicts
+    (closed, xs, ys) in canonical order: every chain starts at its
+    lexicographically smallest (x, y) point (open chains: smaller
+    endpoint first; closed loops: rotated + oriented), chains sorted
+    by their start point. Deterministic — safe for rows-only contract
+    entries and golden tests."""
+    tl, tr = v[:-1, :-1], v[:-1, 1:]
+    bl, br = v[1:, :-1], v[1:, 1:]
+    b0, b1 = tl >= level, tr >= level
+    b2, b3 = br >= level, bl >= level
+    case = (b0.astype(int) + 2 * b1.astype(int) + 4 * b2.astype(int)
+            + 8 * b3.astype(int))
+    center_high = (tl + tr + bl + br) / 4.0 >= level
+
+    def crossing_pt(i, j, e):
+        if e == "T":
+            t = (level - v[i, j]) / (v[i, j + 1] - v[i, j])
+            return (j + t, float(i))
+        if e == "B":
+            t = (level - v[i + 1, j]) / (v[i + 1, j + 1] - v[i + 1, j])
+            return (j + t, float(i + 1))
+        if e == "L":
+            t = (level - v[i, j]) / (v[i + 1, j] - v[i, j])
+            return (float(j), i + t)
+        t = (level - v[i, j + 1]) / (v[i + 1, j + 1] - v[i, j + 1])
+        return (float(j + 1), i + t)
+
+    adj = {}
+    pts = {}
+    ci, cj = np.nonzero((case > 0) & (case < 15))
+    for i, j in zip(ci.tolist(), cj.tolist()):
+        for (ea, eb) in _cell_edges(i, j, case[i, j],
+                                    bool(center_high[i, j])):
+            ka, kb = _edge_key(i, j, ea), _edge_key(i, j, eb)
+            pts.setdefault(ka, crossing_pt(i, j, ea))
+            pts.setdefault(kb, crossing_pt(i, j, eb))
+            adj.setdefault(ka, []).append(kb)
+            adj.setdefault(kb, []).append(ka)
+
+    seen = set()
+    chains = []
+
+    def walk(start):
+        chain = [start]
+        seen.add(start)
+        prev = None
+        cur = start
+        while True:
+            nxts = [n for n in adj[cur] if n != prev]
+            nxts = [n for n in nxts if n not in seen or
+                    (n == start and len(chain) > 2)]
+            if not nxts:
+                return chain, False
+            nxt = nxts[0]
+            if nxt == start:
+                return chain, True
+            chain.append(nxt)
+            seen.add(nxt)
+            prev, cur = cur, nxt
+
+    # open chains first (degree-1 endpoints), then closed loops
+    for k in sorted(adj, key=lambda k: pts[k]):
+        if k in seen or len(adj[k]) != 1:
+            continue
+        chain, closed = walk(k)
+        chains.append((chain, closed))
+    for k in sorted(adj, key=lambda k: pts[k]):
+        if k in seen:
+            continue
+        chain, closed = walk(k)
+        chains.append((chain, closed))
+
+    out = []
+    for chain, closed in chains:
+        p = [pts[k] for k in chain]
+        if closed:
+            m = min(range(len(p)), key=lambda ix: p[ix])
+            p = p[m:] + p[:m]
+            if len(p) > 2 and p[1] > p[-1]:
+                p = [p[0]] + p[1:][::-1]
+        elif p[-1] < p[0]:
+            p = p[::-1]
+        out.append({"closed": closed,
+                    "xs": [q[0] for q in p], "ys": [q[1] for q in p]})
+    out.sort(key=lambda c: (c["xs"][0], c["ys"][0]))
+    return out
+
+
+def contour_polylines(images: DataFrame, level: float = 0.5) -> DataFrame:
+    """Assembled marching-squares contour polylines, one row per chain:
+    (image_id, line_id, closed, n_points, xs, ys) in pixel
+    coordinates. One mapInPandas over image rows, zero shuffles —
+    assembly is row-local per image (chains never cross image
+    boundaries; for chunked rasters, assemble per strip and join
+    chains at strip borders via the shared t values, the same
+    boundary-merge shape polygonize_chunked uses). Canonical chain
+    ordering/orientation makes the output deterministic; the cell
+    table this assembles (contour_cases) is the hash-hard oracled
+    surface, so this operator is a rows-only contract entry with its
+    geometry pinned by pytest invariants (segment-count conservation,
+    edge-consistency, circle/plane goldens)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                v = codecs.decode_block(row.bytes, row.h, row.w, row.fmt)
+                chains = assemble_polylines_block(v, level)
+                if not chains:
+                    continue
+                yield pd.DataFrame({
+                    "image_id": row.image_id,
+                    "line_id": np.arange(len(chains), dtype=np.int64),
+                    "closed": [c["closed"] for c in chains],
+                    "n_points": np.array([len(c["xs"]) for c in chains],
+                                         dtype=np.int64),
+                    "xs": [c["xs"] for c in chains],
+                    "ys": [c["ys"] for c in chains],
+                })
+
+    schema = ("image_id string, line_id long, closed boolean, "
+              "n_points long, xs array<double>, ys array<double>")
+    return images.mapInPandas(gen, schema=schema)

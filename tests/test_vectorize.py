@@ -146,3 +146,70 @@ def test_contour_saddles_present_on_lcg(spark):
     assert all(r["saddle_high"] is not None for r in saddles)
     assert all(r["saddle_high"] is None
                for r in rows if r["case_idx"] not in (5, 10))
+
+
+def test_polylines_radial_single_circle(spark):
+    pdf = synth.radial_image_table(1, 32, 32)
+    imgs = spark.createDataFrame(pdf)
+    # level 0.25 of ((i-16)^2+(j-16)^2)/512 is the radius-sqrt(128)
+    # circle (~11.31) — fully interior to the 31x31 cell domain, so
+    # the contour is ONE closed loop (level 0.5's radius-16 circle
+    # exits the domain near (31,31) and correctly splits into two
+    # border-clipped open arcs)
+    rows = V.contour_polylines(imgs, level=0.25).collect()
+    assert len(rows) == 1 and rows[0]["closed"]
+    xs, ys = np.array(rows[0]["xs"]), np.array(rows[0]["ys"])
+    r = np.sqrt((xs - 16) ** 2 + (ys - 16) ** 2)
+    # linear interpolation stays within half a pixel of the circle
+    assert abs(r - np.sqrt(128.0)).max() < 0.5
+    assert len(xs) > 40  # a real ring, not a degenerate chain
+    # the clipped case: level 0.5 gives exactly two open border arcs
+    clipped = V.contour_polylines(imgs, level=0.5).collect()
+    assert len(clipped) == 2
+    assert all(not c["closed"] for c in clipped)
+    for c in clipped:
+        for x, y in ((c["xs"][0], c["ys"][0]), (c["xs"][-1], c["ys"][-1])):
+            assert x == 31.0 or y == 31.0 or x == 0.0 or y == 0.0
+
+
+def test_polylines_plane_single_straight_line(spark):
+    block = np.tile(np.arange(32, dtype=np.float64) / 31.0, (32, 1))
+    from rasters_rs_spark.functions import codecs as C
+    import pandas as _pd
+    imgs = spark.createDataFrame(_pd.DataFrame([{
+        "image_id": "plane", "bytes": C.encode_block(block, "raw"),
+        "w": np.int32(32), "h": np.int32(32), "fmt": "raw",
+        "gt": [0.0, 1.0, 0.0, 0.0, 0.0, -1.0], "crs": "",
+        "no_val": float("nan")}]))
+    rows = V.contour_polylines(imgs, level=0.5).collect()
+    assert len(rows) == 1 and not rows[0]["closed"]
+    xs, ys = np.array(rows[0]["xs"]), np.array(rows[0]["ys"])
+    assert np.allclose(xs, 15.5)           # exact vertical line
+    assert sorted(ys.tolist()) == list(range(0, 32))
+
+
+def test_polylines_conserve_segment_count(spark):
+    imgs = spark.createDataFrame(pd_concat_images())
+    cells = V.contour_cases(imgs, level=0.5).collect()
+    want = {}
+    for r in cells:
+        want[r["image_id"]] = want.get(r["image_id"], 0) + r["n_segments"]
+    lines = V.contour_polylines(imgs, level=0.5).collect()
+    got = {}
+    for r in lines:
+        npts = r["n_points"]
+        got[r["image_id"]] = got.get(r["image_id"], 0) \
+            + (npts if r["closed"] else npts - 1)
+    assert got == {k: v for k, v in want.items() if v > 0}
+    # determinism: second run returns identical geometry
+    again = V.contour_polylines(imgs, level=0.5).collect()
+    key = lambda r: (r["image_id"], r["line_id"])
+    assert sorted(map(tuple, lines), key=lambda t: (t[0], t[1])) == \
+        sorted(map(tuple, again), key=lambda t: (t[0], t[1]))
+
+
+def pd_concat_images():
+    import pandas as _pd
+    return _pd.concat([synth.radial_image_table(1, 32, 32),
+                       synth.lcg_image_table(2, 32, 32)],
+                      ignore_index=True)
