@@ -139,8 +139,34 @@ _FRAG_SCHEMA = ("image_id string, kind int, label long, cls int, "
                 "max_j long, i long, j long")
 
 
+def _driver_union_find(pairs) -> list:
+    """Union-find over a small collected edge list; returns
+    (node, component) tuples with component = min member."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+    return [(n, find(n)) for n in nodes]
+
+
 def polygonize_chunked(chunks: DataFrame, n_classes: int = 4,
-                       max_iters: int = 25) -> DataFrame:
+                       max_iters: int = 25,
+                       driver_graph_cap: int = 1_000_000) -> DataFrame:
     """Distributed polygonize over chunk strips (padding 0): local CCL
     per strip, then cross-strip merge on the boundary graph only.
 
@@ -201,8 +227,28 @@ def polygonize_chunked(chunks: DataFrame, n_classes: int = 4,
                            F.lpad(F.col(f"{side}.label").cast("string"),
                                   20, "0"))
     pairs = pairs.select(key("a").alias("id_a"), key("b").alias("id_b"))
-    # boundary-label graph only; empty when strips never split a region
-    comp = connected_components(pairs, max_iters=max_iters) \
+    # boundary-label graph only; empty when strips never split a
+    # region. Hybrid merge (the house adaptive-broadcast pattern):
+    # the graph is O(boundary fragments) — usually tiny next to the
+    # raster — so when it fits under driver_graph_cap, collect it and
+    # union-find on the driver (one job, bounded by the cap) instead
+    # of paying ~2 shuffles per iterative round; the distributed
+    # min-label path stays the fallback for adversarial stripings
+    # (e.g. strip_height 1 over giant images)
+    n_pairs = pairs.limit(driver_graph_cap + 1).count()
+    if n_pairs <= driver_graph_cap:
+        edge_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+        mapping = _driver_union_find(edge_list)
+        spark = chunks.sparkSession
+        if mapping:
+            comp = spark.createDataFrame(mapping, ["node", "component"])
+        else:
+            comp = spark.createDataFrame(
+                [], "node string, component string")
+        comp = F.broadcast(comp)
+    else:
+        comp = connected_components(pairs, max_iters=max_iters)
+    comp = comp \
         .select(F.split(F.col("node"), "\x01").getItem(0)
                 .alias("image_id"),
                 F.split(F.col("node"), "\x01").getItem(1).cast("long")

@@ -73,13 +73,18 @@ def test_polygonize_matches_flood_fill(spark):
         assert got == want
 
 
-@pytest.mark.parametrize("min_rows", [1, 3, 8, 32])
-def test_polygonize_chunked_equals_whole(spark, min_rows):
+@pytest.mark.parametrize("min_rows,cap", [(1, 1_000_000), (3, 0),
+                                          (8, 1_000_000), (32, 0)])
+def test_polygonize_chunked_equals_whole(spark, min_rows, cap):
+    """cap=0 forces the distributed iterative-components merge; the
+    default cap takes the driver union-find fast path — both must be
+    bit-identical to whole-image polygonize."""
     imgs = spark.createDataFrame(synth.blocky_lcg_image_table(2, 32, 32))
     whole = sorted(tuple(r) for r in V.polygonize(imgs).collect())
     chunks = chunk_images(imgs, min_data_size=32 * min_rows, padding=0)
     ch = sorted(tuple(r)
-                for r in V.polygonize_chunked(chunks).collect())
+                for r in V.polygonize_chunked(
+                    chunks, driver_graph_cap=cap).collect())
     assert whole == ch
     # every pixel accounted for exactly once
     per_img = {}
