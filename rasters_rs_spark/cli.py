@@ -217,6 +217,40 @@ def cmd_rasterize(args):
                                          else "chunks")}))
 
 
+def cmd_polygonize(args):
+    from .operators.chunked import chunk_images
+    from .operators.vectorize import polygonize, polygonize_chunked
+    spark = _spark(args)
+    images = _images(spark, args.input)
+    if args.chunked:
+        # min_data_size is in pixels; strip height rides the widest
+        # image's row length (one tiny agg, not a per-row collect)
+        w = images.agg({"w": "max"}).first()[0]
+        out = polygonize_chunked(
+            chunk_images(images, min_data_size=args.strip_height * int(w),
+                         padding=0), n_classes=args.classes)
+    else:
+        out = polygonize(images, n_classes=args.classes)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"written": args.output, "regions": n,
+                      "classes": args.classes}))
+
+
+def cmd_contour(args):
+    from .operators.vectorize import contour_cases, contour_polylines
+    spark = _spark(args)
+    images = _images(spark, args.input)
+    out = (contour_polylines(images, level=args.level) if args.lines
+           else contour_cases(images, level=args.level))
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"written": args.output,
+                      "rows": n, "level": args.level,
+                      "representation": ("polylines" if args.lines
+                                         else "cells")}))
+
+
 def cmd_dedup(args):
     from .operators import dedup as D
     spark = _spark(args)
@@ -501,6 +535,26 @@ def build_parser():
                     help="treat the AOI parquet as a corpus-scale "
                          "catalog (rasterize_dist)")
     rz.set_defaults(fn=cmd_rasterize, assemble=True)
+
+    pz = sub.add_parser("polygonize", help="raster -> vector regions "
+                                           "(connected components of "
+                                           "quantized classes)")
+    pz.add_argument("input")
+    pz.add_argument("output")
+    pz.add_argument("--classes", type=int, default=4)
+    pz.add_argument("--chunked", action="store_true",
+                    help="per-strip CCL + boundary-graph merge")
+    pz.add_argument("--strip-height", type=int, default=64)
+    pz.set_defaults(fn=cmd_polygonize)
+
+    co = sub.add_parser("contour", help="marching-squares contours "
+                                        "(cell table or polylines)")
+    co.add_argument("input")
+    co.add_argument("output")
+    co.add_argument("--level", type=float, default=0.5)
+    co.add_argument("--lines", action="store_true",
+                    help="assemble polylines instead of the cell table")
+    co.set_defaults(fn=cmd_contour)
 
     dd = sub.add_parser("dedup", help="near-duplicate document pairs "
                                       "(MinHash LSH or SimHash)")

@@ -409,3 +409,37 @@ def radial_image_table(n: int = 1, w: int = 32, h: int = 32,
             "bands": np.int32(1),
         })
     return pd.DataFrame(rows)
+
+
+def blocky_image_table_distributed(spark, n: int, w: int = 512,
+                                   h: int = 512, cell: int = 8,
+                                   n_classes: int = 4,
+                                   partitions: int = 32):
+    """Executor-side blocky_lcg_image_table (same per-pixel values for
+    the same parameters): pixels never materialize on the driver, so
+    the polygonize scale rows can run rasters of arbitrary count."""
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for m in pdf["id"]:
+                m = int(m)
+                ii = np.arange(h, dtype=np.int64)[:, None] // cell
+                jj = np.arange(w, dtype=np.int64)[None, :] // cell
+                kc = m * 100000 + ii * 256 + jj
+                cls = ((LCG_A * kc + LCG_C) % LCG_M % LCG_Q) \
+                    // (LCG_Q // n_classes)
+                block = cls.astype(np.float64) / n_classes
+                gx = -1000.0 + (m % 8) * 120.0
+                gy = 1000.0 - (m // 8) * 120.0
+                rows.append((f"img_{m:08d}",
+                             codecs.encode_block(block, "raw"),
+                             np.int32(w), np.int32(h), "raw",
+                             f"blocky {m}", np.int64(0),
+                             [gx, 2.0, 0.0, gy, 0.0, -2.0],
+                             "EPSG:3857", float("nan"), np.int32(1)))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                "gt", "crs", "no_val", "bands"])
+
+    return spark.range(n).repartition(partitions).mapInPandas(
+        gen, schema=IMAGE_SCHEMA)

@@ -390,3 +390,33 @@ def test_cli_search(tmp_path):
     assert out["rows"] == 2
     hits = pd.read_parquet(str(tmp_path / "hits.parquet"))
     assert set(hits["doc_id"]) == {1, 3}
+
+
+def test_cli_polygonize_and_contour(capsys, tmp_path, spark):
+    src = str(tmp_path / "blocky")
+    spark.createDataFrame(synth.blocky_lcg_image_table(2, 32, 32)) \
+         .write.mode("overwrite").parquet(src)
+
+    dst = str(tmp_path / "pz")
+    res = _run(capsys, ["polygonize", src, dst, "--classes", "4"])
+    assert res["regions"] > 0
+    whole = {tuple(r) for r in spark.read.parquet(dst).collect()}
+
+    dst2 = str(tmp_path / "pzc")
+    res2 = _run(capsys, ["polygonize", src, dst2, "--classes", "4",
+                         "--chunked", "--strip-height", "8"])
+    assert res2["regions"] == res["regions"]
+    assert {tuple(r) for r in spark.read.parquet(dst2).collect()} == whole
+
+    csrc = str(tmp_path / "rad")
+    spark.createDataFrame(synth.radial_image_table(1, 32, 32)) \
+         .write.mode("overwrite").parquet(csrc)
+    cdst = str(tmp_path / "cells")
+    rc = _run(capsys, ["contour", csrc, cdst, "--level", "0.25"])
+    assert rc["representation"] == "cells" and rc["rows"] == 31 * 31
+    ldst = str(tmp_path / "lines")
+    rl = _run(capsys, ["contour", csrc, ldst, "--level", "0.25",
+                       "--lines"])
+    assert rl["representation"] == "polylines" and rl["rows"] == 1
+    row = spark.read.parquet(ldst).collect()[0]
+    assert row["closed"] and row["n_points"] > 40
