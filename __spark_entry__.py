@@ -2187,6 +2187,41 @@ _UNIMAX_SQL = """
 """
 
 
+def _q_split_passages(spark, sf_dir):
+    """Overlapping token-window passage splitting
+    (text.split_passages, the retrieval/context chunking rule):
+    sequence explode + slice + array_join, pure Catalyst. The oracle
+    rebuilds every passage string with list_slice + array_to_string —
+    hash pins starts, counts, and the exact passage text."""
+    docs = _tbl(spark, sf_dir, "documents") \
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+    return text.split_passages(docs, window=24, stride=16)
+
+
+_SPLIT_PASSAGES_SQL = """
+    WITH d AS (
+      SELECT CAST(doc_id AS BIGINT) doc_id,
+             list_filter(string_split(COALESCE(text, ''), ' '),
+                         w -> w != '') AS toks
+      FROM documents),
+    n_ AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(1 + FLOOR((GREATEST(0, len(toks) - 24) + 15) / 16)
+                  AS INT) AS n_pass
+      FROM d),
+    e AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, n_pass)) AS pid
+      FROM n_)
+    SELECT doc_id, CAST(pid AS INT) AS passage_id,
+           CAST(pid * 16 AS INT) AS start_token,
+           CAST(LEAST(24, n - pid * 16) AS INT) AS n_tokens,
+           array_to_string(list_slice(toks, pid * 16 + 1,
+                                      pid * 16 + 24), ' ') AS passage
+    FROM e
+"""
+
+
 def _q_repetition(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return text.repetition_stats(docs, n=2)
@@ -4067,6 +4102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval_embeddings": _q_retrieval_eval,
         "bucket_batches_docs": _q_bucket_batches,
         "contour_polylines_synth": _q_contour_polylines,
+        "split_passages_docs": _q_split_passages,
     }
 
 
@@ -5202,6 +5238,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         """,
         "gopher_rules_docs": _gopher_rules_sql(),
         "unimax_docs": _UNIMAX_SQL,
+        "split_passages_docs": _SPLIT_PASSAGES_SQL,
         "c4_clean_docs": _c4_clean_sql(),
         "filter_corpus_docs": f"""
             WITH rep AS (

@@ -1805,3 +1805,43 @@ def unimax_sample(docs: DataFrame, budget: int, max_epochs: int = 4,
         F.col(id_col), F.col(source_col).alias("source"),
         F.col("rate"), n_full.alias("n_full"), extra.alias("extra"),
         (n_full + extra.cast("int")).alias("copies"))
+
+
+# ---------------------------------------------------------------------------
+# Passage splitting (overlapping token windows)
+# ---------------------------------------------------------------------------
+
+def split_passages(docs: DataFrame, window: int = 64, stride: int = 48,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Split documents into overlapping token-window passages (the
+    standard retrieval / context-chunking rule: starts at 0, stride,
+    2*stride, ...; the last window clamps at the document end; a doc
+    shorter than one window is a single passage). Returns
+    (id, passage_id, start_token, n_tokens, passage).
+
+    Pure Catalyst: split -> sequence explode -> slice -> array_join;
+    whole-stage codegen, zero UDFs, zero shuffles — a generator stage
+    whose fan-out is n_tokens/stride per document. Passage strings
+    rebuild exactly (single-space join of the whitespace token array),
+    so the contract row is hash-hard including the text column."""
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(t, " "), lambda w: w != "")
+    n = F.size(toks)
+    extra = F.greatest(F.lit(0), n - F.lit(window))
+    n_pass = (F.lit(1)
+              + F.floor((extra + F.lit(stride - 1)) / F.lit(stride))
+              .cast("int"))
+    d = docs.select(F.col(id_col), toks.alias("_toks"), n.alias("_n"),
+                    F.explode(F.sequence(F.lit(0), n_pass - 1))
+                    .alias("passage_id"))
+    start = F.col("passage_id") * F.lit(stride)
+    piece = F.slice(F.col("_toks"), start + 1, F.lit(window))
+    return d.select(
+        F.col(id_col), F.col("passage_id").cast("int").alias("passage_id"),
+        start.cast("int").alias("start_token"),
+        F.least(F.lit(window), F.col("_n") - start).cast("int")
+        .alias("n_tokens"),
+        F.array_join(piece, " ").alias("passage"))

@@ -199,3 +199,41 @@ def test_unimax_sample_consistency(spark):
     # replayable: same salt, same decisions
     again = T.unimax_sample(docs, budget=300, max_epochs=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_split_passages_python_reference(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "x"), (2, ""), (3, None),
+         (4, " ".join(f"w{i}" for i in range(100)))],
+        ["doc_id", "text"])
+    got = {}
+    for r in T.split_passages(docs, window=6, stride=4).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for did, text in [(0, "a b c d e f g h i j"), (1, "x"), (2, ""),
+                      (3, ""), (4, " ".join(f"w{i}" for i in range(100)))]:
+        toks = [w for w in (text or "").split(" ") if w]
+        n = len(toks)
+        n_pass = 1 + max(0, -(-(max(0, n - 6)) // 4))
+        rows = sorted(got[did], key=lambda r: r["passage_id"])
+        assert len(rows) == n_pass, (did, len(rows), n_pass)
+        for p, r in enumerate(rows):
+            s = p * 4
+            assert r["start_token"] == s
+            assert r["n_tokens"] == min(6, n - s)
+            assert r["passage"] == " ".join(toks[s:s + 6])
+    # coverage: every token position is inside >= 1 passage window
+    rows4 = sorted(got[4], key=lambda r: r["passage_id"])
+    covered = set()
+    for r in rows4:
+        covered.update(range(r["start_token"],
+                             r["start_token"] + r["n_tokens"]))
+    assert covered == set(range(100))
+
+
+def test_split_passages_validates_params(spark):
+    import pytest as _pt
+    docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with _pt.raises(ValueError):
+        T.split_passages(docs, window=0)
+    with _pt.raises(ValueError):
+        T.split_passages(docs, stride=0)
