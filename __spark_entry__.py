@@ -3146,16 +3146,26 @@ def _polygonize_sql() -> str:
           SELECT e.m, e.pa, r.lab
           FROM edges e JOIN reach r ON e.m = r.m AND e.pb = r.node),
         comp AS (SELECT m, node, MIN(lab) AS root
-                 FROM reach GROUP BY m, node)
+                 FROM reach GROUP BY m, node),
+        -- perimeter = 4*n_pixels - 2*(same-class adjacencies inside
+        -- the region); e0 lists each adjacency exactly once
+        adjc AS (SELECT e.m, c.root, COUNT(*) AS n_adj
+                 FROM e0 e JOIN comp c
+                   ON c.m = e.m AND c.node = e.pa
+                 GROUP BY e.m, c.root)
         SELECT printf('img_%08d', p.m) AS image_id,
                CAST(c.root AS BIGINT) AS region_label,
                CAST(MIN(p.cls) AS INT) AS cls,
                CAST(COUNT(*) AS BIGINT) AS n_pixels,
+               CAST(4 * COUNT(*) - 2 * COALESCE(MIN(a.n_adj), 0)
+                    AS BIGINT) AS perimeter,
                CAST(MIN(p.i) AS BIGINT) AS min_i,
                CAST(MIN(p.j) AS BIGINT) AS min_j,
                CAST(MAX(p.i) AS BIGINT) AS max_i,
                CAST(MAX(p.j) AS BIGINT) AS max_j
-        FROM px p JOIN comp c ON c.m = p.m AND c.node = p.pid
+        FROM px p
+        JOIN comp c ON c.m = p.m AND c.node = p.pid
+        LEFT JOIN adjc a ON a.m = p.m AND a.root = c.root
         GROUP BY p.m, c.root
     """
 

@@ -81,9 +81,13 @@ def ccl_min_labels(cls: np.ndarray) -> np.ndarray:
 
 def _region_stats(cls: np.ndarray, lab: np.ndarray, row_offset: int,
                   w: int):
-    """Aggregate (label, cls, n_pixels, bbox) per component of one
-    strip; labels/bboxes are in IMAGE coordinates (row_offset = the
-    strip's absolute first row)."""
+    """Aggregate (label, cls, n_pixels, perimeter, bbox) per component
+    of one strip; labels/bboxes are in IMAGE coordinates (row_offset =
+    the strip's absolute first row). Perimeter counts pixel sides
+    whose 4-neighbor is a different class or OUTSIDE the strip — for
+    the chunked path the strip-edge sides are corrected downstream by
+    subtracting 2 per cross-strip same-class pair (each side was
+    counted once by each strip)."""
     h = cls.shape[0]
     ii = np.repeat(np.arange(h, dtype=np.int64), w)
     jj = np.tile(np.arange(w, dtype=np.int64), h)
@@ -97,18 +101,31 @@ def _region_stats(cls: np.ndarray, lab: np.ndarray, row_offset: int,
     np.maximum.at(max_i, inv, ii)
     np.minimum.at(min_j, inv, jj)
     np.maximum.at(max_j, inv, jj)
+    # per-pixel boundary sides: 4 minus same-class in-strip neighbors
+    same = np.zeros((h, w), dtype=np.int64)
+    hm = cls[:, :-1] == cls[:, 1:]
+    vm = cls[:-1, :] == cls[1:, :]
+    same[:, :-1] += hm
+    same[:, 1:] += hm
+    same[:-1, :] += vm
+    same[1:, :] += vm
+    perim = np.zeros(len(roots), dtype=np.int64)
+    np.add.at(perim, inv, (4 - same).ravel())
     glabel = roots + row_offset * w
     return pd.DataFrame({
         "label": glabel, "cls": cls.ravel()[roots],
         "n_pixels": n_pix.astype(np.int64),
+        "perimeter": perim,
         "min_i": min_i + row_offset, "min_j": min_j,
         "max_i": max_i + row_offset, "max_j": max_j})
 
 
 def polygonize(images: DataFrame, n_classes: int = 4) -> DataFrame:
     """Whole-image polygonize: one Arrow stage, region rows out
-    (image_id, region_label, cls, n_pixels, min_i, min_j, max_i,
-    max_j); region_label = global row-major pixel id of the region's
+    (image_id, region_label, cls, n_pixels, perimeter, min_i, min_j,
+    max_i, max_j); perimeter counts pixel sides on the region's
+    4-boundary (different class or outside the image — the standard
+    polygonize companion for compactness metrics); region_label = global row-major pixel id of the region's
     smallest member. Zero shuffles — the per-image kernel is the unit
     of work. For images that exceed one task's memory, use
     polygonize_chunked."""
@@ -126,17 +143,19 @@ def polygonize(images: DataFrame, n_classes: int = 4) -> DataFrame:
                 yield st
 
     schema = ("image_id string, region_label long, cls int, "
-              "n_pixels long, min_i long, min_j long, max_i long, "
-              "max_j long")
+              "n_pixels long, perimeter long, min_i long, min_j long, "
+              "max_i long, max_j long")
     return images.mapInPandas(gen, schema=schema)
 
 
 # unified stage-1 output for the chunked path: fragment-stat rows
-# (kind=0) and boundary-pixel rows (kind=1) share one schema so the
-# strip is decoded exactly once
+# (kind=0) and boundary-pixel rows (kind=1 top data row, kind=2
+# bottom data row — distinct kinds so the cross-strip join can never
+# pair two rows of the SAME strip) share one schema so the strip is
+# decoded exactly once
 _FRAG_SCHEMA = ("image_id string, kind int, label long, cls int, "
-                "n_pixels long, min_i long, min_j long, max_i long, "
-                "max_j long, i long, j long")
+                "n_pixels long, perimeter long, min_i long, min_j long, "
+                "max_i long, max_j long, i long, j long")
 
 
 def _driver_union_find(pairs) -> list:
@@ -194,31 +213,49 @@ def polygonize_chunked(chunks: DataFrame, n_classes: int = 4,
                 st = st.assign(kind=0, i=np.int64(-1), j=np.int64(-1))
                 frames = [st]
                 glab = (lab.reshape(cls.shape) + ds * w)
-                for r_loc, r_abs in ((0, ds), (cls.shape[0] - 1, de - 1)):
+                # top row as kind=1, bottom row as kind=2: the
+                # cross-strip join pairs top rows against bottom rows
+                # only, so two rows of the SAME strip can never pair
+                # (a height-1 strip emits its one row under both
+                # kinds — it faces both neighbors)
+                for kind, r_loc, r_abs in ((1, 0, ds),
+                                           (2, cls.shape[0] - 1, de - 1)):
                     frames.append(pd.DataFrame({
                         "label": glab[r_loc], "cls": cls[r_loc],
                         "n_pixels": np.int64(0),
+                        "perimeter": np.int64(0),
                         "min_i": np.int64(-1), "min_j": np.int64(-1),
                         "max_i": np.int64(-1), "max_j": np.int64(-1),
-                        "kind": 1, "i": np.int64(r_abs),
+                        "kind": kind, "i": np.int64(r_abs),
                         "j": np.arange(w, dtype=np.int64)}))
                 out = pd.concat(frames, ignore_index=True)
                 out.insert(0, "image_id", row.image_id)
                 yield out[["image_id", "kind", "label", "cls",
-                           "n_pixels", "min_i", "min_j", "max_i",
-                           "max_j", "i", "j"]]
+                           "n_pixels", "perimeter", "min_i", "min_j",
+                           "max_i", "max_j", "i", "j"]]
 
     staged = chunks.mapInPandas(gen, schema=_FRAG_SCHEMA) \
                    .localCheckpoint(eager=True)
     frags = staged.where(F.col("kind") == 0)
-    edges = staged.where(F.col("kind") == 1) \
-                  .select("image_id", "cls", "label", "i", "j")
-    a, b = edges.alias("a"), edges.alias("b")
-    pairs = (a.join(b, (F.col("a.image_id") == F.col("b.image_id"))
+    tops = staged.where(F.col("kind") == 1) \
+                 .select("image_id", "cls", "label", "i", "j")
+    bots = staged.where(F.col("kind") == 2) \
+                 .select("image_id", "cls", "label", "i", "j")
+    a, b = tops.alias("a"), bots.alias("b")
+    # every cross-strip same-class adjacency, exactly once (a = the
+    # lower strip's top row, b = the upper strip's bottom row)
+    cross = (a.join(b, (F.col("a.image_id") == F.col("b.image_id"))
                     & (F.col("a.cls") == F.col("b.cls"))
                     & (F.col("a.j") == F.col("b.j"))
                     & (F.col("a.i") == F.col("b.i") + 1))
-             .where(F.col("a.label") != F.col("b.label")))
+             .localCheckpoint(eager=True))
+    # per-strip kernels counted a strip-edge side as boundary on BOTH
+    # sides of every cross pair -> subtract 2 per pair from the merged
+    # region's perimeter
+    corr = cross.groupBy(F.col("a.image_id").alias("image_id"),
+                         F.col("a.label").alias("label")) \
+                .agg(F.count("*").alias("_n_cross"))
+    pairs = cross.where(F.col("a.label") != F.col("b.label"))
     # connected_components takes min over STRING labels, so the numeric
     # label must be zero-padded to make lexicographic order == numeric
     # order (the repo's round-6 streaming-parity bug class: "10" < "5")
@@ -255,7 +292,8 @@ def polygonize_chunked(chunks: DataFrame, n_classes: int = 4,
                 .alias("label"),
                 F.split(F.col("component"), "\x01").getItem(1)
                 .cast("long").alias("final_label"))
-    merged = (frags.join(comp, ["image_id", "label"], "left")
+    merged = (frags.join(corr, ["image_id", "label"], "left")
+              .join(comp, ["image_id", "label"], "left")
               .withColumn("final_label",
                           F.coalesce(F.col("final_label"),
                                      F.col("label"))))
@@ -263,6 +301,9 @@ def polygonize_chunked(chunks: DataFrame, n_classes: int = 4,
                            F.col("final_label").alias("region_label"),
                            "cls")
             .agg(F.sum("n_pixels").alias("n_pixels"),
+                 (F.sum("perimeter")
+                  - 2 * F.sum(F.coalesce(F.col("_n_cross"), F.lit(0))))
+                 .alias("perimeter"),
                  F.min("min_i").alias("min_i"),
                  F.min("min_j").alias("min_j"),
                  F.max("max_i").alias("max_i"),

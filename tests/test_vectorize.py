@@ -32,7 +32,14 @@ def _flood_regions(cls):
                         seen[ni, nj] = True
                         stack.append((ni, nj))
             label = min(i * w + j for i, j in members)
-            out[label] = (int(cls[si, sj]), len(members),
+            mset = set(members)
+            perim = sum(
+                1
+                for (i, j) in members
+                for ni, nj in ((i - 1, j), (i + 1, j), (i, j - 1),
+                               (i, j + 1))
+                if (ni, nj) not in mset)
+            out[label] = (int(cls[si, sj]), len(members), perim,
                           min(i for i, _ in members),
                           min(j for _, j in members),
                           max(i for i, _ in members),
@@ -67,7 +74,8 @@ def test_polygonize_matches_flood_fill(spark):
     for m in range(2):
         block = codecs.decode_block(pdf.bytes[m], 32, 32, "raw")
         want = _flood_regions(V.quantize_classes(block, 4))
-        got = {r["region_label"]: (r["cls"], r["n_pixels"], r["min_i"],
+        got = {r["region_label"]: (r["cls"], r["n_pixels"],
+                                   r["perimeter"], r["min_i"],
                                    r["min_j"], r["max_i"], r["max_j"])
                for r in rows if r["image_id"] == f"img_{m:08d}"}
         assert got == want
