@@ -680,3 +680,32 @@ def stream_decontaminate_batched(spark: SparkSession, source_dir: str,
                                  id_col=id_col), epoch_id)
 
     return stream.writeStream.foreachBatch(run_batch)
+
+
+def stream_hex_bin(spark: SparkSession, source_dir: str, schema: str,
+                   size: float = 250.0, window: str = "1 hour",
+                   watermark: str = "2 hours", ts_col: str = "ts",
+                   x_col: str = "x", y_col: str = "y",
+                   value_col: str = "value"):
+    """Streaming hexagonal heat-map: point stream -> axial hex cell
+    (the pure-Catalyst hexgrid assignment — identical expression tree
+    to the batch hex_bin_stats, so streamed cells == batch cells
+    bitwise) -> watermarked tumbling-window counts/sums per cell.
+    This is the live tile-server feed shape: each micro-batch updates
+    only the (window, cell) groups it touches, state is bounded by
+    the watermark horizon, and the sink key (wstart, hq, hr) is the
+    map-tile cache key. Returns the streaming DataFrame."""
+    from ..functions.hexgrid import with_hex_cell
+
+    stream = (spark.readStream.schema(schema).parquet(source_dir)
+              .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+              .withWatermark(ts_col, watermark))
+    cells = with_hex_cell(stream, x_col=x_col, y_col=y_col, size=size)
+    return (
+        cells.groupBy(F.window(ts_col, window).alias("w"), "hq", "hr")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+             .alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("wstart"), "hq", "hr", "n", "sum_value")
+    )

@@ -595,3 +595,47 @@ def test_stream_decontaminate_equals_batch(spark, tmp_path):
           .trigger(availableNow=True).start())
     q2.awaitTermination(120)
     assert sorted(emitted) == expect
+
+
+def test_stream_hex_bin_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming hex heat-map: event points over two micro-batches,
+    watermarked tumbling windows per hex cell — the flushed result
+    equals the batch window-groupBy over the identical cell
+    expression tree exactly (counts and decimal sums)."""
+    from pyspark.sql import functions as F
+
+    from rasters_rs_spark.functions.hexgrid import with_hex_cell
+    from rasters_rs_spark.streaming.windows import stream_hex_bin
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id", "ts", "value",
+        (F.col("value") * F.lit(60.0) - F.lit(9000.0)).alias("x"),
+        ((F.col("event_id") % F.lit(199)).cast("double") * F.lit(97.0)
+         - F.lit(9000.0)).alias("y"))
+    src = str(tmp_path / "hex_stream")
+    pts.where("event_id % 2 = 0").write.mode("overwrite").parquet(src)
+    pts.where("event_id % 2 = 1").write.mode("append").parquet(src)
+    schema = ", ".join(f"{n} {t}" for n, t in pts.dtypes)
+
+    q = (stream_hex_bin(spark, src, schema, size=500.0)
+         .writeStream.format("memory").queryName("hex_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["wstart"], r["hq"], r["hr"]): (r["n"], r["sum_value"])
+           for r in spark.sql("select * from hex_stream").collect()}
+
+    cells = with_hex_cell(
+        pts.withColumn("ts", F.col("ts").cast("timestamp")),
+        size=500.0)
+    expect = {(r["wstart"], r["hq"], r["hr"]): (r["n"], r["sum_value"])
+              for r in (cells.groupBy(F.window("ts", "1 hour").alias("w"),
+                                      "hq", "hr")
+                        .agg(F.count("*").cast("bigint").alias("n"),
+                             F.sum(F.col("value").cast("decimal(18,2)"))
+                             .cast("double").alias("sum_value"))
+                        .select(F.date_format("w.start",
+                                              "yyyy-MM-dd HH:mm:ss")
+                                .alias("wstart"), "hq", "hr", "n",
+                                "sum_value")).collect()}
+    assert got == expect and len(got) > 10
