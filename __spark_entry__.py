@@ -2984,6 +2984,28 @@ _WZ_RECTS = [
 ]
 
 
+def _q_zonal_weighted_poly(spark, sf_dir):
+    """General-polygon coverage-fraction zonal stats
+    (stats.zonal_stats_weighted, clipped-trapezoid exact kernel) over
+    triangle + concave + holed AOIs — rows-only entry: the rect
+    variant is the hash-hard oracled pin of the weighted monoid; this
+    kernel's sloped-edge integrals divide by slopes, so it is pinned
+    by pytest (supersample convergence, exact rect agreement, hole
+    subtraction) instead."""
+    import pandas as _pd
+    images = spark.createDataFrame(synth.lcg_image_table(8))
+    aois = _pd.DataFrame([
+        {"aoi_id": "tri", "ring_offsets": [0],
+         "xs": [-990.0, -890.0, -950.0], "ys": [850.0, 860.0, 995.0]},
+        {"aoi_id": "ring", "ring_offsets": [0, 4],
+         "xs": [-990.0, -950.0, -950.0, -990.0,
+                -978.0, -962.0, -962.0, -978.0],
+         "ys": [950.0, 950.0, 990.0, 990.0,
+                962.0, 962.0, 978.0, 978.0]},
+    ])
+    return stats.zonal_stats_weighted(images, aois)
+
+
 def _q_zonal_rect_weighted(spark, sf_dir):
     """Area-weighted zonal statistics (stats.zonal_stats_rect_weighted,
     the exactextract coverage-fraction semantics) over the LCG image
@@ -4113,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_batches_docs": _q_bucket_batches,
         "contour_polylines_synth": _q_contour_polylines,
         "split_passages_docs": _q_split_passages,
+        "zonal_weighted_poly_synth": _q_zonal_weighted_poly,
     }
 
 

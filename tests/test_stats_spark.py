@@ -256,3 +256,106 @@ def test_zonal_rect_weighted_full_cover_equals_unweighted_count(spark):
     r = S.zonal_stats_rect_weighted(imgs, rects).collect()[0]
     assert r["w_count"] == 1024.0
     assert abs(r["mean"] - r["w_sum"] / 1024.0) == 0.0
+
+
+def test_zonal_weighted_polygon_matches_rect_closed_form(spark):
+    """On rectangle AOIs the general clipped-trapezoid kernel must
+    agree exactly with the rect closed form (horizontal edges take the
+    m == 0 path: clamps and products of dyadic values only)."""
+    import pandas as pd
+
+    from rasters_rs_spark.operators import stats as S
+    from rasters_rs_spark.sources import synth
+
+    imgs = spark.createDataFrame(synth.lcg_image_table(4))
+    rects = pd.DataFrame(
+        [("r0", -951.0, 841.0, -875.0, 981.0),
+         ("r1", -999.5, 900.25, -900.5, 999.75)],
+        columns=["aoi_id", "x0", "y0", "x1", "y1"])
+    aois = pd.DataFrame([
+        {"aoi_id": r.aoi_id, "ring_offsets": [0],
+         "xs": [r.x0, r.x1, r.x1, r.x0], "ys": [r.y0, r.y0, r.y1, r.y1]}
+        for r in rects.itertuples(index=False)])
+    a = {r["aoi_id"]: r for r in
+         S.zonal_stats_rect_weighted(imgs, rects).collect()}
+    b = {r["aoi_id"]: r for r in
+         S.zonal_stats_weighted(imgs, aois).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        for c in ("w_count", "min", "max", "w_sum", "w_sum_2", "mean"):
+            assert a[k][c] == b[k][c], (k, c, a[k][c], b[k][c])
+
+
+def test_zonal_weighted_polygon_vs_supersample(spark):
+    """Triangle + concave AOIs: exact kernel vs 60x60 supersampled
+    coverage, aggregate within sampling tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.operators import stats as S
+    from rasters_rs_spark.sources import synth
+
+    pdf = synth.lcg_image_table(4)
+    imgs = spark.createDataFrame(pdf)
+    shapes = [
+        ("tri", [0], [-990.0, -890.0, -950.0], [850.0, 860.0, 995.0]),
+        ("concave", [0], [-1000.0, -900.0, -900.0, -950.0, -1000.0],
+         [900.0, 900.0, 1000.0, 933.0, 1000.0]),
+    ]
+    aois = pd.DataFrame([{"aoi_id": a, "ring_offsets": ro,
+                          "xs": xs, "ys": ys}
+                         for (a, ro, xs, ys) in shapes])
+    got = {r["aoi_id"]: r for r in
+           S.zonal_stats_weighted(imgs, aois).collect()}
+    n = 60
+    for (aid, ro, xs, ys) in shapes:
+        xs, ys = np.array(xs), np.array(ys)
+        w_count = w_sum = 0.0
+        for m in range(4):
+            block = codecs.decode_block(pdf.bytes[m], 32, 32, "raw")
+            gx, gy = pdf["gt"][m][0], pdf["gt"][m][3]
+            for i in range(32):
+                for j in range(32):
+                    px0, py1 = gx + 2 * j, gy - 2 * i
+                    sx = px0 + (np.arange(n) + 0.5) * 2.0 / n
+                    sy = py1 - (np.arange(n) + 0.5) * 2.0 / n
+                    X, Y = np.meshgrid(sx, sy)
+                    inside = np.zeros(X.shape, bool)
+                    k = len(xs)
+                    for e in range(k):
+                        x1, y1 = xs[e], ys[e]
+                        x2, y2 = xs[(e + 1) % k], ys[(e + 1) % k]
+                        cond = (y1 > Y) != (y2 > Y)
+                        with np.errstate(divide="ignore",
+                                         invalid="ignore"):
+                            t = (Y - y1) / (y2 - y1)
+                        inside ^= cond & (X < x1 + (x2 - x1) * t)
+                    frac = inside.mean()
+                    if frac > 0:
+                        w_count += frac
+                        w_sum += frac * block[i, j]
+        r = got[aid]
+        assert abs(r["w_count"] - w_count) < 0.05, aid
+        assert abs(r["w_sum"] - w_sum) < 0.05, aid
+
+
+def test_zonal_weighted_polygon_hole_subtracts(spark):
+    """Square with a square hole: weighted count equals outer area
+    minus hole area (in pixels) when fully inside one image."""
+    import pandas as pd
+
+    from rasters_rs_spark.operators import stats as S
+    from rasters_rs_spark.sources import synth
+
+    imgs = spark.createDataFrame(synth.lcg_image_table(1))
+    # image 0 spans x [-1000,-936], y [936,1000]; outer 40x40 units
+    # = 400 pixels (pixel area 4), hole 16x16 units = 64 pixels
+    aois = pd.DataFrame([{
+        "aoi_id": "ring", "ring_offsets": [0, 4],
+        "xs": [-990.0, -950.0, -950.0, -990.0,
+               -978.0, -962.0, -962.0, -978.0],
+        "ys": [950.0, 950.0, 990.0, 990.0,
+               962.0, 962.0, 978.0, 978.0]}])
+    r = S.zonal_stats_weighted(imgs, aois).collect()[0]
+    assert abs(r["w_count"] - (400.0 - 64.0)) < 1e-9
