@@ -375,6 +375,21 @@ def main():
           lambda: chunked.chunked_zonal_stats_dist(
               chunks_z, aoi_cat2, zoom=12).count())
     chunks_z.unpersist()
+    # area-weighted (coverage-fraction) zonal over the same 8192-image
+    # corpus: 64 polygon AOIs (triangles jittered across the extent),
+    # clipped-trapezoid exact kernel — one Arrow pass + one merge
+    # shuffle, same plan as center-rule zonal
+    wz_aois = pd.DataFrame([
+        {"aoi_id": f"wz{k}", "ring_offsets": [0],
+         "xs": [-1900.0 + (k % 8) * 450.0,
+                -1700.0 + (k % 8) * 450.0,
+                -1830.0 + (k % 8) * 450.0],
+         "ys": [-1900.0 + (k // 8) * 450.0,
+                -1880.0 + (k // 8) * 450.0,
+                -1650.0 + (k // 8) * 450.0]}
+        for k in range(64)])
+    timed("zonal_weighted_8192img_64poly",
+          lambda: stats.zonal_stats_weighted(imgs_z, wz_aois).count())
     imgs_z.unpersist()
 
     # --- distributed triangulation fill at 10x (round-5: the scattered
@@ -546,6 +561,7 @@ both volumes).
 |---|---|---|---|---|
 | zonal_stats_dist | 8192 64px images x 512-AOI catalog | {results['zonal_dist_8192img_512aoi']['rows']} | {results['zonal_dist_8192img_512aoi']['sec']} | {results['zonal_dist_8192img_512aoi']['runs_sec']} |
 | chunked_zonal_stats_dist | same volume, strip chunks | {results['zonal_chunked_dist_8192img_512aoi']['rows']} | {results['zonal_chunked_dist_8192img_512aoi']['sec']} | {results['zonal_chunked_dist_8192img_512aoi']['runs_sec']} |
+| zonal_stats_weighted (coverage fractions, clipped-trapezoid) | 8192 images x 64 polygon AOIs | {results['zonal_weighted_8192img_64poly']['rows']} | {results['zonal_weighted_8192img_64poly']['sec']} | {results['zonal_weighted_8192img_64poly']['runs_sec']} |
 | fill_barycentric_distributed | 256 64px images, ~259k points, cell-bucketed Delaunay | {results['fill_barycentric_dist_256img_259kpts']['rows']} filled | {results['fill_barycentric_dist_256img_259kpts']['sec']} | {results['fill_barycentric_dist_256img_259kpts']['runs_sec']} |
 | fill_sibson_distributed (vectorized cavity solve) | same volume | {results['fill_sibson_dist_256img_259kpts']['rows']} filled | {results['fill_sibson_dist_256img_259kpts']['sec']} | {results['fill_sibson_dist_256img_259kpts']['runs_sec']} |
 | fill_sibson_distributed c1=True (gradient blend) | same volume | {results['fill_sibson_c1_dist_256img_259kpts']['rows']} filled | {results['fill_sibson_c1_dist_256img_259kpts']['sec']} | {results['fill_sibson_c1_dist_256img_259kpts']['runs_sec']} |
