@@ -26,6 +26,19 @@ def test_queries_and_oracles_consistent():
     assert len(oracles) >= 10
 
 
+def test_driver_gate_window_is_fully_oracled():
+    """The driver's correctness gate covers the FIRST 50 queries()
+    keys; a rows-only entry (no oracle_sql) inside that window scores
+    as an error against the gate (round-6 lesson: two no_oracle rows
+    cost gate slots). Guard the composition: every in-window key must
+    carry a hash-hard oracle, and rows-only entries must sit below
+    the cap."""
+    qs = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    missing = [k for k in qs[:50] if k not in oracles]
+    assert not missing, f"rows-only entries inside the gate window: {missing}"
+
+
 @pytest.mark.parametrize("name", ["pixel_stats", "histogram_quantity",
                                   "zonal_rect_events", "lang_id_markers"])
 def test_query_matches_duckdb(spark, name, sf_dir):

@@ -237,3 +237,29 @@ def test_split_passages_validates_params(spark):
         T.split_passages(docs, window=0)
     with _pt.raises(ValueError):
         T.split_passages(docs, stride=0)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_row_local_operators_have_no_exchange(spark):
+    """Gopher, C4 and passage splitting are per-row map/generate
+    stages — any Exchange in their plans would be a scale bug."""
+    docs = spark.createDataFrame([(0, "a b c.")], ["doc_id", "text"])
+    for df in (T.gopher_quality_filter(docs), T.c4_clean(docs),
+               T.split_passages(docs, window=4, stride=2)):
+        p = _plan(df)
+        assert "Exchange" not in p, p
+
+
+def test_unimax_plan_one_corpus_aggregation(spark):
+    """unimax_sample touches the corpus twice (the per-source count
+    aggregation and the final broadcast-rate projection) and the rate
+    table comes back via broadcast — never a corpus-keyed sort-merge
+    join."""
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], ["doc_id", "source"])
+    p = _plan(T.unimax_sample(docs, budget=20))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

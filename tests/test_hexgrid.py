@@ -194,3 +194,16 @@ def test_hex_polyfill_partition_property(spark):
     a = {(r["hq"], r["hr"]) for r in rows if r["aoi_id"] == "a"}
     b = {(r["hq"], r["hr"]) for r in rows if r["aoi_id"] == "b"}
     assert a and b and not (a & b)
+
+
+def test_hex_polyfill_plan_no_shuffle_no_udf(spark):
+    """Polyfill is a generator + filter stage over the AOI table: no
+    Exchange, no python workers (pure Catalyst higher-order exprs)."""
+    aois = spark.createDataFrame(
+        [("a", [0.0, 100.0, 50.0], [0.0, 0.0, 90.0])],
+        ["aoi_id", "xs", "ys"])
+    from rasters_rs_spark.functions import hexgrid as H
+    plan = H.hex_polyfill(aois, size=30.0)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan

@@ -86,6 +86,15 @@ def main():
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # sections other tools append after the reference-comparison block
+    # (e.g. the bucket-skew evidence) must survive a regeneration —
+    # round 7 lost them once to this overwrite
+    keep = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        marker = "\n## Categorical-bucket skew"
+        if marker in old:
+            keep = old[old.index(marker):]
     with open(path, "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers (this repo)
 
@@ -145,6 +154,8 @@ The reference (AspecScire/rasters.rs) publishes no benchmark numbers
 (verified in BASELINE.md); the throughput above is the self-defined
 baseline required by BASELINE.json.
 """)
+        if keep:
+            f.write("\n" + keep.lstrip("\n"))
     print(json.dumps({"eff_2_8": eff_2_8, "eff_8_32": eff_8_32,
                       "r2": r2, "r8": r8, "r32": r32, "out": path}))
 
