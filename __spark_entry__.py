@@ -3205,6 +3205,18 @@ def _q_contour_polylines(spark, sf_dir):
     return VE.contour_polylines(imgs, level=0.5)
 
 
+def _q_polygonize_boundaries(spark, sf_dir):
+    """Vector polygonize (vectorize.polygonize_boundaries): region
+    boundary RINGS as coordinate arrays (outer + holes, canonical
+    start/orientation) — rows-only entry; geometry pinned by the
+    exact shoelace identity (outer - holes == n_pixels, ring length
+    == perimeter) and golden square/hole tests; the region SET is
+    pinned hash-hard by polygonize_regions_synth."""
+    from rasters_rs_spark.operators import vectorize as VE
+    imgs = spark.createDataFrame(synth.blocky_lcg_image_table(2, 32, 32))
+    return VE.polygonize_boundaries(imgs)
+
+
 def _q_contour(spark, sf_dir):
     """Marching-squares cell table (vectorize.contour_cases) at level
     0.5 over one radial field (smooth — every non-saddle case) and one
@@ -4136,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_polylines_synth": _q_contour_polylines,
         "split_passages_docs": _q_split_passages,
         "zonal_weighted_poly_synth": _q_zonal_weighted_poly,
+        "polygonize_boundaries_synth": _q_polygonize_boundaries,
     }
 
 

@@ -226,3 +226,64 @@ def pd_concat_images():
     return _pd.concat([synth.radial_image_table(1, 32, 32),
                        synth.lcg_image_table(2, 32, 32)],
                       ignore_index=True)
+
+
+def _shoelace2(xs, ys):
+    n = len(xs)
+    return sum(xs[k] * ys[(k + 1) % n] - xs[(k + 1) % n] * ys[k]
+               for k in range(n))
+
+
+def test_polygonize_boundaries_shoelace_identity(spark):
+    """For every region: exactly one outer ring, and outer shoelace
+    area minus hole areas equals the pixel count EXACTLY (integers on
+    the corner lattice) — and matches polygonize's n_pixels and the
+    ring count is consistent with perimeter (sum of ring lengths in
+    unit edges == perimeter)."""
+    imgs = spark.createDataFrame(synth.blocky_lcg_image_table(2, 32, 32))
+    regions = {(r["image_id"], r["region_label"]): r
+               for r in V.polygonize(imgs).collect()}
+    rings = V.polygonize_boundaries(imgs).collect()
+    byreg = {}
+    for r in rings:
+        byreg.setdefault((r["image_id"], r["region_label"]),
+                         []).append(r)
+    assert set(byreg) == set(regions)
+    for key, rs in byreg.items():
+        outers = [r for r in rs if not r["is_hole"]]
+        assert len(outers) == 1, key
+        net = 0.0
+        perim = 0
+        for r in rs:
+            a = abs(_shoelace2(r["xs"], r["ys"])) / 2.0
+            net += -a if r["is_hole"] else a
+            # ring length in unit edges = sum of |dx|+|dy| between
+            # consecutive corner points (all segments axis-aligned)
+            n = len(r["xs"])
+            perim += int(sum(abs(r["xs"][(k + 1) % n] - r["xs"][k])
+                             + abs(r["ys"][(k + 1) % n] - r["ys"][k])
+                             for k in range(n)))
+        assert net == regions[key]["n_pixels"], key
+        assert perim == regions[key]["perimeter"], key
+
+
+def test_polygonize_boundaries_square_golden(spark):
+    import pandas as _pd
+    from rasters_rs_spark.functions import codecs as C
+    block = np.zeros((8, 8))
+    block[2:5, 3:6] = 0.9          # class 3 square on class 0 field
+    imgs = spark.createDataFrame(_pd.DataFrame([{
+        "image_id": "sq", "bytes": C.encode_block(block, "raw"),
+        "w": np.int32(8), "h": np.int32(8), "fmt": "raw",
+        "gt": [0.0, 1.0, 0.0, 0.0, 0.0, -1.0], "crs": "",
+        "no_val": float("nan")}]))
+    rows = V.polygonize_boundaries(imgs).collect()
+    sq = [r for r in rows if r["cls"] == 3]
+    assert len(sq) == 1 and not sq[0]["is_hole"]
+    assert list(zip(sq[0]["xs"], sq[0]["ys"])) == [
+        (3.0, 2.0), (6.0, 2.0), (6.0, 5.0), (3.0, 5.0)]
+    # the background region has exactly one hole: the square
+    bg = [r for r in rows if r["cls"] == 0]
+    assert sorted(r["is_hole"] for r in bg) == [False, True]
+    hole = [r for r in bg if r["is_hole"]][0]
+    assert abs(_shoelace2(hole["xs"], hole["ys"])) / 2.0 == 9.0
