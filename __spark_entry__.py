@@ -3006,6 +3006,50 @@ def _q_zonal_weighted_poly(spark, sf_dir):
     return stats.zonal_stats_weighted(images, aois)
 
 
+def _q_zonal_majority(spark, sf_dir):
+    """Majority-class zonal stats (stats.zonal_majority, the
+    land-cover mode rule) over LCG images x the rect AOI set:
+    center-in-rect counts per (zone, class), argmax with
+    smallest-class tie-break — all integers, hash-hard."""
+    import pandas as _pd
+    images = spark.createDataFrame(synth.lcg_image_table(32))
+    return stats.zonal_majority(images, _lcg_rect_aois(), n_classes=4)
+
+
+def _zonal_majority_sql() -> str:
+    v = _LCG_SQL("m*1024 + i*32 + j")
+    rects = ", ".join(f"('{a}', {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+                      for (a, x0, y0, x1, y1) in _LCG_RECTS)
+    return f"""
+        WITH px AS (
+          SELECT m.m, ij.idx // 32 AS i, ij.idx % 32 AS j
+          FROM (SELECT unnest(generate_series(0, 31)) AS m) m,
+               (SELECT unnest(generate_series(0, 1023)) AS idx) ij),
+        pts AS (
+          SELECT m, LEAST(GREATEST(CAST(FLOOR(({v}) * 4) AS INT), 0),
+                          3) AS cls,
+                 (-1000.0 + (m % 8) * 120.0) + (j + 0.5) * 2.0 AS wx,
+                 (1000.0 - (m // 8) * 120.0) - (i + 0.5) * 2.0 AS wy
+          FROM px),
+        aoi(aoi_id, x0, y0, x1, y1) AS (VALUES {rects}),
+        cnt AS (
+          SELECT aoi_id, cls, CAST(count(*) AS BIGINT) AS n
+          FROM pts JOIN aoi
+            ON wx > x0 AND wx < x1 AND wy > y0 AND wy < y1
+          GROUP BY aoi_id, cls),
+        rk AS (
+          SELECT aoi_id, cls, n,
+                 ROW_NUMBER() OVER (PARTITION BY aoi_id
+                                    ORDER BY n DESC, cls ASC) AS r,
+                 CAST(SUM(n) OVER (PARTITION BY aoi_id) AS BIGINT)
+                   AS n_total
+          FROM cnt)
+        SELECT aoi_id, CAST(cls AS INT) AS majority_cls,
+               n AS n_majority, n_total
+        FROM rk WHERE r = 1
+    """
+
+
 def _q_zonal_rect_weighted(spark, sf_dir):
     """Area-weighted zonal statistics (stats.zonal_stats_rect_weighted,
     the exactextract coverage-fraction semantics) over the LCG image
@@ -4149,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_passages_docs": _q_split_passages,
         "zonal_weighted_poly_synth": _q_zonal_weighted_poly,
         "polygonize_boundaries_synth": _q_polygonize_boundaries,
+        "zonal_majority_synth": _q_zonal_majority,
     }
 
 
@@ -5153,6 +5198,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "lcg_image_stats": _lcg_stats_sql(),
         "lcg_zonal_rects": _lcg_zonal_sql(),
         "zonal_rect_weighted_synth": _zonal_rect_weighted_sql(),
+        "zonal_majority_synth": _zonal_majority_sql(),
         "hex_polyfill_synth": _hex_polyfill_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),
         "lcg_diff_chunked_both": _lcg_diff_sql(),

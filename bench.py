@@ -131,7 +131,7 @@ def main():
         "gopher_rules_docs", "c4_clean_docs", "unimax_docs",
         "polygonize_regions_synth", "contour_cases_synth",
         "zonal_rect_weighted_synth", "hex_polyfill_synth",
-        "split_passages_docs",
+        "split_passages_docs", "zonal_majority_synth",
     ]
     # best-of-N per query: the shared VM's noisy-neighbor spikes can
     # inflate a single shot 5-10x (measured), and the FIRST run also

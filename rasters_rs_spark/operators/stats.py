@@ -512,3 +512,73 @@ def zonal_stats_weighted(images: DataFrame, aois: pd.DataFrame) -> DataFrame:
         F.sum("w_sum").alias("w_sum"),
         F.sum("w_sum_2").alias("w_sum_2"))
     return agg.withColumn("mean", F.col("w_sum") / F.col("w_count"))
+
+
+def zonal_majority(images: DataFrame, aois: pd.DataFrame,
+                   n_classes: int = 4) -> DataFrame:
+    """Majority (mode) class per zone — the land-cover zonal rule:
+    quantize pixel values to classes, count pixels per (zone, class)
+    with the same center-in-polygon semantics as zonal_stats, and
+    pick each zone's most frequent class (ties break to the smallest
+    class id — deterministic, oracle-mirrorable). Returns
+    (aoi_id, majority_cls, n_majority, n_total); all integers —
+    hash-hard by construction.
+
+    Plan: the same broadcast-AOI Arrow partial stage as zonal_stats
+    emitting (aoi, cls, count) rows (bounded by zones x classes, not
+    pixels), one merge groupBy, then a window over the per-zone class
+    table (tiny) for the argmax."""
+    from pyspark.sql import Window
+    from ..operators.vectorize import quantize_classes
+
+    aoi_rows = _packed_aoi_rows(aois)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["image_id", "aoi_id", "cls", "count"]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                block = codecs.decode_block(row.bytes, row.h, row.w,
+                                            row.fmt)
+                t = geom.transform_from_gdal(row.gt)
+                valid = ~np.isnan(block)
+                if not np.isnan(row.no_val):
+                    valid &= block != row.no_val
+                if not valid.any():
+                    continue
+                ii, jj = np.nonzero(valid)
+                vals = block[ii, jj]
+                cls = quantize_classes(vals, n_classes)
+                wx, wy = geom.transform_points(t, jj + 0.5, ii + 0.5)
+                for (aoi_id, ro, xs, ys, box) in aoi_rows:
+                    cand = ((wx >= box[0]) & (wx <= box[2])
+                            & (wy >= box[1]) & (wy <= box[3]))
+                    if not cand.any():
+                        continue
+                    ci = np.nonzero(cand)[0]
+                    inside = ci[geom.points_in_rings(
+                        wx[ci], wy[ci], ro, xs, ys)]
+                    if len(inside) == 0:
+                        continue
+                    counts = np.bincount(cls[inside],
+                                         minlength=n_classes)
+                    for c in np.nonzero(counts)[0]:
+                        out.append((row.image_id, aoi_id, int(c),
+                                    int(counts[c])))
+            yield pd.DataFrame(out, columns=cols)
+
+    partials = images.mapInPandas(
+        gen, schema=("image_id string, aoi_id string, cls int, "
+                     "count long"))
+    per_cls = partials.groupBy("aoi_id", "cls") \
+                      .agg(F.sum("count").alias("n"))
+    w = Window.partitionBy("aoi_id").orderBy(F.col("n").desc(),
+                                             F.col("cls").asc())
+    tot = Window.partitionBy("aoi_id")
+    return (per_cls
+            .withColumn("rk", F.row_number().over(w))
+            .withColumn("n_total", F.sum("n").over(tot).cast("long"))
+            .where(F.col("rk") == 1)
+            .select("aoi_id", F.col("cls").alias("majority_cls"),
+                    F.col("n").cast("long").alias("n_majority"),
+                    "n_total"))

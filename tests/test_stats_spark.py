@@ -359,3 +359,70 @@ def test_zonal_weighted_polygon_hole_subtracts(spark):
                962.0, 962.0, 978.0, 978.0]}])
     r = S.zonal_stats_weighted(imgs, aois).collect()[0]
     assert abs(r["w_count"] - (400.0 - 64.0)) < 1e-9
+
+
+def test_zonal_majority_matches_brute_force(spark):
+    """Majority class per zone equals a per-pixel python recount with
+    the same PIP rule; ties break to the smallest class."""
+    import numpy as np
+    import pandas as pd
+
+    from rasters_rs_spark.functions import codecs, geom
+    from rasters_rs_spark.operators import stats as S
+    from rasters_rs_spark.operators.vectorize import quantize_classes
+    from rasters_rs_spark.sources import synth
+
+    pdf = synth.lcg_image_table(8)
+    imgs = spark.createDataFrame(pdf)
+    aois = pd.DataFrame([
+        {"aoi_id": "a", "ring_offsets": [0],
+         "xs": [-990.0, -890.0, -890.0, -990.0],
+         "ys": [850.0, 850.0, 995.0, 995.0]},
+        {"aoi_id": "b", "ring_offsets": [0],
+         "xs": [-1000.0, -700.0, -850.0], "ys": [840.0, 840.0, 1000.0]},
+    ])
+    got = {r["aoi_id"]: r for r in
+           S.zonal_majority(imgs, aois, n_classes=4).collect()}
+    for _, aoi in aois.iterrows():
+        ro = np.array(aoi["ring_offsets"])
+        xs, ys = np.array(aoi["xs"]), np.array(aoi["ys"])
+        counts = np.zeros(4, dtype=int)
+        for m in range(8):
+            block = codecs.decode_block(pdf.bytes[m], 32, 32, "raw")
+            t = geom.transform_from_gdal(pdf["gt"][m])
+            ii, jj = np.meshgrid(range(32), range(32), indexing="ij")
+            wx, wy = geom.transform_points(t, jj.ravel() + 0.5,
+                                           ii.ravel() + 0.5)
+            inside = geom.points_in_rings(wx, wy, ro, xs, ys)
+            cls = quantize_classes(block.ravel()[inside], 4)
+            counts += np.bincount(cls, minlength=4)
+        if counts.sum() == 0:
+            assert aoi["aoi_id"] not in got
+            continue
+        best = int(np.flatnonzero(counts == counts.max())[0])
+        r = got[aoi["aoi_id"]]
+        assert r["majority_cls"] == best
+        assert r["n_majority"] == counts.max()
+        assert r["n_total"] == counts.sum()
+
+
+def test_zonal_majority_tie_breaks_to_smallest_class(spark):
+    import pandas as pd
+
+    from rasters_rs_spark.functions import codecs
+    from rasters_rs_spark.operators import stats as S
+    import numpy as np
+
+    block = np.zeros((4, 4))
+    block[:, 2:] = 0.9              # half class 0, half class 3
+    imgs = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "t", "bytes": codecs.encode_block(block, "raw"),
+        "w": np.int32(4), "h": np.int32(4), "fmt": "raw",
+        "gt": [0.0, 1.0, 0.0, 4.0, 0.0, -1.0], "crs": "",
+        "no_val": float("nan")}]))
+    aois = pd.DataFrame([{"aoi_id": "all", "ring_offsets": [0],
+                          "xs": [-1.0, 5.0, 5.0, -1.0],
+                          "ys": [-1.0, -1.0, 5.0, 5.0]}])
+    r = S.zonal_majority(imgs, aois, n_classes=4).collect()[0]
+    assert r["majority_cls"] == 0 and r["n_majority"] == 8 \
+        and r["n_total"] == 16
