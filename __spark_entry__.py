@@ -3006,6 +3006,46 @@ def _q_zonal_weighted_poly(spark, sf_dir):
     return stats.zonal_stats_weighted(images, aois)
 
 
+def _q_point_tile_pyramid(spark, sf_dir):
+    """Point-density tile pyramid (celljoin.point_tile_pyramid): event
+    points aggregated at zoom 16, parents by integer right-shift down
+    to zoom 12 — one corpus shuffle, rollup on the tile table only.
+    Keys integer; value/centroid sums exact decimals cast to double —
+    hash-hard, and every parent equals the sum of its children."""
+    pts = _event_points(spark, sf_dir)
+    return celljoin.point_tile_pyramid(pts, zoom_max=16, zoom_min=12)
+
+
+def _point_tile_pyramid_sql() -> str:
+    from rasters_rs_spark.functions.mercator import MAX_COORD
+    m = _dbl17(MAX_COORD)
+    ts = _dbl17(2.0 * MAX_COORD / float(1 << 16))
+    return f"""
+        WITH p AS (
+          SELECT (value * 60.0 - 9000.0) AS x,
+                 (CAST(event_id % 199 AS DOUBLE) * 97.0 - 9000.0) AS y,
+                 value
+          FROM events),
+        base AS (
+          SELECT CAST(FLOOR((x + {m}) / {ts}) AS BIGINT) AS tx,
+                 CAST(FLOOR((y + {m}) / {ts}) AS BIGINT) AS ty,
+                 CAST(count(*) AS BIGINT) AS n,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+                 SUM(CAST(x AS DECIMAL(24,6))) AS sx,
+                 SUM(CAST(y AS DECIMAL(24,6))) AS sy
+          FROM p GROUP BY 1, 2),
+        lv AS (SELECT *, unnest(range(12, 17)) AS zoom FROM base)
+        SELECT CAST(zoom AS INT) AS zoom,
+               tx >> (16 - CAST(zoom AS INT)) AS tx,
+               ty >> (16 - CAST(zoom AS INT)) AS ty,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(sv) AS DOUBLE) AS sum_value,
+               CAST(SUM(sx) AS DOUBLE) AS sum_x,
+               CAST(SUM(sy) AS DOUBLE) AS sum_y
+        FROM lv GROUP BY 1, 2, 3
+    """
+
+
 def _q_zonal_majority(spark, sf_dir):
     """Majority-class zonal stats (stats.zonal_majority, the
     land-cover mode rule) over LCG images x the rect AOI set:
@@ -4194,6 +4234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_weighted_poly_synth": _q_zonal_weighted_poly,
         "polygonize_boundaries_synth": _q_polygonize_boundaries,
         "zonal_majority_synth": _q_zonal_majority,
+        "point_tile_pyramid_events": _q_point_tile_pyramid,
     }
 
 
@@ -5199,6 +5240,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "lcg_zonal_rects": _lcg_zonal_sql(),
         "zonal_rect_weighted_synth": _zonal_rect_weighted_sql(),
         "zonal_majority_synth": _zonal_majority_sql(),
+        "point_tile_pyramid_events": _point_tile_pyramid_sql(),
         "hex_polyfill_synth": _hex_polyfill_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),
         "lcg_diff_chunked_both": _lcg_diff_sql(),

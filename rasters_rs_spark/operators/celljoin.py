@@ -653,3 +653,55 @@ def _refine_cogroup(pts: DataFrame, cells: DataFrame,
     return cand.groupBy("part", "_gsalt").cogroup(
         aoi_parts.groupBy("_apart", "_asalt")) \
         .applyInPandas(lambda key, a, b: kernel(a, b), schema=out_schema)
+
+
+def point_tile_pyramid(points: DataFrame, zoom_max: int = 12,
+                       zoom_min: int = 8, x_col: str = "x",
+                       y_col: str = "y",
+                       value_col: str = "value") -> DataFrame:
+    """Point-density tile pyramid (the supercluster/heat-map serving
+    shape): aggregate points onto web-mercator tiles at ``zoom_max``,
+    then roll the per-tile partials up every level to ``zoom_min`` —
+    each parent tile is the coordinate right-shift of its children,
+    so the rollup is a pure integer regroup. Returns one row per
+    (zoom, tx, ty): n points, exact decimal value sum, and the
+    centroid NUMERATORS (sum_x/sum_y as decimals — emit sums, not
+    means, so every level is an exact monoid fold and parents equal
+    the sum of their children bit-for-bit; a tile server divides at
+    render time).
+
+    Scale shape: ONE corpus-sized shuffle (the zoom_max groupBy with
+    map-side combine); the level explode runs on the AGGREGATED tile
+    table (cells, not points) and its regroup touches
+    n_tiles * n_levels rows. All keys integer, sums decimal-exact —
+    hash-hard."""
+    if zoom_min > zoom_max:
+        raise ValueError("zoom_min must be <= zoom_max")
+    ts = 2.0 * MAX_COORD / float(1 << zoom_max)
+    tx = F.floor((F.col(x_col) + F.lit(MAX_COORD)) / F.lit(ts)) \
+        .cast("long")
+    ty = F.floor((F.col(y_col) + F.lit(MAX_COORD)) / F.lit(ts)) \
+        .cast("long")
+    base = (points
+            .select(tx.alias("tx"), ty.alias("ty"),
+                    F.col(x_col).cast("decimal(24,6)").alias("_x"),
+                    F.col(y_col).cast("decimal(24,6)").alias("_y"),
+                    F.col(value_col).cast("decimal(18,2)").alias("_v"))
+            .groupBy("tx", "ty")
+            .agg(F.count("*").alias("n"), F.sum("_v").alias("sv"),
+                 F.sum("_x").alias("sx"), F.sum("_y").alias("sy")))
+    lv = base.withColumn(
+        "zoom", F.explode(F.sequence(F.lit(zoom_min), F.lit(zoom_max))))
+    # per-row shift amount: shiftrightunsigned() in PySpark only takes
+    # a literal bit count, so go through the SQL expression (parent
+    # tile = child coords >> (zoom_max - zoom), exact integers)
+    return (lv.groupBy("zoom",
+                       F.expr(f"shiftrightunsigned(tx, {zoom_max} - zoom)")
+                       .alias("tx"),
+                       F.expr(f"shiftrightunsigned(ty, {zoom_max} - zoom)")
+                       .alias("ty"))
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.sum("sv").cast("double").alias("sum_value"),
+                 F.sum("sx").cast("double").alias("sum_x"),
+                 F.sum("sy").cast("double").alias("sum_y"))
+            .withColumn("zoom", F.col("zoom").cast("int")))

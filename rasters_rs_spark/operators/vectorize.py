@@ -509,10 +509,14 @@ def assemble_polylines_block(v: np.ndarray, level: float):
     return out
 
 
-def contour_polylines(images: DataFrame, level: float = 0.5) -> DataFrame:
+def contour_polylines(images: DataFrame, level: float = 0.5,
+                      world: bool = False) -> DataFrame:
     """Assembled marching-squares contour polylines, one row per chain:
     (image_id, line_id, closed, n_points, xs, ys) in pixel
-    coordinates. One mapInPandas over image rows, zero shuffles —
+    coordinates, or in world coordinates through each image's
+    geo-transform when ``world=True`` (pixel-CENTER convention: grid
+    vertex (x, y) sits at pixel center (j, i), matching the engine's
+    +0.5 center rule — gdal_contour's convention). One mapInPandas over image rows, zero shuffles —
     assembly is row-local per image (chains never cross image
     boundaries; for chunked rasters, assemble per strip and join
     chains at strip borders via the shared t values, the same
@@ -530,6 +534,12 @@ def contour_polylines(images: DataFrame, level: float = 0.5) -> DataFrame:
                 chains = assemble_polylines_block(v, level)
                 if not chains:
                     continue
+                if world:
+                    gx, a = float(row.gt[0]), float(row.gt[1])
+                    gy, e = float(row.gt[3]), float(row.gt[5])
+                    for c in chains:
+                        c["xs"] = [gx + (x + 0.5) * a for x in c["xs"]]
+                        c["ys"] = [gy + (y + 0.5) * e for y in c["ys"]]
                 yield pd.DataFrame({
                     "image_id": row.image_id,
                     "line_id": np.arange(len(chains), dtype=np.int64),

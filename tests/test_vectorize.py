@@ -287,3 +287,15 @@ def test_polygonize_boundaries_square_golden(spark):
     assert sorted(r["is_hole"] for r in bg) == [False, True]
     hole = [r for r in bg if r["is_hole"]][0]
     assert abs(_shoelace2(hole["xs"], hole["ys"])) / 2.0 == 9.0
+
+
+def test_polylines_world_coordinates(spark):
+    """world=True maps pixel-space vertices through the geo-transform
+    with the +0.5 pixel-center rule."""
+    pdf = synth.radial_image_table(1, 32, 32)
+    imgs = spark.createDataFrame(pdf)
+    pix = V.contour_polylines(imgs, level=0.25).collect()[0]
+    wld = V.contour_polylines(imgs, level=0.25, world=True).collect()[0]
+    gx, a, _, gy, _, e = pdf["gt"][0]
+    assert wld["xs"] == [gx + (x + 0.5) * a for x in pix["xs"]]
+    assert wld["ys"] == [gy + (y + 0.5) * e for y in pix["ys"]]
