@@ -279,9 +279,6 @@ def test_point_tile_pyramid_parents_equal_children(spark):
     for r in out:
         byz.setdefault(r["zoom"], {})[(r["tx"], r["ty"])] = r
     assert set(byz) == set(range(10, 15))
-    for z in range(11, 15):
-        for (tx, ty), r in byz[z].items():
-            pass
     for z in range(10, 14):
         for (tx, ty), parent in byz[z].items():
             kids = [r for (kx, ky), r in byz[z + 1].items()
