@@ -251,6 +251,39 @@ def cmd_contour(args):
                                          else "cells")}))
 
 
+def cmd_quality(args):
+    from pyspark.sql import functions as F
+    from .operators import text as T
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.ruleset == "gopher":
+        out = T.gopher_quality_filter(docs, min_words=args.min_words,
+                                      id_col=args.id_col,
+                                      text_col=args.text_col)
+    else:
+        out = T.c4_clean(docs, id_col=args.id_col,
+                         text_col=args.text_col)
+    if args.keep_only:
+        out = out.where(F.col("keep"))
+    out.write.mode("overwrite").parquet(args.output)
+    n_all = docs.count()
+    n_keep = spark.read.parquet(args.output)         .where(F.col("keep")).count() if not args.keep_only         else spark.read.parquet(args.output).count()
+    print(json.dumps({"written": args.output, "ruleset": args.ruleset,
+                      "input_docs": n_all, "kept": n_keep}))
+
+
+def cmd_passages(args):
+    from .operators import text as T
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    out = T.split_passages(docs, window=args.window, stride=args.stride,
+                           id_col=args.id_col, text_col=args.text_col)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"written": args.output, "passages": n,
+                      "window": args.window, "stride": args.stride}))
+
+
 def cmd_dedup(args):
     from .operators import dedup as D
     spark = _spark(args)
@@ -555,6 +588,29 @@ def build_parser():
     co.add_argument("--lines", action="store_true",
                     help="assemble polylines instead of the cell table")
     co.set_defaults(fn=cmd_contour)
+
+    ql = sub.add_parser("quality", help="document quality gates "
+                                        "(Gopher rules / C4 cleaning)")
+    ql.add_argument("input")
+    ql.add_argument("output")
+    ql.add_argument("--ruleset", default="gopher",
+                    choices=["gopher", "c4"])
+    ql.add_argument("--min-words", type=int, default=50)
+    ql.add_argument("--id-col", default="doc_id")
+    ql.add_argument("--text-col", default="text")
+    ql.add_argument("--keep-only", action="store_true",
+                    help="write surviving rows only")
+    ql.set_defaults(fn=cmd_quality)
+
+    pg = sub.add_parser("passages", help="overlapping token-window "
+                                         "passage splitting")
+    pg.add_argument("input")
+    pg.add_argument("output")
+    pg.add_argument("--window", type=int, default=64)
+    pg.add_argument("--stride", type=int, default=48)
+    pg.add_argument("--id-col", default="doc_id")
+    pg.add_argument("--text-col", default="text")
+    pg.set_defaults(fn=cmd_passages)
 
     dd = sub.add_parser("dedup", help="near-duplicate document pairs "
                                       "(MinHash LSH or SimHash)")

@@ -420,3 +420,24 @@ def test_cli_polygonize_and_contour(capsys, tmp_path, spark):
     assert rl["representation"] == "polylines" and rl["rows"] == 1
     row = spark.read.parquet(ldst).collect()[0]
     assert row["closed"] and row["n_points"] > 40
+
+
+def test_cli_quality_and_passages(capsys, tmp_path, spark):
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .write.mode("overwrite").parquet(src)
+
+    g = _run(capsys, ["quality", src, str(tmp_path / "gq"),
+                      "--ruleset", "gopher", "--min-words", "5"])
+    assert g["input_docs"] == 502 or g["input_docs"] == 500
+    assert 0 <= g["kept"] <= g["input_docs"]
+    out = spark.read.parquet(str(tmp_path / "gq"))
+    assert "ok_stop" in out.columns
+
+    c = _run(capsys, ["quality", src, str(tmp_path / "c4"),
+                      "--ruleset", "c4", "--keep-only"])
+    assert c["kept"] == spark.read.parquet(str(tmp_path / "c4")).count()
+
+    p = _run(capsys, ["passages", src, str(tmp_path / "pp"),
+                      "--window", "24", "--stride", "16"])
+    assert p["passages"] >= 500
