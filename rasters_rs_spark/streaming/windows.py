@@ -709,3 +709,89 @@ def stream_hex_bin(spark: SparkSession, source_dir: str, schema: str,
         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                 .alias("wstart"), "hq", "hr", "n", "sum_value")
     )
+
+
+def stream_point_tile_pyramid(spark: SparkSession, source_dir: str,
+                              schema: str, out_dir: str,
+                              zoom_max: int = 14, zoom_min: int = 10,
+                              x_col: str = "x", y_col: str = "y",
+                              value_col: str = "value",
+                              max_files_per_trigger: int | None = None):
+    """Incrementally-maintained point-density tile pyramid: each
+    micro-batch folds into a base-level (zoom_max) tile store —
+    merge = sum the decimal monoids per tile, exactly the batch
+    operator's partials — and the coarser levels re-derive from the
+    merged base by integer shift-regroup (tile-table sized, never
+    points). Because every column is a commutative exact monoid
+    (counts + decimal sums), streamed state == batch over the union
+    of all batches bit-for-bit (tested). Writes the base store to
+    ``out_dir/base`` (overwritten per batch with the merged state)
+    and the full pyramid to ``out_dir/pyramid``. Returns the started
+    query."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from ..functions.mercator import MAX_COORD
+
+    ts = 2.0 * MAX_COORD / float(1 << zoom_max)
+    base_path = f"{out_dir}/base"
+    pyr_path = f"{out_dir}/pyramid"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+
+    def fold_batch(batch_df, epoch_id):
+        tx = SF.floor((SF.col(x_col) + SF.lit(MAX_COORD)) / SF.lit(ts)) \
+            .cast("long")
+        ty = SF.floor((SF.col(y_col) + SF.lit(MAX_COORD)) / SF.lit(ts)) \
+            .cast("long")
+        delta = (batch_df
+                 .select(tx.alias("tx"), ty.alias("ty"),
+                         SF.col(x_col).cast("decimal(24,6)").alias("_x"),
+                         SF.col(y_col).cast("decimal(24,6)").alias("_y"),
+                         SF.col(value_col).cast("decimal(18,2)")
+                         .alias("_v"))
+                 .groupBy("tx", "ty")
+                 .agg(SF.count("*").cast("long").alias("n"),
+                      SF.sum("_v").alias("sv"),
+                      SF.sum("_x").alias("sx"),
+                      SF.sum("_y").alias("sy")))
+        if os.path.exists(base_path):
+            prior = spark.read.parquet(base_path)
+            merged = (prior.unionByName(delta)
+                      .groupBy("tx", "ty")
+                      .agg(SF.sum("n").cast("long").alias("n"),
+                           SF.sum("sv").cast("decimal(28,2)").alias("sv"),
+                           SF.sum("sx").cast("decimal(34,6)").alias("sx"),
+                           SF.sum("sy").cast("decimal(34,6)")
+                           .alias("sy")))
+        else:
+            merged = delta.select(
+                "tx", "ty", "n",
+                SF.col("sv").cast("decimal(28,2)").alias("sv"),
+                SF.col("sx").cast("decimal(34,6)").alias("sx"),
+                SF.col("sy").cast("decimal(34,6)").alias("sy"))
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(base_path)
+        lv = merged.withColumn(
+            "zoom", SF.explode(SF.sequence(SF.lit(zoom_min),
+                                           SF.lit(zoom_max))))
+        pyr = (lv.groupBy(
+                   "zoom",
+                   SF.expr(f"shiftrightunsigned(tx, {zoom_max} - zoom)")
+                   .alias("tx"),
+                   SF.expr(f"shiftrightunsigned(ty, {zoom_max} - zoom)")
+                   .alias("ty"))
+               .agg(SF.sum("n").cast("long").alias("n"),
+                    SF.sum("sv").cast("double").alias("sum_value"),
+                    SF.sum("sx").cast("double").alias("sum_x"),
+                    SF.sum("sy").cast("double").alias("sum_y"))
+               .withColumn("zoom", SF.col("zoom").cast("int")))
+        pyr.write.mode("overwrite").parquet(pyr_path)
+
+    return (stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .trigger(availableNow=True).start())

@@ -639,3 +639,33 @@ def test_stream_hex_bin_equals_batch(spark, sf_dir, tmp_path):
                                 .alias("wstart"), "hq", "hr", "n",
                                 "sum_value")).collect()}
     assert got == expect and len(got) > 10
+
+
+def test_stream_point_tile_pyramid_equals_batch(spark, tmp_path):
+    """Incremental pyramid fold over two micro-batches == the batch
+    point_tile_pyramid over the union, exactly (decimal monoids)."""
+    from rasters_rs_spark.operators.celljoin import point_tile_pyramid
+    from rasters_rs_spark.streaming.windows import (
+        stream_point_tile_pyramid)
+
+    pts = spark.range(4000).selectExpr(
+        "id",
+        "cast(id as double) * 37.5 - 90000.0 as x",
+        "cast(id % 997 as double) * 311.0 - 150000.0 as y",
+        "cast(id % 7 as double) + 0.25 as value")
+    src = str(tmp_path / "pyr_src")
+    pts.where("id % 2 = 0").drop("id").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    pts.where("id % 2 = 1").drop("id").coalesce(1) \
+        .write.mode("append").parquet(src)
+    out = str(tmp_path / "pyr_out")
+    schema = "x double, y double, value double"
+    q = stream_point_tile_pyramid(spark, src, schema, out,
+                                  zoom_max=14, zoom_min=10,
+                                  max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(f"{out}/pyramid").collect())
+    want = sorted(tuple(r) for r in point_tile_pyramid(
+        pts.drop("id"), zoom_max=14, zoom_min=10).collect())
+    assert got == want and len(got) > 20
