@@ -3006,6 +3006,60 @@ def _q_zonal_weighted_poly(spark, sf_dir):
     return stats.zonal_stats_weighted(images, aois)
 
 
+def _q_hex_hotspots(spark, sf_dir):
+    """Getis-Ord Gi* hotspot z-scores over hex-binned event points
+    (hexgrid.hex_hotspots, k=1 ring, self included): every ingredient
+    sum is an exact decimal; the z formula is one fixed double
+    expression tree mirrored verbatim in the oracle — hash-hard
+    doubles. The oracle's neighbor join is the O(cells^2) hex-distance
+    filter; the operator's kring-explode equi-join must reproduce it
+    exactly."""
+    pts = _event_points(spark, sf_dir)
+    return hexgrid.hex_hotspots(pts, size=500.0, k=1)
+
+
+def _hex_hotspots_sql() -> str:
+    inner = hexgrid.hex_cell_sql(_EV_X_SQL, _EV_Y_SQL, 500.0,
+                                 "FROM events", extra_cols="value")
+    dist = hexgrid.HEX_DIST_SQL.format(q1="b.hq", r1="b.hr",
+                                       q2="c.hq", r2="c.hr")
+    return f"""
+        WITH _cells AS ({inner}),
+        bins AS (
+          SELECT hq, hr, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,2)))
+                      AS DECIMAL(18,2)) AS xv
+          FROM _cells GROUP BY hq, hr),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS nn,
+                 CAST(SUM(xv) AS DOUBLE) AS sx,
+                 CAST(SUM(xv * xv) AS DOUBLE) AS sx2
+          FROM bins),
+        s1 AS (
+          SELECT b.hq, b.hr, CAST(count(*) AS BIGINT) AS w,
+                 CAST(SUM(c.xv) AS DOUBLE) AS s1
+          FROM bins b JOIN bins c ON {dist} <= 1
+          GROUP BY b.hq, b.hr)
+        SELECT b.hq, b.hr, b.n, CAST(b.xv AS DOUBLE) AS x,
+               s.w AS w_neighbors, s.s1 AS neighbor_sum,
+               CASE WHEN g.nn > 1 AND
+                         sqrt(g.sx2 / g.nn - (g.sx / g.nn) * (g.sx / g.nn))
+                         * sqrt((CAST(g.nn AS DOUBLE) * CAST(s.w AS DOUBLE)
+                                 - CAST(s.w AS DOUBLE) * CAST(s.w AS DOUBLE))
+                                / (CAST(g.nn AS DOUBLE) - 1.0)) > 0
+                    THEN (s.s1 - (g.sx / g.nn) * CAST(s.w AS DOUBLE))
+                         / (sqrt(g.sx2 / g.nn
+                                 - (g.sx / g.nn) * (g.sx / g.nn))
+                            * sqrt((CAST(g.nn AS DOUBLE)
+                                    * CAST(s.w AS DOUBLE)
+                                    - CAST(s.w AS DOUBLE)
+                                    * CAST(s.w AS DOUBLE))
+                                   / (CAST(g.nn AS DOUBLE) - 1.0)))
+               END AS gi_z
+        FROM bins b JOIN s1 s ON s.hq = b.hq AND s.hr = b.hr, g
+    """
+
+
 def _q_point_tile_pyramid(spark, sf_dir):
     """Point-density tile pyramid (celljoin.point_tile_pyramid): event
     points aggregated at zoom 16, parents by integer right-shift down
@@ -4235,6 +4289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_boundaries_synth": _q_polygonize_boundaries,
         "zonal_majority_synth": _q_zonal_majority,
         "point_tile_pyramid_events": _q_point_tile_pyramid,
+        "hex_hotspots_events": _q_hex_hotspots,
     }
 
 
@@ -5241,6 +5296,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "zonal_rect_weighted_synth": _zonal_rect_weighted_sql(),
         "zonal_majority_synth": _zonal_majority_sql(),
         "point_tile_pyramid_events": _point_tile_pyramid_sql(),
+        "hex_hotspots_events": _hex_hotspots_sql(),
         "hex_polyfill_synth": _hex_polyfill_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),
         "lcg_diff_chunked_both": _lcg_diff_sql(),

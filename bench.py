@@ -132,7 +132,7 @@ def main():
         "polygonize_regions_synth", "contour_cases_synth",
         "zonal_rect_weighted_synth", "hex_polyfill_synth",
         "split_passages_docs", "zonal_majority_synth",
-        "point_tile_pyramid_events",
+        "point_tile_pyramid_events", "hex_hotspots_events",
     ]
     # best-of-N per query: the shared VM's noisy-neighbor spikes can
     # inflate a single shot 5-10x (measured), and the FIRST run also

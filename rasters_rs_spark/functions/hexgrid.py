@@ -301,3 +301,63 @@ def hex_polyfill(aois: DataFrame, size: float = 250.0,
     return (d.where(inside)
             .select(F.col(id_col), F.col("hq"), F.col("hr"),
                     F.col("_cx").alias("cx"), F.col("_cy").alias("cy")))
+
+
+def hex_hotspots(points: DataFrame, x_col: str = "x", y_col: str = "y",
+                 value_col: str = "value", size: float = 500.0,
+                 k: int = 1) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores over the hex-binned value
+    surface (the standard hotspot-analysis statistic, computed over
+    the OCCUPIED cells of the binned lattice; binary k-ring weights,
+    self included — the usual Gi* convention):
+
+        Gi* = (S1_i - xbar * W_i)
+              / (S * sqrt((N * W_i - W_i^2) / (N - 1)))
+
+    with S1_i = sum of neighbor cell values, W_i = occupied-neighbor
+    count, xbar / S the global mean / sqrt(E[x^2] - xbar^2).
+
+    Exactness discipline: cell values and ALL the sums feeding the
+    moments (sum x, sum x^2 as decimal products, neighbor sums) are
+    exact decimals; only the final mean/variance/z divisions run in
+    double, as one fixed expression tree both engines evaluate
+    identically — so the z-scores themselves are hash-hard.
+
+    Scale shape: one binning shuffle; the k-ring explode runs on the
+    CELL table (1 + 3k(k+1) per occupied cell), equi-joins back on
+    the cell key; the two global scalars broadcast. Cells with
+    undefined z (S == 0 or N < 2) return NULL."""
+    bins = with_hex_cell(points, x_col, y_col, size) \
+        .groupBy("hq", "hr").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_xv"))
+    # re-narrow the cell sum to (18,2) before squaring: the (p,2)x(p,2)
+    # product must stay under both engines' 38-digit decimal cap
+    xv = F.col("_xv").cast("decimal(18,2)")
+    bins = bins.select(
+        "hq", "hr", "n", F.col("_xv").cast("double").alias("x"),
+        (xv * xv).alias("_xv2"), xv.alias("_xv"))
+    g = bins.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum("_xv").cast("double").alias("sx"),
+        F.sum("_xv2").cast("double").alias("sx2"))
+    ring = kring_explode(bins.select("hq", "hr"), "hq", "hr", k=k)
+    nb = bins.select(F.col("hq").alias("nq"), F.col("hr").alias("nr"),
+                     F.col("_xv").alias("_nv"))
+    s1 = (ring.join(nb, ["nq", "nr"])
+          .groupBy("hq", "hr")
+          .agg(F.count("*").cast("long").alias("w"),
+               F.sum("_nv").cast("double").alias("s1")))
+    d = bins.select("hq", "hr", "n", "x") \
+        .join(s1, ["hq", "hr"]).crossJoin(F.broadcast(g))
+    xbar = F.col("sx") / F.col("nn")
+    s = F.sqrt(F.col("sx2") / F.col("nn") - xbar * xbar)
+    w = F.col("w").cast("double")
+    nn = F.col("nn").cast("double")
+    denom = s * F.sqrt((nn * w - w * w) / (nn - F.lit(1.0)))
+    z = F.when((F.col("nn") > 1) & (denom > 0),
+               (F.col("s1") - xbar * w) / denom)
+    return d.select("hq", "hr", "n", "x",
+                    F.col("w").alias("w_neighbors"),
+                    F.col("s1").alias("neighbor_sum"),
+                    z.alias("gi_z"))

@@ -207,3 +207,66 @@ def test_hex_polyfill_plan_no_shuffle_no_udf(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_hex_hotspots_python_reference_and_planted_hotspot(spark):
+    """Gi* against a direct python computation over the binned cells,
+    plus sanity: a planted high-value cluster scores the top z."""
+    import math
+
+    import numpy as np
+
+    from rasters_rs_spark.functions import hexgrid as H
+
+    rows = []
+    rng = np.random.default_rng(9)
+    # uniform low-value field + one hot cluster near (5000, 5000)
+    for i in range(400):
+        rows.append((float(rng.uniform(-8000, 8000)),
+                     float(rng.uniform(-8000, 8000)), 1.0))
+    for i in range(80):
+        rows.append((5000.0 + float(rng.uniform(-400, 400)),
+                     5000.0 + float(rng.uniform(-400, 400)), 50.0))
+    pts = spark.createDataFrame(rows, ["x", "y", "value"])
+    out = H.hex_hotspots(pts, size=500.0, k=1).collect()
+    cells = {(r["hq"], r["hr"]): r for r in out}
+
+    # python reference over the same binning
+    xs = np.array([r[0] for r in rows])
+    ys = np.array([r[1] for r in rows])
+    vs = np.array([r[2] for r in rows])
+    hq, hr = H.hex_cell_np(xs, ys, 500.0)
+    agg = {}
+    for q, r, v in zip(hq, hr, vs):
+        agg[(q, r)] = agg.get((q, r), 0.0) + v
+    n = len(agg)
+    vals = np.array(list(agg.values()))
+    xbar = vals.sum() / n
+    s = math.sqrt((vals ** 2).sum() / n - xbar * xbar)
+    for (q, r), rec in cells.items():
+        nb = [v for (q2, r2), v in agg.items()
+              if (abs(q - q2) + abs(r - r2) + abs(q + r - q2 - r2)) / 2
+              <= 1]
+        w = len(nb)
+        denom = s * math.sqrt((n * w - w * w) / (n - 1))
+        want = (sum(nb) - xbar * w) / denom
+        assert abs(rec["gi_z"] - want) < 1e-9, (q, r)
+    # the hot cluster's cell has the maximum z and it is large
+    top = max(out, key=lambda r: r["gi_z"] or -1e9)
+    tq, tr = H.hex_cell_np(np.array([5000.0]), np.array([5000.0]), 500.0)
+    assert (abs(top["hq"] - tq[0]) + abs(top["hr"] - tr[0])) <= 2
+    assert top["gi_z"] > 5.0
+
+
+def test_hex_hotspots_degenerate_null_z(spark):
+    """All cell values equal -> S == 0 -> every z NULL; single cell ->
+    N == 1 -> NULL."""
+    from rasters_rs_spark.functions import hexgrid as H
+
+    pts = spark.createDataFrame(
+        [(x * 2000.0, 0.0, 3.0) for x in range(5)], ["x", "y", "value"])
+    out = H.hex_hotspots(pts, size=500.0, k=1).collect()
+    assert len(out) == 5 and all(r["gi_z"] is None for r in out)
+    one = spark.createDataFrame([(0.0, 0.0, 1.0)], ["x", "y", "value"])
+    r = H.hex_hotspots(one, size=500.0, k=1).collect()[0]
+    assert r["gi_z"] is None
