@@ -4161,6 +4161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mirrors sit here; long-stable rows driver-green in r05
         # follow and stay judge-verified ---
         "hex_kring_counts_events": _q_hex_kring,
+        "hex_hotspots_events": _q_hex_hotspots,
+        "point_tile_pyramid_events": _q_point_tile_pyramid,
+        "zonal_majority_synth": _q_zonal_majority,
         "hex_polyfill_synth": _q_hex_polyfill,
         "s2_cell_events": _q_s2_cell,
         "knn_topk_embeddings": _q_knn_topk,
@@ -4187,7 +4190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_dist_synth": _q_rasterize_dist,
         "chunk_plan_parts": _q_chunk_plan,
         "tile_assignment_synth": _q_tile_assignment,
-        "bpe_tokens_docs": _q_bpe_tokens,
         "repetition_docs": _q_repetition,
         "gopher_rules_docs": _q_gopher_rules,
         "unimax_docs": _q_unimax,
@@ -4201,15 +4203,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_embeddings": _q_ann_pq,
         "ann_ivfpq_embeddings": _q_ann_ivfpq,
         "decontaminate_docs": _q_decontaminate,
-        "dup_spans_docs": _q_dup_spans,
         "span_intervals_docs": _q_span_intervals,
         "span_removal_docs": _q_span_removal,
-        "span_removal_intra_docs": _q_span_removal_intra,
         "bm25_topk_docs": _q_bm25,
         "overlap_topk_docs": _q_overlap,
         "lm_score_docs": _q_lm_score,
         "sibson_discrete_synth": _q_sibson_discrete,
         "assign_shards_synth": _q_assign_shards,
+        "bpe_tokens_docs": _q_bpe_tokens,
+        "span_removal_intra_docs": _q_span_removal_intra,
+        "dup_spans_docs": _q_dup_spans,
         "stratified_sample_docs": _q_stratified_sample,
         "hex_bin_events": _q_hex_bin,
         "hex_cell_events": _q_hex_cell,
@@ -4287,9 +4290,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_passages_docs": _q_split_passages,
         "zonal_weighted_poly_synth": _q_zonal_weighted_poly,
         "polygonize_boundaries_synth": _q_polygonize_boundaries,
-        "zonal_majority_synth": _q_zonal_majority,
-        "point_tile_pyramid_events": _q_point_tile_pyramid,
-        "hex_hotspots_events": _q_hex_hotspots,
     }
 
 
