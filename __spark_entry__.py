@@ -3006,6 +3006,56 @@ def _q_zonal_weighted_poly(spark, sf_dir):
     return stats.zonal_stats_weighted(images, aois)
 
 
+def _q_hex_clusters(spark, sf_dir):
+    """Grid-DBSCAN spatial clustering (hexgrid.hex_density_clusters):
+    dense hex cells (n >= 25) connected across hex-distance-1
+    adjacency into clusters; cluster id = the (hq, hr)-lexicographic
+    minimum cell. All integers — the recursive-CTE oracle pins every
+    cell's cluster assignment and the per-cluster cell/point totals
+    hash-exact."""
+    pts = _event_points(spark, sf_dir)
+    return hexgrid.hex_density_clusters(pts, size=500.0, min_count=25)
+
+
+def _hex_clusters_sql() -> str:
+    inner = hexgrid.hex_cell_sql(_EV_X_SQL, _EV_Y_SQL, 500.0,
+                                 "FROM events", extra_cols="value")
+    dist = hexgrid.HEX_DIST_SQL.format(q1="b.hq", r1="b.hr",
+                                       q2="c.hq", r2="c.hr")
+    off = 1 << 20
+    w = 1 << 21
+    return f"""
+        WITH RECURSIVE _cells AS ({inner}),
+        bins AS (
+          SELECT hq, hr, CAST(count(*) AS BIGINT) AS n
+          FROM _cells GROUP BY hq, hr HAVING count(*) >= 25),
+        e0 AS (
+          SELECT b.hq, b.hr, c.hq AS nq, c.hr AS nr
+          FROM bins b JOIN bins c ON {dist} = 1),
+        reach(q, r, pk) AS (
+          SELECT hq, hr, (hq + {off}) * {w} + (hr + {off}) FROM bins
+          UNION
+          SELECT e.hq, e.hr, rr.pk
+          FROM e0 e JOIN reach rr ON rr.q = e.nq AND rr.r = e.nr),
+        comp AS (
+          SELECT q, r, MIN(pk) AS mpk FROM reach GROUP BY q, r),
+        lab AS (
+          SELECT b.hq, b.hr, b.n,
+                 CAST(c.mpk // {w} - {off} AS BIGINT) AS cluster_q,
+                 CAST(c.mpk % {w} - {off} AS BIGINT) AS cluster_r
+          FROM bins b JOIN comp c ON c.q = b.hq AND c.r = b.hr),
+        sizes AS (
+          SELECT cluster_q, cluster_r,
+                 CAST(count(*) AS BIGINT) AS cluster_size_cells,
+                 CAST(SUM(n) AS BIGINT) AS cluster_n_points
+          FROM lab GROUP BY cluster_q, cluster_r)
+        SELECT l.hq, l.hr, l.n, l.cluster_q, l.cluster_r,
+               s.cluster_size_cells, s.cluster_n_points
+        FROM lab l JOIN sizes s
+          ON s.cluster_q = l.cluster_q AND s.cluster_r = l.cluster_r
+    """
+
+
 def _q_hex_hotspots(spark, sf_dir):
     """Getis-Ord Gi* hotspot z-scores over hex-binned event points
     (hexgrid.hex_hotspots, k=1 ring, self included): every ingredient
@@ -4290,6 +4340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_passages_docs": _q_split_passages,
         "zonal_weighted_poly_synth": _q_zonal_weighted_poly,
         "polygonize_boundaries_synth": _q_polygonize_boundaries,
+        "hex_density_clusters_events": _q_hex_clusters,
     }
 
 
@@ -5297,6 +5348,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "zonal_majority_synth": _zonal_majority_sql(),
         "point_tile_pyramid_events": _point_tile_pyramid_sql(),
         "hex_hotspots_events": _hex_hotspots_sql(),
+        "hex_density_clusters_events": _hex_clusters_sql(),
         "hex_polyfill_synth": _hex_polyfill_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),
         "lcg_diff_chunked_both": _lcg_diff_sql(),

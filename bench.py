@@ -133,6 +133,7 @@ def main():
         "zonal_rect_weighted_synth", "hex_polyfill_synth",
         "split_passages_docs", "zonal_majority_synth",
         "point_tile_pyramid_events", "hex_hotspots_events",
+        "hex_density_clusters_events",
     ]
     # best-of-N per query: the shared VM's noisy-neighbor spikes can
     # inflate a single shot 5-10x (measured), and the FIRST run also

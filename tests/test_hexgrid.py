@@ -270,3 +270,63 @@ def test_hex_hotspots_degenerate_null_z(spark):
     one = spark.createDataFrame([(0.0, 0.0, 1.0)], ["x", "y", "value"])
     r = H.hex_hotspots(one, size=500.0, k=1).collect()[0]
     assert r["gi_z"] is None
+
+
+def test_hex_density_clusters_planted_blobs(spark):
+    """Two planted dense blobs + sparse noise: exactly two clusters,
+    each containing its blob's cells; noise cells below min_count are
+    dropped; totals add up."""
+    import numpy as np
+
+    from rasters_rs_spark.functions import hexgrid as H
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for cx, cy in ((0.0, 0.0), (20000.0, 0.0)):
+        for _ in range(400):
+            rows.append((cx + float(rng.uniform(-1200, 1200)),
+                         cy + float(rng.uniform(-1200, 1200))))
+    for _ in range(60):   # sparse noise, far away
+        rows.append((float(rng.uniform(-80000, -40000)),
+                     float(rng.uniform(40000, 80000))))
+    pts = spark.createDataFrame([(x, y, 1.0) for x, y in rows],
+                                ["x", "y", "value"])
+    out = H.hex_density_clusters(pts, size=500.0, min_count=10).collect()
+    clusters = {}
+    for r in out:
+        clusters.setdefault((r["cluster_q"], r["cluster_r"]),
+                            []).append(r)
+    assert len(clusters) == 2
+    for cid, cells in clusters.items():
+        sizes = {(c["cluster_size_cells"], c["cluster_n_points"])
+                 for c in cells}
+        assert len(sizes) == 1
+        sz_cells, sz_pts = next(iter(sizes))
+        assert sz_cells == len(cells)
+        assert sz_pts == sum(c["n"] for c in cells)
+        # canonical id is the lexicographic min member
+        assert cid == min((c["hq"], c["hr"]) for c in cells)
+    # blob separation: the two clusters' x-extents don't overlap
+    cents = sorted(H.hex_center_np(
+        np.array([c[0] for c in clusters]),
+        np.array([c[1] for c in clusters]), 500.0)[0])
+    assert cents[1] - cents[0] > 10000
+
+
+def test_hex_density_clusters_iterative_path_equal(spark):
+    """cap=0 forces the distributed iterative components (higher
+    max_iters); results identical to the driver union-find path."""
+    import numpy as np
+
+    from rasters_rs_spark.functions import hexgrid as H
+
+    rng = np.random.default_rng(4)
+    rows = [(float(rng.uniform(-6000, 6000)),
+             float(rng.uniform(-6000, 6000)), 1.0) for _ in range(2000)]
+    pts = spark.createDataFrame(rows, ["x", "y", "value"])
+    a = sorted(tuple(r) for r in H.hex_density_clusters(
+        pts, size=500.0, min_count=3).collect())
+    b = sorted(tuple(r) for r in H.hex_density_clusters(
+        pts, size=500.0, min_count=3, driver_graph_cap=0,
+        max_iters=60).collect())
+    assert a == b and len(a) > 10
