@@ -3760,6 +3760,48 @@ def _resample_bilinear_sql() -> str:
     """
 
 
+def _q_resample_cubic(spark, sf_dir):
+    """Catmull-Rom bicubic resample (resample.resample_block
+    method='cubic', GDAL's `cubic` kernel, a = -0.5) on the half-pixel
+    shift grid: every fractional offset is exactly 0.5, where the four
+    tap weights are the DYADIC constants (-1/16, 9/16, 9/16, -1/16) —
+    so all 16 outer-product weights and every weighted sum of LCG
+    values are exact, and the interior of the output hash-matches the
+    16-term SQL mirror bit-for-bit. Border pixels (incomplete 4x4
+    support, renormalized) are filtered on both sides; their behavior
+    is pytest-pinned instead."""
+    from rasters_rs_spark.operators import resample as R
+    pdf = synth.lcg_image_table(1, 32, 32, pixel_size=2.0)
+    images = spark.createDataFrame(pdf)
+    dst_gt = [-999.0, 2.0, 0.0, 999.0, 0.0, -2.0]
+    out = R.resample(images, dst_gt, 32, 32, method="cubic")
+    return _explode_pixels(out) \
+        .where(F.col("v").isNotNull() & ~F.isnan("v")
+               & (F.col("i") >= 1) & (F.col("i") <= 29)
+               & (F.col("j") >= 1) & (F.col("j") <= 29)) \
+        .select("i", "j", "v")
+
+
+def _resample_cubic_sql() -> str:
+    # tap weights at f = 0.5: w(-1) = w(2) = -1/16, w(0) = w(1) = 9/16
+    wts = {-1: "(-0.0625)", 0: "0.5625", 1: "0.5625", 2: "(-0.0625)"}
+    terms = []
+    for di in (-1, 0, 1, 2):
+        for dj in (-1, 0, 1, 2):
+            v = synth.lcg_sql_expr(f"(i + {di}) * 32 + j + {dj}")
+            terms.append(f"{wts[di]} * {wts[dj]} * ({v})")
+    s = " + ".join(terms)
+    return f"""
+        WITH px AS (
+          SELECT CAST(idx // 32 AS BIGINT) AS i,
+                 CAST(idx % 32 AS BIGINT) AS j
+          FROM (SELECT unnest(range(0, 32 * 32)) AS idx))
+        SELECT i, j, round({s}, 9) AS v
+        FROM px
+        WHERE i >= 1 AND i <= 29 AND j >= 1 AND j <= 29
+    """
+
+
 def _q_validate_psnr(spark, sf_dir):
     """The input-hint per-row invariant as a CONTRACT row: raw LCG
     images validated against their lossy q16 transcode through the real
@@ -4341,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_weighted_poly_synth": _q_zonal_weighted_poly,
         "polygonize_boundaries_synth": _q_polygonize_boundaries,
         "hex_density_clusters_events": _q_hex_clusters,
+        "resample_cubic_synth": _q_resample_cubic,
     }
 
 
@@ -5349,6 +5392,7 @@ def _oracle_sql_dict(ts12, rect_values) -> dict[str, str]:
         "point_tile_pyramid_events": _point_tile_pyramid_sql(),
         "hex_hotspots_events": _hex_hotspots_sql(),
         "hex_density_clusters_events": _hex_clusters_sql(),
+        "resample_cubic_synth": _resample_cubic_sql(),
         "hex_polyfill_synth": _hex_polyfill_sql(),
         "lcg_diff_stats": _lcg_diff_sql(),
         "lcg_diff_chunked_both": _lcg_diff_sql(),

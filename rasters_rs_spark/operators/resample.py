@@ -72,6 +72,59 @@ def resample_block(block: np.ndarray, src_gt, dst_gt, dst_w: int, dst_h: int,
         out[ii, jj] = res
         return out
 
+    if method == "cubic":
+        # Catmull-Rom bicubic (a = -0.5, the GDAL `cubic` kernel):
+        # separable 4x4 tap window around the bilinear base cell.
+        # Per-tap branch is FIXED by the tap offset (taps -1/2 always
+        # fall in the far |t| in [1,2) piece, taps 0/1 in the near
+        # piece), so each weight is one closed-form polynomial of the
+        # fractional offset — the property that lets the DuckDB oracle
+        # mirror the arithmetic verbatim. Missing / out-of-bounds taps
+        # renormalize like bilinear; cubic weights can be negative, so
+        # a near-zero weight sum (degenerate support) yields NaN
+        # rather than an explosion.
+        A = -0.5
+
+        def wcub(f, d):
+            if d == -1:
+                t = 1.0 + f
+                return A * t * t * t - 5.0 * A * t * t + 8.0 * A * t \
+                    - 4.0 * A
+            if d == 0:
+                return (A + 2.0) * f * f * f - (A + 3.0) * f * f + 1.0
+            if d == 1:
+                t = 1.0 - f
+                return (A + 2.0) * t * t * t - (A + 3.0) * t * t + 1.0
+            t = 2.0 - f
+            return A * t * t * t - 5.0 * A * t * t + 8.0 * A * t \
+                - 4.0 * A
+
+        ct = geom.chunk_transform(t, (0.5, 0.5), (0.0, 0.0))
+        valid, i0, j0, wx, wy = geom.bilinear_weights_grid(
+            ct, dst_h, dst_w, (w, h))
+        ii, jj = np.nonzero(valid)
+        i0v, j0v = i0[ii, jj], j0[ii, jj]
+        fxv, fyv = wx[ii, jj], wy[ii, jj]
+        vals = np.zeros(len(ii))
+        wsum = np.zeros(len(ii))
+        for di in (-1, 0, 1, 2):
+            wyv = wcub(fyv, di)
+            for dj in (-1, 0, 1, 2):
+                wgt = wyv * wcub(fxv, dj)
+                ni = i0v + di
+                nj = j0v + dj
+                inb = (ni >= 0) & (ni < h) & (nj >= 0) & (nj < w)
+                nic = np.clip(ni, 0, h - 1)
+                njc = np.clip(nj, 0, w - 1)
+                vsrc = block[nic, njc]
+                m = inb & valid_in[nic, njc]
+                vals += np.where(m, vsrc * wgt, 0.0)
+                wsum += np.where(m, wgt, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            res = np.where(np.abs(wsum) > 1e-9, vals / wsum, np.nan)
+        out[ii, jj] = res
+        return out
+
     raise ValueError(f"unknown resampling method: {method}")
 
 
