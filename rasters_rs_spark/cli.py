@@ -502,7 +502,7 @@ def build_parser():
     r.add_argument("--gt", nargs=6, required=True)
     r.add_argument("--width", type=int, required=True)
     r.add_argument("--height", type=int, required=True)
-    r.add_argument("--method", default="nearest", choices=["nearest", "bilinear"])
+    r.add_argument("--method", default="nearest", choices=["nearest", "bilinear", "cubic"])
     r.set_defaults(fn=cmd_resample)
 
     c = sub.add_parser("chunk")
@@ -536,7 +536,7 @@ def build_parser():
     mo.add_argument("--width", type=int, required=True)
     mo.add_argument("--height", type=int, required=True)
     mo.add_argument("--method", default="nearest",
-                    choices=["nearest", "bilinear"])
+                    choices=["nearest", "bilinear", "cubic"])
     mo.add_argument("--strip-height", type=int, default=256)
     mo.add_argument("--tile-width", type=int, default=1024)
     mo.add_argument("--tiles", dest="assemble", action="store_false",
