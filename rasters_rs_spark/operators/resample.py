@@ -1,11 +1,13 @@
-"""Raster resampling onto a target grid (nearest / bilinear).
+"""Raster resampling onto a target grid (nearest / bilinear / cubic).
 
 The reference's only resampling is the nearest-neighbor index transform
-inside the diff join (src/align.rs:122-144); the north-star adds a
-bilinear kernel. Both are vectorized pandas-UDF kernels over decoded
-blocks: for every target pixel, map its center through the affine
-source<-target transform and gather (nearest) or blend (bilinear,
-4-neighbor weights, NaN-aware) source pixels.
+inside the diff join (src/align.rs:122-144); the north-star adds the
+bilinear kernel and the Catmull-Rom bicubic (a = -0.5 — GDAL's
+`cubic`) extends the same separable-tap family. All are vectorized
+pandas-UDF kernels over decoded blocks: for every target pixel, map
+its center through the affine source<-target transform and gather
+(nearest) or blend (bilinear 2x2 / cubic 4x4 taps, NaN-aware with
+weight renormalization) source pixels.
 """
 
 from __future__ import annotations
