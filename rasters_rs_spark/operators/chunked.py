@@ -540,3 +540,73 @@ def chunked_pixel_stats(chunks: DataFrame) -> DataFrame:
                     "sum double, sum_2 double")
     return with_derived_stats(
         partials.groupBy("image_id").agg(*merge_partials_exprs()))
+
+
+def chunked_zonal_majority(chunks: DataFrame, aois: pd.DataFrame,
+                           n_classes: int = 4) -> DataFrame:
+    """zonal_majority over the chunked representation: each strip
+    counts its DATA-row pixels per (zone, class) — a pure count
+    monoid, so the merged table equals the whole-image operator
+    exactly — then the same tiny argmax window. The path for rasters
+    whose full block exceeds task memory."""
+    from pyspark.sql import Window
+
+    from .stats import _packed_aoi_rows
+    from .vectorize import quantize_classes
+
+    aoi_rows = _packed_aoi_rows(aois)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["image_id", "aoi_id", "cls", "count"]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                strip = codecs.decode_block(
+                    row.bytes, row.load_end - row.load_start, row.w,
+                    row.fmt)
+                ds = int(row.data_start)
+                data = strip[ds - int(row.load_start):
+                             int(row.data_end) - int(row.load_start)]
+                valid = ~np.isnan(data)
+                if not np.isnan(row.no_val):
+                    valid &= data != row.no_val
+                if not valid.any():
+                    continue
+                ii, jj = np.nonzero(valid)
+                vals = data[ii, jj]
+                cls = quantize_classes(vals, n_classes)
+                t = geom.transform_from_gdal(row.gt)
+                wx, wy = geom.transform_points(
+                    t, jj + 0.5, ii + ds + 0.5)
+                for (aoi_id, ro, xs, ys, box) in aoi_rows:
+                    cand = ((wx >= box[0]) & (wx <= box[2])
+                            & (wy >= box[1]) & (wy <= box[3]))
+                    if not cand.any():
+                        continue
+                    ci = np.nonzero(cand)[0]
+                    inside = ci[geom.points_in_rings(
+                        wx[ci], wy[ci], ro, xs, ys)]
+                    if len(inside) == 0:
+                        continue
+                    counts = np.bincount(cls[inside],
+                                         minlength=n_classes)
+                    for c in np.nonzero(counts)[0]:
+                        out.append((row.image_id, aoi_id, int(c),
+                                    int(counts[c])))
+            yield pd.DataFrame(out, columns=cols)
+
+    partials = chunks.mapInPandas(
+        gen, schema=("image_id string, aoi_id string, cls int, "
+                     "count long"))
+    per_cls = partials.groupBy("aoi_id", "cls") \
+                      .agg(F.sum("count").alias("n"))
+    w = Window.partitionBy("aoi_id").orderBy(F.col("n").desc(),
+                                             F.col("cls").asc())
+    tot = Window.partitionBy("aoi_id")
+    return (per_cls
+            .withColumn("rk", F.row_number().over(w))
+            .withColumn("n_total", F.sum("n").over(tot).cast("long"))
+            .where(F.col("rk") == 1)
+            .select("aoi_id", F.col("cls").alias("majority_cls"),
+                    F.col("n").cast("long").alias("n_majority"),
+                    "n_total"))

@@ -277,3 +277,30 @@ def test_assemble_images_refuses_huge_image(spark):
     chunks = chunk_images(images, min_data_size=32 * 8)
     with pytest.raises(Exception, match="max_image_bytes"):
         assemble_images(chunks, max_image_bytes=100).collect()
+
+
+def test_chunked_zonal_majority_equals_whole(spark):
+    import pandas as pd
+
+    from rasters_rs_spark.operators import stats as S
+    from rasters_rs_spark.operators.chunked import (chunk_images,
+                                                    chunked_zonal_majority)
+    from rasters_rs_spark.sources import synth
+
+    imgs = spark.createDataFrame(synth.lcg_image_table(8))
+    aois = pd.DataFrame([
+        {"aoi_id": "a", "ring_offsets": [0],
+         "xs": [-990.0, -890.0, -890.0, -990.0],
+         "ys": [850.0, 850.0, 995.0, 995.0]},
+        {"aoi_id": "b", "ring_offsets": [0],
+         "xs": [-1000.0, -700.0, -850.0],
+         "ys": [840.0, 840.0, 1000.0]},
+    ])
+    whole = sorted(tuple(r) for r in
+                   S.zonal_majority(imgs, aois, n_classes=4).collect())
+    for strip_rows in (4, 32):
+        chunks = chunk_images(imgs, min_data_size=32 * strip_rows)
+        ch = sorted(tuple(r) for r in
+                    chunked_zonal_majority(chunks, aois,
+                                           n_classes=4).collect())
+        assert ch == whole and len(ch) == 2
