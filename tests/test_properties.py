@@ -278,3 +278,101 @@ def test_bpe_batch_kernel_equals_scalar(texts):
     got = _bpe_count_batch(clean, BPE_MERGES)
     for i, t in enumerate(texts):
         assert got[i] == len(bpe_tokenize_scalar(t)), (i, t)
+
+
+@given(h=st.integers(2, 24), w=st.integers(2, 24),
+       ncls=st.integers(1, 4), seed=st.integers(0, 10**6))
+@settings(max_examples=60, deadline=None)
+def test_ccl_matches_flood_fill_property(h, w, ncls, seed):
+    from rasters_rs_spark.operators.vectorize import ccl_min_labels
+
+    rng = np.random.default_rng(seed)
+    cls = rng.integers(0, ncls, size=(h, w))
+    lab = ccl_min_labels(cls).reshape(h, w)
+    # label of each pixel is the min flat index reachable through
+    # same-class 4-paths: verify by BFS per pixel of a sample
+    for _ in range(5):
+        i, j = int(rng.integers(h)), int(rng.integers(w))
+        seen = {(i, j)}
+        stack = [(i, j)]
+        best = i * w + j
+        while stack:
+            a, b = stack.pop()
+            best = min(best, a * w + b)
+            for na, nb in ((a - 1, b), (a + 1, b), (a, b - 1),
+                           (a, b + 1)):
+                if (0 <= na < h and 0 <= nb < w
+                        and (na, nb) not in seen
+                        and cls[na, nb] == cls[i, j]):
+                    seen.add((na, nb))
+                    stack.append((na, nb))
+        assert lab[i, j] == best
+
+
+@given(h=st.integers(2, 16), w=st.integers(2, 16),
+       p=st.floats(0.2, 0.8), seed=st.integers(0, 10**6))
+@settings(max_examples=60, deadline=None)
+def test_boundary_tracing_shoelace_property(h, w, p, seed):
+    from rasters_rs_spark.operators.vectorize import (
+        ccl_min_labels, trace_region_boundaries)
+
+    rng = np.random.default_rng(seed)
+    cls = (rng.random((h, w)) < p).astype(int)
+    lab = ccl_min_labels(cls).reshape(h, w)
+    for label in np.unique(lab):
+        mask = lab == label
+        rings = trace_region_boundaries(mask)
+        outers = [r for r in rings if not r[0]]
+        assert len(outers) == 1
+        net = 0.0
+        for is_hole, xs, ys in rings:
+            n = len(xs)
+            a2 = sum(xs[k] * ys[(k + 1) % n] - xs[(k + 1) % n] * ys[k]
+                     for k in range(n))
+            net += -abs(a2) / 2.0 if is_hole else abs(a2) / 2.0
+        assert net == mask.sum()
+
+
+@given(f=st.floats(0.0, 1.0, exclude_max=True))
+@settings(max_examples=200, deadline=None)
+def test_cubic_kernel_partition_and_first_moment(f):
+    """Catmull-Rom taps: weights sum to 1 (partition of unity) and
+    their first moment equals the fractional offset (linear
+    precision) for every f in [0, 1)."""
+    A = -0.5
+
+    def wcub(fv, d):
+        if d == -1:
+            t = 1.0 + fv
+            return A * t ** 3 - 5 * A * t ** 2 + 8 * A * t - 4 * A
+        if d == 0:
+            return (A + 2) * fv ** 3 - (A + 3) * fv ** 2 + 1
+        if d == 1:
+            t = 1.0 - fv
+            return (A + 2) * t ** 3 - (A + 3) * t ** 2 + 1
+        t = 2.0 - fv
+        return A * t ** 3 - 5 * A * t ** 2 + 8 * A * t - 4 * A
+
+    ws = [wcub(f, d) for d in (-1, 0, 1, 2)]
+    assert abs(sum(ws) - 1.0) < 1e-12
+    assert abs(sum(w * d for w, d in zip(ws, (-1, 0, 1, 2))) - f) < 1e-12
+
+
+@given(level=st.floats(0.05, 0.95), seed=st.integers(0, 10**6))
+@settings(max_examples=40, deadline=None)
+def test_marching_squares_crossing_parity(level, seed):
+    """Per cell: the number of crossing edges is twice the segment
+    count (every segment consumes two crossings), and a crossing
+    exists exactly where the corner bits differ."""
+    from rasters_rs_spark.operators.vectorize import _MS_NSEG
+
+    rng = np.random.default_rng(seed)
+    v = rng.random((6, 6))
+    for i in range(5):
+        for j in range(5):
+            b = [int(v[i, j] >= level), int(v[i, j + 1] >= level),
+                 int(v[i + 1, j + 1] >= level), int(v[i + 1, j] >= level)]
+            case = b[0] + 2 * b[1] + 4 * b[2] + 8 * b[3]
+            crossings = (int(b[0] != b[1]) + int(b[1] != b[2])
+                         + int(b[3] != b[2]) + int(b[0] != b[3]))
+            assert crossings == 2 * _MS_NSEG[case]
