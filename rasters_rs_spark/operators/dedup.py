@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions import scanpar
 from .text import shingle_expr
 
 #: Max MATERIALIZED band-table bytes the LSH self-join will broadcast
@@ -99,7 +100,11 @@ def minhash_bands(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         raise ValueError(f"num_hashes ({num_hashes}) must divide evenly "
                          f"into bands ({bands})")
     r = num_hashes // bands
-    view = _temp_view(docs)
+    # fan_out (round-8): the shingle explode + per-shingle md5 + the
+    # 64-wide map-side partial mins would otherwise all run in ONE
+    # task on a single-row-group scan (no-op on wide scans)
+    view = _temp_view(scanpar.fan_out(
+        docs.select(F.col(id_col), F.col(text_col)), key=id_col))
     k = shingle_k
     mins = ", ".join(f"min(_h1 + {i} * _h2) AS _m{i}"
                      for i in range(num_hashes))
@@ -266,10 +271,14 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         small = (docs.select(F.col(id_col)).limit(cap_docs + 1).count()
                  <= cap_docs)
     cand = lsh_candidate_pairs(band_rows, broadcast_right=small)
-    texts = docs.select(F.col(id_col).cast("string").alias("id"),
-                        F.split(F.col(text_col), " ").alias("_toks")) \
-                .select("id", shingle_expr("_toks", shingle_k,
-                                           tokens=True).alias("_sh"))
+    # fan_out: the verification side's shingle arrays are row-local
+    # HOF exprs — parallelize them off a single-row-group scan too
+    texts = scanpar.fan_out(
+        docs.select(F.col(id_col).cast("string").alias("id"),
+                    F.split(F.col(text_col), " ").alias("_toks")),
+        key="id") \
+        .select("id", shingle_expr("_toks", shingle_k,
+                                   tokens=True).alias("_sh"))
     return _verify_jaccard(cand, texts, threshold)
 
 
@@ -463,8 +472,12 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Shape: explode tokens -> 4 hex-parsed group columns -> groupBy(id)
     with 64 shift/mask sum aggregates (map-side partials, one shuffle)
     -> assemble the bigint. Pure codegen'd expressions, mirrored in
-    DuckDB via ('0x' || substr(md5(t), ...))::BIGINT for the oracle."""
-    view = _temp_view(docs)
+    DuckDB via ('0x' || substr(md5(t), ...))::BIGINT for the oracle.
+    fan_out (round-8): the md5-per-token explode + map-side partial
+    aggregation would otherwise run in ONE task on a single-row-group
+    scan (no-op on wide scans)."""
+    view = _temp_view(scanpar.fan_out(
+        docs.select(F.col(id_col), F.col(text_col)), key=id_col))
     votes = ", ".join(
         f"sum(if((shiftright(_g{j // 16}, {j % 16}) & 1) = 1, 1, -1)) AS _v{j}"
         for j in range(64))
@@ -881,6 +894,112 @@ def _pair_cosine_filter_udf(threshold: float):
     return gen
 
 
+def _salted_pair_cogroup(left: DataFrame, right: DataFrame,
+                         keys: list[str], hot_bucket_rows: int,
+                         hot_salt: int, sizes_from: DataFrame,
+                         kernel, schema: str,
+                         salt_on: str = "id_a") -> DataFrame:
+    """_salted_bucket_join's exact salt decomposition, expressed as a
+    COGROUP instead of a join: the kernel receives each (keys, salt)
+    group's left and right member rows ONCE and emits whatever pair
+    rows it derives — so heavy per-row payloads (vectors) cross the
+    shuffle and the Arrow boundary once per task, not once per
+    candidate pair (round-8; guide section 8's "ship each heavy row
+    once" rule). Hot buckets (> hot_bucket_rows rows) split the left
+    side into hot_salt id-hash sub-buckets with the right side
+    replicated across them — every (a, b) pair meets exactly once, in
+    a's salt partition, identical to the join variant."""
+    hot = (sizes_from.groupBy(*keys).count()
+           .where(F.col("count") > hot_bucket_rows)
+           .select(*keys, F.lit(True).alias("_hot")))
+    lt = left.join(F.broadcast(hot), on=keys, how="left").withColumn(
+        "_salt", F.when(F.col("_hot").isNotNull(),
+                        F.pmod(F.xxhash64(salt_on), F.lit(hot_salt)))
+                  .otherwise(F.lit(0)).cast("int")).drop("_hot")
+    rt = right.join(F.broadcast(hot), on=keys, how="left") \
+        .withColumn("_salts",
+                    F.when(F.col("_hot").isNotNull(),
+                           F.sequence(F.lit(0), F.lit(hot_salt - 1)))
+                    .otherwise(F.array(F.lit(0)))) \
+        .withColumn("_salt", F.explode("_salts")) \
+        .drop("_hot", "_salts")
+    # both sides share the checkpointed parent, so identical key
+    # attribute ids would be flagged ambiguous by the cogroup's
+    # analyzer — rename the right side's keys (cogroup matches groups
+    # by key VALUE, names may differ per side)
+    for k in keys:
+        rt = rt.withColumnRenamed(k, f"_r_{k}")
+    return lt.groupBy(*keys, "_salt") \
+        .cogroup(rt.groupBy(*[f"_r_{k}" for k in keys], "_salt")) \
+        .applyInPandas(kernel, schema=schema)
+
+
+def _semdedup_pair_kernel(threshold: float):
+    """Cogroup kernel for semantic_dedup's pair stage: all-pairs
+    strict-fold cosine between a group's left (id_a, va, cs_a) and
+    right (id_b, vb, cs_b) rows, emitting (id_a, id_b, cs_a, cs_b)
+    for pairs with id_a < id_b and cosine >= threshold. The fold runs
+    as the SAME dimension-axis float64 add chain as
+    _pair_cosine_filter_udf / cosine_expr (dot and both norms
+    accumulated d = 0..L-1), so every pair cosine — and the kept pair
+    set — is bit-identical to the join+kernel shape it replaced
+    (pinned by test_semdedup_cogroup_pairs_match_join_kernel).
+    Length-mismatched and zero-norm pairs drop, as before."""
+    cols = ["id_a", "id_b", "cs_a", "cs_b"]
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(columns=cols)
+        va = lpdf["va"].to_numpy()
+        vb = rpdf["vb"].to_numpy()
+        la = np.fromiter((len(v) if v is not None else -1 for v in va),
+                         dtype=np.int64, count=len(va))
+        lb = np.fromiter((len(v) if v is not None else -1 for v in vb),
+                         dtype=np.int64, count=len(vb))
+        ida = lpdf["id_a"].to_numpy()
+        idb = rpdf["id_b"].to_numpy()
+        csa = lpdf["cs_a"].to_numpy()
+        csb = rpdf["cs_b"].to_numpy()
+        outs = []
+        for L in np.unique(la):
+            if L <= 0:
+                continue
+            li = np.flatnonzero(la == L)
+            rj = np.flatnonzero(lb == L)
+            if rj.size == 0:
+                continue
+            A = np.stack([np.asarray(va[i], dtype=np.float64) for i in li])
+            B = np.stack([np.asarray(vb[j], dtype=np.float64) for j in rj])
+            dot = np.zeros((li.size, rj.size))
+            na = np.zeros(li.size)
+            nb = np.zeros(rj.size)
+            for d in range(int(L)):
+                ad, bd = A[:, d], B[:, d]
+                dot = dot + ad[:, None] * bd[None, :]
+                na = na + ad * ad
+                nb = nb + bd * bd
+            denom = np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]
+            ok = denom != 0.0
+            cos = np.zeros_like(dot)
+            cos[ok] = dot[ok] / denom[ok]
+            keep = ok & (cos >= threshold)
+            ii, jj = np.nonzero(keep)
+            if ii.size == 0:
+                continue
+            lt_mask = ida[li[ii]] < idb[rj[jj]]
+            ii, jj = ii[lt_mask], jj[lt_mask]
+            if ii.size == 0:
+                continue
+            outs.append(pd.DataFrame({
+                "id_a": ida[li[ii]], "id_b": idb[rj[jj]],
+                "cs_a": csa[li[ii]], "cs_b": csb[rj[jj]]}))
+        if not outs:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
 def semantic_dedup(embs: DataFrame, cents, threshold: float = 0.9,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    hot_cluster_rows: int = 100_000,
@@ -914,23 +1033,35 @@ def semantic_dedup(embs: DataFrame, cents, threshold: float = 0.9,
     schema = (f"{id_col} {dict(embs.dtypes)[id_col]}, "
               f"{vec_col} {dict(embs.dtypes)[vec_col]}, "
               f"cluster int, centroid_sim double")
+    # (no fan_out here: the pair stage below redistributes by
+    # (cluster, salt) anyway, so the cogroup — not the scan layout —
+    # provides the pair-stage parallelism; the assign kernel itself is
+    # O(n x k) and cheap relative to an extra exchange)
     assigned = embs.select(id_col, vec_col) \
         .mapInPandas(_semdedup_assign_udf(id_col, vec_col, cents),
                      schema=schema) \
         .localCheckpoint(eager=True)
+    # Round-8 pair stage: the old salted self-JOIN shipped BOTH
+    # vectors on every candidate row into the pair kernel — ~n_c
+    # duplications of each vector through the Arrow boundary (385k
+    # pair rows x 1 KB at sf0.1). The salted COGROUP below keeps the
+    # identical (cluster, salt) task decomposition (hot clusters
+    # split hot_salt ways, every pair meets exactly once in the left
+    # member's salt partition) but ships each vector ONCE per task;
+    # the kernel runs the same dimension-axis strict-fold loop over
+    # the group's cross product, so pair cosines — and the emitted
+    # pair set — are bit-identical (parity pinned by
+    # test_semdedup_cogroup_pairs_match_join_kernel).
     left = assigned.select(F.col(id_col).alias("id_a"), "cluster",
                            F.col(vec_col).alias("va"),
                            F.col("centroid_sim").alias("cs_a"))
     right = assigned.select(F.col(id_col).alias("id_b"), "cluster",
                             F.col(vec_col).alias("vb"),
                             F.col("centroid_sim").alias("cs_b"))
-    cand = _salted_bucket_join(left, right, ["cluster"],
-                               hot_cluster_rows, hot_salt, assigned) \
-        .where(F.col("id_a") < F.col("id_b")) \
-        .select("id_a", "id_b", "cs_a", "cs_b", "va", "vb")
     id_t = dict(embs.dtypes)[id_col]
-    pairs = cand.mapInPandas(
-        _pair_cosine_filter_udf(threshold),
+    pairs = _salted_pair_cogroup(
+        left, right, ["cluster"], hot_cluster_rows, hot_salt, assigned,
+        _semdedup_pair_kernel(threshold),
         schema=f"id_a {id_t}, id_b {id_t}, cs_a double, cs_b double")
     dropped = pairs.select(
         F.when(F.col("cs_a") > F.col("cs_b"), F.col("id_a"))

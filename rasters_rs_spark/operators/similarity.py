@@ -1024,16 +1024,100 @@ def retrieval_rank_eval(queries: DataFrame, corpus: DataFrame,
         on=q_id) \
         .withColumn("_true_cos", cosine_expr(q_vec, "_tv")) \
         .where(F.col("_true_cos").isNotNull()) \
-        .select(q_id, q_vec, "_true_cos") \
-        .localCheckpoint(eager=True)
-    scored = corpus.crossJoin(F.broadcast(truth)) \
-        .withColumn("_cos", cosine_expr(q_vec, c_vec))
-    beats = (F.col("_cos") > F.col("_true_cos")) | \
-        ((F.col("_cos") == F.col("_true_cos")) &
-         (F.col(c_id) < F.col(q_id)))
-    ranked = scored.groupBy(q_id, "_true_cos").agg(
-        (F.sum(F.coalesce(beats, F.lit(False)).cast("bigint"))
-         + F.lit(1)).alias("true_rank"))
+        .select(q_id, q_vec, "_true_cos")
+    # Round-8: pass 2 was a crossJoin + per-row interpreted
+    # higher-order-fold cosine over nq x nc rows (~20us each — the
+    # same cost _pair_cosine_filter_udf's docstring measured); it is
+    # now ONE Arrow corpus scan against the collected truth table
+    # (driver traffic <= max_queries rows — the broadcast shipped the
+    # same bytes before) emitting per-TASK partial beat counts, summed
+    # by a tiny aggregation. The kernel runs the identical
+    # dimension-axis strict-fold add chain as cosine_expr, so each
+    # (corpus row, query) cosine — and therefore every rank — is
+    # bit-identical (pinned by
+    # test_retrieval_rank_eval_matches_window_rank, which compares
+    # against cosine_topk's Catalyst-fold window ranks).
+    spark = corpus.sparkSession
+    truth_rows = truth.collect()
+    q_schema = truth.schema
+    if not truth_rows:
+        empty = spark.createDataFrame([], q_schema)
+        return empty.select(
+            q_id, F.lit(None).cast("double").alias("true_cosine"),
+            F.lit(None).cast("bigint").alias("true_rank"),
+            *[F.lit(None).cast("int").alias(f"hit_at_{k}")
+              for k in hits_at])
+    qids = np.array([r[q_id] for r in truth_rows])
+    tcos = np.array([r["_true_cos"] for r in truth_rows],
+                    dtype=np.float64)
+    by_len: dict = {}
+    for idx, r in enumerate(truth_rows):
+        v = r[q_vec]
+        by_len.setdefault(len(v), []).append(idx)
+    groups = []
+    for L, idxs in by_len.items():
+        if L <= 0:
+            continue
+        Q = np.stack([np.asarray(truth_rows[i][q_vec], dtype=np.float64)
+                      for i in idxs])
+        qn = np.zeros(len(idxs))
+        for d in range(L):
+            qn = qn + Q[:, d] * Q[:, d]
+        groups.append((L, np.asarray(idxs, dtype=np.int64), Q,
+                       np.sqrt(qn)))
+    bc = spark.sparkContext.broadcast((groups, qids, tcos))
+
+    def gen(batches):
+        grps, qid_arr, tc_arr = bc.value
+        nq = qid_arr.shape[0]
+        beats_acc = np.zeros(nq, dtype=np.int64)
+        saw_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            saw_rows = True
+            cv = pdf[c_vec].to_numpy()
+            cid = pdf[c_id].to_numpy()
+            clen = np.fromiter(
+                (len(v) if v is not None else -1 for v in cv),
+                dtype=np.int64, count=len(cv))
+            for L, idxs, Q, qnorm in grps:
+                rows = np.flatnonzero(clen == L)
+                if rows.size == 0:
+                    continue
+                C = np.stack([np.asarray(cv[i], dtype=np.float64)
+                              for i in rows])
+                dot = np.zeros((rows.size, idxs.size))
+                cn = np.zeros(rows.size)
+                for d in range(int(L)):
+                    cd = C[:, d]
+                    dot = dot + cd[:, None] * Q[:, d][None, :]
+                    cn = cn + cd * cd
+                denom = np.sqrt(cn)[:, None] * qnorm[None, :]
+                ok = denom != 0.0
+                cos = np.zeros_like(dot)
+                cos[ok] = dot[ok] / denom[ok]
+                tcs = tc_arr[idxs][None, :]
+                beats = ok & (cos > tcs)
+                eq = ok & (cos == tcs)
+                if eq.any():
+                    ii, jj = np.nonzero(eq)
+                    lt = np.array(
+                        [cid[rows[i]] < qid_arr[idxs[j]]
+                         for i, j in zip(ii, jj)], dtype=bool)
+                    beats[ii[lt], jj[lt]] = True
+                beats_acc[idxs] += beats.sum(axis=0).astype(np.int64)
+        if saw_rows:
+            # carry (q_id, true_cos) in the partials so the final agg
+            # needs no join-back stage; float64 round-trips exactly
+            yield pd.DataFrame({q_id: qid_arr, "_true_cos": tc_arr,
+                                "_beats": beats_acc})
+
+    qt = q_schema[q_id].dataType.simpleString()
+    partials = corpus.select(c_id, c_vec).mapInPandas(
+        gen, schema=f"{q_id} {qt}, _true_cos double, _beats long")
+    ranked = partials.groupBy(q_id, "_true_cos").agg(
+        (F.sum("_beats") + F.lit(1)).cast("bigint").alias("true_rank"))
     return ranked.select(
         q_id, F.col("_true_cos").alias("true_cosine"), "true_rank",
         *[(F.col("true_rank") <= k).cast("int").alias(f"hit_at_{k}")

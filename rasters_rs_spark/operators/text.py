@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions import scanpar
+
 # tiny deterministic marker lists; on real corpora these would be
 # frequency-derived stopword profiles per language
 LANG_MARKERS = {
@@ -536,6 +538,9 @@ def filter_corpus(docs: DataFrame, min_tokens: int = 30,
     The text is tokenized ONCE into a shared array column that quality,
     lang-id, and repetition all reuse (previously each signal re-split
     the text)."""
+    # (no fan_out here — A/B'd in round 8: the repetition kernel is an
+    # opaque mapInPandas, so its join with the quality side re-shuffles
+    # regardless and the extra exchange was a net loss at sf0.1)
     toked = docs.select(F.col(id_col).alias(id_col), F.col(text_col),
                         F.split(F.col(text_col), " ").alias("_toks"))
     q = with_lang_id(with_quality(toked, text_col, tokens_col="_toks"),
@@ -1329,6 +1334,47 @@ FP2_BASE = 1000033
 FP2_MOD = 2147483629
 
 
+def _window_hash_rows2(texts, k: int):
+    """(doc_idx, packed_h, pos) for every k-character window: BOTH
+    rolling-hash lanes from ONE utf-32 decode of the batch, packed as
+    h1 * FP2_MOD + h2 (< 2^62, int64-exact). Bit-identical to calling
+    _window_hash_rows once per lane (pinned by
+    tests/test_text_ops.py::test_window_hash_rows2_matches_two_pass)
+    but half the decode/concat work — the decode was the dominant
+    per-batch cost of the span scan (round-8 A/B in
+    OPTIMIZATION_r08.md). Short docs (< k codepoints) contribute
+    nothing (pad=False semantics)."""
+    n = len(texts)
+    empty = np.empty(0, dtype=np.int64)
+    if n == 0:
+        return empty, empty, empty
+    bufs = [(t or "").encode("utf-32-le") for t in texts]
+    lens = np.fromiter((len(b) // 4 for b in bufs), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.int64)
+    total = offsets[-1]
+    n_win = int(total - k + 1)
+    if n_win <= 0:
+        return empty, empty, empty
+    pw1 = np.empty(k, dtype=np.int64)
+    pw2 = np.empty(k, dtype=np.int64)
+    pw1[0] = pw2[0] = 1
+    for i in range(1, k):
+        pw1[i] = (pw1[i - 1] * FP_BASE) % FP_MOD
+        pw2[i] = (pw2[i - 1] * FP2_BASE) % FP2_MOD
+    acc1 = np.zeros(n_win, dtype=np.int64)
+    acc2 = np.zeros(n_win, dtype=np.int64)
+    for d in range(k):
+        seg = data[d:d + n_win]
+        acc1 = (acc1 + seg * pw1[k - 1 - d]) % FP_MOD
+        acc2 = (acc2 + seg * pw2[k - 1 - d]) % FP2_MOD
+    doc_idx = np.repeat(np.arange(n), lens)[:n_win]
+    pos = np.arange(n_win, dtype=np.int64) - offsets[doc_idx]
+    ok = pos <= lens[doc_idx] - k
+    return doc_idx[ok], acc1[ok] * FP2_MOD + acc2[ok], pos[ok]
+
+
 def duplicated_span_windows(docs: DataFrame, k: int = 16,
                             id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:
@@ -1341,19 +1387,19 @@ def duplicated_span_windows(docs: DataFrame, k: int = 16,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts = list(pdf[text_col])
-            di, h1, pos = _window_hash_rows(texts, k, with_pos=True,
-                                            pad=False)
-            _, h2, _ = _window_hash_rows(texts, k, base=FP2_BASE,
-                                         mod=FP2_MOD, with_pos=True,
-                                         pad=False)
+            di, h, pos = _window_hash_rows2(list(pdf[text_col]), k)
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy()[di],
                 "pos": pos,
-                "h": h1 * FP2_MOD + h2,
+                "h": h,
             })
 
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    # fan_out: the hash kernel is row-local, so spreading a
+    # single-row-group scan across the cluster changes nothing but the
+    # task count (no-op on wide scans — see functions/scanpar.py)
+    src = scanpar.fan_out(docs.select(F.col(id_col), F.col(text_col)),
+                          key=id_col)
+    return src.mapInPandas(
         gen, schema=f"{id_col} {id_type}, pos long, h long")
 
 
@@ -1378,15 +1424,36 @@ def duplicated_span_intervals(docs: DataFrame, k: int = 16,
     for the dup/canonical aggregation, one join back, one per-doc
     merge — the honest substring-dedup cost, fully distributed.
     Returns (doc_id, start, end)."""
-    w = duplicated_span_windows(docs, k, id_col, text_col)
-    n_dup = F.count("*") if within_doc else F.count_distinct(id_col)
-    agg = w.groupBy("h").agg(
-        n_dup.alias("_nd"),
-        F.min(F.struct(id_col, "pos")).alias("_canon"))
-    dup = agg.where(F.col("_nd") >= 2)
+    # Round-8 rewrite (plan diff in plans/r08/): the old
+    # min(struct(id, pos)) + count_distinct(id) aggregation planned as
+    # a SortAggregate chain with TWO exchanges and full sorts of the
+    # window table. The dup test is equivalently min(id) != max(id)
+    # (>= 2 distinct docs) or count(*) >= 2 (within_doc), and the
+    # canonical (min doc, min pos) is recovered from the TINY dup set
+    # by one broadcast join — all HashAggregates, ONE exchange, zero
+    # sorts of the window table; the window scan itself is
+    # checkpointed (it feeds the aggregation, the canonical-pos lookup
+    # and the mark join — previously the corpus was re-scanned).
+    # Outputs bit-identical (span_intervals/span_removal hash-green).
+    w = duplicated_span_windows(docs, k, id_col, text_col) \
+        .localCheckpoint(eager=True)
+    dup_test = (F.col("_cnt") >= 2) if within_doc \
+        else (F.col("_mindoc") != F.col("_maxdoc"))
+    # min_by(pos, struct(id, pos)) == the canonical occurrence's pos
+    # ((id, pos) is unique per row, so no tie ambiguity); ObjectHash-
+    # Aggregate, partial-aggregated — one pass, no sorts, no join-back
+    hstats = w.groupBy("h").agg(
+        F.count("*").alias("_cnt"),
+        F.min(id_col).alias("_mindoc"),
+        F.max(id_col).alias("_maxdoc"),
+        F.min_by("pos", F.struct(id_col, "pos")).alias("_cpos"))
+    dup = hstats.where(dup_test).select("h", "_mindoc", "_cpos")
+    # no broadcast hint: AQE sees the dup aggregation's true runtime
+    # size and picks broadcast itself (it did for the old shape too),
+    # degrading to a shuffle join on a pathologically duplicated corpus
     marked = w.join(dup, on="h").where(
-        (F.col(id_col) != F.col(f"_canon.{id_col}"))
-        | (F.col("pos") != F.col("_canon.pos")))
+        (F.col(id_col) != F.col("_mindoc"))
+        | (F.col("pos") != F.col("_cpos")))
     # gaps-and-islands entirely in Catalyst: a new island starts when
     # pos exceeds the running max end of earlier marks
     win = Window.partitionBy(id_col).orderBy("pos")
@@ -1438,8 +1505,11 @@ def remove_duplicated_spans(docs: DataFrame, k: int = 16,
     ivagg = iv.groupBy("_iid").agg(
         F.array_sort(F.collect_list(F.struct("start", "end")))
         .alias("_ivs"))
-    joined = docs.select(id_col, text_col).join(
-        ivagg, on=F.col(id_col) == F.col("_iid"), how="left") \
+    # fan_out the docs side (round-8): the cut kernel below is
+    # row-local and the interval side broadcasts, so a single-row-group
+    # scan would otherwise run the whole cut in ONE task
+    joined = scanpar.fan_out(docs.select(id_col, text_col), key=id_col) \
+        .join(ivagg, on=F.col(id_col) == F.col("_iid"), how="left") \
         .drop("_iid")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

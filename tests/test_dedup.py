@@ -489,3 +489,48 @@ def test_semdedup_pair_kernel_matches_expr(spark):
     assert kern_kept == expr_kept
     assert expr_kept, "threshold must keep a non-trivial pair set"
     assert not any(7 in p or 11 in p for p in kern_kept)
+
+
+def test_semdedup_cogroup_pairs_match_join_kernel(spark):
+    """Round-8 pair stage: the salted COGROUP emits exactly the pair
+    set (ids AND cs values) of the salted join + _pair_cosine_filter_udf
+    shape it replaced — including zero-norm / ragged-length drops and a
+    forced hot cluster (hot_bucket_rows=10 < cluster size, so the salt
+    split path is exercised)."""
+    from pyspark.sql import functions as F
+    rng = np.random.default_rng(43)
+    n, dim = 80, 12
+    vecs = [rng.normal(size=dim).tolist() for _ in range(n)]
+    vecs[5] = [0.0] * dim
+    vecs[9] = rng.normal(size=dim - 2).tolist()
+    # 3 clusters, one of them hot (most rows)
+    clusters = [0 if i % 4 else (i % 8 == 0) + 1 for i in range(n)]
+    pdf = pd.DataFrame({
+        "id": list(range(n)), "cluster": clusters, "v": vecs,
+        "cs": rng.normal(size=n)})
+    assigned = spark.createDataFrame(pdf)
+    left = assigned.select(F.col("id").alias("id_a"), "cluster",
+                           F.col("v").alias("va"),
+                           F.col("cs").alias("cs_a"))
+    right = assigned.select(F.col("id").alias("id_b"), "cluster",
+                            F.col("v").alias("vb"),
+                            F.col("cs").alias("cs_b"))
+    thr = 0.05
+    join_pairs = {
+        (r["id_a"], r["id_b"], r["cs_a"], r["cs_b"]) for r in
+        D._salted_bucket_join(left, right, ["cluster"], 10, 4, assigned)
+         .where(F.col("id_a") < F.col("id_b"))
+         .select("id_a", "id_b", "cs_a", "cs_b", "va", "vb")
+         .mapInPandas(D._pair_cosine_filter_udf(thr),
+                      schema="id_a bigint, id_b bigint, "
+                             "cs_a double, cs_b double").collect()}
+    cg_pairs = {
+        (r["id_a"], r["id_b"], r["cs_a"], r["cs_b"]) for r in
+        D._salted_pair_cogroup(
+            left, right, ["cluster"], 10, 4, assigned,
+            D._semdedup_pair_kernel(thr),
+            schema="id_a bigint, id_b bigint, "
+                   "cs_a double, cs_b double").collect()}
+    assert cg_pairs == join_pairs
+    assert join_pairs, "fixture must produce a non-trivial pair set"
+    assert not any(5 in p[:2] or 9 in p[:2] for p in cg_pairs)

@@ -1174,3 +1174,29 @@ def test_retrieval_rank_eval_edges(spark):
     assert rows[0]["true_rank"] == 1 and rows[0]["hit_at_1"] == 1
     with pytest.raises(ValueError, match="max_queries"):
         SIM.retrieval_rank_eval(qs, corpus, max_queries=2)
+
+
+def test_window_hash_rows2_matches_two_pass():
+    """Round-8 fused two-lane window-hash kernel: bit-identical to the
+    two single-lane _window_hash_rows passes it replaced (unicode,
+    empty, short-doc and exact-k inputs)."""
+    import numpy as np
+    from rasters_rs_spark.operators import text as T
+
+    cases = [
+        [],
+        ["", "short", "exactly sixteen!", "héllo wörld " * 5,
+         "日本語の定型文テキストがここに入ります", None,
+         "a" * 15, "b" * 16, "mixed ascii と 日本語 ﬁ ligature"],
+        ["x" * 1000, "boilerplate " * 40],
+    ]
+    for texts in cases:
+        di1, h1, p1 = (np.empty(0),) * 3
+        di1, h1 = T._window_hash_rows(texts, 16, pad=False)
+        _, h2, p2 = T._window_hash_rows(texts, 16, base=T.FP2_BASE,
+                                        mod=T.FP2_MOD, with_pos=True,
+                                        pad=False)
+        di, h, pos = T._window_hash_rows2(texts, 16)
+        assert np.array_equal(di, di1)
+        assert np.array_equal(pos, p2)
+        assert np.array_equal(h, h1 * T.FP2_MOD + h2)
