@@ -1428,8 +1428,10 @@ def _q_ann_lsh(spark, sf_dir):
                     "transform(embedding, v -> cast(v as double)) embedding")
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    # broadcast_queries=True: the query side is known query-sized
+    # (8 vectors), so skip the operator's capped probe job (round-8)
     return similarity.lsh_topk_det(queries, emb, k=5, dim=64, n_planes=8,
-                                   probes=4) \
+                                   probes=4, broadcast_queries=True) \
         .select("q_id", "vec_id", F.round("cosine", 9).alias("cosine"),
                 F.col("rank").cast("bigint").alias("rank"))
 

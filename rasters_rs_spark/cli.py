@@ -226,6 +226,9 @@ def cmd_polygonize(args):
         # min_data_size is in pixels; strip height rides the widest
         # image's row length (one tiny agg, not a per-row collect)
         w = images.agg({"w": "max"}).first()[0]
+        if w is None:
+            raise SystemExit("polygonize --chunked: no input images "
+                             f"under {args.input}")
         out = polygonize_chunked(
             chunk_images(images, min_data_size=args.strip_height * int(w),
                          padding=0), n_classes=args.classes)

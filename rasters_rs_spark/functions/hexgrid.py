@@ -228,6 +228,13 @@ def hex_kring_join(queries: DataFrame, points: DataFrame,
     hash join Catalyst/AQE is free to pick, never an all-pairs
     distance filter over the corpus.  Returns one row per query cell
     per non-empty ring: (hq, hr, ring, n).
+
+    (Round-8 A/B: forcing a broadcast of the exploded query side —
+    the "obvious" scale hint — measured 0.96-1.27s vs 0.80-0.89s for
+    AQE's own runtime choice at sf0.1, because the hint serializes the
+    join onto the narrow point scan; AQE already broadcasts whichever
+    side is ACTUALLY small at runtime, which is also the correct
+    behavior on a huge point corpus. Left deliberately un-hinted.)
     """
     qcells = kring_explode(queries.select("hq", "hr").distinct(),
                            "hq", "hr", k=k)
@@ -334,9 +341,15 @@ def hex_hotspots(points: DataFrame, x_col: str = "x", y_col: str = "y",
     # re-narrow the cell sum to (18,2) before squaring: the (p,2)x(p,2)
     # product must stay under both engines' 38-digit decimal cap
     xv = F.col("_xv").cast("decimal(18,2)")
+    # eager checkpoint (round-8): bins feeds FOUR consumers below (the
+    # global moments, the kring explode, the neighbor side, and the
+    # final join) — unmaterialized, the corpus binning aggregation ran
+    # four times (4 source scans in the plan); the bins table itself is
+    # bounded by occupied cells, never by points
     bins = bins.select(
         "hq", "hr", "n", F.col("_xv").cast("double").alias("x"),
-        (xv * xv).alias("_xv2"), xv.alias("_xv"))
+        (xv * xv).alias("_xv2"), xv.alias("_xv")) \
+        .localCheckpoint(eager=True)
     g = bins.agg(
         F.count("*").cast("long").alias("nn"),
         F.sum("_xv").cast("double").alias("sx"),

@@ -391,7 +391,11 @@ def image_grid_embedding(images: DataFrame, grid: int = 4, buckets: int = 8,
                     for cj in range(grid):
                         mv = means[ci, cj]
                         if not np.isnan(mv):
-                            k = int(mv * buckets * 64) % buckets
+                            # floor, not int() (which truncates toward
+                            # zero): the docstring + oracle specify the
+                            # floor rule, and a real encoder can see
+                            # negative cell means (round-7 ADVICE)
+                            k = int(np.floor(mv * buckets * 64)) % buckets
                             emb[(ci * grid + cj) * buckets + k] = 1.0
                 out.append((row.image_id, emb.tolist(),
                             *(getattr(row, c) for c in carry)))
@@ -472,10 +476,17 @@ def clip_score_filter(images: DataFrame, threshold: float = 0.5,
         img = image_embeddings if image_embeddings is not None else \
             image_grid_embedding(images, grid, buckets, allow_fake) \
             .withColumnRenamed("image_id", id_col)
-        cap = caption_embeddings if caption_embeddings is not None else \
-            caption_token_embedding(
-                images.select(id_col, text_col), grid, buckets, text_col) \
-            .select(id_col, "cap_emb")
+        if caption_embeddings is not None:
+            cap = caption_embeddings
+        else:
+            # mixed mode: the caller's id_col names the EXTERNAL
+            # embedding table's id; the image table may still use the
+            # default image_id — resolve whichever exists (r7 ADVICE)
+            src_id = id_col if id_col in images.columns else "image_id"
+            cap = caption_token_embedding(
+                images.select(F.col(src_id).alias(id_col), text_col),
+                grid, buckets, text_col) \
+                .select(id_col, "cap_emb")
         img = img.select(F.col(id_col), F.col(img.columns[1]).alias("img_emb"))
         cap = cap.select(F.col(id_col), F.col(cap.columns[1]).alias("cap_emb"))
         both = img.join(cap, id_col)

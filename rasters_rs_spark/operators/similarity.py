@@ -73,9 +73,74 @@ def _rerank_topk(cand: DataFrame, k: int, q_id: str, c_id: str,
                  q_vec: str, c_vec: str) -> DataFrame:
     """Shared exact-rerank tail of every ANN variant: dedupe candidate
     pairs, score with the exact cosine, keep each query's top k
-    (ties to the lower corpus id)."""
-    scored = cand.dropDuplicates([q_id, c_id]) \
-        .withColumn("cosine", cosine_expr(q_vec, c_vec))
+    (ties to the lower corpus id).
+
+    Round-8: the cosine runs in an Arrow kernel (dimension-axis
+    strict-fold loop, vectorized ACROSS pairs) instead of the
+    interpreted higher-order zip_with/aggregate expression, which
+    evaluates its lambdas per ELEMENT (~20us per 64-dim pair —
+    measured in the semdedup A/B). Same fold order, so every cosine
+    — including NULL for zero-norm or length-mismatched pairs — is
+    bit-identical (pinned by test_rerank_kernel_matches_expr; all 5
+    ANN contract rows stayed hash-green)."""
+    dt = dict(cand.dtypes)
+    pairs = cand.dropDuplicates([q_id, c_id]).select(q_id, c_id,
+                                                     q_vec, c_vec)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            va = pdf[q_vec].to_numpy()
+            vb = pdf[c_vec].to_numpy()
+            lens = np.array([
+                (len(a) if a is not None else -1,
+                 len(b) if b is not None else -1)
+                for a, b in zip(va, vb)], dtype=np.int64)
+            cos = np.full(n, np.nan)
+            # defined[i]: the fold expr would yield a (possibly NaN)
+            # VALUE; undefined -> NULL (zero denom / length mismatch)
+            defined = np.zeros(n, dtype=bool)
+            for la, lb in {tuple(t) for t in lens}:
+                if la != lb or la <= 0:
+                    continue      # NULL cosine, like the fold expr
+                idx = np.flatnonzero((lens[:, 0] == la)
+                                     & (lens[:, 1] == lb))
+                A = np.stack([np.asarray(va[i], dtype=np.float64)
+                              for i in idx])
+                B = np.stack([np.asarray(vb[i], dtype=np.float64)
+                              for i in idx])
+                dot = np.zeros(idx.size)
+                na = np.zeros(idx.size)
+                nb = np.zeros(idx.size)
+                for d in range(int(la)):
+                    ad, bd = A[:, d], B[:, d]
+                    dot = dot + ad * bd
+                    na = na + ad * ad
+                    nb = nb + bd * bd
+                denom = np.sqrt(na) * np.sqrt(nb)
+                # NaN != 0.0 is TRUE in both numpy and Spark, so a
+                # NaN-poisoned denominator stays "defined" and the
+                # division propagates NaN — exactly like the when()
+                ok = denom != 0.0
+                vals = np.full(idx.size, np.nan)
+                vals[ok] = dot[ok] / denom[ok]
+                cos[idx] = vals
+                defined[idx] = ok
+            # nullable Float64 so a COMPUTED NaN survives as NaN while
+            # undefined entries become SQL NULLs (an object column
+            # would coerce NaN to null in the Arrow conversion)
+            carr = pd.array(cos, dtype="Float64")
+            carr[~defined] = pd.NA
+            yield pd.DataFrame({
+                q_id: pdf[q_id].to_numpy(),
+                c_id: pdf[c_id].to_numpy(),
+                "cosine": carr,
+            })
+
+    scored = pairs.mapInPandas(
+        gen, schema=f"{q_id} {dt[q_id]}, {c_id} {dt[c_id]}, cosine double")
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -872,14 +937,23 @@ def bm25_topk(queries: DataFrame, docs: DataFrame, k: int = 10,
         F.col(id_col).alias("_did"),
         F.size(_bm25_tokens(F.coalesce(F.col(text_col), F.lit(""))))
         .cast("long").alias("dl")).localCheckpoint(eager=True)
-    n_docs = dl.count()
-    tot = dl.agg(F.sum("dl")).first()[0] or 0
+    # one action for both scalars (round-8: count() + agg().first()
+    # were two sequential jobs over the same checkpointed rows)
+    srow = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).first()
+    n_docs = int(srow["n"] or 0)
+    tot = srow["t"] or 0
     avgdl = float(tot) / float(n_docs) if n_docs else 1.0
 
-    terms = docs.select(
-        F.col(id_col).alias("_did"),
-        F.explode(_bm25_tokens(F.coalesce(F.col(text_col),
-                                          F.lit("")))).alias("term"))
+    # fan_out (round-8): the tokenize+explode+vocab-prune+map-side tf
+    # partials below would otherwise run in ONE task on a
+    # single-row-group scan (no-op on wide scans)
+    from ..functions import scanpar
+    terms = scanpar.fan_out(docs.select(
+        F.col(id_col).alias("_did"), F.col(text_col)), key="_did") \
+        .select(
+            "_did",
+            F.explode(_bm25_tokens(F.coalesce(F.col(text_col),
+                                              F.lit("")))).alias("term"))
     qterms = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.explode(_bm25_tokens(F.coalesce(F.col(q_text_col),

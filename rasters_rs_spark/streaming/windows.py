@@ -711,70 +711,106 @@ def stream_hex_bin(spark: SparkSession, source_dir: str, schema: str,
     )
 
 
-def stream_point_tile_pyramid(spark: SparkSession, source_dir: str,
-                              schema: str, out_dir: str,
-                              zoom_max: int = 14, zoom_min: int = 10,
-                              x_col: str = "x", y_col: str = "y",
-                              value_col: str = "value",
-                              max_files_per_trigger: int | None = None):
-    """Incrementally-maintained point-density tile pyramid: each
-    micro-batch folds into a base-level (zoom_max) tile store —
-    merge = sum the decimal monoids per tile, exactly the batch
-    operator's partials — and the coarser levels re-derive from the
-    merged base by integer shift-regroup (tile-table sized, never
-    points). Because every column is a commutative exact monoid
-    (counts + decimal sums), streamed state == batch over the union
-    of all batches bit-for-bit (tested). Writes the base store to
-    ``out_dir/base`` (overwritten per batch with the merged state)
-    and the full pyramid to ``out_dir/pyramid``. Returns the started
-    query."""
-    import os
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(fs, Path-class) for ``path`` via the Hadoop FS API — works on
+    any configured filesystem, unlike os.path (round-7 ADVICE)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
 
+
+def pyramid_fold_batch(spark: SparkSession, out_dir: str,
+                       zoom_max: int, zoom_min: int,
+                       x_col: str = "x", y_col: str = "y",
+                       value_col: str = "value"):
+    """The foreachBatch fold of stream_point_tile_pyramid, exposed so
+    replay semantics are directly testable. IDEMPOTENT under
+    micro-batch replay (round-7 ADVICE): each epoch's merged base
+    lands in ``out_dir/base_epochs/<epoch>`` — the merge reads the
+    newest COMMITTED epoch strictly below the current one, so a
+    replayed epoch re-reads the same prior state instead of
+    double-counting the half-applied one, and an epoch whose
+    ``_SUCCESS`` marker already exists skips straight to re-publishing
+    (covers a crash between the base write and the pyramid write).
+    Committed epochs older than the previous one are pruned. The
+    published copies ``out_dir/base`` / ``out_dir/pyramid`` are
+    write-only (never read back), so a torn overwrite there cannot
+    corrupt the fold state. All filesystem probes go through the
+    Hadoop FS API, not os.path."""
     from pyspark.sql import functions as SF
 
     from ..functions.mercator import MAX_COORD
 
     ts = 2.0 * MAX_COORD / float(1 << zoom_max)
     base_path = f"{out_dir}/base"
+    epochs_dir = f"{out_dir}/base_epochs"
     pyr_path = f"{out_dir}/pyramid"
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger",
-                               str(max_files_per_trigger))
-    stream = reader.parquet(source_dir)
+
+    def committed_epochs(fs, P):
+        if not fs.exists(P(epochs_dir)):
+            return []
+        out = []
+        for st in fs.listStatus(P(epochs_dir)):
+            name = st.getPath().getName()
+            if name.isdigit() and fs.exists(
+                    P(f"{epochs_dir}/{name}/_SUCCESS")):
+                out.append(int(name))
+        return sorted(out)
 
     def fold_batch(batch_df, epoch_id):
-        tx = SF.floor((SF.col(x_col) + SF.lit(MAX_COORD)) / SF.lit(ts)) \
-            .cast("long")
-        ty = SF.floor((SF.col(y_col) + SF.lit(MAX_COORD)) / SF.lit(ts)) \
-            .cast("long")
-        delta = (batch_df
-                 .select(tx.alias("tx"), ty.alias("ty"),
-                         SF.col(x_col).cast("decimal(24,6)").alias("_x"),
-                         SF.col(y_col).cast("decimal(24,6)").alias("_y"),
-                         SF.col(value_col).cast("decimal(18,2)")
-                         .alias("_v"))
-                 .groupBy("tx", "ty")
-                 .agg(SF.count("*").cast("long").alias("n"),
-                      SF.sum("_v").alias("sv"),
-                      SF.sum("_x").alias("sx"),
-                      SF.sum("_y").alias("sy")))
-        if os.path.exists(base_path):
-            prior = spark.read.parquet(base_path)
-            merged = (prior.unionByName(delta)
-                      .groupBy("tx", "ty")
-                      .agg(SF.sum("n").cast("long").alias("n"),
-                           SF.sum("sv").cast("decimal(28,2)").alias("sv"),
-                           SF.sum("sx").cast("decimal(34,6)").alias("sx"),
-                           SF.sum("sy").cast("decimal(34,6)")
-                           .alias("sy")))
+        fs, P = _hadoop_fs(spark, out_dir)
+        epoch_id = int(epoch_id)
+        epoch_path = f"{epochs_dir}/{epoch_id}"
+        done = committed_epochs(fs, P)
+        if epoch_id in done:
+            # replayed epoch already fully merged: just re-publish
+            # (the crash may have hit between base and pyramid writes)
+            merged = spark.read.parquet(epoch_path) \
+                .localCheckpoint(eager=True)
         else:
-            merged = delta.select(
-                "tx", "ty", "n",
-                SF.col("sv").cast("decimal(28,2)").alias("sv"),
-                SF.col("sx").cast("decimal(34,6)").alias("sx"),
-                SF.col("sy").cast("decimal(34,6)").alias("sy"))
-        merged = merged.localCheckpoint(eager=True)
+            tx = SF.floor((SF.col(x_col) + SF.lit(MAX_COORD))
+                          / SF.lit(ts)).cast("long")
+            ty = SF.floor((SF.col(y_col) + SF.lit(MAX_COORD))
+                          / SF.lit(ts)).cast("long")
+            delta = (batch_df
+                     .select(tx.alias("tx"), ty.alias("ty"),
+                             SF.col(x_col).cast("decimal(24,6)")
+                             .alias("_x"),
+                             SF.col(y_col).cast("decimal(24,6)")
+                             .alias("_y"),
+                             SF.col(value_col).cast("decimal(18,2)")
+                             .alias("_v"))
+                     .groupBy("tx", "ty")
+                     .agg(SF.count("*").cast("long").alias("n"),
+                          SF.sum("_v").alias("sv"),
+                          SF.sum("_x").alias("sx"),
+                          SF.sum("_y").alias("sy")))
+            prior_epochs = [e for e in done if e < epoch_id]
+            if prior_epochs:
+                prior = spark.read.parquet(
+                    f"{epochs_dir}/{prior_epochs[-1]}")
+                merged = (prior.unionByName(delta)
+                          .groupBy("tx", "ty")
+                          .agg(SF.sum("n").cast("long").alias("n"),
+                               SF.sum("sv").cast("decimal(28,2)")
+                               .alias("sv"),
+                               SF.sum("sx").cast("decimal(34,6)")
+                               .alias("sx"),
+                               SF.sum("sy").cast("decimal(34,6)")
+                               .alias("sy")))
+            else:
+                merged = delta.select(
+                    "tx", "ty", "n",
+                    SF.col("sv").cast("decimal(28,2)").alias("sv"),
+                    SF.col("sx").cast("decimal(34,6)").alias("sx"),
+                    SF.col("sy").cast("decimal(34,6)").alias("sy"))
+            merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(epoch_path)
+            # prune committed epochs older than the immediate prior
+            # (kept so a replay of THIS epoch can still re-merge)
+            for e in prior_epochs[:-1]:
+                fs.delete(P(f"{epochs_dir}/{e}"), True)
         merged.write.mode("overwrite").parquet(base_path)
         lv = merged.withColumn(
             "zoom", SF.explode(SF.sequence(SF.lit(zoom_min),
@@ -792,6 +828,34 @@ def stream_point_tile_pyramid(spark: SparkSession, source_dir: str,
                .withColumn("zoom", SF.col("zoom").cast("int")))
         pyr.write.mode("overwrite").parquet(pyr_path)
 
+    return fold_batch
+
+
+def stream_point_tile_pyramid(spark: SparkSession, source_dir: str,
+                              schema: str, out_dir: str,
+                              zoom_max: int = 14, zoom_min: int = 10,
+                              x_col: str = "x", y_col: str = "y",
+                              value_col: str = "value",
+                              max_files_per_trigger: int | None = None):
+    """Incrementally-maintained point-density tile pyramid: each
+    micro-batch folds into a base-level (zoom_max) tile store —
+    merge = sum the decimal monoids per tile, exactly the batch
+    operator's partials — and the coarser levels re-derive from the
+    merged base by integer shift-regroup (tile-table sized, never
+    points). Because every column is a commutative exact monoid
+    (counts + decimal sums), streamed state == batch over the union
+    of all batches bit-for-bit (tested), and the fold is idempotent
+    under micro-batch replay (epoch-keyed state — see
+    pyramid_fold_batch). Publishes the merged base to
+    ``out_dir/base`` and the full pyramid to ``out_dir/pyramid``.
+    Returns the started query."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
+    fold_batch = pyramid_fold_batch(spark, out_dir, zoom_max, zoom_min,
+                                    x_col, y_col, value_col)
     return (stream.writeStream.foreachBatch(fold_batch)
             .option("checkpointLocation", f"{out_dir}/_ckpt")
             .trigger(availableNow=True).start())

@@ -1200,3 +1200,37 @@ def test_window_hash_rows2_matches_two_pass():
         assert np.array_equal(di, di1)
         assert np.array_equal(pos, p2)
         assert np.array_equal(h, h1 * T.FP2_MOD + h2)
+
+
+def test_rerank_kernel_matches_expr(spark):
+    """Round-8 _rerank_topk Arrow kernel: identical (q_id, vec_id,
+    cosine, rank) rows to the cosine_expr + window shape it replaced,
+    including zero-norm (NULL cosine, ranked last) and ragged-length
+    pairs."""
+    import numpy as np
+    from pyspark.sql import Window, functions as F
+    rng = np.random.default_rng(47)
+    nq, nc, dim = 5, 40, 16
+    cvecs = [rng.normal(size=dim).tolist() for _ in range(nc)]
+    cvecs[3] = [0.0] * dim
+    cvecs[11] = rng.normal(size=dim - 4).tolist()
+    corpus = spark.createDataFrame(
+        [(i, cvecs[i]) for i in range(nc)],
+        "vec_id bigint, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(i, rng.normal(size=dim).tolist()) for i in range(nq)],
+        "q_id bigint, q_vec array<double>")
+    cand = corpus.crossJoin(F.broadcast(qs))
+    got = {(r["q_id"], r["rank"]): (r["vec_id"], r["cosine"]) for r in
+           SIM._rerank_topk(cand, 7, "q_id", "vec_id",
+                            "q_vec", "embedding").collect()}
+    scored = cand.dropDuplicates(["q_id", "vec_id"]) \
+        .withColumn("cosine", SIM.cosine_expr("q_vec", "embedding"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                           F.col("vec_id"))
+    want = {(r["q_id"], r["rank"]): (r["vec_id"], r["cosine"]) for r in
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 7)
+            .select("q_id", "vec_id", "cosine", "rank").collect()}
+    assert got == want
+    assert len(want) == nq * 7

@@ -669,3 +669,36 @@ def test_stream_point_tile_pyramid_equals_batch(spark, tmp_path):
     want = sorted(tuple(r) for r in point_tile_pyramid(
         pts.drop("id"), zoom_max=14, zoom_min=10).collect())
     assert got == want and len(got) > 20
+
+
+def test_pyramid_fold_batch_replay_idempotent(spark, tmp_path):
+    """Round-8 (r7 ADVICE): replaying a micro-batch epoch — the
+    failure-recovery path of foreachBatch — must not double-count:
+    fold(b0, 0); fold(b1, 1); fold(b1, 1) again leaves base and
+    pyramid exactly equal to the batch operator over b0 union b1."""
+    from rasters_rs_spark.operators.celljoin import point_tile_pyramid
+    from rasters_rs_spark.streaming.windows import pyramid_fold_batch
+
+    pts = spark.range(2000).selectExpr(
+        "id",
+        "cast(id as double) * 41.5 - 40000.0 as x",
+        "cast(id % 499 as double) * 177.0 - 44000.0 as y",
+        "cast(id % 5 as double) + 0.5 as value")
+    b0 = pts.where("id % 2 = 0").drop("id")
+    b1 = pts.where("id % 2 = 1").drop("id")
+    out = str(tmp_path / "fold_out")
+    fold = pyramid_fold_batch(spark, out, zoom_max=13, zoom_min=10)
+    fold(b0, 0)
+    fold(b1, 1)
+    once = sorted(tuple(r) for r in
+                  spark.read.parquet(f"{out}/pyramid").collect())
+    fold(b1, 1)   # replay after a simulated post-write crash
+    again = sorted(tuple(r) for r in
+                   spark.read.parquet(f"{out}/pyramid").collect())
+    want = sorted(tuple(r) for r in point_tile_pyramid(
+        pts.drop("id"), zoom_max=13, zoom_min=10).collect())
+    assert once == want
+    assert again == want
+    base = sorted(tuple(r) for r in
+                  spark.read.parquet(f"{out}/base").collect())
+    assert len(base) > 10
