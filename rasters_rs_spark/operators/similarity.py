@@ -259,6 +259,9 @@ def lsh_topk_det(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     (measured faster than the pure-Catalyst _lsh_bucket_expr — pass
     ``catalyst_buckets=True`` for a zero-Python-worker plan)."""
     planes = lcg_planes(n_planes, dim)
+    # (no fan_out of the corpus here — A/B'd in round 8: the rerank
+    # window's shuffle already re-parallelizes after the candidate
+    # join, and the extra exchange measured flat-to-negative)
     if catalyst_buckets:
         ck = corpus.withColumn("bucket", _lsh_bucket_expr(c_vec, planes))
         qk = queries.withColumn("bucket", _lsh_bucket_expr(q_vec, planes))

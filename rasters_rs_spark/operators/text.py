@@ -532,25 +532,40 @@ def filter_corpus(docs: DataFrame, min_tokens: int = 30,
     (Gopher-style top-bigram share), and language allowlist. Returns
     the kept documents' ids with their filter signals.
 
-    Shape: the quality/lang signals are pure row-local Catalyst exprs;
-    the repetition signal joins in from its two-stage aggregation —
-    one broadcast-able join on doc id; everything partial-aggregates.
-    The text is tokenized ONCE into a shared array column that quality,
-    lang-id, and repetition all reuse (previously each signal re-split
-    the text)."""
-    # (no fan_out here — A/B'd in round 8: the repetition kernel is an
-    # opaque mapInPandas, so its join with the quality side re-shuffles
-    # regardless and the extra exchange was a net loss at sf0.1)
-    toked = docs.select(F.col(id_col).alias(id_col), F.col(text_col),
-                        F.split(F.col(text_col), " ").alias("_toks"))
+    Shape (round-8 fusion): the quality/lang signals are pure
+    row-local Catalyst exprs and the repetition signal is a row-local
+    Arrow kernel, so ALL of them run in ONE pass — the quality columns
+    ride through the repetition kernel as pass-through columns and the
+    old doc-id join (plus its two exchanges) is gone entirely; the
+    text is tokenized once into a shared array column that every
+    signal reuses. fan_out spreads the single-row-group scan (the
+    whole pipeline is row-local, so there is no downstream shuffle at
+    all). A/B at sf0.1: joined shape 1.01-1.15s -> fused 0.5-0.6s,
+    outputs hash-identical (filter_corpus_docs stayed green)."""
+    toked = scanpar.fan_out(
+        docs.select(F.col(id_col).alias(id_col), F.col(text_col),
+                    F.split(F.col(text_col), " ").alias("_toks")),
+        key=id_col)
     q = with_lang_id(with_quality(toked, text_col, tokens_col="_toks"),
                      text_col, tokens_col="_toks").select(
         F.col(id_col).alias("doc_id"),
-        F.col("n_tokens").cast("bigint").alias("n_tokens"), "lang_id")
-    rep = repetition_stats(toked, n=2, id_col=id_col, text_col=text_col,
-                           tokens_col="_toks") \
-        .select("doc_id", "rep_ratio")
-    out = q.join(rep, "doc_id") \
+        F.col("n_tokens").cast("bigint").alias("n_tokens"), "lang_id",
+        "_toks")
+    id_type = dict(docs.dtypes)[id_col]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tot, top = _repetition_batch_tokens(list(pdf["_toks"]), 2)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "lang_id": pdf["lang_id"].to_numpy(),
+                "rep_ratio": top / tot,
+            })
+
+    out = q.mapInPandas(
+        gen, schema=(f"doc_id {id_type}, n_tokens bigint, "
+                     f"lang_id string, rep_ratio double")) \
         .where((F.col("n_tokens") >= min_tokens)
                & (F.col("rep_ratio") <= max_rep)
                & F.col("lang_id").isin(*langs))
@@ -1403,6 +1418,46 @@ def duplicated_span_windows(docs: DataFrame, k: int = 16,
         gen, schema=f"{id_col} {id_type}, pos long, h long")
 
 
+def _duplicated_span_marks(docs: DataFrame, k: int = 16,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           within_doc: bool = False) -> DataFrame:
+    """(id_col, pos) of every NON-CANONICAL duplicated window — the
+    shared discovery pass of duplicated_span_intervals and
+    remove_duplicated_spans (which merges marks kernel-side without
+    the intervals' gaps-and-islands windows).
+
+    Round-8 rewrite (plan diff in plans/r08/): the old
+    min(struct(id, pos)) + count_distinct(id) aggregation planned as
+    a SortAggregate chain with TWO exchanges and full sorts of the
+    window table. The dup test is equivalently min(id) != max(id)
+    (>= 2 distinct docs) or count(*) >= 2 (within_doc), and
+    min_by(pos, struct(id, pos)) recovers the canonical occurrence's
+    pos in the same pass ((id, pos) is unique per row, so no tie
+    ambiguity) — one ObjectHashAggregate exchange, zero sorts of the
+    window table; the window scan itself is checkpointed (it feeds
+    the aggregation and the mark join — previously the corpus was
+    re-scanned). Outputs bit-identical (span_intervals/span_removal
+    hash-green)."""
+    w = duplicated_span_windows(docs, k, id_col, text_col) \
+        .localCheckpoint(eager=True)
+    dup_test = (F.col("_cnt") >= 2) if within_doc \
+        else (F.col("_mindoc") != F.col("_maxdoc"))
+    hstats = w.groupBy("h").agg(
+        F.count("*").alias("_cnt"),
+        F.min(id_col).alias("_mindoc"),
+        F.max(id_col).alias("_maxdoc"),
+        F.min_by("pos", F.struct(id_col, "pos")).alias("_cpos"))
+    dup = hstats.where(dup_test).select("h", "_mindoc", "_cpos")
+    # no broadcast hint: AQE sees the dup aggregation's true runtime
+    # size and picks broadcast itself, degrading to a shuffle join on
+    # a pathologically duplicated corpus
+    return w.join(dup, on="h").where(
+        (F.col(id_col) != F.col("_mindoc"))
+        | (F.col("pos") != F.col("_cpos"))) \
+        .select(id_col, "pos")
+
+
 def duplicated_span_intervals(docs: DataFrame, k: int = 16,
                               id_col: str = "doc_id",
                               text_col: str = "text",
@@ -1424,36 +1479,8 @@ def duplicated_span_intervals(docs: DataFrame, k: int = 16,
     for the dup/canonical aggregation, one join back, one per-doc
     merge — the honest substring-dedup cost, fully distributed.
     Returns (doc_id, start, end)."""
-    # Round-8 rewrite (plan diff in plans/r08/): the old
-    # min(struct(id, pos)) + count_distinct(id) aggregation planned as
-    # a SortAggregate chain with TWO exchanges and full sorts of the
-    # window table. The dup test is equivalently min(id) != max(id)
-    # (>= 2 distinct docs) or count(*) >= 2 (within_doc), and the
-    # canonical (min doc, min pos) is recovered from the TINY dup set
-    # by one broadcast join — all HashAggregates, ONE exchange, zero
-    # sorts of the window table; the window scan itself is
-    # checkpointed (it feeds the aggregation, the canonical-pos lookup
-    # and the mark join — previously the corpus was re-scanned).
-    # Outputs bit-identical (span_intervals/span_removal hash-green).
-    w = duplicated_span_windows(docs, k, id_col, text_col) \
-        .localCheckpoint(eager=True)
-    dup_test = (F.col("_cnt") >= 2) if within_doc \
-        else (F.col("_mindoc") != F.col("_maxdoc"))
-    # min_by(pos, struct(id, pos)) == the canonical occurrence's pos
-    # ((id, pos) is unique per row, so no tie ambiguity); ObjectHash-
-    # Aggregate, partial-aggregated — one pass, no sorts, no join-back
-    hstats = w.groupBy("h").agg(
-        F.count("*").alias("_cnt"),
-        F.min(id_col).alias("_mindoc"),
-        F.max(id_col).alias("_maxdoc"),
-        F.min_by("pos", F.struct(id_col, "pos")).alias("_cpos"))
-    dup = hstats.where(dup_test).select("h", "_mindoc", "_cpos")
-    # no broadcast hint: AQE sees the dup aggregation's true runtime
-    # size and picks broadcast itself (it did for the old shape too),
-    # degrading to a shuffle join on a pathologically duplicated corpus
-    marked = w.join(dup, on="h").where(
-        (F.col(id_col) != F.col("_mindoc"))
-        | (F.col("pos") != F.col("_cpos")))
+    marked = _duplicated_span_marks(docs, k, id_col, text_col,
+                                    within_doc)
     # gaps-and-islands entirely in Catalyst: a new island starts when
     # pos exceeds the running max end of earlier marks
     win = Window.partitionBy(id_col).orderBy("pos")
@@ -1482,59 +1509,69 @@ def remove_duplicated_spans(docs: DataFrame, k: int = 16,
     complement segments), so the whole operator is hash-exact against
     DuckDB. Character (codepoint) semantics throughout.
 
-    A/B (sf0.1, local[32], best-of-3, same session): the round-6
-    per-document cogroup cut ran 8.33s (it shuffled the full corpus
-    text by doc_id and dispatched one Python group per document);
-    this interval-list broadcast-join + row-local mapInPandas shape
-    runs 4.09s with bit-identical outputs (span_removal_docs /
-    span_removal_intra_docs stayed hash-green) — and the win is
-    structural at scale: the corpus text never crosses a shuffle."""
-    iv = duplicated_span_intervals(docs, k, id_col, text_col,
+    A/B history: the round-6 per-document cogroup cut ran 8.33s at
+    sf0.1 (full corpus shuffled by doc_id, one Python group per doc);
+    round 7's interval-list broadcast-join + row-local mapInPandas
+    cut that to ~4s; round 8 merges the marks INSIDE the cut kernel
+    (one sorted position list per doc — the same sweep the intervals'
+    gaps-and-islands windows compute, so the cut is bit-identical)
+    which drops the two Window passes + island aggregation from the
+    plan entirely. The corpus text still never crosses a shuffle:
+    the mark-list table is ~marked-docs-sized and AQE broadcasts it."""
+    marks = _duplicated_span_marks(docs, k, id_col, text_col,
                                    within_doc=within_doc) \
-        .select(F.col(id_col).alias("_iid"), "start", "end")
+        .select(F.col(id_col).alias("_iid"), "pos")
     id_type = dict(docs.dtypes)[id_col]
-    # per-doc interval LISTS (the interval table is ~n_marked_docs
-    # rows, orders of magnitude below the corpus), LEFT-joined onto
-    # the docs: AQE sees the aggregation's true runtime size and
-    # broadcasts it, so the CORPUS TEXT never shuffles — the round-6
-    # cogroup keyed every <=4-row group to its own Python dispatch
-    # AND shuffled the full corpus by doc_id (r6 VERDICT #2; the
-    # same per-tiny-group anti-pattern as the r4 pyramid fix).
-    # array_sort on (start, end) structs == sort by start (intervals
-    # are disjoint), so the cut order is unchanged -> bit-identical.
-    ivagg = iv.groupBy("_iid").agg(
-        F.array_sort(F.collect_list(F.struct("start", "end")))
-        .alias("_ivs"))
+    magg = marks.groupBy("_iid").agg(
+        F.sort_array(F.collect_list("pos")).alias("_mpos"))
     # fan_out the docs side (round-8): the cut kernel below is
-    # row-local and the interval side broadcasts, so a single-row-group
+    # row-local and the mark-list side broadcasts, so a single-row-group
     # scan would otherwise run the whole cut in ONE task
     joined = scanpar.fan_out(docs.select(id_col, text_col), key=id_col) \
-        .join(ivagg, on=F.col(id_col) == F.col("_iid"), how="left") \
+        .join(magg, on=F.col(id_col) == F.col("_iid"), how="left") \
         .drop("_iid")
+    kk = int(k)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts = pdf[text_col]
-            ivs_col = pdf["_ivs"]
+            pos_col = pdf["_mpos"]
             clean = []
             n_sp = np.zeros(len(pdf), dtype=np.int32)
             n_ch = np.zeros(len(pdf), dtype=np.int32)
-            for i, (t, g) in enumerate(zip(texts, ivs_col)):
+            for i, (t, ps) in enumerate(zip(texts, pos_col)):
                 t = t or ""
-                if g is None or len(g) == 0:
+                if ps is None or len(ps) == 0:
                     clean.append(t)
                     continue
+                # merge sorted mark positions into maximal [s, e)
+                # intervals (identical to the gaps-and-islands rule:
+                # ascending positions, so the running max end is just
+                # the previous position + k) and cut in one sweep
                 pieces = []
                 cursor = 0
                 removed = 0
-                for item in g:
-                    s, e = item["start"], item["end"]
-                    pieces.append(t[cursor:s])
-                    removed += e - s
-                    cursor = e
+                nsp = 0
+                cur_s = cur_e = None
+                for p in ps:
+                    p = int(p)
+                    if cur_e is None:
+                        cur_s, cur_e = p, p + kk
+                    elif p > cur_e:
+                        pieces.append(t[cursor:cur_s])
+                        removed += cur_e - cur_s
+                        cursor = cur_e
+                        nsp += 1
+                        cur_s, cur_e = p, p + kk
+                    else:
+                        cur_e = p + kk
+                pieces.append(t[cursor:cur_s])
+                removed += cur_e - cur_s
+                cursor = cur_e
+                nsp += 1
                 pieces.append(t[cursor:])
                 clean.append("".join(pieces))
-                n_sp[i] = len(g)
+                n_sp[i] = nsp
                 n_ch[i] = removed
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy(),
