@@ -485,23 +485,47 @@ def run_image_curation_streaming(spark: SparkSession, source_dir: str,
     is the final keeper set). All four are deliberately BATCH-ONLY
     stages, not streaming gaps: each is a function of the settled
     corpus that an append-only stream cannot finalize row-by-row.
-    Returns the started StreamingQuery; tested streamed == batch on a
-    two-batch replay."""
-    import os
-
-    from pyspark.sql import functions as SF
-
-    from ..operators import dedup, multimodal
-
+    The sinks are epoch-partitioned so the fold is idempotent under
+    micro-batch replay (see image_curate_fold). Returns the started
+    StreamingQuery; tested streamed == batch on a two-batch replay."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
     stream = reader.parquet(source_dir)
+    curate_batch = image_curate_fold(spark, out_dir, clip_threshold,
+                                     max_hamming, min_px)
+    return (stream.writeStream.foreachBatch(curate_batch)
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .trigger(availableNow=True).start())
+
+
+def image_curate_fold(spark: SparkSession, out_dir: str,
+                      clip_threshold: float = 0.75,
+                      max_hamming: int = 6, min_px: int = 16):
+    """The foreachBatch fold of run_image_curation_streaming, exposed
+    so replay semantics are directly testable. IDEMPOTENT under
+    micro-batch replay (round-7 ADVICE): each epoch's keepers and
+    gate survivors land in epoch=<id> PARTITION directories of
+    ``out_dir/curated`` / ``out_dir/register`` written with overwrite
+    — a replayed epoch overwrites its own partition instead of
+    appending duplicates, and the incremental phash probe already
+    supersedes replayed ids on the register side
+    (phash_neardup_incremental's replay filter), so the pair set is
+    unchanged on the second attempt. Existence probes use the Hadoop
+    FS API, not os.path. Readers of the two stores see an extra
+    ``epoch`` partition column."""
+    from pyspark.sql import functions as SF
+
+    from ..operators import dedup, multimodal
+    from .windows import _hadoop_fs
+
     register = f"{out_dir}/register"
     curated = f"{out_dir}/curated"
 
     def curate_batch(batch_df, epoch_id):
+        epoch_id = int(epoch_id)
+        fs, P = _hadoop_fs(spark, out_dir)
         # same stage order as the batch pipeline (both gates are
         # row-local, so streamed == batch per row)
         basic = multimodal.basic_image_filters(batch_df, min_px=min_px)
@@ -512,8 +536,8 @@ def run_image_curation_streaming(spark: SparkSession, source_dir: str,
         aligned = sized.join(
             gate.where(SF.col("keep")).select("image_id"),
             on="image_id").localCheckpoint(eager=True)
-        if os.path.exists(register):
-            prior = spark.read.parquet(register)
+        if fs.exists(P(register)):
+            prior = spark.read.parquet(register).drop("epoch")
             pairs = dedup.phash_neardup_incremental(
                 aligned, prior, max_hamming=max_hamming)
         else:
@@ -528,9 +552,9 @@ def run_image_curation_streaming(spark: SparkSession, source_dir: str,
             multimodal.bucket_by_aspect(kept)
             .select("image_id", "bucket_id", "bucket_w", "bucket_h"),
             on="image_id")
-        bucketed.write.mode("append").parquet(curated)
-        aligned.write.mode("append").parquet(register)
+        bucketed.write.mode("overwrite") \
+            .parquet(f"{curated}/epoch={epoch_id}")
+        aligned.write.mode("overwrite") \
+            .parquet(f"{register}/epoch={epoch_id}")
 
-    return (stream.writeStream.foreachBatch(curate_batch)
-            .option("checkpointLocation", f"{out_dir}/_ckpt")
-            .trigger(availableNow=True).start())
+    return curate_batch

@@ -482,3 +482,32 @@ def test_corpus_curation_c4_and_gopher_stages(spark, tmp_path):
         str(tmp_path / "b") + "/stratified_sample/data")
         .select("doc_id").collect())
     assert got_ids == batch_ids and len(got_ids) > 0
+
+
+def test_image_curate_fold_replay_idempotent(spark, tmp_path):
+    """Round-8 (r7 ADVICE): replaying a curation micro-batch epoch —
+    the failure-recovery path of foreachBatch — must not duplicate
+    rows in the curated/register stores: fold(b0, 0); fold(b1, 1);
+    fold(b1, 1) again leaves exactly the batch pipeline's keeper set."""
+    from rasters_rs_spark.sources import synth
+    from rasters_rs_spark.streaming.pipeline import image_curate_fold
+
+    plants = ((5, 4), (13, 12))
+    images = spark.createDataFrame(
+        synth.clip_caption_table(24, plant_neardups=plants))
+    b0 = images.where("image_id < 'img_00000012'")
+    b1 = images.where("image_id >= 'img_00000012'")
+    out = str(tmp_path / "curate_out")
+    fold = image_curate_fold(spark, out, max_hamming=10)
+    fold(b0, 0)
+    fold(b1, 1)
+    once = sorted(r["image_id"] for r in spark.read.parquet(
+        f"{out}/curated").select("image_id").collect())
+    fold(b1, 1)   # replay after a simulated post-write crash
+    again = sorted(r["image_id"] for r in spark.read.parquet(
+        f"{out}/curated").select("image_id").collect())
+    assert again == once
+    assert len(once) == len(set(once)) > 0
+    reg = [r["image_id"] for r in spark.read.parquet(
+        f"{out}/register").select("image_id").collect()]
+    assert len(reg) == len(set(reg))
