@@ -907,9 +907,11 @@ def bm25_topk(queries: DataFrame, docs: DataFrame, k: int = 10,
     standard BM25 is corpus-wide, which pruned lists still compute
     exactly); scoring is the pruned-postings equi-join on term; top-k
     is one window. The corpus never crosses an all-pairs boundary and
-    the only driver traffic is two scalars (N, total token count), so
-    the plan survives a 100-TB corpus as long as queries stay
-    query-sized (the same contract as the ANN tiers).
+    zero corpus bytes reach the driver (round-8: the two corpus
+    scalars — N, avgdl — ride the final plan as a broadcast 1-row
+    aggregate instead of driver actions), so the plan survives a
+    100-TB corpus as long as queries stay query-sized (the same
+    contract as the ANN tiers).
 
     Per-(query,term,doc) contributions are quantized to the 2^-20
     dyadic grid (exactly like lm_score): every contribution is an
@@ -940,12 +942,19 @@ def bm25_topk(queries: DataFrame, docs: DataFrame, k: int = 10,
         F.col(id_col).alias("_did"),
         F.size(_bm25_tokens(F.coalesce(F.col(text_col), F.lit(""))))
         .cast("long").alias("dl")).localCheckpoint(eager=True)
-    # one action for both scalars (round-8: count() + agg().first()
-    # were two sequential jobs over the same checkpointed rows)
-    srow = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).first()
-    n_docs = int(srow["n"] or 0)
-    tot = srow["t"] or 0
-    avgdl = float(tot) / float(n_docs) if n_docs else 1.0
+    # the two corpus scalars (N, avgdl) ride the final plan as a
+    # broadcast 1-row aggregate over the CHECKPOINTED dl instead of a
+    # separate driver action (round-8: count() + agg().first() were
+    # two sequential jobs; r8a fused them to one; this removes the
+    # job entirely). n/t are exact int64, so nd = cast double and
+    # t/n reproduce the old Python float(tot)/float(n_docs) literal
+    # bit-for-bit inside the same IEEE expression tree.
+    scalars = F.broadcast(dl.agg(
+        F.count("*").cast("double").alias("_nd_docs"),
+        F.when(F.count("*") > 0,
+               F.sum("dl").cast("double")
+               / F.count("*").cast("double"))
+        .otherwise(F.lit(1.0)).alias("_avgdl")))
 
     # fan_out (round-8): the tokenize+explode+vocab-prune+map-side tf
     # partials below would otherwise run in ONE task on a
@@ -976,8 +985,8 @@ def bm25_topk(queries: DataFrame, docs: DataFrame, k: int = 10,
         .localCheckpoint(eager=True)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
 
-    idf = F.log((F.lit(float(n_docs)) - df_ + 0.5) / (df_ + 0.5) + 1.0)
-    denom = tf_ + k1 * (1.0 - b + b * dl_ / F.lit(avgdl))
+    idf = F.log((F.col("_nd_docs") - df_ + 0.5) / (df_ + 0.5) + 1.0)
+    denom = tf_ + k1 * (1.0 - b + b * dl_ / F.col("_avgdl"))
     contrib = F.floor(idf * (tf_ * (k1 + 1.0)) / denom
                       * _BM25_GRID) / _BM25_GRID
 
@@ -985,6 +994,7 @@ def bm25_topk(queries: DataFrame, docs: DataFrame, k: int = 10,
         .join(tf, on="term") \
         .join(F.broadcast(df), on="term") \
         .join(dl, on="_did") \
+        .crossJoin(scalars) \
         .groupBy("q_id", "_did") \
         .agg(F.sum(contrib).alias("score"))
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("_did"))
