@@ -412,12 +412,21 @@ def aoi_cells_df(spark: SparkSession, aois: pd.DataFrame, zoom: int) -> DataFram
 
 
 def _refine(df: DataFrame, keep_cols: list[str],
-            pip_rule: str = "evenodd") -> DataFrame:
+            pip_rule: str = "evenodd",
+            rings: dict | None = None) -> DataFrame:
     """Exact point-in-polygon refine over candidate (point, aoi) rows.
     ``pip_rule``: 'evenodd' (crossing parity — the reference's
     geo::Contains semantics) or 'nonzero' (signed winding number — the
     GEOS/PostGIS rule; differs only on self-intersecting rings and
-    same-winding overlaps)."""
+    same-winding overlaps).
+
+    ``rings``: optional {part: (ring_offsets, xs, ys)} lookup closed
+    over the kernel (round-8). The pandas-AOI broadcast path knows the
+    whole catalog driver-side, so shipping the ring buffers once in
+    the task closure — instead of DUPLICATED onto every candidate row
+    through the join and the Arrow boundary (a 13x fan-out at the
+    headline's zoom) — cuts the refine stage's payload to the point
+    columns; same kernel, bit-identical keep decisions."""
     out_schema = ", ".join(keep_cols)
     pip = {"evenodd": geom.points_in_rings,
            "nonzero": geom.points_in_rings_winding}[pip_rule]
@@ -431,13 +440,18 @@ def _refine(df: DataFrame, keep_cols: list[str],
             # group candidates by AOI ROW (part index), not aoi_id: an
             # aoi_id spanning multiple rows (multipolygon-as-rows) must
             # test each candidate against ITS OWN part's rings
-            for _, sub in pdf.groupby("part", sort=False):
-                first = sub.iloc[0]
+            for part, sub in pdf.groupby("part", sort=False):
+                if rings is not None:
+                    ro, rxs, rys = rings[int(part)]
+                else:
+                    first = sub.iloc[0]
+                    ro, rxs, rys = (first["ring_offsets"], first["xs"],
+                                    first["ys"])
                 inside = pip(
                     sub["px"].to_numpy(), sub["py"].to_numpy(),
-                    list(first["ring_offsets"]),
-                    np.asarray(first["xs"], dtype=np.float64),
-                    np.asarray(first["ys"], dtype=np.float64),
+                    list(ro),
+                    np.asarray(rxs, dtype=np.float64),
+                    np.asarray(rys, dtype=np.float64),
                 )
                 keep[sub.index.to_numpy()] = inside
             res = pdf.loc[keep, [c.split(" ")[0] for c in keep_cols]]
@@ -594,9 +608,21 @@ def cell_pip_join(points: DataFrame, aois, zoom: int = 12,
         out = _refine_cogroup(pts, cells, aoi_parts_src, join_keys, keep,
                               pip_rule, refine_salt)
     else:
+        rings = None
+        if not isinstance(aois, DataFrame):
+            # pandas catalog: rings ride the kernel closure; the
+            # broadcast cell table carries only (aoi_id, part, cell)
+            # so candidate rows stop duplicating ring buffers through
+            # the join + Arrow boundary (round-8; see _refine)
+            rings = {
+                part: (list(r.ring_offsets),
+                       [float(v) for v in r.xs],
+                       [float(v) for v in r.ys])
+                for part, r in enumerate(aois.itertuples(index=False))}
+            cells = cells.drop("ring_offsets", "xs", "ys")
         right = F.broadcast(cells) if broadcast_aois else cells
         cand = pts.join(right, on=join_keys, how="inner")
-        out = _refine(cand, keep, pip_rule)
+        out = _refine(cand, keep, pip_rule, rings=rings)
     if multipart:
         # multipart AOIs: a point row inside several parts of one
         # aoi_id must still produce ONE row — keyed on row identity,
