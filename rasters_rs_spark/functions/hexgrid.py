@@ -426,11 +426,16 @@ def hex_density_clusters(points: DataFrame, x_col: str = "x",
     # list is tiny next to the corpus, and dense regions can snake far
     # beyond any fixed iteration budget — under the cap, one bounded
     # collect + driver union-find replaces O(diameter) shuffle rounds
-    n_edges = edges.limit(driver_graph_cap + 1).count()
-    if n_edges <= driver_graph_cap:
+    # one job for probe AND payload (round-8: the capped count and the
+    # collect were two sequential jobs over the same checkpointed
+    # input): collect at most cap+1 rows — within the cap those ARE
+    # all the edges; one row over means fall back, nothing unbounded
+    # ever reaches the driver
+    edge_rows = edges.limit(driver_graph_cap + 1).collect()
+    if len(edge_rows) <= driver_graph_cap:
         from ..operators.vectorize import _driver_union_find
         mapping = _driver_union_find(
-            [(r["id_a"], r["id_b"]) for r in edges.collect()])
+            [(r["id_a"], r["id_b"]) for r in edge_rows])
         spark = points.sparkSession
         if mapping:
             comp = F.broadcast(

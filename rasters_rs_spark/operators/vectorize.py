@@ -272,9 +272,13 @@ def polygonize_chunked(chunks: DataFrame, n_classes: int = 4,
     # of paying ~2 shuffles per iterative round; the distributed
     # min-label path stays the fallback for adversarial stripings
     # (e.g. strip_height 1 over giant images)
-    n_pairs = pairs.limit(driver_graph_cap + 1).count()
-    if n_pairs <= driver_graph_cap:
-        edge_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    # one job for probe AND payload (round-8: the capped count and the
+    # collect were two sequential jobs): collect at most cap+1 rows —
+    # within the cap those ARE all the pairs; one row over means fall
+    # back, nothing unbounded ever reaches the driver
+    pair_rows = pairs.limit(driver_graph_cap + 1).collect()
+    if len(pair_rows) <= driver_graph_cap:
+        edge_list = [(r["id_a"], r["id_b"]) for r in pair_rows]
         mapping = _driver_union_find(edge_list)
         spark = chunks.sparkSession
         if mapping:
