@@ -1430,32 +1430,28 @@ def _duplicated_span_marks(docs: DataFrame, k: int = 16,
     Round-8 rewrite (plan diff in plans/r08/): the old
     min(struct(id, pos)) + count_distinct(id) aggregation planned as
     a SortAggregate chain with TWO exchanges and full sorts of the
-    window table. The dup test is equivalently min(id) != max(id)
-    (>= 2 distinct docs) or count(*) >= 2 (within_doc), and
-    min_by(pos, struct(id, pos)) recovers the canonical occurrence's
-    pos in the same pass ((id, pos) is unique per row, so no tie
-    ambiguity) — one ObjectHashAggregate exchange, zero sorts of the
-    window table; the window scan itself is checkpointed (it feeds
-    the aggregation and the mark join — previously the corpus was
-    re-scanned). Outputs bit-identical (span_intervals/span_removal
-    hash-green)."""
-    w = duplicated_span_windows(docs, k, id_col, text_col) \
-        .localCheckpoint(eager=True)
-    dup_test = (F.col("_cnt") >= 2) if within_doc \
-        else (F.col("_mindoc") != F.col("_maxdoc"))
-    hstats = w.groupBy("h").agg(
-        F.count("*").alias("_cnt"),
-        F.min(id_col).alias("_mindoc"),
-        F.max(id_col).alias("_maxdoc"),
-        F.min_by("pos", F.struct(id_col, "pos")).alias("_cpos"))
-    dup = hstats.where(dup_test).select("h", "_mindoc", "_cpos")
-    # no broadcast hint: AQE sees the dup aggregation's true runtime
-    # size and picks broadcast itself, degrading to a shuffle join on
-    # a pathologically duplicated corpus
-    return w.join(dup, on="h").where(
-        (F.col(id_col) != F.col("_mindoc"))
-        | (F.col("pos") != F.col("_cpos"))) \
-        .select(id_col, "pos")
+    window table, followed by a join back onto a checkpointed copy of
+    it. The dup test is equivalently min(id) != max(id) (>= 2
+    distinct docs) or count(*) >= 2 (within_doc), the canonical
+    occurrence's pos is min_by(pos, struct(id, pos)) ((id, pos) is
+    unique per row, so no tie ambiguity), and computing all four as
+    WINDOW aggregates over partitionBy(h) lets every row test itself
+    in the SAME pass — ONE exchange of the window table, one
+    partition sort, no checkpoint, no join-back, the corpus scanned
+    exactly once. Outputs bit-identical (span_intervals/span_removal
+    hash-green at both driver scales)."""
+    w = duplicated_span_windows(docs, k, id_col, text_col)
+    hw = Window.partitionBy("h")
+    dup_test = (F.count("*").over(hw) >= 2) if within_doc \
+        else (F.min(id_col).over(hw) != F.max(id_col).over(hw))
+    canonical = (
+        (F.col(id_col) == F.min(id_col).over(hw))
+        & (F.col("pos")
+           == F.min_by("pos", F.struct(id_col, "pos")).over(hw)))
+    # window exprs must be projected before they can be filtered on
+    return w.select(id_col, "pos",
+                    (dup_test & ~canonical).alias("_mark")) \
+        .where(F.col("_mark")).select(id_col, "pos")
 
 
 def duplicated_span_intervals(docs: DataFrame, k: int = 16,
